@@ -1,38 +1,65 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001; ``queries()``
+maps every implemented operator (SURVEY.md §2 + extensions) to a callable
+``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` pairs each with ANSI SQL
+for the DuckDB differential check. Queries whose key is missing from
+``oracle_sql()`` (custom stateful streaming etc.) get a rows-only check.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from nyc_taxi_data_pipeline_elt_spark.plans.reference_queries import (
+        q1_monthly_revenue,
+    )
+
+    return q1_monthly_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from nyc_taxi_data_pipeline_elt_spark.plans import reference_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(reference_queries.QUERIES)
+    for mod_name in ("analytics", "trainingdata", "streaming_queries"):
+        try:
+            mod = __import__(
+                f"nyc_taxi_data_pipeline_elt_spark.plans.{mod_name}",
+                fromlist=["QUERIES"],
+            )
+        except ImportError:
+            continue
+        out.update(mod.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each oracle-checkable query."""
+    from nyc_taxi_data_pipeline_elt_spark.plans import reference_queries
+
+    out: dict[str, str] = {}
+    out.update(reference_queries.ORACLE)
+    for mod_name in ("analytics", "trainingdata", "streaming_queries"):
+        try:
+            mod = __import__(
+                f"nyc_taxi_data_pipeline_elt_spark.plans.{mod_name}",
+                fromlist=["ORACLE"],
+            )
+        except ImportError:
+            continue
+        out.update(mod.ORACLE)
+    return out

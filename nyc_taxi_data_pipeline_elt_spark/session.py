@@ -1,0 +1,80 @@
+"""SparkSession factory and runtime tuning.
+
+The reference relies on Glue to construct its session
+(``/root/reference/src/process_data_glue.py:30-34``) and sets exactly one
+conf itself (``partitionColumnTypeInference``, line 130). Here the session
+is owned by the library; confs are chosen for correctness parity with the
+DuckDB oracle (UTC, double semantics) and for scale (AQE, dynamic partition
+overwrite, Arrow).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that must hold for oracle-correct, scale-ready execution. These are
+# all *runtime-settable* SQL confs so they can also be applied to a session
+# we did not create (the driver harness builds its own).
+RUNTIME_CONFS: dict[str, str] = {
+    # year()/month()/hour() are session-TZ dependent; DuckDB timestamps are
+    # UTC-naive. Pin UTC so both engines see the same wall-clock fields.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime shuffle-partition coalescing + skew-join splitting. At
+    # 100 TB this is what keeps a static partition count from being wrong.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Overwriting one partition must not clobber siblings — the reference's
+    # partition-scoped incremental overwrite (process_data_glue.py:184-190).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # The reference enables scan-time partition-value typing explicitly
+    # (process_data_glue.py:130).
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "true",
+    # Arrow for any toPandas()/pandas_udf boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet stores TIMESTAMP(NANOS), which the Spark reader
+    # rejects; read it as epoch-nanos long and convert in the loader
+    # (sources.readers.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent).
+
+    Every public query entry point calls this so behavior is identical
+    whether the session came from :func:`get_spark` or from the harness.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-settable in this build → keep going; defaults are sane.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "nyc-taxi-elt-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a local session sized to the host.
+
+    ``local[N]`` is the test harness; on a real cluster the same code runs
+    unchanged under whatever master the deployment provides.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # Shuffle partitions ~ cores for local; AQE coalesces further.
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)

@@ -1,0 +1,98 @@
+"""Scans (SURVEY.md §2.1: S3, S4, S5, S10).
+
+The reference reads landing parquet with schema merging
+(``/root/reference/src/process_data_glue.py:137-139``) and prunes
+partitions *by path surgery* (``:25``; ``reporting_etl_job.py:27-28``).
+Here pruning is expressed the idiomatic way — a filter on the partition
+column of a partitioned read — so Catalyst's PartitionPruning does it,
+and the same plan holds when the table is 100 TB across a million files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver-generated synthetic table (TESTDATA.md).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) — unsupported by the Spark
+    vectorized reader, so it arrives as epoch-nanos long (session conf
+    ``spark.sql.legacy.parquet.nanosAsLong``) and is truncated to Spark's
+    microsecond timestamps here. Oracle-checked queries must therefore only
+    emit values derived at >=1 µs granularity from ``ts``.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            # integer DIV, not /: epoch-nanos (~1.7e18) exceeds double's
+            # 2^53 exact-integer range.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def read_landing(
+    spark: SparkSession,
+    landing_path: str,
+    trip_type: str | None = None,
+    merge_schema: bool = True,
+) -> DataFrame:
+    """Landing scan with schema merge (S3) + partition pruning (S4).
+
+    Mirrors ``spark.read.format("parquet").option("mergeSchema","true")``
+    at process_data_glue.py:137-139, but replaces the reference's path
+    pre-filtering with a partition-column filter that Catalyst prunes.
+    """
+    reader = spark.read.option("mergeSchema", str(merge_schema).lower())
+    df = reader.parquet(landing_path)
+    if trip_type is not None and "trip_type" in df.columns:
+        df = df.filter(F.col("trip_type") == trip_type)
+    return df
+
+
+def read_layer(
+    spark: SparkSession, path: str, trip_type: str | None = None
+) -> DataFrame | None:
+    """Consumer-layer scan with missing/empty-table guard (S5).
+
+    The reference returns ``None`` for a missing or empty Delta table
+    (``reporting_etl_job.py:48-63``) so downstream degrades to an
+    empty-report write. Same contract here over partitioned parquet
+    (Delta jars are not in this environment; the reference uses no
+    Delta feature beyond partitioned overwrite — SURVEY.md §7.5).
+
+    Uses ``isEmpty()`` (one-row probe) instead of the reference's full
+    ``count()`` action, which rescans the entire table just to log it.
+    """
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return None
+    if trip_type is not None and "trip_type" in df.columns:
+        df = df.filter(F.col("trip_type") == trip_type)
+    if df.isEmpty():
+        return None
+    return df
+
+
+def to_pandas(df: DataFrame):
+    """Consumption boundary (S10): the reference pulls report tables into
+    pandas via PyAthena (``analysis/analytics_job.py:21-38``); here it is
+    the Arrow-backed ``toPandas`` on an already-aggregated (small) result.
+    """
+    return df.toPandas()

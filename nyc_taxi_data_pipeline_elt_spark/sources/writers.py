@@ -1,0 +1,41 @@
+"""Sinks (SURVEY.md §2.1: S6, S7, S8).
+
+Partition-scoped dynamic overwrite replaces the reference's Delta
+partitioned overwrite (``/root/reference/src/process_data_glue.py:186-190``)
+— the only Delta capability the reference uses. ``partitionOverwriteMode=
+dynamic`` (set in session.RUNTIME_CONFS) makes ``mode("overwrite")``
+replace only the partitions present in the incoming DataFrame, which is
+what makes per-(month, fleet) incremental re-runs safe at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Consumer-layer sink (S6): partitioned, dynamic overwrite."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def write_report(df: DataFrame, path: str) -> None:
+    """Reporting sink (S7): plain overwrite parquet
+    (``reporting_etl_job.py:102,158``). Reports are tiny (<= dozens of
+    rows) — coalesce to one file so the consumption layer reads one
+    object, not one per shuffle partition.
+    """
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def write_empty_report(spark: SparkSession, schema: T.StructType, path: str) -> None:
+    """Empty-DF schema-only sink (S8): a valid parquet file carrying only
+    metadata when input is empty (``reporting_etl_job.py:65-70``)."""
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
