@@ -1,0 +1,50 @@
+"""Catalog & SQL consumption surface (SURVEY.md §2.1 S9/S10).
+
+The reference registers tables in the Glue Data Catalog via Terraform and
+syncs partitions with an async Athena ``MSCK REPAIR TABLE``
+(``/root/reference/src/process_data_glue.py:98-123,203``); consumption is
+PyAthena SQL over the reporting tables (``analysis/analytics_job.py``).
+In-engine, the session catalog plays Glue and ``spark.sql`` plays Athena.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nyc_taxi_data_pipeline_elt_spark.session import tune
+from nyc_taxi_data_pipeline_elt_spark.sources.readers import (
+    TESTDATA_TABLES,
+    load_table,
+)
+
+
+def register_parquet_table(
+    spark: SparkSession, name: str, path: str, partitioned: bool = False
+) -> None:
+    """Expose a parquet location as a catalog table.
+
+    For partitioned locations this is the engine's MSCK-equivalent: an
+    external table whose partitions are discovered (S9). Non-partitioned
+    locations register as plain external tables.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} USING parquet OPTIONS (path '{path}')"
+    )
+    if partitioned:
+        # spark.catalog.recoverPartitions == MSCK REPAIR TABLE
+        # (process_data_glue.py:110), synchronous and in-session instead of
+        # the reference's fire-and-forget Athena call.
+        spark.catalog.recoverPartitions(name)
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the driver fixture tables as temp views for spark.sql."""
+    tune(spark)
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def sql(spark: SparkSession, query: str) -> DataFrame:
+    """Consumption surface: Athena-in-the-reference == spark.sql here."""
+    return spark.sql(query)
