@@ -1,0 +1,399 @@
+"""Extension query corpus: joins, windows, top-k, rollup, pivot, JSON,
+sessionization (SURVEY.md §7.3 step 4).
+
+The reference performs zero joins/windows (SURVEY.md §2.7-2.8) — fleet
+unification is a union — but a complete engine needs them; these are the
+TPC-H-style north-star queries over the fixture tables, each paired with
+DuckDB oracle SQL.
+
+Scale notes per plan shape:
+- dimension joins put ``F.broadcast`` on the *bounded* sides (region,
+  nation: 5/25 rows at every SF); fact-fact joins (orders x lineitem) are
+  left to Catalyst/AQE — at 100 TB they become sort-merge with AQE skew
+  splitting, which is the right physical plan
+- window functions shuffle once on the partition key; every ORDER BY
+  inside a window carries a unique tiebreak so results are deterministic
+  for the oracle
+- aggregates are rounded at 2dp on both sides (FP summation-order drift)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_pipeline_elt_spark.session import tune
+from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
+
+_SHIP_CUTOFF = "1998-09-02"
+
+
+# --- TPC-H Q1 shape: wide grouped aggregation -------------------------------
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_SHIP_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+PRICING_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       round(avg(l_discount), 2) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_SHIP_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- TPC-H Q5 shape: star join with broadcast dimensions --------------------
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    # region/nation are bounded (5/25 rows at any SF) -> explicit broadcast;
+    # customer join is left to Catalyst/AQE (broadcastable at test SFs,
+    # shuffle join at 100 TB).
+    dim = F.broadcast(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(dim, F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+REVENUE_BY_NATION_ORACLE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# --- TPC-H Q3 shape: join + group + deterministic top-k ----------------------
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SHIPPING_TOPK_ORACLE = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- semi / anti joins -------------------------------------------------------
+def customers_without_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # anti-join against the 'P' slice: non-degenerate at every SF (a plain
+    # "no orders at all" anti-join matches zero customers in this corpus)
+    tune(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    partial = orders.filter(F.col("o_orderstatus") == "P")
+    return customer.join(
+        partial, customer.c_custkey == partial.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+ANTI_JOIN_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+"""
+
+
+def customers_with_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_acctbal")
+
+
+SEMI_JOIN_ORACLE = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+# --- window functions --------------------------------------------------------
+def top3_lineitems_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+    )
+
+
+WINDOW_TOPK_ORACLE = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn
+FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+         CAST(row_number() OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         ) AS INTEGER) AS rn
+  FROM lineitem
+) WHERE rn <= 3
+"""
+
+
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+RUNNING_SUM_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 2) AS running_spend
+FROM orders
+"""
+
+
+# --- rollup / distinct / pivot ----------------------------------------------
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def distinct_customers_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+DISTINCT_ORACLE = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --- JSON scalar extraction ---------------------------------------------------
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 2).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count("k").alias("n_with_k"),
+        )
+    )
+
+
+JSON_ORACLE = """
+SELECT event_type,
+       round(avg(k), 2) AS avg_k,
+       max(k) AS max_k,
+       count(k) AS n_with_k
+FROM (SELECT event_type, CAST(props->>'$.k' AS INTEGER) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+# --- sessionization (gap-based, batch) ---------------------------------------
+# 30-min inactivity gap -> new session; the batch twin of
+# streaming.session_window. Window + cumulative-sum composition, no UDF.
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sessioned = events.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sessioned.groupBy("user_id").agg(
+        F.max("session_seq").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SESSIONIZE_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+), sessioned AS (
+  SELECT user_id,
+         sum(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM gaps
+)
+SELECT user_id,
+       CAST(max(session_seq) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM sessioned
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "revenue_by_nation": revenue_by_nation,
+    "shipping_priority_topk": shipping_priority_topk,
+    "customers_without_open_orders": customers_without_open_orders,
+    "customers_with_big_order": customers_with_big_order,
+    "top3_lineitems_per_supplier": top3_lineitems_per_supplier,
+    "running_customer_spend": running_customer_spend,
+    "rollup_pricing": rollup_pricing,
+    "distinct_customers_per_priority": distinct_customers_per_priority,
+    "orders_pivot_status": orders_pivot_status,
+    "events_json_stats": events_json_stats,
+    "sessionize_users": sessionize_users,
+}
+
+ORACLE = {
+    "pricing_summary": PRICING_ORACLE,
+    "revenue_by_nation": REVENUE_BY_NATION_ORACLE,
+    "shipping_priority_topk": SHIPPING_TOPK_ORACLE,
+    "customers_without_open_orders": ANTI_JOIN_ORACLE,
+    "customers_with_big_order": SEMI_JOIN_ORACLE,
+    "top3_lineitems_per_supplier": WINDOW_TOPK_ORACLE,
+    "running_customer_spend": RUNNING_SUM_ORACLE,
+    "rollup_pricing": ROLLUP_ORACLE,
+    "distinct_customers_per_priority": DISTINCT_ORACLE,
+    "orders_pivot_status": PIVOT_ORACLE,
+    "events_json_stats": JSON_ORACLE,
+    "sessionize_users": SESSIONIZE_ORACLE,
+}
