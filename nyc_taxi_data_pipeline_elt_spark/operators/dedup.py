@@ -1,0 +1,223 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of each variant):
+
+- **exact**: hash groupBy on the key — one shuffle, map-side partial agg.
+- **MinHash+LSH**: signatures are computed *per row with array expressions*
+  (no explode, no shuffle); only the band-bucket self-join shuffles, and it
+  shuffles on band keys whose buckets are tiny by construction. This is
+  the O(n)-ish near-dup path for 100 TB corpora — never all-pairs.
+- **SimHash**: per-token bit votes aggregated per doc — one shuffle on
+  doc_id; collisions on the 64-bit print are near-dup candidates.
+- **n-gram Jaccard**: exact pairwise similarity, but only over pairs
+  sharing at least one shingle (inverted-index join), not the full cross
+  product. Still quadratic in the worst case — use after LSH blocking at
+  scale; here it doubles as the verifier for MinHash candidates.
+
+Hashing is md5 (not xxhash64) everywhere: md5 is bit-identical across
+Spark and DuckDB, which makes every operator oracle-checkable. MinHash
+uses the *lexicographic* min of seed-prefixed md5 hex strings — a valid
+min-wise hash family since md5 is uniform on the hex-string order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 12  # signature length
+LSH_BANDS = 4  # 4 bands x 3 rows: candidate threshold ~ (1/4)^(1/3) ~ 0.63
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+_HEX = "0123456789abcdef"
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams of ``text`` (empty array when < n tokens)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(c), "\\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(shingles: Column, k: int = MINHASH_K) -> list[Column]:
+    """k min-wise hashes: lexicographic min over md5('{seed}|' + shingle).
+
+    Pure array expressions — computed per row inside codegen, no shuffle.
+    """
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s, seed=seed: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+        ).alias(f"mh{seed}")
+        for seed in range(k)
+    ]
+
+
+def lsh_band_keys(sig_prefix: str = "mh") -> list[Column]:
+    """Collapse the signature into LSH_BANDS bucket keys (md5 of each band)."""
+    keys = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"{sig_prefix}{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        keys.append(F.md5(F.concat_ws("", *cols)).alias(f"band{b}"))
+    return keys
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash.
+
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b that collide in at
+    least one band. The self-join shuffles on (band_idx, band_key) only.
+    """
+    sig = docs.select(
+        F.col(id_col),
+        *[c for c in minhash_signature(word_shingles(text_col))],
+    ).filter(F.col("mh0").isNotNull())  # docs with < n tokens have no signature
+
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), key.alias("band_key"))
+                    for b, key in enumerate(lsh_band_keys())
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing >= 1 shingle (inverted index
+    join), filtered to ``round(jaccard, 6) >= threshold``."""
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
+    inv = sh.select(id_col, F.explode("shingles").alias("s"))
+
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.round(
+        F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+# 64-bit simhash assembled nibble-by-nibble from md5 hex digits, written in
+# portable SQL (only substr/md5/%/>=/CASE) so one generator yields both the
+# Spark expressions and the DuckDB oracle SQL. operators are generated once
+# at import; per-token bit votes are summed per doc (one shuffle).
+
+
+def simhash_bit_vote_sql(p: int, b: int, token_expr: str = "token") -> str:
+    """SQL for one bit's +-1 vote: hex digit p (1-based) of md5(token),
+    bit b (0..3), via arithmetic bit extraction (portable Spark/DuckDB)."""
+    # instr (not strpos): exists with identical semantics in Spark and DuckDB
+    digit = f"(instr('{_HEX}', substr(md5({token_expr}), {p}, 1)) - 1)"
+    return f"(CASE WHEN ({digit} % {2 ** (b + 1)}) >= {2 ** b} THEN 1 ELSE -1 END)"
+
+
+def simhash_nibble_sql(p: int, vote_prefix: str = "v") -> str:
+    """SQL assembling hex char p from the 4 summed votes v_{p}_{0..3}."""
+    val = " + ".join(
+        f"(CASE WHEN {vote_prefix}_{p}_{b} > 0 THEN {2 ** b} ELSE 0 END)"
+        for b in range(4)
+    )
+    return f"substr('{_HEX}', ({val}) + 1, 1)"
+
+
+def simhash_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document as a 16-char hex string."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("token"),
+    )
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.expr(simhash_bit_vote_sql(p, b))).alias(f"v_{p}_{b}")
+            for p in range(1, 17)
+            for b in range(4)
+        ]
+    )
+    hex_chars = [F.expr(simhash_nibble_sql(p)) for p in range(1, 17)]
+    return votes.select(F.col(id_col), F.concat(*hex_chars).alias("simhash"))
+
+
+def simhash_oracle_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    """The DuckDB twin of :func:`simhash_docs`, generated from the same
+    expression builders so semantics cannot drift."""
+    votes = ",\n         ".join(
+        f"sum({simhash_bit_vote_sql(p, b, 'token')}) AS v_{p}_{b}"
+        for p in range(1, 17)
+        for b in range(4)
+    )
+    nibbles = " || ".join(simhash_nibble_sql(p) for p in range(1, 17))
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest(string_split_regex(trim({text_col}), '\\s+')) AS token
+  FROM {table}
+), votes AS (
+  SELECT {id_col},
+         {votes}
+  FROM toks GROUP BY {id_col}
+)
+SELECT {id_col}, {nibbles} AS simhash FROM votes
+"""
+
+
+def exact_dedup_groups(
+    docs: DataFrame, key_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: one representative (min id) per identical key, with
+    multiplicity and a compact key hash."""
+    return docs.groupBy(key_col).agg(
+        F.min(id_col).alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+        F.md5(F.col(key_col)).alias("text_hash"),
+    ).select("keep_doc_id", "n_copies", "text_hash")

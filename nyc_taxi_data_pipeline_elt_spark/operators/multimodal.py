@@ -1,0 +1,86 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Treats image/audio/video as ``binary`` columns with a typed metadata
+struct alongside — the storage pattern for multimodal training corpora
+(payload stays opaque to the engine; metadata is queryable/prunable).
+
+The *decode* step (image decode, resample, frame extraction) needs codec
+libraries that are not in this container, so it is STUBBED: a clearly
+marked ``NotImplementedError`` for real decoding, plus a deterministic
+fake decoder so the Spark-side plumbing — schema, Arrow batch shape,
+``mapInPandas`` signature, partition behavior — is real and tested.
+Swapping the fake for PIL/torchaudio is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Output schema of the (fake) feature extractor: what a real image decode
+# would emit per payload.
+FEATURES_SCHEMA = (
+    "doc_id bigint, n_bytes int, prefix_hex string, fake_width int, fake_height int"
+)
+
+
+def attach_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary payload + queryable metadata.
+
+    In production the payload arrives as real bytes (image/audio); here it
+    is the utf-8 encoding of ``text`` so results are deterministic.
+    Metadata (size, content prefix) is computed with JVM built-ins —
+    the engine never decodes the payload to answer metadata queries.
+    """
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.lower(F.hex(F.substring(payload, 1, 8))).alias("prefix_hex"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for an image decode: derive a plausible
+    (width, height) from the byte content. Replace with a real codec."""
+    n = len(payload)
+    w = 16 + (payload[0] if n else 0) % 64
+    return w, max(1, n // max(w, 1))
+
+
+def real_decode(payload: bytes):
+    """The genuine decode hook — requires PIL/av/torchaudio, absent here."""
+    raise NotImplementedError(
+        "media decoding requires codec libraries not present in this "
+        "environment; wire PIL.Image.open / av.open here"
+    )
+
+
+def extract_features(df: DataFrame, use_real_decoder: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas``: each Arrow batch arrives as a pandas DataFrame; the
+    decoder runs per payload inside the batch — the canonical shape for
+    CPU-bound media preprocessing on Spark (vectorized transfer, per-row
+    compute, no driver involvement, scales with partitions).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = real_decode if use_real_decoder else _fake_decode
+        for pdf in it:
+            dims = [decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"].astype("int32"),
+                    "prefix_hex": pdf["prefix_hex"],
+                    "fake_width": pd.Series([d[0] for d in dims], dtype="int32"),
+                    "fake_height": pd.Series([d[1] for d in dims], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FEATURES_SCHEMA)

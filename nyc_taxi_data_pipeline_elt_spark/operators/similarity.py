@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, mirroring how ANN is actually deployed:
+
+- **brute force**: exact cosine against every row — the correctness
+  baseline. The dot product is a JVM-side ``aggregate(zip_with(...))``
+  expression (no UDF, no Python); one scan, one top-k. Fine up to
+  millions of vectors per query batch.
+- **IVF (inverted file)**: coarse quantization — vectors are bucketed by
+  their nearest centroid; a query probes only its centroid's bucket. The
+  scan cost drops by ~n_buckets. Centroid assignment here uses the
+  fixture's ``label`` as the coarse partition (deterministic, so the
+  DuckDB oracle can replicate the *same* approximation), with centroids
+  computed as per-bucket means — the shape of a real IVF index build:
+  one aggregation to build centroids, one broadcast join to probe.
+
+All floats are cast to double before arithmetic on both engines: Spark
+and DuckDB must accumulate in the same precision for the oracle hash to
+match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column | str) -> Column:
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product via zip_with + aggregate — sequential left-to-right sum,
+    the same association DuckDB's list_dot_product uses."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against the vector with ``query_vec_id``.
+
+    The 1-row query side is broadcast: the 'join' is a map-side closure
+    over the full scan — embarrassingly parallel at any scale.
+    """
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        as_double(vec_col).alias("qvec")
+    )
+    return (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine(as_double(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine >= threshold (exact). Quadratic — the verifier /
+    small-corpus path; at scale, block with LSH or IVF buckets first."""
+    e = embeddings.select(F.col(id_col), as_double(vec_col).alias("v"))
+    a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return pairs.select("id_a", "id_b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """IVF-style approximate top-k: probe only the bucket whose centroid is
+    nearest the query (nprobe=1).
+
+    Index build = one groupBy to average vectors per bucket (posexplode ->
+    mean per position -> reassemble ordered). Probe = centroid argmax +
+    bucket-pruned brute force. Deterministic, so oracle-checkable; recall
+    vs brute force depends on how well buckets reflect geometry.
+    """
+    e = embeddings.select(
+        F.col(id_col), F.col(bucket_col), as_double(vec_col).alias("v")
+    )
+    # build centroids: mean per (bucket, position), reassembled in order
+    pos = e.select(bucket_col, F.posexplode("v").alias("pos", "val"))
+    centroids = (
+        pos.groupBy(bucket_col, "pos")
+        .agg(F.avg("val").alias("mval"))
+        .groupBy(bucket_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                lambda s: s["mval"],
+            ).alias("centroid")
+        )
+    )
+    q = e.filter(F.col(id_col) == query_vec_id).select(F.col("v").alias("qvec"))
+    # nprobe=1: bucket whose centroid maximizes cosine (tiebreak: bucket id)
+    best_bucket = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            bucket_col,
+            cosine(F.col("centroid"), F.col("qvec")).alias("c_sim"),
+        )
+        .orderBy(F.col("c_sim").desc(), F.col(bucket_col))
+        .limit(1)
+        .select(bucket_col)
+    )
+    return (
+        e.join(F.broadcast(best_bucket), bucket_col)  # bucket pruning
+        .filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col("v"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis operators for training-data pipelines.
+
+All built from JVM-side ``pyspark.sql.functions`` — tokenization, counts,
+ratios, language-ID and fingerprinting are string/array expressions, so
+they stay inside whole-stage codegen and scale linearly with no Python
+boundary. (The reference has no text surface; this is the north-star
+extension of BASELINE.json.)
+
+Every helper returns a Column, so operators compose into any plan and the
+same expressions can be mirrored 1:1 in the DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword inventories for the n-gram/stopword heuristic
+# language-ID. Real pipelines use fastText/CLD3; the *engine mechanics*
+# (array intersection scoring, argmax across languages) are identical.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "por"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"],
+}
+
+# BPE-ish word pattern: runs of alphanumerics OR a single non-space symbol —
+# approximates subword pre-tokenization.
+TOKEN_REGEX = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+
+def whitespace_tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (split on ``\\s+`` after trim)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), "\\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(whitespace_tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Regex token count approximating BPE pre-tokenization."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str]) -> Column:
+    """Fraction of whitespace tokens that are stopwords (with multiplicity)."""
+    toks = whitespace_tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(stopwords)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0, 1]: rewards stopword presence and
+    moderate mean word length, penalizes symbol density — the standard
+    cheap pre-filter shape (cf. Gopher/C4 quality rules, public papers).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = whitespace_tokens(c)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    mean_wlen = F.length(F.trim(c)) / n_tok
+    sw = stopword_ratio(c, LANG_STOPWORDS["en"])
+    symbols = F.length(F.regexp_replace(c, "[A-Za-z0-9\\s]", ""))
+    sym_ratio = symbols / F.greatest(F.length(c), F.lit(1))
+    score = (
+        F.least(sw * 3.0, F.lit(1.0)) * 0.4
+        + F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.3) * 0.3
+        + (1.0 - F.least(sym_ratio * 5.0, F.lit(1.0))) * 0.3
+    )
+    return score
+
+
+# Fixed priority for language-ID ties; first entry wins a tie.
+LANG_PRIORITY = ["en", "es", "de", "fr"]
+
+
+def lang_hits(text: Column | str, lang: str) -> Column:
+    """Distinct-token overlap with one language's stopword list."""
+    toks = F.array_distinct(
+        whitespace_tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    )
+    words = LANG_STOPWORDS[lang]
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Stopword-overlap language guess: the first language in
+    ``LANG_PRIORITY`` whose hit count is positive and >= every other
+    language's; ``und`` when nothing matches. An explicit CASE chain so
+    the DuckDB oracle can mirror the argmax semantics exactly."""
+    hits = {lang: lang_hits(text, lang) for lang in LANG_PRIORITY}
+    expr = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        cond = hits[lang] > 0
+        for other in LANG_PRIORITY:
+            if other != lang:
+                cond = cond & (hits[lang] >= hits[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Key-collision fingerprint: md5 over the sorted distinct lowercase
+    token set — the classic OpenRefine/key-collision dedup key; identical
+    md5 on the DuckDB side makes it oracle-checkable."""
+    toks = F.array_sort(
+        F.array_distinct(
+            whitespace_tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+        )
+    )
+    return F.md5(F.array_join(toks, " "))

@@ -1,0 +1,324 @@
+"""Training-data pipeline queries over ``documents`` and ``embeddings``:
+dedup (exact / fingerprint / MinHash-LSH / SimHash / n-gram Jaccard),
+similarity search (brute-force + IVF), text analysis, multimodal metadata.
+
+Each query pairs with DuckDB oracle SQL. Hashing is md5 end-to-end (bit-
+identical across engines); float outputs are rounded; thresholds are
+applied to the *rounded* values on both sides so set membership is
+deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_pipeline_elt_spark.operators import dedup as D
+from nyc_taxi_data_pipeline_elt_spark.operators import similarity as S
+from nyc_taxi_data_pipeline_elt_spark.operators import text as X
+from nyc_taxi_data_pipeline_elt_spark.operators.multimodal import attach_payload
+from nyc_taxi_data_pipeline_elt_spark.session import tune
+from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
+
+
+# --- dedup -------------------------------------------------------------------
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(docs)
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies,
+       md5(text) AS text_hash
+FROM documents
+GROUP BY text
+"""
+
+
+def dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-collision dedup: identical sorted-distinct-token sets collide."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", X.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs"))
+    )
+
+
+DEDUP_FINGERPRINT_ORACLE = """
+SELECT md5(array_to_string(list_sort(list_distinct(
+         string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS fp,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs)
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> md5('{seed}|' || s))) AS mh{seed}"
+        for seed in range(D.MINHASH_K)
+    )
+    band_rows = []
+    for b in range(D.LSH_BANDS):
+        cols = " || ".join(f"mh{b * D.LSH_ROWS + r}" for r in range(D.LSH_ROWS))
+        band_rows.append(f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_key FROM sig")
+    bands_union = "\n  UNION ALL\n  ".join(band_rows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [] END AS shingles
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM sh WHERE len(shingles) > 0
+), banded AS (
+  {bands_union}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+NGRAM_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toks WHERE len(t) >= 3
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_docs(docs)
+
+
+# --- similarity search --------------------------------------------------------
+_COS = (
+    "list_dot_product({a}, {b}) / sqrt(list_dot_product({a}, {a})"
+    " * list_dot_product({b}, {b}))"
+)
+
+
+def simsearch_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, query_vec_id=0, k=10)
+
+
+SIMSEARCH_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qvec FROM e WHERE vec_id = 0)
+SELECT vec_id, round({_COS.format(a="v", b="qvec")}, 6) AS cos_sim
+FROM e, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.neardup_pairs(emb, threshold=0.35)
+
+
+NEARDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_COS.format(a="a.v", b="b.v")}, 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({_COS.format(a="a.v", b="b.v")}, 6) >= 0.35
+"""
+
+
+def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, query_vec_id=0, k=10)
+
+
+IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+pos AS (
+  SELECT label, i, avg(v[i + 1]) AS mval
+  FROM e, unnest(range(64)) AS t(i)
+  GROUP BY label, i
+), centroids AS (
+  SELECT label, list(mval ORDER BY i) AS centroid FROM pos GROUP BY label
+), q AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+best AS (
+  SELECT label FROM centroids, q
+  ORDER BY {_COS.format(a="centroid", b="qvec")} DESC, label
+  LIMIT 1
+)
+SELECT vec_id, round({_COS.format(a="v", b="qvec")}, 6) AS cos_sim
+FROM e JOIN best USING (label), q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+# --- text analysis -------------------------------------------------------------
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.round(X.stopword_ratio("text", X.LANG_STOPWORDS["en"]), 6).alias("sw_ratio"),
+        F.round(X.quality_score("text"), 6).alias("quality"),
+    )
+
+
+_SW_EN = ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS["en"])
+TEXT_STATS_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, text, toks,
+         greatest(len(toks), 1) AS n_tok,
+         len(list_filter(toks, t -> t IN ({_SW_EN}))) AS sw_hits,
+         length(trim(text)) * 1.0 / greatest(len(toks), 1) AS mean_wlen,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+           / greatest(length(text), 1) AS sym_ratio
+  FROM base
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(regexp_extract_all(text, '{X.TOKEN_REGEX}')) AS n_bpe_tokens,
+       round(sw_hits * 1.0 / n_tok, 6) AS sw_ratio,
+       round(least(sw_hits * 3.0 / n_tok, 1.0) * 0.4
+             + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.3 END) * 0.3
+             + (1.0 - least(sym_ratio * 5.0, 1.0)) * 0.3, 6) AS quality
+FROM m
+"""
+
+
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(X.lang_id("text").alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _lang_id_oracle() -> str:
+    hit_cols = ",\n         ".join(
+        "len(list_intersect(toks, [{}])) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS[lang]), lang
+        )
+        for lang in X.LANG_PRIORITY
+    )
+    case = "CASE\n"
+    for lang in X.LANG_PRIORITY:
+        others = " AND ".join(
+            f"h_{lang} >= h_{o}" for o in X.LANG_PRIORITY if o != lang
+        )
+        case += f"  WHEN h_{lang} > 0 AND {others} THEN '{lang}'\n"
+    case += "  ELSE 'und' END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+  FROM documents
+), hits AS (
+  SELECT doc_id,
+         {hit_cols}
+  FROM toks
+)
+SELECT {case} AS lang_guess, count(*) AS n_docs
+FROM hits
+GROUP BY 1
+"""
+
+
+# --- multimodal metadata --------------------------------------------------------
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return attach_payload(docs).select("doc_id", "n_bytes", "prefix_hex")
+
+
+MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       lower(substring(hex(encode(text)), 1, 16)) AS prefix_hex
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_fingerprint_docs": dedup_fingerprint_docs,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "simsearch_bruteforce_topk": simsearch_bruteforce_topk,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+    "simsearch_ivf_topk": simsearch_ivf_topk,
+    "text_stats": text_stats,
+    "lang_id_docs": lang_id_docs,
+    "multimodal_meta": multimodal_meta,
+}
+
+ORACLE = {
+    "dedup_exact_docs": DEDUP_EXACT_ORACLE,
+    "dedup_fingerprint_docs": DEDUP_FINGERPRINT_ORACLE,
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_ngram_jaccard": NGRAM_JACCARD_ORACLE,
+    "dedup_simhash": D.simhash_oracle_sql(),
+    "simsearch_bruteforce_topk": SIMSEARCH_ORACLE,
+    "embedding_neardup_pairs": NEARDUP_ORACLE,
+    "simsearch_ivf_topk": IVF_ORACLE,
+    "text_stats": TEXT_STATS_ORACLE,
+    "lang_id_docs": _lang_id_oracle(),
+    "multimodal_meta": MULTIMODAL_ORACLE,
+}
