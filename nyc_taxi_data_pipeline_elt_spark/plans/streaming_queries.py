@@ -1,0 +1,113 @@
+"""Streaming queries registered for the driver: each replays the events
+parquet through Structured Streaming (availableNow) into a memory sink
+and returns the materialized result.
+
+Oracle story: complete-mode windowed aggregations over a fully-replayed
+bounded stream equal their batch GROUP BY — so tumbling/sliding/session
+windows get real DuckDB oracles (time_bucket / lag-gap sessionization).
+The watermarked append-mode query is genuinely streaming-semantic (rows
+newer than the final watermark stay unemitted) -> rows-only check.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nyc_taxi_data_pipeline_elt_spark.streaming import windows as W
+
+_COUNTER = itertools.count()
+
+
+def _unique(name: str) -> str:
+    return f"{name}_{next(_COUNTER)}"
+
+
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = W.stream_events(spark, sf_dir)
+    return W.run_to_memory(W.tumbling_counts(events), _unique("tumbling"))
+
+
+TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def streaming_sliding_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = W.stream_events(spark, sf_dir)
+    return W.run_to_memory(W.sliding_totals(events), _unique("sliding"))
+
+
+# each event belongs to 2 overlapping 10-min windows (5-min slide):
+# the one starting at its 5-min bucket and the one 5 minutes earlier
+SLIDING_ORACLE = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+           - (offs * INTERVAL '5 minutes') AS window_start,
+         event_type, value
+  FROM events, unnest([0, 1]) AS t(offs)
+)
+SELECT window_start, event_type,
+       round(sum(value), 2) AS total_value,
+       count(*) AS n_events
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = W.stream_events(spark, sf_dir)
+    return W.run_to_memory(W.session_counts(events), _unique("sessions"))
+
+
+SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                   > 30 * 60 * 1000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+), sessioned AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM ordered
+)
+SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_sec,
+       user_id,
+       count(*) AS n_events
+FROM sessioned
+GROUP BY user_id, session_seq
+"""
+
+
+def streaming_late_data_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # append mode + watermark: windows past the final watermark are emitted,
+    # trailing windows stay in state -> no batch-SQL twin (rows-only check)
+    events = W.stream_events(spark, sf_dir)
+    return W.run_to_memory(
+        W.late_data_tumbling(events), _unique("late"), mode="append"
+    )
+
+
+QUERIES = {
+    "streaming_tumbling_counts": streaming_tumbling_counts,
+    "streaming_sliding_totals": streaming_sliding_totals,
+    "streaming_session_counts": streaming_session_counts,
+    "streaming_late_data_tumbling": streaming_late_data_tumbling,
+}
+
+ORACLE = {
+    "streaming_tumbling_counts": TUMBLING_ORACLE,
+    "streaming_sliding_totals": SLIDING_ORACLE,
+    "streaming_session_counts": SESSION_ORACLE,
+}

@@ -38,6 +38,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # rejects; read it as epoch-nanos long and convert in the loader
     # (sources.readers.load_table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Right-size shuffles for the local harness: AQE coalesces batch plans,
+    # but stateful streaming disables AQE and would otherwise run the
+    # default 200 partitions per micro-batch. On a real cluster this is a
+    # deploy-time setting (~2-3x total cores).
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

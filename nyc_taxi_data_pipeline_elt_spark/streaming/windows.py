@@ -1,0 +1,154 @@
+"""Streaming window operators over an event stream.
+
+The reference is strictly batch; its per-(month, fleet) parameterized
+re-runs simulate incrementality at the orchestration layer (SURVEY.md
+§2.9). The Spark-native equivalent is Structured Streaming: the same
+DataFrame expressions run incrementally with state, and a parquet
+directory replayed with ``availableNow`` gives deterministic tests.
+
+Operators are pure ``streaming DataFrame -> DataFrame`` functions;
+materialization (memory sink for tests/oracle, any real sink in prod)
+stays at the edges. At scale the stateful aggregations shuffle on their
+group keys and keep per-key state in the state store; watermarks bound
+that state — without one, complete-mode state grows with key cardinality
+(fine for bounded keys like (window, event_type), wrong for unbounded).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nyc_taxi_data_pipeline_elt_spark.session import tune
+
+# What the parquet reader yields for events.parquet under
+# spark.sql.legacy.parquet.nanosAsLong (readStream requires an explicit
+# schema): ts arrives as epoch-nanos long.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+# FileStreamSource requires a *directory*; the fixture is a single file.
+# One symlink-holding temp dir per sf_dir, created lazily.
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    if sf_dir not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        _STREAM_DIRS[sf_dir] = d
+    return _STREAM_DIRS[sf_dir]
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-replay event stream: the deterministic test-double for a Kafka
+    source; swap ``.format`` and the schema handling for real feeds."""
+    tune(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(_events_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "5 minutes") -> DataFrame:
+    """Tumbling-window counts/sums per event_type."""
+    return (
+        events.groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_totals(events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
+    """Sliding-window totals per event_type (each event lands in
+    width/slide windows).
+
+    Emits sum+count rather than avg: the fixture's values carry exactly 2
+    decimals, so sums round tie-free at 2dp, while a small window's
+    average can land exactly on a half-way point where Spark's and
+    DuckDB's last-ulp disagree.
+    """
+    return (
+        events.groupBy(F.window("ts", width, slide), "event_type")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "total_value",
+            "n_events",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session windows per user — the streaming twin of the batch
+    ``sessionize_users`` plan. Emits second-truncated session starts so
+    results are comparable across engines (ns vs µs timestamps)."""
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start_sec"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def late_data_tumbling(events: DataFrame, width: str = "5 minutes", delay: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling counts (append mode): state for a window is
+    dropped once the watermark passes its end — the bounded-state
+    production shape. Windows newer than (max ts - delay) stay pending
+    and are not emitted in a replay."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, mode: str = "complete"
+) -> DataFrame:
+    """Replay the stream to completion into an in-memory table and return
+    the materialized result (test/oracle path)."""
+    spark = df.sparkSession
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
