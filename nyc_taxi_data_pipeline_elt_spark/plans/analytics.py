@@ -237,7 +237,43 @@ FROM orders
 """
 
 
-# --- rollup / distinct / pivot ----------------------------------------------
+# --- SQL consumption surface (S10 + §2.6) ------------------------------------
+# The reference's analytics client is PyAthena SQL with ORDER BY over the
+# reporting tables (analysis/analytics_job.py:29-51); here the same report
+# query runs as spark.sql over registered views — ordered output, global
+# sort via a range-partitioned exchange.
+def sql_consumption_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_pipeline_elt_spark.sources.catalog import (
+        register_testdata_views,
+    )
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT concat_ws('-', CAST(year(o_orderdate) AS STRING),
+                         lpad(CAST(month(o_orderdate) AS STRING), 2, '0'))
+                 AS report_month,
+               round(avg(o_totalprice), 2) AS avg_total_amount,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY year(o_orderdate), month(o_orderdate)
+        ORDER BY report_month
+        """
+    )
+
+
+SQL_CONSUMPTION_ORACLE = """
+SELECT concat_ws('-', CAST(year(o_orderdate) AS VARCHAR),
+                 lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0')) AS report_month,
+       round(avg(o_totalprice), 2) AS avg_total_amount,
+       count(*) AS n_orders
+FROM orders
+GROUP BY year(o_orderdate), month(o_orderdate)
+ORDER BY report_month
+"""
+
+
+# --- rollup / cube / distinct / pivot -----------------------------------------
 def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
@@ -253,6 +289,24 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS sum_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
@@ -377,6 +431,8 @@ QUERIES = {
     "top3_lineitems_per_supplier": top3_lineitems_per_supplier,
     "running_customer_spend": running_customer_spend,
     "rollup_pricing": rollup_pricing,
+    "cube_order_stats": cube_order_stats,
+    "sql_consumption_report": sql_consumption_report,
     "distinct_customers_per_priority": distinct_customers_per_priority,
     "orders_pivot_status": orders_pivot_status,
     "events_json_stats": events_json_stats,
@@ -392,6 +448,8 @@ ORACLE = {
     "top3_lineitems_per_supplier": WINDOW_TOPK_ORACLE,
     "running_customer_spend": RUNNING_SUM_ORACLE,
     "rollup_pricing": ROLLUP_ORACLE,
+    "cube_order_stats": CUBE_ORACLE,
+    "sql_consumption_report": SQL_CONSUMPTION_ORACLE,
     "distinct_customers_per_priority": DISTINCT_ORACLE,
     "orders_pivot_status": PIVOT_ORACLE,
     "events_json_stats": JSON_ORACLE,
