@@ -27,7 +27,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -120,12 +120,20 @@ def read_landing_conformed(
         return out
 
 
-def process_trips(spark: SparkSession, cfg: PipelineConfig, trip_type: str) -> None:
-    """Landing -> consumer for one fleet (EP2, process_data_glue.py)."""
+def process_trips(
+    spark: SparkSession, cfg: PipelineConfig, trip_type: str
+) -> dict[str, int] | None:
+    """Landing -> consumer for one fleet (EP2, process_data_glue.py).
+
+    Returns observability metrics. The reference logs row counts with 6
+    eager ``count()`` calls, each re-executing the full lineage (SURVEY.md
+    §4 anti-patterns); here ``observe()`` accumulates the same counts as a
+    side effect of the single write action — zero extra scans.
+    """
     tune(spark)
     raw = read_landing_conformed(spark, cfg.landing_dir, trip_type)
     if raw is None:
-        return
+        return None
 
     unified = raw.withColumn(
         "pickup_time",
@@ -139,20 +147,31 @@ def process_trips(spark: SparkSession, cfg: PipelineConfig, trip_type: str) -> N
 
     # DLQ: the reference's missing to-do (README.md:146), partition-scoped
     # like the consumer table so re-runs stay incremental.
-    bad_out = bad.withColumn("trip_type", F.lit(trip_type)).select(
-        *[c for c in unified.columns if not c.endswith("_time")],
-        "trip_type",
-        F.col("dq_violations").cast("array<string>"),
+    dlq_obs = Observation(f"dlq_{trip_type}")
+    bad_out = (
+        bad.withColumn("trip_type", F.lit(trip_type))
+        .select(
+            *[c for c in unified.columns if not c.endswith("_time")],
+            "trip_type",
+            F.col("dq_violations").cast("array<string>"),
+        )
+        .observe(dlq_obs, F.count(F.lit(1)).alias("n_rows"))
     )
     write_partitioned(bad_out, cfg.dlq_dir, ["trip_type"])
 
+    consumer_obs = Observation(f"consumer_{trip_type}")
     consumer = (
         good.withColumn("trip_type", F.lit(trip_type))  # P7
         .withColumn("trip_year", F.year("pickup_time"))  # F1
         .withColumn("trip_month", F.month("pickup_time"))  # F2
         .select(*CONSUMER_COLUMNS)  # P9
+        .observe(consumer_obs, F.count(F.lit(1)).alias("n_rows"))
     )
     write_partitioned(consumer, cfg.consumer_dir, CONSUMER_PARTITION_KEYS)
+    return {
+        "rows_written": consumer_obs.get["n_rows"],
+        "rows_dead_lettered": dlq_obs.get["n_rows"],
+    }
 
 
 def build_reports(spark: SparkSession, cfg: PipelineConfig) -> None:

@@ -354,6 +354,101 @@ GROUP BY o_orderpriority
 """
 
 
+# --- percentiles (exact) --------------------------------------------------------
+# Spark's percentile() and DuckDB's quantile_cont() share linear-
+# interpolation semantics -> oracle-checkable. (approx_percentile /
+# approx_count_distinct use engine-specific sketches and cannot hash-match
+# by construction — use them at scale, verify with the exact twin.)
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+PERCENTILE_ORACLE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --- skew-salted join ------------------------------------------------------------
+# Same result as the plain join (salting is an internal repartitioning
+# trick), so the oracle is the unsalted SQL.
+def salted_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_pipeline_elt_spark.operators.skew import salted_join
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, customer, key="o_custkey", factor=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+SALTED_JOIN_ORACLE = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --- as-of join ----------------------------------------------------------------
+# For each lineitem, the customer's most recent order placed on or before
+# the ship date — the canonical "most recent prior event" shape Spark has
+# no native operator for (DuckDB does: ASOF JOIN, which is the oracle).
+def lineitem_asof_prior_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_pipeline_elt_spark.operators.asof import asof_join
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    left = lineitem.join(
+        orders.select("o_orderkey", F.col("o_custkey").alias("custkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("custkey", "l_orderkey", "l_linenumber", "l_shipdate")
+    # right side unique per (key, ts): keep the max orderkey per date
+    right = orders.groupBy(
+        F.col("o_custkey").alias("custkey"), "o_orderdate"
+    ).agg(F.max("o_orderkey").alias("prior_orderkey"))
+    return asof_join(
+        left,
+        right,
+        key="custkey",
+        left_ts="l_shipdate",
+        right_ts="o_orderdate",
+        payload=["prior_orderkey"],
+    )
+
+
+ASOF_ORACLE = """
+WITH li AS (
+  SELECT o_custkey AS custkey, l_orderkey, l_linenumber, l_shipdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), r AS (
+  SELECT o_custkey AS custkey, o_orderdate, max(o_orderkey) AS prior_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT li.custkey, li.l_orderkey, li.l_linenumber, li.l_shipdate,
+       r.prior_orderkey AS asof_prior_orderkey
+FROM li ASOF LEFT JOIN r
+  ON li.custkey = r.custkey AND li.l_shipdate >= r.o_orderdate
+"""
+
+
 # --- JSON scalar extraction ---------------------------------------------------
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
@@ -437,9 +532,15 @@ QUERIES = {
     "orders_pivot_status": orders_pivot_status,
     "events_json_stats": events_json_stats,
     "sessionize_users": sessionize_users,
+    "lineitem_asof_prior_order": lineitem_asof_prior_order,
+    "order_price_percentiles": order_price_percentiles,
+    "salted_orders_per_segment": salted_orders_per_segment,
 }
 
 ORACLE = {
+    "lineitem_asof_prior_order": ASOF_ORACLE,
+    "order_price_percentiles": PERCENTILE_ORACLE,
+    "salted_orders_per_segment": SALTED_JOIN_ORACLE,
     "pricing_summary": PRICING_ORACLE,
     "revenue_by_nation": REVENUE_BY_NATION_ORACLE,
     "shipping_priority_topk": SHIPPING_TOPK_ORACLE,

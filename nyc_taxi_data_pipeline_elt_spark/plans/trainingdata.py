@@ -280,6 +280,25 @@ GROUP BY 1
 """
 
 
+# --- grouped-map custom operator (applyInPandas) ---------------------------------
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_pipeline_elt_spark.operators.pandas_ops import assign_shards
+
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return assign_shards(emb, shard_size=16)
+
+
+SHARD_ORACLE = """
+SELECT label, vec_id,
+       CAST(row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1 AS INTEGER)
+         AS rank_in_group,
+       CAST((row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1) // 16
+         AS INTEGER) AS shard_idx
+FROM embeddings
+"""
+
+
 # --- multimodal metadata --------------------------------------------------------
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
@@ -307,6 +326,7 @@ QUERIES = {
     "text_stats": text_stats,
     "lang_id_docs": lang_id_docs,
     "multimodal_meta": multimodal_meta,
+    "shard_assignment": shard_assignment,
 }
 
 ORACLE = {
@@ -321,4 +341,5 @@ ORACLE = {
     "text_stats": TEXT_STATS_ORACLE,
     "lang_id_docs": _lang_id_oracle(),
     "multimodal_meta": MULTIMODAL_ORACLE,
+    "shard_assignment": SHARD_ORACLE,
 }

@@ -39,3 +39,47 @@ def write_empty_report(spark: SparkSession, schema: T.StructType, path: str) -> 
     """Empty-DF schema-only sink (S8): a valid parquet file carrying only
     metadata when input is empty (``reporting_etl_job.py:65-70``)."""
     spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+
+
+# Formats with first-class Spark readers/writers. Parquet is the lake
+# default (columnar, statistics, pushdown); ORC is its peer; CSV/JSON are
+# interchange edges — no pushdown, schema must be re-declared on read.
+SUPPORTED_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Format-parameterized sink covering the interchange formats."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}")
+    writer = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Format-parameterized scan. CSV/JSON require the declared schema —
+    inference is a full extra pass and type-lossy (SURVEY.md §1.2's
+    declared-at-the-edges principle applies doubly to schemaless formats).
+    """
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.load(path)

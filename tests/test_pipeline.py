@@ -139,7 +139,9 @@ def test_partition_scoped_rerun_preserves_siblings(spark, lake):
     before_green = spark.read.parquet(lake.consumer_dir).filter(
         "trip_type = 'green'"
     ).count()
-    process_trips(spark, lake, "yellow")  # re-run yellow only
+    metrics = process_trips(spark, lake, "yellow")  # re-run yellow only
     after = spark.read.parquet(lake.consumer_dir)
     assert after.filter("trip_type = 'green'").count() == before_green
     assert after.filter("trip_type = 'yellow'").count() == 6
+    # observe() metrics ride the write action — no extra scans
+    assert metrics == {"rows_written": 6, "rows_dead_lettered": 9}
