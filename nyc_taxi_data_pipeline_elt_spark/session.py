@@ -76,6 +76,8 @@ def get_spark(app_name: str = "nyc-taxi-elt-spark", cpus: int | None = None) -> 
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
+        # keep saveAsTable output (bucketed tables) out of the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/ntx_warehouse")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in RUNTIME_CONFS.items():

@@ -137,6 +137,15 @@ def late_data_tumbling(events: DataFrame, width: str = "5 minutes", delay: str =
     )
 
 
+def dedup_events(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Exactly-once event dedup by id: streaming ``dropDuplicates`` with a
+    watermark bounding the dedup state — ids older than (max ts - delay)
+    are evicted from the state store, so state stays O(events within the
+    watermark window), not O(stream history). The streaming twin of the
+    batch exact-dedup operator."""
+    return events.withWatermark("ts", delay).dropDuplicates(["event_id"])
+
+
 def run_to_memory(
     df: DataFrame, name: str, mode: str = "complete"
 ) -> DataFrame:

@@ -28,6 +28,18 @@ def test_append_mode_withholds_trailing_windows(spark):
     assert max_emitted < max_complete
 
 
+def test_streaming_dedup_removes_replayed_duplicates(spark):
+    """A union of two replays of the same source is a stream with every
+    event duplicated; watermarked dropDuplicates must emit each id once."""
+    doubled = W.stream_events(spark, SF_DIR).unionByName(
+        W.stream_events(spark, SF_DIR)
+    )
+    out = W.run_to_memory(W.dedup_events(doubled), "dedup_out", mode="append")
+    n_batch = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert out.count() == n_batch
+    assert out.select("event_id").distinct().count() == n_batch
+
+
 def test_session_windows_match_batch_sessionization(spark):
     """The streaming session_window operator must agree with the batch
     lag+cumsum sessionization on total session count."""
