@@ -10,7 +10,9 @@ what makes per-(month, fleet) incremental re-runs safe at scale.
 
 from __future__ import annotations
 
+import shutil
 from collections.abc import Sequence
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -78,6 +80,16 @@ def write_bucketed(
     bucketing story for repeated fact-fact joins at 100 TB, where the
     one-time write cost amortizes over every downstream join.
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # an in-memory catalog forgets managed tables between sessions but
+    # their warehouse directories survive; clear a stale location so the
+    # re-create doesn't collide (LOCATION_ALREADY_EXISTS)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith(("file:", "/")):
+        leftover = Path(warehouse.removeprefix("file:")) / table.lower()
+        if leftover.exists():
+            shutil.rmtree(leftover, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort:
         writer = writer.sortBy(key)
