@@ -354,6 +354,87 @@ GROUP BY o_orderpriority
 """
 
 
+# --- TPC-H Q6 shape: pure filter + aggregate (date interval arithmetic) -------
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    start = F.lit("1996-01-01").cast("timestamp")
+    return li.filter(
+        (F.col("l_shipdate") >= start)
+        & (F.col("l_shipdate") < F.expr("timestamp'1996-01-01' + interval 1 year"))
+        & F.col("l_discount").between(0.02, 0.04)
+        & (F.col("l_quantity") < 20)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue_effect"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+Q6_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_effect,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01' + INTERVAL 1 YEAR
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 20
+"""
+
+
+# --- TPC-H Q12 shape: join + conditional (CASE) aggregation -------------------
+def priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(urgent).alias("high_priority_lines"),
+            F.sum(1 - urgent).alias("low_priority_lines"),
+        )
+    )
+
+
+Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS high_priority_lines,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS BIGINT) AS low_priority_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+"""
+
+
+# --- TPC-H Q14 shape: join + LIKE + ratio of conditional sums -----------------
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return li.join(part, F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
+        F.round(F.sum(rev), 2).alias("total_revenue"),
+    )
+
+
+Q14_ORACLE = """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
 # --- percentiles (exact) --------------------------------------------------------
 # Spark's percentile() and DuckDB's quantile_cont() share linear-
 # interpolation semantics -> oracle-checkable. (approx_percentile /
@@ -535,12 +616,18 @@ QUERIES = {
     "lineitem_asof_prior_order": lineitem_asof_prior_order,
     "order_price_percentiles": order_price_percentiles,
     "salted_orders_per_segment": salted_orders_per_segment,
+    "forecast_revenue": forecast_revenue,
+    "priority_by_linestatus": priority_by_linestatus,
+    "promo_revenue_share": promo_revenue_share,
 }
 
 ORACLE = {
     "lineitem_asof_prior_order": ASOF_ORACLE,
     "order_price_percentiles": PERCENTILE_ORACLE,
     "salted_orders_per_segment": SALTED_JOIN_ORACLE,
+    "forecast_revenue": Q6_ORACLE,
+    "priority_by_linestatus": Q12_ORACLE,
+    "promo_revenue_share": Q14_ORACLE,
     "pricing_summary": PRICING_ORACLE,
     "revenue_by_nation": REVENUE_BY_NATION_ORACLE,
     "shipping_priority_topk": SHIPPING_TOPK_ORACLE,

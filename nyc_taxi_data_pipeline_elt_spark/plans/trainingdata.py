@@ -280,6 +280,65 @@ GROUP BY 1
 """
 
 
+# --- TF-IDF (pure SQL, no MLlib hashing) ------------------------------------------
+# tf = term count per doc; idf = ln(N / df). Composed from explode +
+# two aggregations + a window top-k — every stage shuffles on a key and
+# scales linearly; ln() is libm-identical across engines (probed).
+# MLlib's HashingTF uses murmur3 (not oracle-able); this is the exact twin.
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), "\\s+")).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+TFIDF_ORACLE = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms)
+  GROUP BY 1
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tfidf,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 # --- grouped-map custom operator (applyInPandas) ---------------------------------
 def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyc_taxi_data_pipeline_elt_spark.operators.pandas_ops import assign_shards
@@ -327,6 +386,7 @@ QUERIES = {
     "lang_id_docs": lang_id_docs,
     "multimodal_meta": multimodal_meta,
     "shard_assignment": shard_assignment,
+    "tfidf_top_terms": tfidf_top_terms,
 }
 
 ORACLE = {
@@ -342,4 +402,5 @@ ORACLE = {
     "lang_id_docs": _lang_id_oracle(),
     "multimodal_meta": MULTIMODAL_ORACLE,
     "shard_assignment": SHARD_ORACLE,
+    "tfidf_top_terms": TFIDF_ORACLE,
 }
