@@ -530,6 +530,55 @@ FROM li ASOF LEFT JOIN r
 """
 
 
+# --- set operations (beyond the reference's union, §2.5) ----------------------
+def repeat_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT: customers with an 'F' order AND an 'O' order,
+    minus those who ever placed a 'P' order."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = lambda st: orders.filter(F.col("o_orderstatus") == st).select(  # noqa: E731
+        "o_custkey"
+    )
+    return cust("F").intersect(cust("O")).exceptAll(cust("P").distinct())
+
+
+SETOPS_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+# --- range-frame window --------------------------------------------------------
+def rolling_weekly_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer: total spend in the 7 days up to each order — a RANGE
+    frame over an event-time ordering (value-based, not row-based)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("weekly_spend"),
+    )
+
+
+RANGE_WINDOW_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+       ), 2) AS weekly_spend
+FROM orders
+"""
+
+
 # --- JSON scalar extraction ---------------------------------------------------
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
@@ -619,6 +668,8 @@ QUERIES = {
     "forecast_revenue": forecast_revenue,
     "priority_by_linestatus": priority_by_linestatus,
     "promo_revenue_share": promo_revenue_share,
+    "repeat_high_value_customers": repeat_high_value_customers,
+    "rolling_weekly_spend": rolling_weekly_spend,
 }
 
 ORACLE = {
@@ -628,6 +679,8 @@ ORACLE = {
     "forecast_revenue": Q6_ORACLE,
     "priority_by_linestatus": Q12_ORACLE,
     "promo_revenue_share": Q14_ORACLE,
+    "repeat_high_value_customers": SETOPS_ORACLE,
+    "rolling_weekly_spend": RANGE_WINDOW_ORACLE,
     "pricing_summary": PRICING_ORACLE,
     "revenue_by_nation": REVENUE_BY_NATION_ORACLE,
     "shipping_priority_topk": SHIPPING_TOPK_ORACLE,
