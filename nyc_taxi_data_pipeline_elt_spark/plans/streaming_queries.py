@@ -99,7 +99,26 @@ def streaming_late_data_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-batch replay: each user's state accumulates all its events and
+    # the emitted running count equals the batch per-user total — so the
+    # custom stateful operator oracle-checks against a plain GROUP BY
+    events = W.stream_events(spark, sf_dir)
+    out = W.run_to_memory(
+        W.stateful_user_counts(events), _unique("stateful"), mode="append"
+    )
+    return out.select("user_id", "n_events")
+
+
+STATEFUL_ORACLE = """
+SELECT user_id, count(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "streaming_stateful_user_counts": streaming_stateful_user_counts,
     "streaming_tumbling_counts": streaming_tumbling_counts,
     "streaming_sliding_totals": streaming_sliding_totals,
     "streaming_session_counts": streaming_session_counts,
@@ -107,6 +126,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "streaming_stateful_user_counts": STATEFUL_ORACLE,
     "streaming_tumbling_counts": TUMBLING_ORACLE,
     "streaming_sliding_totals": SLIDING_ORACLE,
     "streaming_session_counts": SESSION_ORACLE,

@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -144,6 +145,52 @@ def dedup_events(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     watermark window), not O(stream history). The streaming twin of the
     batch exact-dedup operator."""
     return events.withWatermark("ts", delay).dropDuplicates(["event_id"])
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event count + last-seen timestamp.
+
+    The canonical escape hatch when built-in window/dedup state machines
+    can't express the semantics (per-key custom accumulators, ML feature
+    state, fraud counters). State lives in the state store per key; the
+    pandas function sees each key's new rows per micro-batch and emits the
+    updated running count. On a full replay the final emitted counts equal
+    the batch ``groupBy(user_id).count()`` — exactly how the oracle checks
+    it.
+
+    Uses ``NoTimeout``: a processing-time timeout makes ``availableNow``
+    replays non-terminating (the engine keeps scheduling timeout-cleanup
+    micro-batches); production streams that need idle-key eviction should
+    run a real trigger and handle ``state.hasTimedOut``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n_new = 0
+        last_us = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+            if len(pdf):
+                last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+        (n, last) = state.get if state.exists else (0, 0)
+        n += n_new
+        last = max(last, last_us)
+        state.update((n, last))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "last_seen_us": [last]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, last_seen_us bigint",
+            stateStructType="n bigint, last bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 def run_to_memory(
