@@ -579,6 +579,52 @@ FROM orders
 """
 
 
+# --- unpivot / melt -------------------------------------------------------------
+def status_counts_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot then unpivot back to long form — the wide->long reshaping
+    operator (Spark 4 ``unpivot``)."""
+    tune(spark)
+    wide = orders_pivot_status(spark, sf_dir)
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_open", "n_filled", "n_partial"],
+        variableColumnName="status_bucket",
+        valueColumnName="n_orders",
+    )
+
+
+UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+         count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'n_open' AS status_bucket, n_open AS n_orders FROM wide
+UNION ALL
+SELECT o_orderpriority, 'n_filled', n_filled FROM wide
+UNION ALL
+SELECT o_orderpriority, 'n_partial', n_partial FROM wide
+"""
+
+
+# --- approximate aggregates (rows-only: engine-specific sketches) ---------------
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts + approximate percentiles — the
+    sketches you actually run at 100 TB (bounded memory, one pass). No
+    oracle by construction: sketch estimates are engine-specific; the
+    exact twins (`distinct_customers_per_priority`,
+    `order_price_percentiles`) are the verified reference points."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
 # --- JSON scalar extraction ---------------------------------------------------
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
@@ -670,6 +716,8 @@ QUERIES = {
     "promo_revenue_share": promo_revenue_share,
     "repeat_high_value_customers": repeat_high_value_customers,
     "rolling_weekly_spend": rolling_weekly_spend,
+    "status_counts_long": status_counts_long,
+    "approx_distinct_stats": approx_distinct_stats,
 }
 
 ORACLE = {
@@ -681,6 +729,7 @@ ORACLE = {
     "promo_revenue_share": Q14_ORACLE,
     "repeat_high_value_customers": SETOPS_ORACLE,
     "rolling_weekly_spend": RANGE_WINDOW_ORACLE,
+    "status_counts_long": UNPIVOT_ORACLE,
     "pricing_summary": PRICING_ORACLE,
     "revenue_by_nation": REVENUE_BY_NATION_ORACLE,
     "shipping_priority_topk": SHIPPING_TOPK_ORACLE,

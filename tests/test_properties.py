@@ -1,0 +1,65 @@
+"""Property-based tests (hypothesis): invariants that must hold for any
+input, not just the fixtures."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nyc_taxi_data_pipeline_elt_spark.operators.conform import conform_to_schema
+from nyc_taxi_data_pipeline_elt_spark.operators.quality import Rule, apply_quality
+
+TARGET = T.StructType(
+    [
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.DoubleType()),
+        T.StructField("c", T.StringType()),
+    ]
+)
+
+rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32)),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows)
+def test_conform_always_yields_target_schema(spark, data):
+    """Whatever subset/ordering/int-width the source has, conformance must
+    produce exactly the target schema with NULL padding for gaps."""
+    df = spark.createDataFrame(
+        data, T.StructType([T.StructField("A", T.IntegerType()), T.StructField("b", T.FloatType())])
+    )
+    out = conform_to_schema(df, TARGET)
+    assert out.schema == TARGET
+    assert out.count() == len(data)
+    # padded column is all-NULL; widened ints survive exactly
+    assert out.filter(F.col("c").isNotNull()).count() == 0
+    src_a = [r[0] for r in data]
+    got_a = [r.a for r in out.collect()]
+    assert sorted(x for x in got_a if x is not None) == sorted(
+        x for x in src_a if x is not None
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows)
+def test_quality_split_partitions_input(spark, data):
+    """good + bad is always a partition of the input: disjoint, complete,
+    and every bad row names at least one violated rule."""
+    df = spark.createDataFrame(data, "a int, b float")
+    rules = [
+        Rule("a_nonneg", F.col("a").isNotNull() & (F.col("a") >= 0)),
+        Rule("b_present", F.col("b").isNotNull()),
+    ]
+    good, bad = apply_quality(df, rules)
+    n_good, n_bad = good.count(), bad.count()
+    assert n_good + n_bad == len(data)
+    assert bad.filter(F.size("dq_violations") == 0).count() == 0
