@@ -31,6 +31,14 @@ def main() -> None:
     spark = get_spark("ntx-bench")
     queries = entrymod.queries()
 
+    # untimed warmup: JIT/codegen compilation and file-index caches are
+    # per-JVM one-time costs, not per-query costs — pay them before the
+    # first timed query so timings reflect steady-state execution
+    try:
+        entrymod.entry(spark).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
+
     timings: dict[str, float] = {}
     for name in sorted(queries):
         fn = queries[name]

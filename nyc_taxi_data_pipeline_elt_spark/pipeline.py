@@ -24,6 +24,7 @@ The processing stage is the reference's landing->consumer transform
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -82,6 +83,18 @@ class PipelineConfig:
     q2_month: int = 5
 
 
+def _quarantine(batch_path: Path, exc: Exception) -> None:
+    """Record an unprocessable landing batch (file-level dead-letter).
+
+    Detection is footer/schema-level (scan planning); per-row corruption
+    inside an otherwise-readable file is the row-level DLQ's job.
+    """
+    log = batch_path.parent.parent / "_quarantine.jsonl"
+    entry = {"path": str(batch_path), "error": str(exc)[:500]}
+    with open(log, "a") as f:
+        f.write(json.dumps(entry) + "\n")
+
+
 def read_landing_conformed(
     spark: SparkSession, landing_dir: str, trip_type: str
 ) -> DataFrame | None:
@@ -110,10 +123,24 @@ def read_landing_conformed(
         batches = sorted(p for p in base.iterdir() if p.is_dir())
         if not batches:
             return None
-        parts = [
-            _conform(spark.read.option("mergeSchema", "true").parquet(str(p)))
-            for p in batches
-        ]
+        parts = []
+        for p in batches:
+            try:
+                part = _conform(
+                    spark.read.option("mergeSchema", "true").parquet(str(p))
+                )
+                # force schema/footers to resolve now so an unreadable
+                # batch is caught here, not mid-union downstream
+                part.schema
+                parts.append(part)
+            except Exception as exc:
+                # file-level dead-letter: a batch that cannot even be
+                # conformed (corrupt footer, unmappable drift) is recorded
+                # and skipped instead of failing the whole fleet — the
+                # file-granularity counterpart of the row-level DLQ
+                _quarantine(p, exc)
+        if not parts:
+            return None
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

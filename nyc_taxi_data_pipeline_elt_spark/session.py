@@ -43,6 +43,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # default 200 partitions per micro-batch. On a real cluster this is a
     # deploy-time setting (~2-3x total cores).
     "spark.sql.shuffle.partitions": "32",
+    # Runtime row-group pruning for large joins: build a bloom filter from
+    # the smaller join side and push it into the bigger side's scan. A
+    # no-op at test SFs; at 100 TB it prunes fact-table row groups that
+    # cannot match.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

@@ -116,6 +116,36 @@ def test_full_pipeline(spark, lake, tmp_path):
     assert q2_rows == {6: 2.5, 7: 2.0, 18: 6.0}
 
 
+def test_corrupt_batch_is_quarantined_not_fatal(spark, tmp_path):
+    """A landing batch with an unreadable footer is recorded to the
+    file-level quarantine and skipped; healthy batches still process.
+    A drifted month forces the per-batch path where quarantine lives."""
+    import json
+
+    landing = tmp_path / "landing"
+    _write(_yellow(1, drift=True), landing_key(landing, "yellow", 2023, 1))
+    _write(_yellow(4), landing_key(landing, "yellow", 2023, 4))
+    bad = landing_key(landing, "yellow", 2023, 2)
+    bad.parent.mkdir(parents=True, exist_ok=True)
+    bad.write_bytes(b"this is not parquet")
+
+    cfg = PipelineConfig(
+        landing_dir=str(landing),
+        consumer_dir=str(tmp_path / "consumer"),
+        reports_dir=str(tmp_path / "reports"),
+        dlq_dir=str(tmp_path / "dlq"),
+    )
+    run(spark, cfg)
+
+    consumer = spark.read.parquet(cfg.consumer_dir)
+    assert {r.trip_month for r in consumer.select("trip_month").collect()} == {1, 4}
+    qlog = landing / "_quarantine.jsonl"
+    assert qlog.exists()
+    entries = [json.loads(l) for l in qlog.read_text().splitlines()]
+    assert len(entries) == 1
+    assert "partition_date=202302" in entries[0]["path"]
+
+
 def test_empty_inputs_write_schema_correct_reports(spark, tmp_path):
     cfg = PipelineConfig(
         landing_dir=str(tmp_path / "landing"),  # nothing ingested
