@@ -88,8 +88,14 @@ def _quarantine(batch_path: Path, exc: Exception) -> None:
 
     Detection is footer/schema-level (scan planning); per-row corruption
     inside an otherwise-readable file is the row-level DLQ's job.
+    Idempotent per path: re-runs over unchanged landing data do not
+    re-append the same incident.
     """
     log = batch_path.parent.parent / "_quarantine.jsonl"
+    if log.exists():
+        for line in log.read_text().splitlines():
+            if json.loads(line).get("path") == str(batch_path):
+                return
     entry = {"path": str(batch_path), "error": str(exc)[:500]}
     with open(log, "a") as f:
         f.write(json.dumps(entry) + "\n")
@@ -97,7 +103,7 @@ def _quarantine(batch_path: Path, exc: Exception) -> None:
 
 def read_landing_conformed(
     spark: SparkSession, landing_dir: str, trip_type: str
-) -> DataFrame | None:
+) -> tuple[DataFrame | None, int]:
     """Read one fleet's landing partition, drift-safe.
 
     Fast path: one mergeSchema scan over ``trip_type=X/`` (the reference's
@@ -106,10 +112,15 @@ def read_landing_conformed(
     exactly README.md:146), fall back to conforming each
     ``partition_date=`` batch independently and unioning by name; per-batch
     schemas are internally consistent, so the union is well-typed.
+
+    Returns ``(df_or_None, n_quarantined)``. Raises when every batch
+    quarantined — a fleet that is entirely unreadable is a systemic
+    failure, not an empty input, and must fail the stage (the reference's
+    fail-fast contract, process_data_glue.py:140-143).
     """
     base = Path(landing_dir) / f"trip_type={trip_type}"
     if not base.exists():
-        return None
+        return None, 0
 
     def _conform(df: DataFrame) -> DataFrame:
         return conform_to_schema(
@@ -118,20 +129,18 @@ def read_landing_conformed(
 
     try:
         df = spark.read.option("mergeSchema", "true").parquet(str(base))
-        return _conform(df)
+        return _conform(df), 0
     except Exception:
         batches = sorted(p for p in base.iterdir() if p.is_dir())
         if not batches:
-            return None
+            return None, 0
         parts = []
+        n_quarantined = 0
         for p in batches:
             try:
                 part = _conform(
                     spark.read.option("mergeSchema", "true").parquet(str(p))
                 )
-                # force schema/footers to resolve now so an unreadable
-                # batch is caught here, not mid-union downstream
-                part.schema
                 parts.append(part)
             except Exception as exc:
                 # file-level dead-letter: a batch that cannot even be
@@ -139,12 +148,18 @@ def read_landing_conformed(
                 # and skipped instead of failing the whole fleet — the
                 # file-granularity counterpart of the row-level DLQ
                 _quarantine(p, exc)
+                n_quarantined += 1
         if not parts:
-            return None
+            # every batch unreadable: systemic, not empty — fail the stage
+            raise RuntimeError(
+                f"all {n_quarantined} landing batches for trip_type="
+                f"{trip_type!r} were quarantined; see "
+                f"{base.parent / '_quarantine.jsonl'}"
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        return out, n_quarantined
 
 
 def process_trips(
@@ -158,7 +173,7 @@ def process_trips(
     side effect of the single write action — zero extra scans.
     """
     tune(spark)
-    raw = read_landing_conformed(spark, cfg.landing_dir, trip_type)
+    raw, n_quarantined = read_landing_conformed(spark, cfg.landing_dir, trip_type)
     if raw is None:
         return None
 
@@ -198,6 +213,7 @@ def process_trips(
     return {
         "rows_written": consumer_obs.get["n_rows"],
         "rows_dead_lettered": dlq_obs.get["n_rows"],
+        "batches_quarantined": n_quarantined,
     }
 
 

@@ -145,6 +145,24 @@ def test_corrupt_batch_is_quarantined_not_fatal(spark, tmp_path):
     assert len(entries) == 1
     assert "partition_date=202302" in entries[0]["path"]
 
+    # re-run: quarantine log stays deduplicated, metrics expose the count
+    from nyc_taxi_data_pipeline_elt_spark.pipeline import process_trips
+
+    metrics = process_trips(spark, cfg, "yellow")
+    assert metrics["batches_quarantined"] == 1
+    entries = [json.loads(l) for l in qlog.read_text().splitlines()]
+    assert len(entries) == 1
+
+    # a fleet whose every batch is unreadable must FAIL the stage, not
+    # silently produce an empty consumer
+    bad2 = landing_key(landing, "green", 2023, 2)
+    bad2.parent.mkdir(parents=True, exist_ok=True)
+    bad2.write_bytes(b"junk")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="pipeline stage|quarantined"):
+        process_trips(spark, cfg, "green")
+
 
 def test_empty_inputs_write_schema_correct_reports(spark, tmp_path):
     cfg = PipelineConfig(
@@ -174,4 +192,8 @@ def test_partition_scoped_rerun_preserves_siblings(spark, lake):
     assert after.filter("trip_type = 'green'").count() == before_green
     assert after.filter("trip_type = 'yellow'").count() == 6
     # observe() metrics ride the write action — no extra scans
-    assert metrics == {"rows_written": 6, "rows_dead_lettered": 9}
+    assert metrics == {
+        "rows_written": 6,
+        "rows_dead_lettered": 9,
+        "batches_quarantined": 0,
+    }
