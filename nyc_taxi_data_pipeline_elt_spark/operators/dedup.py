@@ -214,6 +214,65 @@ SELECT {id_col}, {nibbles} AS simhash FROM votes
 """
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster candidate pairs into components: ``(node, component)`` where
+    component = min node id reachable through the pair graph.
+
+    Iterative min-label propagation — each round every node adopts the
+    smallest label in its neighborhood (join + min-aggregate, all
+    shuffle-on-key operators), converging in O(graph diameter) rounds.
+    This is the canonical Spark shape for dedup clustering at corpus
+    scale (near-dup components are tiny, diameters small); the loop is
+    driven by a driver-side convergence check on an aggregated count —
+    a scalar per round, not row data.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    edges = edges.distinct().persist()
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed:
+            break
+    edges.unpersist()
+    return labels
+
+
 def exact_dedup_groups(
     docs: DataFrame, key_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -134,6 +134,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_docs(docs)
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash candidate pairs -> connected components -> one canonical
+    representative per near-dup cluster (the full dedup decision)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs)
+    return D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
+    )
+
+
+# the oracle rebuilds the same pair graph (the dedup_minhash_lsh oracle)
+# and closes it transitively with a recursive CTE; component = min
+# reachable node (incl. self)
+def _clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       least(src, min(dst)) AS cluster_rep
+FROM reach
+GROUP BY src
+"""
+
+
 # --- similarity search --------------------------------------------------------
 _COS = (
     "list_dot_product({a}, {b}) / sqrt(list_dot_product({a}, {a})"
@@ -387,6 +421,7 @@ QUERIES = {
     "multimodal_meta": multimodal_meta,
     "shard_assignment": shard_assignment,
     "tfidf_top_terms": tfidf_top_terms,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLE = {
@@ -403,4 +438,5 @@ ORACLE = {
     "multimodal_meta": MULTIMODAL_ORACLE,
     "shard_assignment": SHARD_ORACLE,
     "tfidf_top_terms": TFIDF_ORACLE,
+    "dedup_clusters": _clusters_oracle(),
 }
