@@ -60,6 +60,69 @@ def real_decode(payload: bytes):
     )
 
 
+def resize_payloads(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Resize step of an image pipeline (STUB decode): recomputes the
+    aspect-fit output dimensions per payload and passes the payload
+    through opaque. Swapping `_fake_decode`/the passthrough for
+    PIL's decode+resize changes nothing Spark-side: same schema, same
+    Arrow batch shape, same partition-parallel execution."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [_fake_decode(p) for p in pdf["payload"]]
+            scale = [min(target_w / w, target_h / h) for (w, h) in dims]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"],
+                    "out_width": pd.Series(
+                        [max(1, int(w * s)) for (w, _), s in zip(dims, scale)],
+                        dtype="int32",
+                    ),
+                    "out_height": pd.Series(
+                        [max(1, int(h * s)) for (_, h), s in zip(dims, scale)],
+                        dtype="int32",
+                    ),
+                }
+            )
+
+    return df.mapInPandas(
+        batches, schema="doc_id bigint, payload binary, out_width int, out_height int"
+    )
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling step of a video pipeline (STUB decode): emits
+    ``n_frames`` evenly-spaced 'frames' per payload — a 1->N batch
+    explosion, the shape real frame extraction has. Frames here are
+    deterministic byte slices; a real implementation seeks with av/ffmpeg
+    per frame index inside the same batch loop."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_idx, out_frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                n = max(len(payload), 1)
+                step = max(n // n_frames, 1)
+                for i in range(n_frames):
+                    start = min(i * step, n - 1)
+                    out_ids.append(doc_id)
+                    out_idx.append(i)
+                    out_frames.append(payload[start : start + step])
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_ids,
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_payload": out_frames,
+                }
+            )
+
+    return df.mapInPandas(
+        batches, schema="doc_id bigint, frame_idx int, frame_payload binary"
+    )
+
+
 def extract_features(df: DataFrame, use_real_decoder: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

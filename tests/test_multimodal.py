@@ -8,6 +8,8 @@ from nyc_taxi_data_pipeline_elt_spark.operators.multimodal import (
     attach_payload,
     extract_features,
     real_decode,
+    resize_payloads,
+    sample_frames,
 )
 from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
 from tests.conftest import SF_DIR
@@ -28,6 +30,25 @@ def test_payload_and_features_pipeline(spark):
     assert sample.fake_height >= 1
     assert sample.n_bytes > 0
     assert len(sample.prefix_hex) == 16
+
+
+def test_resize_and_frame_sampling_plumbing(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    with_payload = attach_payload(docs)
+
+    resized = resize_payloads(with_payload, target_w=32, target_h=32)
+    rows = resized.collect()
+    assert len(rows) == docs.count()
+    assert all(1 <= r.out_width <= 32 and 1 <= r.out_height <= 32 for r in rows)
+    assert dict(resized.dtypes)["payload"] == "binary"
+
+    frames = sample_frames(with_payload, n_frames=4)
+    assert frames.count() == docs.count() * 4
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in per_doc)
+    sample = frames.filter("doc_id = 0").orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in sample] == [0, 1, 2, 3]
+    assert all(len(bytes(r.frame_payload)) > 0 for r in sample)
 
 
 def test_real_decoder_is_clearly_stubbed():
