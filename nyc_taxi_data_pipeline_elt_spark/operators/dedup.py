@@ -242,6 +242,10 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .persist()
     )
+    # labels only ever decrease, so sum(component) is a monotone scalar:
+    # a round that leaves the sum unchanged has converged. One cheap
+    # aggregate action per round instead of a join-based diff.
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -259,16 +263,12 @@ def connected_components(
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .isEmpty()
-        )
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels
 
