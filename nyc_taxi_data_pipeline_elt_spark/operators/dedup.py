@@ -227,9 +227,11 @@ def connected_components(
     smallest label in its neighborhood (join + min-aggregate, all
     shuffle-on-key operators), converging in O(graph diameter) rounds.
     This is the canonical Spark shape for dedup clustering at corpus
-    scale (near-dup components are tiny, diameters small); the loop is
-    driven by a driver-side convergence check on an aggregated count —
-    a scalar per round, not row data.
+    scale (near-dup components are tiny, diameters small). Convergence is
+    a count of changed labels computed in the same projection that
+    produces the new labels (the previous label rides along), so each
+    round costs one action and the driver sees a single scalar — exact
+    for any orderable id type, any magnitude.
     """
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -242,17 +244,15 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .persist()
     )
-    # labels only ever decrease, so sum(component) is a monotone scalar:
-    # a round that leaves the sum unchanged has converged. One cheap
-    # aggregate action per round instead of a join-based diff.
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        # previous label rides along so the change count comes from the
+        # same materialization as the new labels — no second join
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
@@ -260,15 +260,18 @@ def connected_components(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
+                F.col("component").alias("prev_component"),
             )
             .persist()
         )
-        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        n_changed = (
+            stepped.filter(F.col("component") != F.col("prev_component")).count()
+        )
+        new_labels = stepped.select("node", "component")
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:
+        if n_changed == 0:
             break
-        prev_sum = new_sum
     edges.unpersist()
     return labels
 
