@@ -117,8 +117,52 @@ GROUP BY user_id
 """
 
 
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = W.stream_events(spark, sf_dir)
+    return W.run_to_memory(
+        W.click_purchase_join(events), _unique("ss_join"), mode="append"
+    )
+
+
+# DuckDB ns->us casts TRUNCATE (probed), matching Spark's DIV-1000 loader
+# conversion, so timestamp comparisons agree at the boundary
+SS_JOIN_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+)
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM ev c JOIN ev p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+"""
+
+
+def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
+
+    events = W.stream_events(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    return W.run_to_memory(
+        W.enriched_segment_counts(events, customer),
+        _unique("enrich"),
+        mode="complete",
+    )
+
+
+SEGMENT_COUNTS_ORACLE = """
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "streaming_stateful_user_counts": streaming_stateful_user_counts,
+    "streaming_click_purchase_join": streaming_click_purchase_join,
+    "streaming_segment_counts": streaming_segment_counts,
     "streaming_tumbling_counts": streaming_tumbling_counts,
     "streaming_sliding_totals": streaming_sliding_totals,
     "streaming_session_counts": streaming_session_counts,
@@ -127,6 +171,8 @@ QUERIES = {
 
 ORACLE = {
     "streaming_stateful_user_counts": STATEFUL_ORACLE,
+    "streaming_click_purchase_join": SS_JOIN_ORACLE,
+    "streaming_segment_counts": SEGMENT_COUNTS_ORACLE,
     "streaming_tumbling_counts": TUMBLING_ORACLE,
     "streaming_sliding_totals": SLIDING_ORACLE,
     "streaming_session_counts": SESSION_ORACLE,

@@ -138,6 +138,57 @@ def late_data_tumbling(events: DataFrame, width: str = "5 minutes", delay: str =
     )
 
 
+def click_purchase_join(events: DataFrame, window: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join: purchases within ``window`` after a click
+    by the same user. Watermarks on both sides + the time-range predicate
+    bound the join state: a click older than (watermark - window) can
+    never match a future purchase and is evicted. On a full replay the
+    emitted matches equal the batch time-range self-join."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {window}"))
+    )
+    return clicks.join(purchases, cond).select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id"
+    )
+
+
+def enriched_segment_counts(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a broadcast
+    dimension (static side re-read per micro-batch, never stateful), then
+    aggregate per segment — the canonical streaming enrichment shape."""
+    dim = F.broadcast(
+        customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    return (
+        events.join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 def dedup_events(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     """Exactly-once event dedup by id: streaming ``dropDuplicates`` with a
     watermark bounding the dedup state — ids older than (max ts - delay)
