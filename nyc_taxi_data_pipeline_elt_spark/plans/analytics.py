@@ -579,6 +579,82 @@ FROM orders
 """
 
 
+# --- distribution analytics: ntile / percent_rank / cume_dist -------------------
+def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+DECILES_ORACLE = """
+SELECT o_orderkey,
+       CAST(ntile(10) OVER w AS INTEGER) AS decile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+# --- statistical aggregates: corr / covar / stddev ------------------------------
+def price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+    )
+
+
+STATS_ORACLE = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+       round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+       round(var_samp(l_discount), 6) AS disc_var
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --- string similarity: levenshtein (brand-blocked, never all-pairs) ------------
+def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-matches within a blocking key (p_brand) — the
+    entity-resolution shape; blocking bounds the quadratic term."""
+    tune(spark)
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand"), F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
+    )
+    b = part.select(
+        F.col("p_brand"), F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
+    )
+    return (
+        a.join(b, "p_brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("p_brand", "key_a", "key_b", "edit_dist")
+    )
+
+
+LEVENSHTEIN_ORACLE = """
+SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
 # --- unpivot / melt -------------------------------------------------------------
 def status_counts_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot then unpivot back to long form — the wide->long reshaping
@@ -717,6 +793,9 @@ QUERIES = {
     "repeat_high_value_customers": repeat_high_value_customers,
     "rolling_weekly_spend": rolling_weekly_spend,
     "status_counts_long": status_counts_long,
+    "order_price_deciles": order_price_deciles,
+    "price_quantity_stats": price_quantity_stats,
+    "similar_part_names": similar_part_names,
     "approx_distinct_stats": approx_distinct_stats,
 }
 
@@ -730,6 +809,9 @@ ORACLE = {
     "repeat_high_value_customers": SETOPS_ORACLE,
     "rolling_weekly_spend": RANGE_WINDOW_ORACLE,
     "status_counts_long": UNPIVOT_ORACLE,
+    "order_price_deciles": DECILES_ORACLE,
+    "price_quantity_stats": STATS_ORACLE,
+    "similar_part_names": LEVENSHTEIN_ORACLE,
     "pricing_summary": PRICING_ORACLE,
     "revenue_by_nation": REVENUE_BY_NATION_ORACLE,
     "shipping_priority_topk": SHIPPING_TOPK_ORACLE,
