@@ -655,6 +655,88 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3
 """
 
 
+# --- grouping sets + grouping() flags -------------------------------------------
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_data_pipeline_elt_spark.sources.catalog import (
+        register_testdata_views,
+    )
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               round(sum(o_totalprice), 2) AS sum_price,
+               every(o_totalprice >= 0) AS all_non_negative,
+               any(o_totalprice > 400000) AS has_big_order
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+       round(sum(o_totalprice), 2) AS sum_price,
+       bool_and(o_totalprice >= 0) AS all_non_negative,
+       bool_or(o_totalprice > 400000) AS has_big_order
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# --- min_by / max_by (argmax aggregates) ----------------------------------------
+def biggest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # argmax ordered by a UNIQUE column (o_orderkey) -> deterministic
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.expr("max_by(o_totalprice, o_orderkey)").alias("latest_order_price"),
+        F.expr("min_by(o_totalprice, o_orderkey)").alias("first_order_price"),
+        F.max("o_orderkey").alias("max_orderkey"),
+    )
+
+
+MINMAX_BY_ORACLE = """
+SELECT o_custkey,
+       arg_max(o_totalprice, o_orderkey) AS latest_order_price,
+       arg_min(o_totalprice, o_orderkey) AS first_order_price,
+       max(o_orderkey) AS max_orderkey
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+# --- correlated scalar subquery (Catalyst decorrelation) ------------------------
+def customer_max_order_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Catalyst rewrites the correlated scalar subquery into an aggregate +
+    # left outer join — declaratively stated, decorrelated by the optimizer
+    from nyc_taxi_data_pipeline_elt_spark.sources.catalog import (
+        register_testdata_views,
+    )
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               (SELECT round(max(o_totalprice), 2) FROM orders
+                WHERE o_custkey = c_custkey) AS max_order_price
+        FROM customer
+        """
+    )
+
+
+SCALAR_SUBQUERY_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       (SELECT round(max(o_totalprice), 2) FROM orders
+        WHERE o_custkey = c_custkey) AS max_order_price
+FROM customer
+"""
+
+
 # --- unpivot / melt -------------------------------------------------------------
 def status_counts_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot then unpivot back to long form — the wide->long reshaping
@@ -794,6 +876,9 @@ QUERIES = {
     "rolling_weekly_spend": rolling_weekly_spend,
     "status_counts_long": status_counts_long,
     "order_price_deciles": order_price_deciles,
+    "grouping_sets_sales": grouping_sets_sales,
+    "biggest_order_per_customer": biggest_order_per_customer,
+    "customer_max_order_subquery": customer_max_order_subquery,
     "price_quantity_stats": price_quantity_stats,
     "similar_part_names": similar_part_names,
     "approx_distinct_stats": approx_distinct_stats,
@@ -810,6 +895,9 @@ ORACLE = {
     "rolling_weekly_spend": RANGE_WINDOW_ORACLE,
     "status_counts_long": UNPIVOT_ORACLE,
     "order_price_deciles": DECILES_ORACLE,
+    "grouping_sets_sales": GROUPING_SETS_ORACLE,
+    "biggest_order_per_customer": MINMAX_BY_ORACLE,
+    "customer_max_order_subquery": SCALAR_SUBQUERY_ORACLE,
     "price_quantity_stats": STATS_ORACLE,
     "similar_part_names": LEVENSHTEIN_ORACLE,
     "pricing_summary": PRICING_ORACLE,
