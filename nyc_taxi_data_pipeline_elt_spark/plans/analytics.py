@@ -737,6 +737,69 @@ FROM customer
 """
 
 
+# --- datetime feature extraction -------------------------------------------------
+def order_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar feature derivation — the feature-engineering shape.
+    Cross-engine trap handled: Spark dayofweek is 1=Sunday..7, DuckDB's is
+    0=Sunday..6 (oracle adds 1)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+    )
+
+
+DATE_FEATURES_ORACLE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+       CAST(month(o_orderdate) AS INTEGER) AS m,
+       CAST(day(o_orderdate) AS INTEGER) AS dom,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end
+FROM orders
+"""
+
+
+# --- array function showcase ------------------------------------------------------
+def token_array_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed column manipulation over tokenized text: size, sorted
+    slice, membership, distinct count — all JVM array expressions."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), "\\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.array_contains(toks, "spark").alias("mentions_spark"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",").alias(
+            "first3_sorted"
+        ),
+    )
+
+
+ARRAY_FEATURES_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_unique,
+       list_contains(toks, 'spark') AS mentions_spark,
+       array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_sorted
+FROM t
+"""
+
+
 # --- unpivot / melt -------------------------------------------------------------
 def status_counts_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot then unpivot back to long form — the wide->long reshaping
@@ -877,6 +940,8 @@ QUERIES = {
     "status_counts_long": status_counts_long,
     "order_price_deciles": order_price_deciles,
     "grouping_sets_sales": grouping_sets_sales,
+    "order_date_features": order_date_features,
+    "token_array_features": token_array_features,
     "biggest_order_per_customer": biggest_order_per_customer,
     "customer_max_order_subquery": customer_max_order_subquery,
     "price_quantity_stats": price_quantity_stats,
@@ -896,6 +961,8 @@ ORACLE = {
     "status_counts_long": UNPIVOT_ORACLE,
     "order_price_deciles": DECILES_ORACLE,
     "grouping_sets_sales": GROUPING_SETS_ORACLE,
+    "order_date_features": DATE_FEATURES_ORACLE,
+    "token_array_features": ARRAY_FEATURES_ORACLE,
     "biggest_order_per_customer": MINMAX_BY_ORACLE,
     "customer_max_order_subquery": SCALAR_SUBQUERY_ORACLE,
     "price_quantity_stats": STATS_ORACLE,
