@@ -103,6 +103,30 @@ def lang_id(text: Column | str) -> Column:
     return expr
 
 
+def chunk_tokens(
+    text: Column | str, width: int = 64, stride: int = 48
+) -> Column:
+    """Sliding token-window chunking — the context-window preprocessing op
+    for LLM training corpora. Returns an array of structs
+    ``(chunk_idx, start_token, chunk_text)``; windows start every
+    ``stride`` tokens and carry up to ``width`` tokens (the final window
+    clamps). Pure array expressions; chunk counts per document are small,
+    so the interpreted-HOF cost is negligible here (unlike per-shingle
+    hashing — see operators/dedup.py).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(c), "\\s+")
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride))
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            s.alias("start_token"),
+            F.array_join(F.slice(toks, s + 1, width), " ").alias("chunk_text"),
+        ),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Key-collision fingerprint: md5 over the sorted distinct lowercase
     token set — the classic OpenRefine/key-collision dedup key; identical

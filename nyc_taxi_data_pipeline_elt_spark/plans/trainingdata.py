@@ -373,6 +373,36 @@ FROM (
 """
 
 
+# --- context-window chunking -------------------------------------------------------
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 64-token windows with stride 48 per document — LLM
+    context-window preprocessing."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(X.chunk_tokens("text", width=64, stride=48)).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.start_token").alias("start_token"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+CHUNK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start FROM t
+)
+SELECT doc_id,
+       CAST(start // 48 AS INTEGER) AS chunk_idx,
+       CAST(start AS INTEGER) AS start_token,
+       array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
+FROM c
+"""
+
+
 # --- grouped-map custom operator (applyInPandas) ---------------------------------
 def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyc_taxi_data_pipeline_elt_spark.operators.pandas_ops import assign_shards
@@ -422,6 +452,7 @@ QUERIES = {
     "shard_assignment": shard_assignment,
     "tfidf_top_terms": tfidf_top_terms,
     "dedup_clusters": dedup_clusters,
+    "chunk_documents": chunk_documents,
 }
 
 ORACLE = {
@@ -439,4 +470,5 @@ ORACLE = {
     "shard_assignment": SHARD_ORACLE,
     "tfidf_top_terms": TFIDF_ORACLE,
     "dedup_clusters": _clusters_oracle(),
+    "chunk_documents": CHUNK_ORACLE,
 }
