@@ -133,10 +133,27 @@ def ivf_topk(
     mean per position -> reassemble ordered). Probe = centroid argmax +
     bucket-pruned brute force. Deterministic, so oracle-checkable; recall
     vs brute force depends on how well buckets reflect geometry.
+
+    Serving shape: the query vector and the probed bucket id are fetched
+    as driver-side scalars (two O(1)-result lookups — this is how ANN is
+    actually served; the query arrives from outside the corpus anyway).
+    Embedding them as literals means the probe compiles to a plain scan
+    with a *pushed-down* ``bucket = <best>`` filter — on a corpus
+    partitioned/clustered by bucket, parquet row-group and partition
+    pruning skip everything but the probed bucket, which is the entire
+    point of IVF at 100 TB. The earlier broadcast-join formulation could
+    not push the probe predicate into the scan and serialized three
+    nested broadcast jobs.
     """
     e = embeddings.select(
         F.col(id_col), F.col(bucket_col), as_double(vec_col).alias("v")
     )
+    qrow = (
+        embeddings.filter(F.col(id_col) == query_vec_id)
+        .select(as_double(vec_col).alias("v"))
+        .first()
+    )
+    qvec = F.array(*[F.lit(float(x)) for x in qrow["v"]])
     # build centroids: mean per (bucket, position), reassembled in order
     pos = e.select(bucket_col, F.posexplode("v").alias("pos", "val"))
     centroids = (
@@ -150,25 +167,20 @@ def ivf_topk(
             ).alias("centroid")
         )
     )
-    q = e.filter(F.col(id_col) == query_vec_id).select(F.col("v").alias("qvec"))
     # nprobe=1: bucket whose centroid maximizes cosine (tiebreak: bucket id)
-    best_bucket = (
-        centroids.crossJoin(F.broadcast(q))
-        .select(
-            bucket_col,
-            cosine(F.col("centroid"), F.col("qvec")).alias("c_sim"),
+    best = (
+        centroids.select(
+            bucket_col, cosine(F.col("centroid"), qvec).alias("c_sim")
         )
         .orderBy(F.col("c_sim").desc(), F.col(bucket_col))
-        .limit(1)
-        .select(bucket_col)
-    )
+        .first()
+    )[bucket_col]
     return (
-        e.join(F.broadcast(best_bucket), bucket_col)  # bucket pruning
+        e.filter(F.col(bucket_col) == best)  # pushed-down bucket pruning
         .filter(F.col(id_col) != query_vec_id)
-        .crossJoin(F.broadcast(q))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col("v"), F.col("qvec")), 6).alias("cos_sim"),
+            F.round(cosine(F.col("v"), qvec), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
