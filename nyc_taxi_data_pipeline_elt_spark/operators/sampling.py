@@ -1,0 +1,55 @@
+"""Deterministic hash-based sampling / dataset splitting.
+
+Training-data pipelines need *reproducible* sampling: the same document
+must land in the same split on every run, on any cluster layout, at any
+parallelism — so `rand()`-style sampling (seeded per-partition, layout-
+dependent) is out. Instead we map a stable key through md5 to a uniform
+double in [0, 1) and compare against rates. Properties that matter at
+100 TB:
+
+- purely row-local (no shuffle, no state, survives repartitioning);
+- engine-portable: md5 is bit-identical across Spark and DuckDB, so the
+  oracle replicates the exact sample;
+- stratification is just a per-stratum rate expression;
+- independent decisions compose by salting the key (`sample-` vs
+  `split-` prefixes give independent uniforms from one key).
+
+md5-only hashing per the repo parity rules (xxhash64 differs between
+engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 2^32: the first 8 hex chars of md5 read as an unsigned 32-bit int.
+_HASH_SPACE = 4294967296.0
+
+
+def hash_uniform(key: Column | str, salt: str) -> Column:
+    """Uniform double in [0, 1) from md5(salt || key) — deterministic,
+    row-local, identical in DuckDB as
+    ``('0x' || substr(md5('<salt>' || CAST(key AS VARCHAR)), 1, 8))::BIGINT
+    / 4294967296.0``."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+    return h / F.lit(_HASH_SPACE)
+
+
+def split_assignment(
+    key: Column | str,
+    train: float = 0.8,
+    val: float = 0.1,
+    salt: str = "split-",
+) -> Column:
+    """train/val/test label from a stable key; fractions are cumulative
+    thresholds over one uniform draw."""
+    v = hash_uniform(key, salt)
+    return (
+        F.when(v < train, F.lit("train"))
+        .when(v < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )

@@ -914,6 +914,113 @@ GROUP BY user_id
 """
 
 
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward/backward fill with IGNORE NULLS window functions — the
+    time-series gap-fill operator. ``error`` events carry no usable
+    metric (masked to NULL), and each row picks up the last/next good
+    value within its user's stream. One shuffle on user_id; both fills
+    share the same window partitioning so Catalyst plans a single
+    exchange + sort."""
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    metric = F.when(F.col("event_type") != "error", F.col("value"))
+    base = Window.partitionBy("user_id").orderBy("event_id")
+    w_ff = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_bf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return events.select(
+        "event_id",
+        "user_id",
+        metric.alias("metric"),
+        F.last(metric, ignorenulls=True).over(w_ff).alias("ffill_value"),
+        F.first(metric, ignorenulls=True).over(w_bf).alias("bfill_value"),
+    )
+
+
+GAP_FILL_ORACLE = """
+WITH m AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_type <> 'error' THEN value END AS metric
+  FROM events
+)
+SELECT event_id, user_id, metric,
+       last_value(metric IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value,
+       first_value(metric IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill_value
+FROM m
+"""
+
+
+def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (point-in-interval): clicks attributed to a purchase by
+    the same user within the preceding 30 minutes.
+
+    A naive ``t BETWEEN lo AND hi`` join has no equi-key, so Spark plans
+    a broadcast-nested-loop — O(clicks x purchases), dead at scale. The
+    binned formulation quantizes time into window-width buckets and
+    joins on ``(user_id, bin)`` with each purchase probing its two
+    candidate buckets; the inequality becomes a cheap post-filter on an
+    equi shuffle join. This is the standard interval-join decomposition
+    (Flink's interval join and Databricks' range-join hints do the same
+    binning internally)."""
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    width = 1800  # bin width == attribution window (seconds)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+        F.floor(F.col("ts").cast("long") / width).alias("bin"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("ts").cast("long") / width).alias("pbin"),
+    )
+    # a click in [p_ts - 30min, p_ts) can only live in the purchase's own
+    # bin or the one before it
+    candidates = purchases.withColumn(
+        "bin", F.explode(F.array(F.col("pbin") - 1, F.col("pbin")))
+    )
+    matched = candidates.join(clicks, ["user_id", "bin"]).filter(
+        (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts"))
+    )
+    counts = matched.groupBy("event_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.round(F.sum("c_value"), 2).alias("click_value"),
+    )
+    return purchases.select("event_id", "user_id").join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("click_value", F.lit(0.0)).alias("click_value"),
+    )
+
+
+CLICK_ATTRIBUTION_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts, value AS c_value
+  FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       count(c.c_ts) AS n_clicks,
+       coalesce(round(sum(c.c_value), 2), 0.0) AS click_value
+FROM purchases p
+LEFT JOIN clicks c
+  ON p.user_id = c.user_id
+ AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+ AND c.c_ts < p.p_ts
+GROUP BY p.event_id, p.user_id
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "revenue_by_nation": revenue_by_nation,
@@ -929,6 +1036,8 @@ QUERIES = {
     "orders_pivot_status": orders_pivot_status,
     "events_json_stats": events_json_stats,
     "sessionize_users": sessionize_users,
+    "events_gap_fill": events_gap_fill,
+    "click_attribution": click_attribution,
     "lineitem_asof_prior_order": lineitem_asof_prior_order,
     "order_price_percentiles": order_price_percentiles,
     "salted_orders_per_segment": salted_orders_per_segment,
@@ -981,4 +1090,6 @@ ORACLE = {
     "orders_pivot_status": PIVOT_ORACLE,
     "events_json_stats": JSON_ORACLE,
     "sessionize_users": SESSIONIZE_ORACLE,
+    "events_gap_fill": GAP_FILL_ORACLE,
+    "click_attribution": CLICK_ATTRIBUTION_ORACLE,
 }

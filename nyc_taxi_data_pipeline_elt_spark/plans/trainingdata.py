@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_pipeline_elt_spark.operators import dedup as D
+from nyc_taxi_data_pipeline_elt_spark.operators import sampling as M
 from nyc_taxi_data_pipeline_elt_spark.operators import similarity as S
 from nyc_taxi_data_pipeline_elt_spark.operators import text as X
 from nyc_taxi_data_pipeline_elt_spark.operators.multimodal import attach_payload
@@ -403,6 +404,88 @@ FROM c
 """
 
 
+# --- deterministic sampling / splits ---------------------------------------------
+def doc_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified hash-sample of documents (per-source rate) plus a
+    reproducible train/val/test split — both decisions are row-local
+    md5 draws (operators/sampling.py), so the sample is identical at any
+    parallelism / cluster layout and the oracle replicates it exactly.
+    Strata rates here: even-numbered sources keep 80%, odd keep 40%."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(0.8))
+        .otherwise(F.lit(0.4))
+    )
+    return docs.filter(M.hash_uniform("doc_id", "sample-") < rate).select(
+        "doc_id", "source", M.split_assignment("doc_id").alias("split")
+    )
+
+
+SAMPLE_SPLIT_ORACLE = """
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('sample-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u,
+         ('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS v
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN v < 0.8 THEN 'train'
+            WHEN v < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+WHERE u < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+              THEN 0.8 ELSE 0.4 END
+"""
+
+
+# --- Python UDTF (table function) ------------------------------------------------
+@F.udtf(returnType="bigram: string, n: int")
+class BigramCounts:
+    """Python UDTF (PySpark 4 table-function surface): per-document
+    bigram histogram, one input row -> many output rows via LATERAL.
+
+    UDF-surface demo on purpose — the set-oriented equivalent
+    (split -> explode -> groupBy) is the hot path shown elsewhere; a
+    UDTF is for logic that genuinely needs imperative per-row expansion.
+    """
+
+    def eval(self, text: str):
+        if not text:
+            return
+        toks = text.strip().split()
+        counts: dict[tuple[str, str], int] = {}
+        for pair in zip(toks, toks[1:]):
+            counts[pair] = counts.get(pair, 0) + 1
+        for (a, b), n in counts.items():
+            yield f"{a} {b}", n
+
+
+def bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    spark.udtf.register("bigram_counts", BigramCounts)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        "SELECT doc_id, b.bigram, b.n "
+        "FROM __docs_udtf, LATERAL bigram_counts(text) AS b"
+    )
+
+
+BIGRAMS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), b AS (
+  SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS bigram
+  FROM t, unnest(range(len(toks) - 1)) AS u(i)
+)
+SELECT doc_id, bigram, CAST(count(*) AS INT) AS n
+FROM b
+GROUP BY doc_id, bigram
+"""
+
+
 # --- grouped-map custom operator (applyInPandas) ---------------------------------
 def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyc_taxi_data_pipeline_elt_spark.operators.pandas_ops import assign_shards
@@ -453,6 +536,8 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "dedup_clusters": dedup_clusters,
     "chunk_documents": chunk_documents,
+    "doc_sample_split": doc_sample_split,
+    "bigrams_udtf": bigrams_udtf,
 }
 
 ORACLE = {
@@ -471,4 +556,6 @@ ORACLE = {
     "tfidf_top_terms": TFIDF_ORACLE,
     "dedup_clusters": _clusters_oracle(),
     "chunk_documents": CHUNK_ORACLE,
+    "doc_sample_split": SAMPLE_SPLIT_ORACLE,
+    "bigrams_udtf": BIGRAMS_ORACLE,
 }
