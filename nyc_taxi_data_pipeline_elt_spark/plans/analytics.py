@@ -1021,6 +1021,110 @@ GROUP BY p.event_id, p.user_id
 """
 
 
+def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: JSON props -> ``map<string,int>`` via
+    ``from_json``, per-user event-type histogram assembled into a map
+    column (``map_from_entries`` over ``collect_list``), then consumed
+    back out through ``map_keys``/``explode``. The map is built and
+    unpacked in one job so the oracle can check the round trip: each
+    output row is (user, one map entry, map cardinality, avg of the
+    JSON-extracted ``k``)."""
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    kval = F.element_at(
+        F.from_json("props", "map<string,int>"), F.lit("k")
+    ).alias("k_val")
+    per_type = (
+        events.select("user_id", "event_type", kval)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("k_val"), 2).alias("avg_k"))
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts"),
+        # sum (not avg) of the per-type 2dp values: the true total stays on
+        # the 0.01 grid, so round(…, 2) is tie-free across engines
+        F.round(F.sum("avg_k"), 2).alias("macro_k_sum"),
+    )
+    return mapped.select(
+        "user_id",
+        F.size("type_counts").alias("n_types"),
+        "macro_k_sum",
+        F.explode("type_counts").alias("event_type", "n_events"),
+    )
+
+
+USER_EVENT_TYPE_MAP_ORACLE = """
+WITH per_type AS (
+  SELECT user_id, event_type, count(*) AS n,
+         round(avg(CAST(props::JSON ->> 'k' AS INT)), 2) AS avg_k
+  FROM events
+  GROUP BY user_id, event_type
+), per_user AS (
+  SELECT user_id,
+         CAST(count(*) AS INT) AS n_types,
+         round(sum(avg_k), 2) AS macro_k_sum
+  FROM per_type GROUP BY user_id
+)
+SELECT p.user_id, u.n_types, u.macro_k_sum,
+       p.event_type, p.n AS n_events
+FROM per_type p JOIN per_user u USING (user_id)
+"""
+
+
+def resample_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to a regular grid: per-user daily activity
+    with zero-filled gaps over each user's own [first_day, last_day]
+    span. The dense grid is generated with ``sequence`` + ``explode``
+    (rows come from the engine, not the data), then the sparse daily
+    aggregate left-joins onto it. Grid cardinality is users x days —
+    independent of event count, so the explode is safe at any event
+    volume; the join key (user_id, day) is the grid's own partitioning."""
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    daily = (
+        events.select("user_id", day.alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("day_value"))
+    )
+    spans = events.groupBy("user_id").agg(
+        F.min(day).alias("first_day"), F.max(day).alias("last_day")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("first_day", "last_day", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+    )
+
+
+RESAMPLE_ORACLE = """
+WITH e AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, value
+  FROM events
+), daily AS (
+  SELECT user_id, day, count(*) AS n_events,
+         round(sum(value), 2) AS day_value
+  FROM e GROUP BY user_id, day
+), grid AS (
+  SELECT user_id, unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+  FROM e GROUP BY user_id
+)
+SELECT g.user_id, g.day,
+       coalesce(d.n_events, 0) AS n_events,
+       coalesce(d.day_value, 0.0) AS day_value
+FROM grid g LEFT JOIN daily d USING (user_id, day)
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "revenue_by_nation": revenue_by_nation,
@@ -1038,6 +1142,8 @@ QUERIES = {
     "sessionize_users": sessionize_users,
     "events_gap_fill": events_gap_fill,
     "click_attribution": click_attribution,
+    "user_event_type_map": user_event_type_map,
+    "resample_events_daily": resample_events_daily,
     "lineitem_asof_prior_order": lineitem_asof_prior_order,
     "order_price_percentiles": order_price_percentiles,
     "salted_orders_per_segment": salted_orders_per_segment,
@@ -1092,4 +1198,6 @@ ORACLE = {
     "sessionize_users": SESSIONIZE_ORACLE,
     "events_gap_fill": GAP_FILL_ORACLE,
     "click_attribution": CLICK_ATTRIBUTION_ORACLE,
+    "user_event_type_map": USER_EVENT_TYPE_MAP_ORACLE,
+    "resample_events_daily": RESAMPLE_ORACLE,
 }

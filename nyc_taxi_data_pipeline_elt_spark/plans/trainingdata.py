@@ -486,6 +486,112 @@ GROUP BY doc_id, bigram
 """
 
 
+# --- corpus LM scoring -----------------------------------------------------------
+def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level quality filter: score each document by its total
+    unigram log-likelihood under the corpus's own unigram LM — the
+    classic cheap perplexity proxy used to rank training data.
+
+    Two passes over the exploded tokens: (1) vocab counts -> per-token
+    ``round(ln(p), 6)`` contribution (vocab is tiny relative to the
+    corpus, so the lookup join is a broadcast); (2) per-doc sum. The
+    per-token round puts every contribution on the 1e-6 grid, so the
+    doc-level sum is order-independent up to FP noise that a final
+    round(…, 6) snaps back — deterministic across engines and shuffle
+    layouts."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").alias("n_total"))
+    contrib = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(F.log(F.col("n_tok") / F.col("n_total")), 6).alias("logp"),
+    )
+    return (
+        toks.join(F.broadcast(contrib), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("logp"), 6).alias("logprob_sum"),
+        )
+    )
+
+
+UNIGRAM_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, count(*) AS n_tok FROM toks GROUP BY token
+), contrib AS (
+  SELECT token, round(ln(n_tok * 1.0 / (SELECT sum(n_tok) FROM vocab)), 6) AS logp
+  FROM vocab
+)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(sum(c.logp), 6) AS logprob_sum
+FROM toks t JOIN contrib c USING (token)
+GROUP BY t.doc_id
+"""
+
+
+# --- embedding quantization ------------------------------------------------------
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector scalar (int8-style) quantization with reconstruction
+    error — the storage-compression step before shipping embeddings at
+    scale. Each vector is min-max quantized to 256 levels; the output
+    reports the codebook range and the MSE of dequantization.
+
+    The residual array is materialized once, then the sum of squares is
+    the *unrolled* left-to-right dot product (operators/similarity.py) —
+    bitwise-identical to DuckDB's list_dot_product association, keeping
+    the oracle exact without trusting HOF fold order."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = S.as_double("embedding")
+    base = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_min(v).alias("mn"),
+        F.array_max(v).alias("mx"),
+    )
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    dq = F.transform(
+        "v",
+        lambda x: F.round((x - F.col("mn")) / scale) * scale + F.col("mn"),
+    )
+    resid = base.withColumn(
+        "d", F.zip_with("v", dq, lambda a, b: a - b)
+    )
+    return resid.select(
+        "vec_id",
+        F.round("mn", 6).alias("vmin"),
+        F.round("mx", 6).alias("vmax"),
+        F.round(S.dot(F.col("d"), F.col("d")) / F.lit(64.0), 12).alias("mse"),
+    )
+
+
+QUANTIZE_ORACLE = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_min(embedding::DOUBLE[]) AS mn,
+         list_max(embedding::DOUBLE[]) AS mx
+  FROM embeddings
+), resid AS (
+  SELECT vec_id, mn, mx,
+         list_transform(v, x ->
+           x - (round((x - mn) / ((mx - mn) / 255.0)) * ((mx - mn) / 255.0) + mn)
+         ) AS d
+  FROM base
+)
+SELECT vec_id, round(mn, 6) AS vmin, round(mx, 6) AS vmax,
+       round(list_dot_product(d, d) / 64.0, 12) AS mse
+FROM resid
+"""
+
+
 # --- grouped-map custom operator (applyInPandas) ---------------------------------
 def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyc_taxi_data_pipeline_elt_spark.operators.pandas_ops import assign_shards
@@ -538,6 +644,8 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "doc_sample_split": doc_sample_split,
     "bigrams_udtf": bigrams_udtf,
+    "unigram_lm_scores": unigram_lm_scores,
+    "embedding_quantize": embedding_quantize,
 }
 
 ORACLE = {
@@ -558,4 +666,6 @@ ORACLE = {
     "chunk_documents": CHUNK_ORACLE,
     "doc_sample_split": SAMPLE_SPLIT_ORACLE,
     "bigrams_udtf": BIGRAMS_ORACLE,
+    "unigram_lm_scores": UNIGRAM_LM_ORACLE,
+    "embedding_quantize": QUANTIZE_ORACLE,
 }
