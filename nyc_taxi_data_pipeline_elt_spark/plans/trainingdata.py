@@ -10,7 +10,7 @@ deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_pipeline_elt_spark.operators import dedup as D
@@ -486,6 +486,40 @@ GROUP BY doc_id, bigram
 """
 
 
+def doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quota sampling: exactly min(k, |stratum|) documents
+    per source, chosen by ranking a deterministic md5 uniform — the
+    fixed-size counterpart of the rate-based sample. One shuffle on the
+    stratum key; the per-group sort is k-bounded. Layout-independent
+    like all hash sampling here, so re-runs and the oracle agree row
+    for row."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        M.hash_uniform("doc_id", "quota-"), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+QUOTA_SAMPLE_ORACLE = """
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('quota-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS INT) AS rk
+  FROM h
+)
+SELECT doc_id, source, rk FROM r WHERE rk <= 5
+"""
+
+
 # --- corpus LM scoring -----------------------------------------------------------
 def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level quality filter: score each document by its total
@@ -646,6 +680,7 @@ QUERIES = {
     "bigrams_udtf": bigrams_udtf,
     "unigram_lm_scores": unigram_lm_scores,
     "embedding_quantize": embedding_quantize,
+    "doc_quota_sample": doc_quota_sample,
 }
 
 ORACLE = {
@@ -668,4 +703,5 @@ ORACLE = {
     "bigrams_udtf": BIGRAMS_ORACLE,
     "unigram_lm_scores": UNIGRAM_LM_ORACLE,
     "embedding_quantize": QUANTIZE_ORACLE,
+    "doc_quota_sample": QUOTA_SAMPLE_ORACLE,
 }

@@ -1,0 +1,80 @@
+"""Physical-plan regression tests: the scale properties the queries claim
+(pushdown, no nested-loop joins, shared window exchanges, broadcasts) must
+be visible in the executed plan, not just intended. These are the
+`.explain("formatted")` audits frozen into CI — a refactor that silently
+degrades a plan to a BroadcastNestedLoopJoin or drops a pushed filter
+fails here long before it fails at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nyc_taxi_data_pipeline_elt_spark.plans import analytics, trainingdata
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_click_attribution_is_equi_join(spark):
+    """The binned range join must plan as an equi (shuffle/broadcast hash)
+    join — the whole point of binning is avoiding the nested loop."""
+    plan = _plan(analytics.click_attribution(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_probe_filter_reaches_scan(spark):
+    """IVF bucket pruning must be a pushed-down scan predicate on the
+    bucket column, enabling row-group/partition pruning at scale."""
+    plan = _plan(trainingdata.simsearch_ivf_topk(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "EqualTo(label," in plan
+
+
+def test_gap_fill_single_exchange(spark):
+    """Forward- and backward-fill share one window partitioning; the plan
+    must shuffle on user_id exactly once."""
+    plan = _plan(analytics.events_gap_fill(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_unigram_lm_vocab_join_broadcasts(spark):
+    """The vocab-lookup join must broadcast the (tiny) vocab side, not
+    shuffle the exploded token stream twice."""
+    plan = _plan(trainingdata.unigram_lm_scores(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pricing_summary_scan_is_pruned(spark):
+    """Column pruning + filter pushdown on the widest fact table: the
+    lineitem scan must read only the 7 referenced columns and push the
+    shipdate predicate."""
+    plan = _plan(analytics.pricing_summary(spark, SF_DIR))
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scan_lines, plan
+    scan = scan_lines[0]
+    # untouched columns (keys, line numbers) stay unread
+    assert "l_partkey" not in scan and "l_orderkey" not in scan
+    assert "LessThanOrEqual(l_shipdate" in scan
+
+
+def test_sample_split_no_shuffle(spark):
+    """Hash sampling is row-local: the whole query must compile to a
+    scan + project/filter with zero exchanges."""
+    plan = _plan(trainingdata.doc_sample_split(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_quota_sample_single_shuffle(spark):
+    """Quota sampling shuffles once on the stratum key; ranking adds no
+    extra exchange."""
+    plan = _plan(trainingdata.doc_quota_sample(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
