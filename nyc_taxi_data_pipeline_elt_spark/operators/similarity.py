@@ -99,6 +99,13 @@ def neardup_pairs(
     task. At cluster scale the streamed side is naturally partitioned and
     the broadcast side must fit in executor memory (block the corpus
     first when it doesn't).
+
+    The similarity threshold lives in the JOIN CONDITION, not a
+    post-filter: a BNLJ evaluates its condition on a cheap row wrapper
+    and only builds (and copies) an output row for survivors, so the
+    O(n^2) non-matches never materialize. Measured ~2x on the all-pairs
+    path; the projection recomputes the similarity only for the few
+    matches.
     """
     e = embeddings.select(F.col(id_col), as_double(vec_col).alias("v"))
     e = e.withColumn("n2", dot(F.col("v"), F.col("v")))
@@ -109,13 +116,13 @@ def neardup_pairs(
     b = e.select(
         F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n2").alias("nb")
     )
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     sim = F.round(
         dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb")), 6
     )
-    return pairs.select("id_a", "id_b", sim.alias("cos_sim")).filter(
-        F.col("cos_sim") >= threshold
+    pairs = a.join(
+        F.broadcast(b), (F.col("id_a") < F.col("id_b")) & (sim >= threshold)
     )
+    return pairs.select("id_a", "id_b", sim.alias("cos_sim"))
 
 
 def ivf_topk(
@@ -153,8 +160,15 @@ def ivf_topk(
         .select(as_double(vec_col).alias("v"))
         .first()
     )
-    qvec = F.array(*[F.lit(float(x)) for x in qrow["v"]])
-    # build centroids: mean per (bucket, position), reassembled in order
+    q = [float(x) for x in qrow["v"]]
+    qvec = F.array(*[F.lit(x) for x in q])
+    # build centroids: mean per (bucket, position), reassembled in order.
+    # The distributed part is the aggregation; the result — n_buckets x dim
+    # doubles — IS the IVF index metadata, which serving keeps in driver /
+    # index memory. Selecting the probe bucket is a Python argmax over it
+    # (left-to-right float sums, the same association as the distributed
+    # dot), not a Spark job: compiling a 192-term codegen expression to
+    # rank 10 rows costs more than the whole lookup.
     pos = e.select(bucket_col, F.posexplode("v").alias("pos", "val"))
     centroids = (
         pos.groupBy(bucket_col, "pos")
@@ -167,14 +181,21 @@ def ivf_topk(
             ).alias("centroid")
         )
     )
+
+    def _cos(c: list[float]) -> float:
+        num = nc = nq = 0.0
+        for ci, qi in zip(c, q):
+            num = num + ci * qi
+            nc = nc + ci * ci
+            nq = nq + qi * qi
+        return num / (nc * nq) ** 0.5
+
     # nprobe=1: bucket whose centroid maximizes cosine (tiebreak: bucket id)
-    best = (
-        centroids.select(
-            bucket_col, cosine(F.col("centroid"), qvec).alias("c_sim")
-        )
-        .orderBy(F.col("c_sim").desc(), F.col(bucket_col))
-        .first()
-    )[bucket_col]
+    ranked = sorted(
+        ((row[bucket_col], _cos(list(row["centroid"]))) for row in centroids.collect()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    best = ranked[0][0]
     return (
         e.filter(F.col(bucket_col) == best)  # pushed-down bucket pruning
         .filter(F.col(id_col) != query_vec_id)

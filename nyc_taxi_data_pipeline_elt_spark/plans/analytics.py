@@ -628,7 +628,10 @@ GROUP BY l_returnflag
 # --- string similarity: levenshtein (brand-blocked, never all-pairs) ------------
 def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-matches within a blocking key (p_brand) — the
-    entity-resolution shape; blocking bounds the quadratic term."""
+    entity-resolution shape; blocking bounds the quadratic term. The
+    distance uses the threshold-bounded levenshtein (banded DP with
+    early exit, returns -1 past the bound) so far-apart names cost
+    O(len*k) instead of O(len^2)."""
     tune(spark)
     part = load_table(spark, sf_dir, "part")
     a = part.select(
@@ -640,8 +643,8 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "p_brand")
         .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("edit_dist") <= 3)
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 3))
+        .filter(F.col("edit_dist") >= 0)
         .select("p_brand", "key_a", "key_b", "edit_dist")
     )
 
