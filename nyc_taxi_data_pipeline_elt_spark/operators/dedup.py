@@ -224,50 +224,48 @@ def connected_components(
     component = min node id reachable through the pair graph.
 
     Iterative min-label propagation — each round every node adopts the
-    smallest label in its neighborhood (join + min-aggregate, all
-    shuffle-on-key operators), converging in O(graph diameter) rounds.
-    This is the canonical Spark shape for dedup clustering at corpus
-    scale (near-dup components are tiny, diameters small). Convergence is
-    a count of changed labels computed in the same projection that
-    produces the new labels (the previous label rides along), so each
-    round costs one action and the driver sees a single scalar — exact
-    for any orderable id type, any magnitude.
+    smallest label in its closed neighborhood, converging in O(graph
+    diameter) rounds. This is the canonical Spark shape for dedup
+    clustering at corpus scale (near-dup components are tiny, diameters
+    small).
+
+    Per-round cost is ONE equi-join + ONE min-aggregate: the edge set
+    carries a self-loop per node, so "min over neighbors-or-self" needs
+    no second join to merge old labels back in — and the self-loop row
+    is the one whose joined label is the node's own previous label, so
+    the change count comes out of the same aggregation (min over the
+    dst==src rows) instead of a diff join. Exact for any orderable id
+    type (longs, strings, hashes), any magnitude — only comparisons,
+    never arithmetic, touch the ids.
     """
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-    edges = edges.distinct().persist()
-
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # closed neighborhood: every node is its own neighbor
+    edges = (
+        edges.distinct()
+        .union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
         .persist()
     )
+
+    labels = nodes.withColumn("component", F.col("node")).persist()
     for _ in range(max_iterations):
-        neighbor_min = (
+        stepped = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        # previous label rides along so the change count comes from the
-        # same materialization as the new labels — no second join
-        stepped = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
-                F.col("component").alias("prev_component"),
+            .agg(
+                F.min("component").alias("component"),
+                F.min(
+                    F.when(F.col("dst") == F.col("src"), F.col("component"))
+                ).alias("prev_component"),
             )
             .persist()
         )
-        n_changed = (
-            stepped.filter(F.col("component") != F.col("prev_component")).count()
-        )
-        new_labels = stepped.select("node", "component")
+        n_changed = stepped.filter(
+            F.col("component") != F.col("prev_component")
+        ).count()
+        new_labels = stepped.select(F.col("src").alias("node"), "component")
         labels.unpersist()
         labels = new_labels
         if n_changed == 0:

@@ -38,3 +38,48 @@ def assign_shards(
         per_group,
         schema=f"{group_col} int, {id_col} bigint, rank_in_group int, shard_idx int",
     )
+
+
+def conversion_stats(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Cogrouped-map operator (``cogroup(...).applyInPandas``): align two
+    keyed streams per user and compute conversion stats imperatively.
+    Both sides shuffle once on the key; each (click-group, purchase-group)
+    pair arrives as two pandas frames — the two-table counterpart of
+    ``applyInPandas``, for logic that needs BOTH sequences at once.
+
+    Rounding uses floor(x*1e6 + 0.5) — round-half-away-from-zero on the
+    nonnegative rate, matching Spark's and DuckDB's ``round`` so the
+    oracle hashes identically.
+    """
+
+    def per_user(cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        user = (cdf if len(cdf) else pdf)["user_id"].iloc[0]
+        n_c, n_p = len(cdf), len(pdf)
+        rate = None
+        if n_c:
+            rate = math.floor((n_p / n_c) * 1e6 + 0.5) / 1e6
+        lag = None
+        if n_c and n_p:
+            ns = (pdf["ts"].max() - cdf["ts"].max()).value
+            lag = math.floor(ns / 1e9)
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": user,
+                    "n_clicks": n_c,
+                    "n_purchases": n_p,
+                    "conversion_rate": rate,
+                    "last_click_to_purchase_sec": lag,
+                }
+            ]
+        )
+
+    return clicks.groupBy("user_id").cogroup(purchases.groupBy("user_id")).applyInPandas(
+        per_user,
+        schema=(
+            "user_id bigint, n_clicks bigint, n_purchases bigint, "
+            "conversion_rate double, last_click_to_purchase_sec bigint"
+        ),
+    )

@@ -1128,6 +1128,45 @@ FROM grid g LEFT JOIN daily d USING (user_id, day)
 """
 
 
+def user_conversion_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stream alignment via cogrouped applyInPandas: per-user click
+    and purchase groups meet in one pandas function (operators/
+    pandas_ops.py:conversion_stats)."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.pandas_ops import (
+        conversion_stats,
+    )
+
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    return conversion_stats(clicks, purchases)
+
+
+CONVERSION_COGROUP_ORACLE = """
+WITH c AS (
+  SELECT user_id, count(*) AS n_clicks, max(CAST(ts AS TIMESTAMP)) AS last_c
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+), p AS (
+  SELECT user_id, count(*) AS n_purchases, max(CAST(ts AS TIMESTAMP)) AS last_p
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT coalesce(c.user_id, p.user_id) AS user_id,
+       coalesce(n_clicks, 0) AS n_clicks,
+       coalesce(n_purchases, 0) AS n_purchases,
+       CASE WHEN n_clicks > 0
+            THEN round(coalesce(n_purchases, 0) * 1.0 / n_clicks, 6) END
+         AS conversion_rate,
+       CASE WHEN n_clicks > 0 AND n_purchases > 0
+            THEN CAST(floor((epoch_us(last_p) - epoch_us(last_c)) / 1000000.0)
+                      AS BIGINT) END
+         AS last_click_to_purchase_sec
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "revenue_by_nation": revenue_by_nation,
@@ -1147,6 +1186,7 @@ QUERIES = {
     "click_attribution": click_attribution,
     "user_event_type_map": user_event_type_map,
     "resample_events_daily": resample_events_daily,
+    "user_conversion_cogroup": user_conversion_cogroup,
     "lineitem_asof_prior_order": lineitem_asof_prior_order,
     "order_price_percentiles": order_price_percentiles,
     "salted_orders_per_segment": salted_orders_per_segment,
@@ -1203,4 +1243,5 @@ ORACLE = {
     "click_attribution": CLICK_ATTRIBUTION_ORACLE,
     "user_event_type_map": USER_EVENT_TYPE_MAP_ORACLE,
     "resample_events_daily": RESAMPLE_ORACLE,
+    "user_conversion_cogroup": CONVERSION_COGROUP_ORACLE,
 }
