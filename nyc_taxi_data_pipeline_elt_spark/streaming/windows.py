@@ -244,18 +244,33 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+# State-store partition count for the replay harness. Streaming state
+# partitioning is fixed at a query's FIRST run (it keys the checkpoint
+# layout), and every state-store instance pays a fixed commit cost per
+# micro-batch — so it must be sized to STATE VOLUME, not to batch-CPU
+# count: 32 stores over ~100k rows of state is pure overhead (measured
+# 2x end-to-end). Deploys with large keyspaces raise this; it is a
+# per-stream knob, deliberately not the global batch shuffle setting.
+STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+
+
 def run_to_memory(
     df: DataFrame, name: str, mode: str = "complete"
 ) -> DataFrame:
     """Replay the stream to completion into an in-memory table and return
     the materialized result (test/oracle path)."""
     spark = df.sparkSession
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
