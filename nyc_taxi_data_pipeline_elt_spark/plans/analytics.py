@@ -1167,6 +1167,34 @@ FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
 """
 
 
+def order_rank_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window family: percent_rank, cume_dist and
+    nth_value within each order priority. The ORDER BY carries the
+    unique o_orderkey tiebreak, so ranks are total and both engines
+    compute the same integer ratios — emitted unrounded because the
+    int/int divisions are correctly-rounded IEEE on identical operands."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest_key"),
+    )
+
+
+RANK_POSITIONS_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume_dist,
+       nth_value(o_orderkey, 2) OVER w AS second_cheapest_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "revenue_by_nation": revenue_by_nation,
@@ -1187,6 +1215,7 @@ QUERIES = {
     "user_event_type_map": user_event_type_map,
     "resample_events_daily": resample_events_daily,
     "user_conversion_cogroup": user_conversion_cogroup,
+    "order_rank_positions": order_rank_positions,
     "lineitem_asof_prior_order": lineitem_asof_prior_order,
     "order_price_percentiles": order_price_percentiles,
     "salted_orders_per_segment": salted_orders_per_segment,
@@ -1244,4 +1273,5 @@ ORACLE = {
     "user_event_type_map": USER_EVENT_TYPE_MAP_ORACLE,
     "resample_events_daily": RESAMPLE_ORACLE,
     "user_conversion_cogroup": CONVERSION_COGROUP_ORACLE,
+    "order_rank_positions": RANK_POSITIONS_ORACLE,
 }

@@ -96,6 +96,26 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_range_clustered(
+    df: DataFrame, path: str, key: str, files: int = 8
+) -> None:
+    """Range-cluster a table on ``key`` before writing: global range
+    partitioning + in-file sort means each parquet file (and each row
+    group inside it) covers a narrow, non-overlapping slice of the key
+    space. Parquet footers then carry tight min/max stats, and any
+    pushed-down range/equality predicate on ``key`` skips whole row
+    groups at scan time — the poor-man's Z-ORDER, and the single
+    biggest scan saver for time-keyed fact tables at 100 TB. The
+    clustering costs one range-exchange at write; reads pay nothing.
+    """
+    (
+        df.repartitionByRange(files, key)
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def read_table(
     spark: SparkSession,
     path: str,

@@ -1,0 +1,50 @@
+"""Range-clustered writes must produce the footer stats that make
+row-group skipping work: each file covers a narrow, non-overlapping key
+slice, so a range predicate overlaps only a few files. The assertion
+reads the parquet metadata directly — the same min/max stats the scan's
+pushed-down filters consult.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow.parquet as pq
+
+from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
+from nyc_taxi_data_pipeline_elt_spark.sources.writers import write_range_clustered
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _file_ranges(path: str, col: str) -> list[tuple]:
+    ranges = []
+    for f in Path(path).glob("*.parquet"):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = md.schema.names.index(col)
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    return sorted(ranges)
+
+
+def test_range_clustered_write_skips(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders")
+    out = str(tmp_path / "orders_clustered")
+    write_range_clustered(orders, out, "o_totalprice", files=8)
+
+    ranges = _file_ranges(out, "o_totalprice")
+    assert len(ranges) >= 4  # range exchange actually fanned out
+
+    # non-overlapping slices: every file's min is >= the previous file's max
+    for (_, prev_hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert lo >= prev_hi
+
+    # a narrow predicate overlaps at most 2 of the slices -> the scan can
+    # skip >= 6/8 of the data from footers alone
+    lo_q, hi_q = ranges[2][0], ranges[2][1]
+    overlapping = [r for r in ranges if not (r[1] < lo_q or r[0] > hi_q)]
+    assert len(overlapping) <= 2
+
+    # row counts survive the rewrite (clustering is layout-only)
+    assert spark.read.parquet(out).count() == orders.count()
