@@ -520,6 +520,28 @@ SELECT doc_id, source, rk FROM r WHERE rk <= 5
 """
 
 
+def doc_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global contiguous example ids in doc_id order via the scalable
+    range-partition + offset-join pattern (operators/indexing.py) — never
+    a single-task global window."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.indexing import (
+        with_global_index,
+    )
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return with_global_index(
+        docs.select("doc_id", "source"), order_col="doc_id"
+    ).select("doc_id", "source", "example_id")
+
+
+GLOBAL_INDEX_ORACLE = """
+SELECT doc_id, source,
+       row_number() OVER (ORDER BY doc_id) - 1 AS example_id
+FROM documents
+"""
+
+
 # --- corpus LM scoring -----------------------------------------------------------
 def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level quality filter: score each document by its total
@@ -681,6 +703,7 @@ QUERIES = {
     "unigram_lm_scores": unigram_lm_scores,
     "embedding_quantize": embedding_quantize,
     "doc_quota_sample": doc_quota_sample,
+    "doc_global_index": doc_global_index,
 }
 
 ORACLE = {
@@ -704,4 +727,5 @@ ORACLE = {
     "unigram_lm_scores": UNIGRAM_LM_ORACLE,
     "embedding_quantize": QUANTIZE_ORACLE,
     "doc_quota_sample": QUOTA_SAMPLE_ORACLE,
+    "doc_global_index": GLOBAL_INDEX_ORACLE,
 }
