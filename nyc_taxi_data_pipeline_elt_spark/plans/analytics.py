@@ -1195,6 +1195,38 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 """
 
 
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured via the VARIANT type (Spark 4): ``parse_json`` once
+    into the binary variant encoding, then typed ``variant_get`` paths —
+    the modern replacement for per-field ``get_json_object`` re-parsing
+    (one parse, many typed extractions; Parquet can store the variant
+    natively)."""
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+VARIANT_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       min(CAST(props::JSON ->> 'k' AS INT)) AS min_k,
+       max(CAST(props::JSON ->> 'k' AS INT)) AS max_k,
+       CAST(sum(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "revenue_by_nation": revenue_by_nation,
@@ -1216,6 +1248,7 @@ QUERIES = {
     "resample_events_daily": resample_events_daily,
     "user_conversion_cogroup": user_conversion_cogroup,
     "order_rank_positions": order_rank_positions,
+    "events_variant_stats": events_variant_stats,
     "lineitem_asof_prior_order": lineitem_asof_prior_order,
     "order_price_percentiles": order_price_percentiles,
     "salted_orders_per_segment": salted_orders_per_segment,
@@ -1274,4 +1307,5 @@ ORACLE = {
     "resample_events_daily": RESAMPLE_ORACLE,
     "user_conversion_cogroup": CONVERSION_COGROUP_ORACLE,
     "order_rank_positions": RANK_POSITIONS_ORACLE,
+    "events_variant_stats": VARIANT_ORACLE,
 }

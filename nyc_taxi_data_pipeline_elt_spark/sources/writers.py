@@ -116,6 +116,37 @@ def write_range_clustered(
     )
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    target_mb: int = 128,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ~``target_mb``-sized files (or an explicit ``target_files`` count).
+    Streaming sinks and per-partition incremental writes accumulate
+    thousands of tiny files; every one costs a listing call, a footer
+    read, and a scheduler task — the classic data-lake tax. Rewrite goes
+    through a sibling temp dir then swaps, so readers never see a
+    half-written directory. Returns the new file count.
+
+    At warehouse scale run this per Hive partition (the unit of dynamic
+    overwrite), and prefer clustering on write (write_range_clustered)
+    so compaction also restores skip-friendly footers.
+    """
+    p = Path(path)
+    if target_files is None:
+        total = sum(f.stat().st_size for f in p.glob("*.parquet"))
+        target_files = max(1, -(-total // (target_mb * 1024 * 1024)))
+    tmp = str(p.with_name(p.name + ".compact-tmp"))
+    spark.read.parquet(path).repartition(target_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return len(list(Path(path).glob("*.parquet")))
+
+
 def read_table(
     spark: SparkSession,
     path: str,

@@ -12,7 +12,10 @@ from pathlib import Path
 import pyarrow.parquet as pq
 
 from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
-from nyc_taxi_data_pipeline_elt_spark.sources.writers import write_range_clustered
+from nyc_taxi_data_pipeline_elt_spark.sources.writers import (
+    compact_parquet,
+    write_range_clustered,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -48,3 +51,16 @@ def test_range_clustered_write_skips(spark, tmp_path):
 
     # row counts survive the rewrite (clustering is layout-only)
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Fragmented directory -> few right-sized files, same rows."""
+    events = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_fragmented")
+    events.repartition(64).write.parquet(out)
+    assert len(list(Path(out).glob("*.parquet"))) == 64
+
+    n_files = compact_parquet(spark, out, target_files=2)
+    assert n_files == 2
+    assert len(list(Path(out).glob("*.parquet"))) == 2
+    assert spark.read.parquet(out).count() == events.count()
