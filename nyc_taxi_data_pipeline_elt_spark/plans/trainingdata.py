@@ -10,6 +10,7 @@ deterministic.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -542,6 +543,38 @@ FROM documents
 """
 
 
+# --- vectorized scalar UDF (pandas_udf) ------------------------------------------
+def doc_vowel_stats_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar ``@pandas_udf`` surface: Arrow-batched vectorized Python,
+    the ~10-100x-over-row-UDF path for logic that genuinely needs Python
+    (here a stand-in regex count that a built-in could also do — the
+    point is the API contract: Series in, Series out, one Arrow batch
+    per task chunk, codegen around it undisturbed)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def n_vowels(s: pd.Series) -> pd.Series:
+        return s.str.lower().str.count(r"[aeiou]").astype("int32")
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_vowels("text").alias("n_vowels"),
+        F.length("text").alias("n_chars_txt"),
+    )
+
+
+VOWEL_UDF_ORACLE = """
+SELECT doc_id,
+       CAST(length(lower(text))
+            - length(regexp_replace(lower(text), '[aeiou]', '', 'g'))
+         AS INT) AS n_vowels,
+       CAST(length(text) AS INT) AS n_chars_txt
+FROM documents
+"""
+
+
 # --- corpus LM scoring -----------------------------------------------------------
 def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level quality filter: score each document by its total
@@ -704,6 +737,7 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "doc_quota_sample": doc_quota_sample,
     "doc_global_index": doc_global_index,
+    "doc_vowel_stats_pandas_udf": doc_vowel_stats_pandas_udf,
 }
 
 ORACLE = {
@@ -728,4 +762,5 @@ ORACLE = {
     "embedding_quantize": QUANTIZE_ORACLE,
     "doc_quota_sample": QUOTA_SAMPLE_ORACLE,
     "doc_global_index": GLOBAL_INDEX_ORACLE,
+    "doc_vowel_stats_pandas_udf": VOWEL_UDF_ORACLE,
 }
