@@ -1227,6 +1227,67 @@ GROUP BY event_type
 """
 
 
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the 6-table snowflake with the nation dimension
+    joined TWICE under different roles (customer nation vs supplier
+    nation) — the self-aliased-dimension pattern. Both nation branches
+    are bounded (25 rows at any SF) and broadcast; the lineitem-orders
+    spine stays a fact-fact join for Catalyst/AQE to plan as sort-merge
+    at scale. Yearly revenue per (supplier nation, customer nation)
+    lane, restricted to cross-nation trade."""
+    tune(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    supp_nation = F.broadcast(
+        supplier.join(
+            nation, supplier.s_nationkey == nation.n_nationkey
+        ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_nation = F.broadcast(
+        customer.join(
+            nation, customer.c_nationkey == nation.n_nationkey
+        ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    # per-line revenue rounded to cents BEFORE the sum: the 4-decimal
+    # price*discount grid ties at half-cents under round(sum, 2), where
+    # engines' summation order picks different sides; cent-rounded
+    # summands keep the total on-grid and tie-free
+    revenue = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(supp_nation, lineitem.l_suppkey == supp_nation.s_suppkey)
+        .join(cust_nation, orders.o_custkey == cust_nation.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+NATION_TRADE_ORACLE = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       round(sum(round(l_extendedprice * (1 - l_discount), 2)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "revenue_by_nation": revenue_by_nation,
@@ -1249,6 +1310,7 @@ QUERIES = {
     "user_conversion_cogroup": user_conversion_cogroup,
     "order_rank_positions": order_rank_positions,
     "events_variant_stats": events_variant_stats,
+    "nation_trade_volume": nation_trade_volume,
     "lineitem_asof_prior_order": lineitem_asof_prior_order,
     "order_price_percentiles": order_price_percentiles,
     "salted_orders_per_segment": salted_orders_per_segment,
@@ -1308,4 +1370,5 @@ ORACLE = {
     "user_conversion_cogroup": CONVERSION_COGROUP_ORACLE,
     "order_rank_positions": RANK_POSITIONS_ORACLE,
     "events_variant_stats": VARIANT_ORACLE,
+    "nation_trade_volume": NATION_TRADE_ORACLE,
 }
