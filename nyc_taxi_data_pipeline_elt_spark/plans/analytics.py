@@ -1251,11 +1251,15 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             nation, customer.c_nationkey == nation.n_nationkey
         ).select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
-    # per-line revenue rounded to cents BEFORE the sum: the 4-decimal
-    # price*discount grid ties at half-cents under round(sum, 2), where
-    # engines' summation order picks different sides; cent-rounded
-    # summands keep the total on-grid and tie-free
-    revenue = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+    # DECIMAL end-to-end: the 4-decimal price*(1-discount) grid ties at
+    # exact half-cents in these ~14-line groups, and double `round` is
+    # engine-dependent there (Spark rounds the shortest decimal repr,
+    # DuckDB the binary value).  Exact decimal sums tie-break identically
+    # (half-up for positives) in both engines; final cast to double is
+    # deterministic.
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_dec = F.col("l_discount").cast("decimal(18,2)")
+    revenue = price_dec * (F.lit(1).cast("decimal(18,2)") - disc_dec)
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(supp_nation, lineitem.l_suppkey == supp_nation.s_suppkey)
@@ -1265,7 +1269,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
         )
         .agg(
-            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -1275,7 +1279,9 @@ NATION_TRADE_ORACLE = """
 SELECT sn.n_name AS supp_nation,
        cn.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS ship_year,
-       round(sum(round(l_extendedprice * (1 - l_discount), 2)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
