@@ -25,6 +25,8 @@ min-wise hash family since md5 is uniform on the hex-string order.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -250,6 +252,7 @@ def connected_components(
     )
 
     labels = nodes.withColumn("component", F.col("node")).persist()
+    converged = False
     for _ in range(max_iterations):
         stepped = (
             edges.join(labels, edges.dst == labels.node)
@@ -269,8 +272,21 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if n_changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # labels are still split across long paths: silently returning
+        # them would mislabel components on graphs with diameter >
+        # max_iterations (near-dup components are normally tiny, so this
+        # signals pathological chaining, e.g. templated boilerplate).
+        warnings.warn(
+            f"connected_components hit max_iterations={max_iterations} "
+            "without converging; returned labels may split components. "
+            "Raise max_iterations (rounds needed ~ graph diameter).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -31,7 +31,23 @@ def salted_join(
     (xxhash64 of all columns), so repeated runs produce identical
     partition assignment. The small side is replicated via a literal
     explode — its size multiplies by ``factor``; keep it broadcast-sized.
+
+    Only ``inner``, ``left``/``left_outer``, ``left_semi``, and
+    ``left_anti`` are accepted: modes that can emit *unmatched
+    small-side rows* (right / full outer) would emit ``factor`` copies
+    of each such row — one per salt replica — diverging from the
+    unsalted join. (Unmatched BIG-side rows are fine: each big row
+    exists once, under one salt, and sees every small replica there.)
     """
+    allowed = {
+        "inner", "left", "left_outer", "left_semi", "leftsemi",
+        "left_anti", "leftanti",
+    }
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} not supported — unmatched small-side "
+            f"rows would be replicated x{factor}; use one of {sorted(allowed)}"
+        )
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(factor)).cast("int")
     )

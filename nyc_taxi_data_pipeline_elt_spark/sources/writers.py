@@ -116,6 +116,23 @@ def write_range_clustered(
     )
 
 
+def _hive_partition_keys(p: Path) -> list[str]:
+    """Partition columns of a Hive-layout directory, outermost first,
+    read off the ``key=value`` subdirectory chain (empty if unpartitioned)."""
+    keys: list[str] = []
+    cur = p
+    while True:
+        subs = [
+            d
+            for d in cur.iterdir()
+            if d.is_dir() and "=" in d.name and not d.name.startswith((".", "_"))
+        ]
+        if not subs:
+            return keys
+        keys.append(subs[0].name.split("=", 1)[0])
+        cur = subs[0]
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -126,25 +143,42 @@ def compact_parquet(
     ~``target_mb``-sized files (or an explicit ``target_files`` count).
     Streaming sinks and per-partition incremental writes accumulate
     thousands of tiny files; every one costs a listing call, a footer
-    read, and a scheduler task — the classic data-lake tax. Rewrite goes
-    through a sibling temp dir then swaps, so readers never see a
-    half-written directory. Returns the new file count.
+    read, and a scheduler task — the classic data-lake tax. Returns the
+    new file count.
 
-    At warehouse scale run this per Hive partition (the unit of dynamic
-    overwrite), and prefer clustering on write (write_range_clustered)
-    so compaction also restores skip-friendly footers.
+    Hive-partitioned inputs keep their layout: partition keys are read
+    off the ``key=value`` directory chain, sized recursively, and the
+    rewrite re-applies ``partitionBy`` on the same keys.
+
+    Swap discipline: the rewrite lands in a ``.compact-tmp`` sibling,
+    the live dir is *renamed* to a ``.compact-old`` sibling (atomic on a
+    POSIX filesystem), tmp is moved into place, and ``.compact-old`` is
+    deleted last. A crash at any step leaves the data recoverable — the
+    window where the live path is briefly absent is between the two
+    renames; true no-gap atomicity needs a metastore/table-format commit
+    (Delta/Iceberg), which this layout intentionally stops short of.
     """
     p = Path(path)
+    keys = _hive_partition_keys(p)
     if target_files is None:
-        total = sum(f.stat().st_size for f in p.glob("*.parquet"))
+        total = sum(f.stat().st_size for f in p.rglob("*.parquet"))
         target_files = max(1, -(-total // (target_mb * 1024 * 1024)))
-    tmp = str(p.with_name(p.name + ".compact-tmp"))
-    spark.read.parquet(path).repartition(target_files).write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
-    return len(list(Path(path).glob("*.parquet")))
+    tmp = p.with_name(p.name + ".compact-tmp")
+    old = p.with_name(p.name + ".compact-old")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    df = spark.read.parquet(path)
+    # co-locate each partition value in as few tasks as possible so
+    # partitionBy doesn't fan one task out into a file per value
+    df = df.repartition(target_files, *keys) if keys else df.repartition(target_files)
+    writer = df.write.mode("overwrite")
+    if keys:
+        writer = writer.partitionBy(*keys)
+    writer.parquet(str(tmp))
+    p.rename(old)
+    shutil.move(str(tmp), str(p))
+    shutil.rmtree(old)
+    return len(list(p.rglob("*.parquet")))
 
 
 def read_table(

@@ -16,9 +16,10 @@ path as the batch pipeline — and commits both sinks (consumer + DLQ).
 
 Exactly-once: file-source checkpointing guarantees each file is delivered
 to exactly one batch. The per-batch writes are appends; a retried batch
-could double-append, so each batch stamps ``_batch_id`` — re-runs can be
-reconciled, and a real deployment would commit via a transactional table
-format. At scale this pattern is the autoloader shape: discovery is
+could double-append, so BOTH sinks (consumer and DLQ) stamp ``_batch_id``
+on every row — duplicates from a retried batch share a batch id and are
+reconcilable by keeping one copy per (_batch_id, key); a real deployment
+would commit via a transactional table format. At scale this pattern is the autoloader shape: discovery is
 O(new files), decode is a normal batch job per trigger.
 """
 
@@ -114,6 +115,10 @@ def incremental_process(
             .withColumn("trip_year", F.year("pickup_time"))
             .withColumn("trip_month", F.month("pickup_time"))
             .select(*CONSUMER_COLUMNS)
+            # same retry-reconciliation stamp as the DLQ write: a retried
+            # foreachBatch re-appends with an identical _batch_id, so
+            # duplicates are detectable and removable per batch.
+            .withColumn("_batch_id", F.lit(batch_id))
         )
         consumer.write.mode("append").partitionBy(
             *CONSUMER_PARTITION_KEYS

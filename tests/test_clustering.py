@@ -64,3 +64,34 @@ def test_compact_parquet_small_files(spark, tmp_path):
     assert n_files == 2
     assert len(list(Path(out).glob("*.parquet"))) == 2
     assert spark.read.parquet(out).count() == events.count()
+    # swap leaves no stranded temp/old siblings
+    assert not (tmp_path / "events_fragmented.compact-tmp").exists()
+    assert not (tmp_path / "events_fragmented.compact-old").exists()
+
+
+def test_compact_parquet_partitioned_preserves_layout(spark, tmp_path):
+    """Hive-partitioned input: sizes recursively, keeps key=value dirs,
+    and round-trips rows including the partition column values."""
+    orders = load_table(spark, SF_DIR, "orders")
+    out = str(tmp_path / "orders_parts")
+    (
+        orders.withColumn("prio", orders.o_orderpriority.substr(1, 1))
+        .repartition(16)
+        .write.partitionBy("prio")
+        .parquet(out)
+    )
+    before = spark.read.parquet(out)
+    n_before = before.count()
+    per_prio_before = {r.prio: r.n for r in before.groupBy("prio").count().withColumnRenamed("count", "n").collect()}
+
+    compact_parquet(spark, out, target_mb=128)  # derive count from recursive size
+
+    part_dirs = sorted(d.name for d in Path(out).iterdir() if d.is_dir() and "=" in d.name)
+    assert part_dirs and all(d.startswith("prio=") for d in part_dirs)
+    after = spark.read.parquet(out)
+    assert after.count() == n_before
+    per_prio_after = {r.prio: r.n for r in after.groupBy("prio").count().withColumnRenamed("count", "n").collect()}
+    assert per_prio_after == per_prio_before
+    # compaction actually reduced file counts (16 per partition -> ~1)
+    n_files = len(list(Path(out).rglob("*.parquet")))
+    assert n_files <= 2 * len(part_dirs)

@@ -43,3 +43,8 @@ def test_incremental_processes_only_new_files(spark, tmp_path):
     dlq = spark.read.parquet(cfg.dlq_dir)
     assert dlq.count() == 6
     assert dlq.select("_batch_id").distinct().count() == 2
+
+    # consumer rows carry the same retry-reconciliation stamp as the DLQ:
+    # a retried foreachBatch re-appends under an identical _batch_id
+    assert "_batch_id" in consumer.columns
+    assert consumer.select("_batch_id").distinct().count() == 2
