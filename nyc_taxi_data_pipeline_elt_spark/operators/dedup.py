@@ -232,49 +232,88 @@ def connected_components(
     small).
 
     Per-round cost is ONE equi-join + ONE min-aggregate: the edge set
-    carries a self-loop per node, so "min over neighbors-or-self" needs
-    no second join to merge old labels back in — and the self-loop row
-    is the one whose joined label is the node's own previous label, so
-    the change count comes out of the same aggregation (min over the
-    dst==src rows) instead of a diff join. Exact for any orderable id
-    type (longs, strings, hashes), any magnitude — only comparisons,
-    never arithmetic, touch the ids.
-    """
-    edges = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    # closed neighborhood: every node is its own neighbor
-    edges = (
-        edges.distinct()
-        .union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
-        .persist()
-    )
+    carries self-loops, so "min over neighbors-or-self" needs no second
+    join to merge old labels back in — and the self-loop rows are the
+    ones whose joined label is the node's own previous label, so the
+    change count comes out of the same aggregation (min over the
+    dst==src rows) instead of a diff join. Round 0 is cheaper still: the
+    initial label IS the node id, so the first propagation is a plain
+    ``min(dst)`` aggregate with no join and no separate label-init scan.
 
-    labels = nodes.withColumn("component", F.col("node")).persist()
+    Duplicate edges and duplicate self-loops are left in deliberately —
+    min-aggregation is idempotent under multiplicity, and the
+    ``distinct`` exchanges they would cost are pure overhead at every
+    scale (upstream pair generators already emit distinct pairs).
+
+    Exact for any orderable id type (longs, strings, hashes), any
+    magnitude — only comparisons, never arithmetic, touch the ids. The
+    returned frame is backed by the final round's cached aggregate.
+    """
+    # Materialize the pair list ONCE before fanning out: both edge
+    # directions derive from it, and the upstream pair pipeline (e.g.
+    # MinHash LSH) is far too expensive to re-evaluate per derivation.
+    p0 = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).persist()
+    sym = p0.union(p0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # closed neighborhood: every node is its own neighbor (once per
+    # occurrence — multiplicity is harmless under min)
+    edges = sym.union(sym.select("src", F.col("src").alias("dst"))).persist()
+    # Size the loop's shuffles to the materialized pair volume, not the
+    # global conf: near-dup pair graphs are orders of magnitude smaller
+    # than the corpus that produced them, and each round pays scheduling
+    # per task x O(diameter) rounds. The p0 count doubles as the cache
+    # materialization we need anyway; edges = 4*pairs rows. ~2M edges per
+    # partition, floor of 4 so no single-core join (measured pitfall),
+    # ceiling of the session setting so a billion-edge graph still fans
+    # out.
+    n_pairs = p0.count()
+    spark = pairs.sparkSession
+    global_sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    global_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    loop_sp = max(4, min(global_sp, -(-(4 * n_pairs) // 2_000_000)))
+
+    prev_cached: DataFrame | None = None
     converged = False
-    for _ in range(max_iterations):
-        stepped = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(
-                F.min("component").alias("component"),
-                F.min(
-                    F.when(F.col("dst") == F.col("src"), F.col("component"))
-                ).alias("prev_component"),
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
+        # Static planning for the loop: its shuffles are already sized
+        # from the measured edge volume, so AQE can only add per-stage
+        # materialize-and-replan latency — measured 3x slower on the
+        # whole clustering call with AQE on. (The expensive upstream
+        # pair pipeline materialized above, under AQE, where skew
+        # handling matters.)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # round 0: label(v) = min(closed neighborhood ids), no join
+        stepped = edges.groupBy("src").agg(F.min("dst").alias("component")).persist()
+        n_changed = stepped.filter(F.col("component") != F.col("src")).count()
+        labels = stepped.select(F.col("src").alias("node"), "component")
+        prev_cached = stepped
+        converged = n_changed == 0
+        for _ in range(max_iterations - 1):
+            if converged:
+                break
+            stepped = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(
+                    F.min("component").alias("component"),
+                    F.min(
+                        F.when(F.col("dst") == F.col("src"), F.col("component"))
+                    ).alias("prev_component"),
+                )
+                .persist()
             )
-            .persist()
-        )
-        n_changed = stepped.filter(
-            F.col("component") != F.col("prev_component")
-        ).count()
-        new_labels = stepped.select(F.col("src").alias("node"), "component")
-        labels.unpersist()
-        labels = new_labels
-        if n_changed == 0:
-            converged = True
-            break
+            n_changed = stepped.filter(
+                F.col("component") != F.col("prev_component")
+            ).count()
+            labels = stepped.select(F.col("src").alias("node"), "component")
+            prev_cached.unpersist()
+            prev_cached = stepped
+            converged = n_changed == 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(global_sp))
+        spark.conf.set("spark.sql.adaptive.enabled", global_aqe)
     edges.unpersist()
+    p0.unpersist()
     if not converged:
         # labels are still split across long paths: silently returning
         # them would mislabel components on graphs with diameter >
