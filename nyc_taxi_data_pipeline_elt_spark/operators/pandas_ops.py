@@ -18,6 +18,19 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+def _named(pdf: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    """Pin positional column names on an incoming grouped/cogrouped frame.
+
+    PySpark's cogroup Arrow deserializer intermittently delivers frames
+    with positional integer column labels instead of field names
+    (observed run-level, PySpark 4.1.2 + pyarrow 16). Column ORDER is the
+    projection order and is stable, so renaming positionally is exact —
+    and a no-op on healthy frames."""
+    if list(pdf.columns) != cols:
+        pdf = pdf.set_axis(cols, axis=1)
+    return pdf
+
+
 def assign_shards(
     embeddings: DataFrame,
     shard_size: int = 16,
@@ -28,13 +41,17 @@ def assign_shards(
     ``shard_size`` (shard_idx = rank // shard_size, rank 0-based)."""
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = _named(pdf, [group_col, id_col])
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         out = pdf[[group_col, id_col]].copy()
         out["rank_in_group"] = range(len(pdf))
         out["shard_idx"] = out["rank_in_group"] // shard_size
         return out
 
-    return embeddings.groupBy(group_col).applyInPandas(
+    # project to the two consumed columns BEFORE the group shuffle — the
+    # embedding arrays would otherwise ride the exchange only to be
+    # dropped by the pandas function
+    return embeddings.select(group_col, id_col).groupBy(group_col).applyInPandas(
         per_group,
         schema=f"{group_col} int, {id_col} bigint, rank_in_group int, shard_idx int",
     )
@@ -50,11 +67,22 @@ def conversion_stats(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
     Rounding uses floor(x*1e6 + 0.5) — round-half-away-from-zero on the
     nonnegative rate, matching Spark's and DuckDB's ``round`` so the
     oracle hashes identically.
+
+    Timestamps cross the Arrow boundary as epoch-micros longs
+    (``unix_micros`` JVM-side): the timestamp converter in PySpark's
+    pandas serializer costs ~2s per million rows that int64 transfer
+    avoids, and the lag arithmetic is exact either way.
     """
+    from pyspark.sql import functions as F
+
+    c = clicks.select("user_id", F.unix_micros("ts").alias("ts_us"))
+    p = purchases.select("user_id", F.unix_micros("ts").alias("ts_us"))
 
     def per_user(cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
         import math
 
+        cdf = _named(cdf, ["user_id", "ts_us"])
+        pdf = _named(pdf, ["user_id", "ts_us"])
         user = (cdf if len(cdf) else pdf)["user_id"].iloc[0]
         n_c, n_p = len(cdf), len(pdf)
         rate = None
@@ -62,8 +90,7 @@ def conversion_stats(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
             rate = math.floor((n_p / n_c) * 1e6 + 0.5) / 1e6
         lag = None
         if n_c and n_p:
-            ns = (pdf["ts"].max() - cdf["ts"].max()).value
-            lag = math.floor(ns / 1e9)
+            lag = math.floor((pdf["ts_us"].max() - cdf["ts_us"].max()) / 1e6)
         return pd.DataFrame(
             [
                 {
@@ -76,7 +103,7 @@ def conversion_stats(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
             ]
         )
 
-    return clicks.groupBy("user_id").cogroup(purchases.groupBy("user_id")).applyInPandas(
+    return c.groupBy("user_id").cogroup(p.groupBy("user_id")).applyInPandas(
         per_user,
         schema=(
             "user_id bigint, n_clicks bigint, n_purchases bigint, "

@@ -1137,10 +1137,22 @@ def user_conversion_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune(spark)
-    events = load_table(spark, sf_dir, "events")
-    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts"
+    # INDEPENDENT scans per cogroup side, not two filters of one frame:
+    # when both sides share a parent plan (same expression ids), Spark's
+    # relation dedup mis-resolves the right side's UDF args to the LEFT
+    # side's ids (`fn(user_id#2L, ts#7, user_id#2L, ts#7)` in the plan),
+    # and the right pandas frame intermittently arrives missing columns
+    # (PySpark 4.1.2). Fresh scans get fresh ids; the scan itself is
+    # pruned/pushed identically, so there is no extra read cost.
+    clicks = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+    )
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
     )
     return conversion_stats(clicks, purchases)
 
