@@ -214,6 +214,12 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     replays non-terminating (the engine keeps scheduling timeout-cleanup
     micro-batches); production streams that need idle-key eviction should
     run a real trigger and handle ``state.hasTimedOut``.
+
+    Projects to ``(user_id, ts_us)`` BEFORE the state shuffle: only those
+    two fields feed the accumulator, so the other event columns (notably
+    the JSON ``props`` payload) must not ride the exchange into the
+    Python worker — and epoch-micros longs skip the Arrow->pandas
+    timestamp converter (~2s per million rows).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -223,7 +229,7 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
         for pdf in pdfs:
             n_new += len(pdf)
             if len(pdf):
-                last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+                last_us = max(last_us, int(pdf["ts_us"].max()))
         (n, last) = state.get if state.exists else (0, 0)
         n += n_new
         last = max(last, last_us)
@@ -233,7 +239,8 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
         )
 
     return (
-        events.groupBy("user_id")
+        events.select("user_id", F.unix_micros("ts").alias("ts_us"))
+        .groupBy("user_id")
         .applyInPandasWithState(
             update,
             outputStructType="user_id bigint, n_events bigint, last_seen_us bigint",
