@@ -53,3 +53,26 @@ def split_assignment(
         .when(v < train + val, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+def bottom_k_sample(
+    df, k: int, key_col: str, salt: str = "bottomk-", u_col: str = "u"
+):
+    """Deterministic fixed-SIZE sample: the k rows with the smallest
+    salted-hash uniforms — the distributed, layout-independent stand-in
+    for reservoir sampling (a sequential algorithm that cannot be
+    deterministic under Spark's parallel, unordered scan).
+
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject: each
+    partition keeps a k-element heap and the driver merges — no global
+    sort, no shuffle of non-survivors, O(k) driver memory. The uniform is
+    h / 2^32 with h the first 8 md5 hex digits: division by a power of
+    two is exact in binary, so the emitted double is bit-identical in
+    DuckDB.
+    """
+    u = hash_uniform(key_col, salt)
+    return (
+        df.withColumn(u_col, u)
+        .orderBy(u_col, key_col)
+        .limit(k)
+    )

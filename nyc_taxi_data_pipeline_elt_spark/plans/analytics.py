@@ -1306,8 +1306,43 @@ GROUP BY 1, 2, 3
 """
 
 
+def events_xml_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (Spark 4 native ``from_xml``): events are
+    re-serialized as XML fragments and parsed back through a declared
+    schema, then aggregated — exercising the parse path end to end
+    (schema projection, typed extraction, nulls). The oracle computes
+    the same aggregate from the base columns: double -> string -> double
+    round-trips exactly (shortest-repr parsing), so the results are
+    identical by construction."""
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<e><t>"),
+        F.col("event_type"),
+        F.lit("</t><v>"),
+        F.col("value").cast("string"),
+        F.lit("</v></e>"),
+    )
+    parsed = events.select(F.from_xml(xml, "t string, v double").alias("x"))
+    return (
+        parsed.groupBy(F.col("x.t").alias("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("x.v"), 2).alias("total_value"),
+        )
+    )
+
+
+EVENTS_XML_ORACLE = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "events_xml_stats": events_xml_stats,
     "revenue_by_nation": revenue_by_nation,
     "shipping_priority_topk": shipping_priority_topk,
     "customers_without_open_orders": customers_without_open_orders,
@@ -1350,6 +1385,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_xml_stats": EVENTS_XML_ORACLE,
     "lineitem_asof_prior_order": ASOF_ORACLE,
     "order_price_percentiles": PERCENTILE_ORACLE,
     "salted_orders_per_segment": SALTED_JOIN_ORACLE,

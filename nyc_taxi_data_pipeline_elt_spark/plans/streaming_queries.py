@@ -138,6 +138,20 @@ FROM ev c JOIN ev p
 """
 
 
+def streaming_dedup_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = W.stream_events(spark, sf_dir)
+    return W.run_to_memory(
+        W.dedup_user_slots(events), _unique("dedup_slots"), mode="append"
+    )
+
+
+DEDUP_SLOTS_ORACLE = """
+SELECT DISTINCT user_id, event_type,
+       time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS slot
+FROM events
+"""
+
+
 def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
 
@@ -163,6 +177,7 @@ QUERIES = {
     "streaming_stateful_user_counts": streaming_stateful_user_counts,
     "streaming_click_purchase_join": streaming_click_purchase_join,
     "streaming_segment_counts": streaming_segment_counts,
+    "streaming_dedup_slots": streaming_dedup_slots,
     "streaming_tumbling_counts": streaming_tumbling_counts,
     "streaming_sliding_totals": streaming_sliding_totals,
     "streaming_session_counts": streaming_session_counts,
@@ -173,6 +188,7 @@ ORACLE = {
     "streaming_stateful_user_counts": STATEFUL_ORACLE,
     "streaming_click_purchase_join": SS_JOIN_ORACLE,
     "streaming_segment_counts": SEGMENT_COUNTS_ORACLE,
+    "streaming_dedup_slots": DEDUP_SLOTS_ORACLE,
     "streaming_tumbling_counts": TUMBLING_ORACLE,
     "streaming_sliding_totals": SLIDING_ORACLE,
     "streaming_session_counts": SESSION_ORACLE,

@@ -442,6 +442,29 @@ WHERE u < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
 """
 
 
+def doc_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size deterministic sample: bottom-k by salted md5 uniform —
+    the layout-independent stand-in for reservoir sampling (which is
+    sequential and cannot be deterministic under a parallel unordered
+    scan). Compiles to TakeOrderedAndProject: per-partition k-heaps, no
+    global sort."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return M.bottom_k_sample(docs, k=100, key_col="doc_id").select(
+        "doc_id", "source", "u"
+    )
+
+
+BOTTOMK_ORACLE = """
+SELECT doc_id, source,
+       ('0x' || substr(md5('bottomk-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         / 4294967296.0 AS u
+FROM documents
+ORDER BY u, doc_id
+LIMIT 100
+"""
+
+
 # --- Python UDTF (table function) ------------------------------------------------
 @F.udtf(returnType="bigram: string, n: int")
 class BigramCounts:
@@ -732,6 +755,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "chunk_documents": chunk_documents,
     "doc_sample_split": doc_sample_split,
+    "doc_bottomk_sample": doc_bottomk_sample,
     "bigrams_udtf": bigrams_udtf,
     "unigram_lm_scores": unigram_lm_scores,
     "embedding_quantize": embedding_quantize,
@@ -757,6 +781,7 @@ ORACLE = {
     "dedup_clusters": _clusters_oracle(),
     "chunk_documents": CHUNK_ORACLE,
     "doc_sample_split": SAMPLE_SPLIT_ORACLE,
+    "doc_bottomk_sample": BOTTOMK_ORACLE,
     "bigrams_udtf": BIGRAMS_ORACLE,
     "unigram_lm_scores": UNIGRAM_LM_ORACLE,
     "embedding_quantize": QUANTIZE_ORACLE,

@@ -198,6 +198,23 @@ def dedup_events(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", delay).dropDuplicates(["event_id"])
 
 
+def dedup_user_slots(
+    events: DataFrame, width: str = "5 minutes", delay: str = "10 minutes"
+) -> DataFrame:
+    """Composite-key streaming dedup: first occurrence per (user,
+    event_type, time slot) — the rate-limit / sessial-slot shape
+    ("at most one state row per user-action-window"). Emits ONLY the key
+    columns, so the result is order-independent (which row of a slot
+    arrives first is scan-order-dependent; the key set is not) and
+    equals the batch ``SELECT DISTINCT`` twin on full replay."""
+    slotted = events.withWatermark("ts", delay).select(
+        "user_id",
+        "event_type",
+        F.window("ts", width).start.alias("slot"),
+    )
+    return slotted.dropDuplicates(["user_id", "event_type", "slot"])
+
+
 def stateful_user_counts(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: running
     per-user event count + last-seen timestamp.
