@@ -1,0 +1,201 @@
+"""Scalable edit-distance similarity join (PassJoin-style segment filter).
+
+The naive blocked form — self-join on a blocking key, bounded
+``levenshtein`` on every pair — is quadratic per block: correct, but at
+~0.6us/pair the 8M in-brand pairs of the sf0.1 ``part`` table already
+cost seconds, and a 100 TB corpus with million-row blocks is hopeless.
+
+This operator implements the partition-based candidate filter from
+PassJoin (Li, Deng, Feng, "PASS-JOIN: A Partition-based Method for
+Similarity Joins", VLDB 2012 — public literature, simplified windows):
+
+- Partition each string into ``tau + 1`` contiguous segments. If
+  ``ed(a, b) <= tau``, at least one of b's segments contains no edit
+  (pigeonhole: tau edits cannot touch tau+1 segments), so it occurs
+  *verbatim* in a, shifted by at most tau positions (each edit shifts
+  the alignment by at most 1).
+- So: index the segment side on (block, segment_no, |b|, segment_text);
+  probe with every substring of a at the lengths |b| in
+  [|a|-tau, |a|+tau] and starts within +-tau of the segment's home
+  position. An equi-join on the segment text yields a candidate superset
+  of the true result; a final bounded ``levenshtein`` verifies.
+
+Cost: fan-out is O(tau^2 * (tau+1)) keys per probe row (~196 at tau=3)
+— linear in the data, not quadratic — and the verify step runs on the
+few candidates that share a segment, not on every pair. Everything is
+built-in expressions (explode + substring + equi-join): codegen'd,
+shuffle-partitioned on the segment hash, no UDFs.
+
+Exactness: the candidate set provably contains every pair at distance
+<= tau (the pigeonhole argument above), and the verifier recomputes the
+true bounded distance, so the result is IDENTICAL to the quadratic
+form — verified against it by ``tests/test_editdist.py`` on randomized
+corpora and against the DuckDB all-pairs oracle by the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _seg_len(length: Column, i: int, k: int) -> Column:
+    """Length of segment ``i`` (0-based) in the even partition of a
+    ``length``-char string into ``k`` segments: the first ``length % k``
+    segments get the extra char."""
+    return (length / k).cast("int") + (
+        F.lit(i) < (length % k)
+    ).cast("int")
+
+
+def _seg_start(length: Column, i: int, k: int) -> Column:
+    base = (length / k).cast("int")
+    rem = length % k
+    return F.lit(i) * base + F.least(F.lit(i), rem)
+
+
+def levenshtein_join(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    block_col: str,
+    tau: int = 3,
+) -> DataFrame:
+    """All within-block pairs with ``levenshtein(name_a, name_b) <= tau``.
+
+    Returns ``(block_col, key_a, key_b, edit_dist)`` with
+    ``key_a < key_b`` — the same rows as the quadratic
+    ``a JOIN b ON block AND key_a < key_b WHERE lev(a,b) <= tau``.
+    """
+    k = tau + 1
+    base = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(key_col).alias("k_"),
+        F.col(name_col).alias("n_"),
+        F.length(name_col).alias("len_"),
+    )
+
+    # --- index side: each string contributes its tau+1 segments --------
+    seg_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg_no"),
+                _seg_start(F.col("len_"), i, k).alias("pos"),
+                _seg_len(F.col("len_"), i, k).alias("slen"),
+            )
+            for i in range(k)
+        ]
+    )
+    idx = (
+        base.filter(F.col("len_") >= k)
+        .select("blk", "k_", "n_", "len_", F.explode(seg_structs).alias("s"))
+        .filter(F.col("s.slen") > 0)
+        .select(
+            "blk",
+            F.col("k_").alias("key_b"),
+            F.col("n_").alias("name_b"),
+            F.col("s.seg_no").alias("seg_no"),
+            F.col("len_").alias("len_b"),
+            F.expr("substring(n_, s.pos + 1, s.slen)").alias("seg"),
+        )
+    )
+
+    # --- probe side: substrings at every (target length, segment, +-tau
+    # shift) combination. The parameter grid is a compile-time literal
+    # array; lengths/starts are evaluated per row and invalid combos
+    # (outside the string) are dropped before the substring is taken.
+    combos = F.array(
+        *[
+            F.struct(
+                F.lit(dl).alias("dl"),
+                F.lit(i).alias("seg_no"),
+                F.lit(sh).alias("shift"),
+            )
+            for dl in range(-tau, tau + 1)
+            for i in range(k)
+            for sh in range(-tau, tau + 1)
+        ]
+    )
+    probe = (
+        base.select("blk", "k_", "n_", "len_", F.explode(combos).alias("c"))
+        .withColumn("len_b", F.col("len_") + F.col("c.dl"))
+        .withColumn(
+            "slen",
+            F.expr(
+                f"cast(len_b / {k} as int)"
+                f" + cast(c.seg_no < len_b % {k} as int)"
+            ),
+        )
+        .withColumn(
+            "pos",
+            F.expr(
+                f"c.seg_no * cast(len_b / {k} as int)"
+                f" + least(c.seg_no, len_b % {k}) + c.shift"
+            ),
+        )
+        .filter(
+            (F.col("len_b") >= k)
+            & (F.col("slen") > 0)
+            & (F.col("pos") >= 0)
+            & (F.col("pos") + F.col("slen") <= F.col("len_"))
+        )
+        .select(
+            "blk",
+            F.col("k_").alias("key_a"),
+            F.col("n_").alias("name_a"),
+            F.col("c.seg_no").alias("seg_no"),
+            "len_b",
+            F.expr("substring(n_, pos + 1, slen)").alias("seg"),
+        )
+    )
+
+    cand = (
+        probe.join(idx, ["blk", "seg_no", "len_b", "seg"])
+        .filter(F.col("key_a") != F.col("key_b"))
+        .select(
+            "blk",
+            F.least("key_a", "key_b").alias("key_a"),
+            F.greatest("key_a", "key_b").alias("key_b"),
+            F.when(F.col("key_a") < F.col("key_b"), F.col("name_a"))
+            .otherwise(F.col("name_b"))
+            .alias("name_a"),
+            F.when(F.col("key_a") < F.col("key_b"), F.col("name_b"))
+            .otherwise(F.col("name_a"))
+            .alias("name_b"),
+        )
+        .dropDuplicates(["blk", "key_a", "key_b"])
+    )
+
+    verified = (
+        cand.withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b", tau)
+        )
+        .filter(F.col("edit_dist") >= 0)
+        .select(
+            F.col("blk").alias(block_col),
+            "key_a",
+            "key_b",
+            "edit_dist",
+        )
+    )
+
+    # Pairs where BOTH strings are shorter than tau+1 chars have empty
+    # segments and evade the pigeonhole filter — such pairs go through
+    # the quadratic path (a vanishing fraction: short x short per block).
+    short = base.filter(F.col("len_") < k)
+    sa = short.select(
+        "blk", F.col("k_").alias("key_a"), F.col("n_").alias("name_a")
+    )
+    sb = short.select(
+        "blk", F.col("k_").alias("key_b"), F.col("n_").alias("name_b")
+    )
+    short_pairs = (
+        sa.join(sb, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", tau))
+        .filter(F.col("edit_dist") >= 0)
+        .select(
+            F.col("blk").alias(block_col), "key_a", "key_b", "edit_dist"
+        )
+    )
+    return verified.unionByName(short_pairs)
