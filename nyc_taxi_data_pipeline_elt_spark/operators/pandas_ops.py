@@ -75,38 +75,63 @@ def conversion_stats(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    c = clicks.select("user_id", F.unix_micros("ts").alias("ts_us"))
-    p = purchases.select("user_id", F.unix_micros("ts").alias("ts_us"))
+    # Cogroup on a HASH BUCKET of the user key, not the user key itself:
+    # per-user groups average a handful of rows, and applyInPandas pays
+    # one Python call + one result-frame construction per group (~0.4ms)
+    # — per-tiny-group invocation was the entire cost of this operator
+    # (measured 6s for ~15k users at sf0.1). Bucketing bounds the Python
+    # call count at `buckets` regardless of user cardinality, and the
+    # per-user logic runs vectorized (pandas groupby) inside each bucket.
+    # Same shuffle volume, same semantics, same oracle.
+    buckets = 256
+    c = clicks.select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    ).withColumn("bkt", F.pmod(F.hash("user_id"), F.lit(buckets)))
+    p = purchases.select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    ).withColumn("bkt", F.pmod(F.hash("user_id"), F.lit(buckets)))
 
-    def per_user(cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
-        import math
+    def per_bucket(cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
 
-        cdf = _named(cdf, ["user_id", "ts_us"])
-        pdf = _named(pdf, ["user_id", "ts_us"])
-        user = (cdf if len(cdf) else pdf)["user_id"].iloc[0]
-        n_c, n_p = len(cdf), len(pdf)
-        rate = None
-        if n_c:
-            rate = math.floor((n_p / n_c) * 1e6 + 0.5) / 1e6
-        lag = None
-        if n_c and n_p:
-            lag = math.floor((pdf["ts_us"].max() - cdf["ts_us"].max()) / 1e6)
+        cdf = _named(cdf, ["user_id", "ts_us", "bkt"])
+        pdf = _named(pdf, ["user_id", "ts_us", "bkt"])
+        ca = cdf.groupby("user_id")["ts_us"].agg(["size", "max"])
+        pa = pdf.groupby("user_id")["ts_us"].agg(["size", "max"])
+        m = ca.join(pa, how="outer", lsuffix="_c", rsuffix="_p")
+        n_c = m["size_c"].fillna(0).to_numpy(dtype=np.int64)
+        n_p = m["size_p"].fillna(0).to_numpy(dtype=np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # same float path as the scalar form: python-float division,
+            # floor(x*1e6 + 0.5) round-half-away on the nonnegative rate
+            rate = np.floor((n_p / n_c) * 1e6 + 0.5) / 1e6
+        lag = np.floor((m["max_p"].to_numpy() - m["max_c"].to_numpy()) / 1e6)
+        both = (n_c > 0) & (n_p > 0)
+        # nullable extension dtypes (Float64/Int64) carry the None cells
+        # through Arrow as proper nulls — a plain float64 NaN would reach
+        # Spark as NaN, not NULL, and break the oracle hash
         return pd.DataFrame(
-            [
-                {
-                    "user_id": user,
-                    "n_clicks": n_c,
-                    "n_purchases": n_p,
-                    "conversion_rate": rate,
-                    "last_click_to_purchase_sec": lag,
-                }
-            ]
+            {
+                "user_id": m.index.to_numpy(dtype=np.int64),
+                "n_clicks": n_c,
+                "n_purchases": n_p,
+                "conversion_rate": pd.array(
+                    np.where(n_c > 0, rate, np.nan), dtype="Float64"
+                ),
+                "last_click_to_purchase_sec": pd.array(
+                    np.where(both, lag, np.nan), dtype="Float64"
+                ).astype("Int64"),
+            }
         )
 
-    return c.groupBy("user_id").cogroup(p.groupBy("user_id")).applyInPandas(
-        per_user,
-        schema=(
-            "user_id bigint, n_clicks bigint, n_purchases bigint, "
-            "conversion_rate double, last_click_to_purchase_sec bigint"
-        ),
+    return (
+        c.groupBy("bkt")
+        .cogroup(p.groupBy("bkt"))
+        .applyInPandas(
+            per_bucket,
+            schema=(
+                "user_id bigint, n_clicks bigint, n_purchases bigint, "
+                "conversion_rate double, last_click_to_purchase_sec bigint"
+            ),
+        )
     )
