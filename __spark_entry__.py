@@ -35,7 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(reference_queries.QUERIES)
-    for mod_name in ("analytics", "trainingdata", "streaming_queries", "graph_queries"):
+    for mod_name in ("analytics", "trainingdata", "streaming_queries", "graph_queries", "etl_queries"):
         try:
             mod = __import__(
                 f"nyc_taxi_data_pipeline_elt_spark.plans.{mod_name}",
@@ -53,7 +53,7 @@ def oracle_sql() -> dict[str, str]:
 
     out: dict[str, str] = {}
     out.update(reference_queries.ORACLE)
-    for mod_name in ("analytics", "trainingdata", "streaming_queries", "graph_queries"):
+    for mod_name in ("analytics", "trainingdata", "streaming_queries", "graph_queries", "etl_queries"):
         try:
             mod = __import__(
                 f"nyc_taxi_data_pipeline_elt_spark.plans.{mod_name}",

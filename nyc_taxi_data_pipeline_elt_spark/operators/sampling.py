@@ -55,6 +55,35 @@ def split_assignment(
     )
 
 
+def weighted_bottom_k(
+    df,
+    k: int,
+    key_col: str,
+    weight_col: str,
+    salt: str = "pps-",
+    score_col: str = "score",
+):
+    """Weighted sampling without replacement, probability proportional
+    to ``weight_col`` — the Efraimidis–Spirakis exponential-keys scheme
+    (A-ExpJ, Inf. Proc. Letters 2006): score = -ln(u) / w with u a
+    deterministic md5 uniform; the k SMALLEST scores are the sample.
+
+    Distributed + deterministic: scores are row-local (no state, any
+    layout), and bottom-k compiles to TakeOrderedAndProject (per-
+    partition heaps, O(k) driver merge) — reservoir semantics without a
+    sequential scan. Oracle-replicable: the same formula in SQL draws
+    the identical sample (ln ulp drift across engines is absorbed far
+    below any realistic score gap).
+    """
+    u = hash_uniform(key_col, salt)
+    score = -F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn(score_col, score)
+        .orderBy(score_col, key_col)
+        .limit(k)
+    )
+
+
 def bottom_k_sample(
     df, k: int, key_col: str, salt: str = "bottomk-", u_col: str = "u"
 ):

@@ -1350,9 +1350,48 @@ GROUP BY event_type
 """
 
 
+# --- market-basket co-occurrence (frequent pair mining) -------------------------
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-purchased part pairs: the pairwise-support step of
+    market-basket / co-occurrence mining. The self-join key is the
+    basket id (l_orderkey), so the quadratic term is bounded by basket
+    size (~4 lines), not corpus size — the pair count stays linear in
+    rows, and the groupBy is an ordinary partial-aggregated shuffle.
+    At 100 TB the same plan holds: co-occurrence explodes only if a
+    single basket is huge (cap basket size upstream)."""
+    tune(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+COPURCHASE_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 25
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "events_xml_stats": events_xml_stats,
+    "copurchase_part_pairs": copurchase_part_pairs,
     "revenue_by_nation": revenue_by_nation,
     "shipping_priority_topk": shipping_priority_topk,
     "customers_without_open_orders": customers_without_open_orders,
@@ -1395,6 +1434,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "copurchase_part_pairs": COPURCHASE_ORACLE,
     "events_xml_stats": EVENTS_XML_ORACLE,
     "lineitem_asof_prior_order": ASOF_ORACLE,
     "order_price_percentiles": PERCENTILE_ORACLE,

@@ -1,0 +1,155 @@
+"""Warehouse-ETL query surface: SCD Type 2 history build and CDC
+MERGE application — the two row-level maintenance patterns the
+reference's Delta consumer layer gestures at (partitioned overwrite,
+`/root/reference/src/process_data_glue.py:186-190`) but never
+implements. Both are pure DataFrame compositions with exact DuckDB
+twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_pipeline_elt_spark.operators.scd import scd2_intervals
+from nyc_taxi_data_pipeline_elt_spark.operators.upsert import upsert
+from nyc_taxi_data_pipeline_elt_spark.session import tune
+from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
+
+
+def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals over each user's event_type stream: one
+    row per run of an unchanged type, versioned, with from/to bounds.
+
+    Timestamps are emitted as whole epoch seconds: the fixture's `ts` is
+    parquet TIMESTAMP(NANOS), which Spark truncates to µs at scan —
+    second-floor values are identical on both engines (parity rule for
+    the events table). Ordering ties between equal µs-truncated
+    timestamps are broken by event_id on BOTH engines (the oracle orders
+    by the µs-truncated ts too, or DuckDB's nano precision would order
+    drifted rows differently).
+    """
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    iv = scd2_intervals(
+        events, key="user_id", attr="event_type", ts_col="ts", tiebreak="event_id"
+    )
+    return iv.select(
+        "user_id",
+        "event_type",
+        "version",
+        F.unix_timestamp("valid_from").alias("valid_from_s"),
+        F.unix_timestamp("valid_to").alias("valid_to_s"),
+        "is_current",
+    )
+
+
+SCD2_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type,
+         date_trunc('microseconds', ts) AS ts_us, event_id
+  FROM events
+), flagged AS (
+  SELECT user_id, event_type, ts_us, event_id,
+         (row_number() OVER w = 1
+          OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), points AS (
+  SELECT user_id, event_type, ts_us AS valid_from, event_id
+  FROM flagged WHERE chg
+)
+SELECT user_id, event_type,
+       CAST(row_number() OVER wk AS INT) AS version,
+       CAST(floor(epoch(valid_from)) AS BIGINT) AS valid_from_s,
+       CAST(floor(epoch(lead(valid_from) OVER wk)) AS BIGINT) AS valid_to_s,
+       (lead(valid_from) OVER wk IS NULL) AS is_current
+FROM points
+WINDOW wk AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+"""
+
+
+def cdc_orders_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC batch (updates + inserts + deletes) to the orders
+    table via the MERGE emulation (`operators/upsert.py`) and emit the
+    post-merge per-status footprint as proof.
+
+    The change batch is derived deterministically from the base table
+    (update every 97th key, delete every 101st, insert a shifted copy of
+    every 203rd) so the oracle can rebuild the identical batch. Price
+    arithmetic runs in DECIMAL on both engines: cent-grid values times
+    1.1 land exactly on half-cent ties where double rounding diverges
+    between engines (the nation_trade_volume lesson) — decimal HALF_UP
+    is deterministic and identical.
+    """
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+
+    updates = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn(
+            "o_totalprice",
+            F.round(price_dec * F.lit(1.1).cast("decimal(2,1)"), 2)
+            .cast("double"),
+        )
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 203 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100000000))
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 101 == 0).select("o_orderkey")
+
+    base = orders.join(deletes, "o_orderkey", "left_anti")
+    merged = upsert(base, updates.unionByName(inserts), key="o_orderkey")
+
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_orderkey").alias("key_checksum"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+CDC_ORACLE = """
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+), inserts AS (
+  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 203 = 0
+), changes AS (
+  SELECT * FROM updates UNION ALL SELECT * FROM inserts
+), base AS (
+  SELECT * FROM orders
+  WHERE o_orderkey % 101 <> 0
+), merged AS (
+  SELECT * FROM changes
+  UNION ALL
+  SELECT * FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = b.o_orderkey)
+)
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM merged
+GROUP BY o_orderstatus
+"""
+
+
+QUERIES = {
+    "scd2_user_event_type": scd2_user_event_type,
+    "cdc_orders_merge": cdc_orders_merge,
+}
+
+ORACLE = {
+    "scd2_user_event_type": SCD2_ORACLE,
+    "cdc_orders_merge": CDC_ORACLE,
+}

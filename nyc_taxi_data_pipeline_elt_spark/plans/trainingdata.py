@@ -465,6 +465,31 @@ LIMIT 100
 """
 
 
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling proportional to document length (the curation
+    move: long documents carry more training signal per draw) via
+    exponential keys (Efraimidis–Spirakis) — deterministic, layout-
+    independent, fixed size k. The emitted score is rounded to 9
+    decimals: scores sit at the 1e-4 scale, so cross-engine ln() ulp
+    drift (~1e-20 absolute) cannot move the rounded value."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return M.weighted_bottom_k(
+        docs, k=200, key_col="doc_id", weight_col="n_chars"
+    ).select("doc_id", "n_chars", F.round("score", 9).alias("score"))
+
+
+WEIGHTED_SAMPLE_ORACLE = """
+SELECT doc_id, n_chars,
+       round(-ln(('0x' || substr(md5('pps-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 / 4294967296.0) / n_chars, 9) AS score
+FROM documents
+ORDER BY -ln(('0x' || substr(md5('pps-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             / 4294967296.0) / n_chars, doc_id
+LIMIT 200
+"""
+
+
 # --- Python UDTF (table function) ------------------------------------------------
 @F.udtf(returnType="bigram: string, n: int")
 class BigramCounts:
@@ -756,6 +781,7 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "doc_sample_split": doc_sample_split,
     "doc_bottomk_sample": doc_bottomk_sample,
+    "doc_weighted_sample": doc_weighted_sample,
     "bigrams_udtf": bigrams_udtf,
     "unigram_lm_scores": unigram_lm_scores,
     "embedding_quantize": embedding_quantize,
@@ -782,6 +808,7 @@ ORACLE = {
     "chunk_documents": CHUNK_ORACLE,
     "doc_sample_split": SAMPLE_SPLIT_ORACLE,
     "doc_bottomk_sample": BOTTOMK_ORACLE,
+    "doc_weighted_sample": WEIGHTED_SAMPLE_ORACLE,
     "bigrams_udtf": BIGRAMS_ORACLE,
     "unigram_lm_scores": UNIGRAM_LM_ORACLE,
     "embedding_quantize": QUANTIZE_ORACLE,
