@@ -158,6 +158,104 @@ def neardup_pairs(
     )
 
 
+def _hyperplanes(n_planes: int, dim: int = EMBED_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH, derived
+    from a fixed seed and rounded to 6 decimals so the SAME literal
+    vectors can be embedded in both the Spark plan and the oracle SQL —
+    no cross-engine RNG or hash agreement needed."""
+    import random
+
+    rng = random.Random(20240817)
+    return [
+        [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = (vec . plane_i >= 0), packed to an
+    int. Random-hyperplane LSH (SimHash for real vectors, Charikar
+    STOC'02): vectors at small cosine distance agree on most sign bits,
+    so same-bucket candidates are cosine-close with high probability."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        terms = [vec[j] * F.lit(p[j]) for j in range(len(p))]
+        d = terms[0]
+        for t in terms[1:]:
+            d = d + t
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: probe only the query's sign-LSH
+    bucket. The index build is one projection (no shuffle at all — the
+    bucket is row-local, unlike IVF's centroid aggregation); serving
+    fetches the query's bucket as a driver scalar and probes with a
+    pushed-down ``bucket = <b>`` filter, so a corpus clustered by bucket
+    scans ~1/2^n_planes of its files. Recall depends on n_planes: more
+    planes = smaller buckets = faster and less complete (multi-probe —
+    flipping low-margin bits — is the standard extension).
+    """
+    planes = _hyperplanes(n_planes)
+    e = embeddings.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    qrow = (
+        e.filter(F.col(id_col) == query_vec_id)
+        .select("v", "bucket")
+        .first()
+    )
+    qvec = F.array(*[F.lit(float(x)) for x in qrow["v"]])
+    return (
+        e.filter(F.col("bucket") == int(qrow["bucket"]))
+        .filter(F.col(id_col) != query_vec_id)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col("v"), qvec), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_oracle_sql(
+    query_vec_id: int = 0, k: int = 10, n_planes: int = 6
+) -> str:
+    """DuckDB twin of :func:`lsh_topk`, generated from the same
+    hyperplane literals (list_dot_product is left-to-right, the same
+    association as the unrolled Spark expression)."""
+    planes = _hyperplanes(n_planes)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "list_dot_product(v, qvec) / sqrt(list_dot_product(v, v)"
+        " * list_dot_product(qvec, qvec))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         ({bits}) AS bucket
+  FROM embeddings
+),
+q AS (SELECT v AS qvec, bucket AS qbucket FROM e WHERE vec_id = {query_vec_id})
+SELECT vec_id, round({cos}, 6) AS cos_sim
+FROM e, q
+WHERE bucket = qbucket AND vec_id <> {query_vec_id}
+ORDER BY cos_sim DESC, vec_id
+LIMIT {k}
+"""
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,

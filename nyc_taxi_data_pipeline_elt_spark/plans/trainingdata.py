@@ -209,6 +209,54 @@ WHERE round({_COS.format(a="a.v", b="b.v")}, 6) >= 0.35
 """
 
 
+@F.pandas_udf("double")
+def _geomean_udaf(v: pd.Series) -> float:
+    """Arrow grouped-agg UDAF (the one pandas surface the rest of the
+    repo doesn't exercise): geometric mean, computed as exp(mean(ln x)).
+    The 1e-16-relative drift between numpy's pairwise mean and the
+    oracle's sequential avg is absorbed by round(.., 6) on a O(100)
+    value — same tolerance argument as the cosine queries."""
+    import numpy as np
+
+    return float(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()))
+
+
+def source_quality_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile via a custom UDAF: geometric mean of
+    document length (the right central tendency for heavy-tailed length
+    distributions). Grouped-agg pandas UDFs plan like any aggregate —
+    one shuffle on the group key, Arrow batches per group."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # NB: Spark disallows mixing a grouped-agg pandas UDF with JVM
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT) — the agg
+    # is UDAF-only by rule, not by choice.
+    return docs.groupBy("source").agg(
+        F.round(_geomean_udaf("n_chars"), 6).alias("geomean_chars"),
+    )
+
+
+SOURCE_QUALITY_ORACLE = """
+SELECT source, round(exp(avg(ln(n_chars))), 6) AS geomean_chars
+FROM documents
+GROUP BY source
+"""
+
+
+def simsearch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (sign-)LSH approximate top-k: index build is a
+    row-local projection (zero shuffles, vs IVF's centroid agg); the
+    probe is a pushed-down bucket-equality scan. The hyperplanes are
+    fixed 6-decimal literals shared verbatim with the oracle, so the
+    approximation is engine-identical by construction."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, query_vec_id=0, k=10, n_planes=5)
+
+
+LSH_TOPK_ORACLE = S.lsh_oracle_sql(query_vec_id=0, k=10, n_planes=5)
+
+
 def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -772,6 +820,8 @@ QUERIES = {
     "simsearch_bruteforce_topk": simsearch_bruteforce_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "simsearch_ivf_topk": simsearch_ivf_topk,
+    "simsearch_lsh_topk": simsearch_lsh_topk,
+    "source_quality_udaf": source_quality_udaf,
     "text_stats": text_stats,
     "lang_id_docs": lang_id_docs,
     "multimodal_meta": multimodal_meta,
@@ -799,6 +849,8 @@ ORACLE = {
     "simsearch_bruteforce_topk": SIMSEARCH_ORACLE,
     "embedding_neardup_pairs": NEARDUP_ORACLE,
     "simsearch_ivf_topk": IVF_ORACLE,
+    "simsearch_lsh_topk": LSH_TOPK_ORACLE,
+    "source_quality_udaf": SOURCE_QUALITY_ORACLE,
     "text_stats": TEXT_STATS_ORACLE,
     "lang_id_docs": _lang_id_oracle(),
     "multimodal_meta": MULTIMODAL_ORACLE,
