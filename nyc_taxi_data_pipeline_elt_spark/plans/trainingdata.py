@@ -209,16 +209,24 @@ WHERE round({_COS.format(a="a.v", b="b.v")}, 6) >= 0.35
 """
 
 
-@F.pandas_udf("double")
-def _geomean_udaf(v: pd.Series) -> float:
+def _geomean_udaf():
     """Arrow grouped-agg UDAF (the one pandas surface the rest of the
     repo doesn't exercise): geometric mean, computed as exp(mean(ln x)).
     The 1e-16-relative drift between numpy's pairwise mean and the
     oracle's sequential avg is absorbed by round(.., 6) on a O(100)
-    value — same tolerance argument as the cosine queries."""
+    value — same tolerance argument as the cosine queries.
+
+    Built lazily: ``pandas_udf`` parses its DDL return type through the
+    active session, so decorating at module import would require a
+    SparkSession before import (breaks bare imports / test collection).
+    """
     import numpy as np
 
-    return float(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()))
+    @F.pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()))
+
+    return geomean
 
 
 def source_quality_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,7 +240,7 @@ def source_quality_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT) — the agg
     # is UDAF-only by rule, not by choice.
     return docs.groupBy("source").agg(
-        F.round(_geomean_udaf("n_chars"), 6).alias("geomean_chars"),
+        F.round(_geomean_udaf()("n_chars"), 6).alias("geomean_chars"),
     )
 
 
