@@ -35,7 +35,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(reference_queries.QUERIES)
-    for mod_name in ("analytics", "trainingdata", "streaming_queries", "graph_queries", "etl_queries"):
+    for mod_name in (
+        "analytics",
+        "trainingdata",
+        "streaming_queries",
+        "graph_queries",
+        "etl_queries",
+        "subqueries",
+        "modern_sql",
+    ):
         try:
             mod = __import__(
                 f"nyc_taxi_data_pipeline_elt_spark.plans.{mod_name}",
@@ -53,7 +61,15 @@ def oracle_sql() -> dict[str, str]:
 
     out: dict[str, str] = {}
     out.update(reference_queries.ORACLE)
-    for mod_name in ("analytics", "trainingdata", "streaming_queries", "graph_queries", "etl_queries"):
+    for mod_name in (
+        "analytics",
+        "trainingdata",
+        "streaming_queries",
+        "graph_queries",
+        "etl_queries",
+        "subqueries",
+        "modern_sql",
+    ):
         try:
             mod = __import__(
                 f"nyc_taxi_data_pipeline_elt_spark.plans.{mod_name}",
