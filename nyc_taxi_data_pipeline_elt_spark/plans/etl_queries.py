@@ -144,12 +144,60 @@ GROUP BY o_orderstatus
 """
 
 
+def snapshot_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end drive of the snapshot table format
+    (``sources/snapshots.py``): orders land in two append commits, the
+    table is compacted (new snapshot, no directory swap), and the result
+    is read back through the manifest and aggregated. The oracle is the
+    plain aggregate over orders — equality proves the commit/compact/read
+    protocol is lossless. Protocol-level guarantees (time travel, vacuum,
+    idempotent batch replay, commit conflicts) are pytest-verified in
+    ``tests/test_snapshots.py``."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import SnapshotTable
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    root = Path(tempfile.gettempdir()) / "ntx_snapshot_roundtrip" / Path(sf_dir).name
+    shutil.rmtree(root, ignore_errors=True)
+    table = SnapshotTable(str(root))
+    table.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    table.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    table.compact(spark, target_files=4)
+    return (
+        table.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("key_checksum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+SNAPSHOT_ROUNDTRIP_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "scd2_user_event_type": scd2_user_event_type,
     "cdc_orders_merge": cdc_orders_merge,
+    "snapshot_table_roundtrip": snapshot_table_roundtrip,
 }
 
 ORACLE = {
     "scd2_user_event_type": SCD2_ORACLE,
     "cdc_orders_merge": CDC_ORACLE,
+    "snapshot_table_roundtrip": SNAPSHOT_ROUNDTRIP_ORACLE,
 }

@@ -1,0 +1,221 @@
+"""Snapshot-committed parquet tables: a minimal table format giving the
+lakehouse guarantees plain directory layouts cannot — atomic commits,
+snapshot-isolated reads, time travel, gap-free compaction, and
+idempotent (exactly-once) streaming batch commits.
+
+Why this exists: the reference leans on Delta for exactly one capability
+(partitioned overwrite — ``/root/reference/src/process_data_glue.py:186-190``),
+and this repo's ``writers.compact_parquet`` documents the residual gap of
+directory-swap compaction (readers can observe the path mid-swap). The
+fix, as in Iceberg/Delta, is to stop treating the directory listing as
+the table: the table IS a manifest (an explicit file list) plus an
+atomically-swapped pointer to the current manifest. Readers resolve the
+pointer once and then read an immutable file set — a writer can commit,
+compact, or vacuum underneath them without ever producing a torn read.
+
+Layout::
+
+    table/
+      data/<writer-uuid>/part-*.parquet   -- immutable once committed
+      _manifests/v{N:08d}.json            -- snapshot N's file list + lineage
+      _manifests/_current                 -- pointer file: just "N"
+
+Concurrency and atomicity, all via POSIX/object-store primitives:
+
+- **Commit** = write manifest ``v{N+1}`` with ``open(..., 'x')``
+  (fails if another writer took N+1 — optimistic concurrency, the
+  Iceberg model), then ``os.replace`` the pointer (atomic).
+- **Snapshot isolation**: data files are immutable and manifests never
+  mutate; any resolved snapshot stays readable until vacuumed.
+- **Crash safety**: a crash before the pointer swap leaves an orphan
+  manifest/data files — invisible to readers, reclaimed by vacuum.
+- **Exactly-once streaming**: ``commit_batch(df, batch_id)`` records the
+  batch id in the manifest and no-ops on replay, making ``foreachBatch``
+  retries idempotent (the reconciliation ADVICE.md asked of
+  ``streaming/incremental.py``, solved structurally).
+
+At 100 TB the design carries over unchanged: manifests list files (no
+directory listing on the read path — one pointer read + one manifest
+read instead of a million-object LIST), pointer swap maps to a
+conditional PUT / metastore CAS, and compaction is a background rewrite
+that commits a new manifest without touching readers. This is a
+deliberately small single-pointer implementation — no column stats
+pruning or multi-table transactions — but the read/commit protocol is
+the real one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same snapshot version first."""
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    version: int
+    files: tuple[str, ...]  # relative to the table root
+    op: str
+    parent: int | None
+    batch_id: int | None
+    ts: float
+
+
+class SnapshotTable:
+    """Handle to one snapshot-committed table rooted at ``path``."""
+
+    def __init__(self, path: str):
+        self.root = Path(path)
+        self.manifest_dir = self.root / "_manifests"
+        self.data_dir = self.root / "data"
+
+    # ---------------- metadata plumbing ----------------
+    def _pointer(self) -> Path:
+        return self.manifest_dir / "_current"
+
+    def current_version(self) -> int | None:
+        try:
+            return int(self._pointer().read_text().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"{self.root}: no committed snapshot")
+        raw = json.loads((self.manifest_dir / f"v{v:08d}.json").read_text())
+        return Snapshot(
+            version=raw["version"],
+            files=tuple(raw["files"]),
+            op=raw["op"],
+            parent=raw.get("parent"),
+            batch_id=raw.get("batch_id"),
+            ts=raw["ts"],
+        )
+
+    def history(self) -> list[Snapshot]:
+        out = []
+        for p in sorted(self.manifest_dir.glob("v*.json")):
+            out.append(self.snapshot(int(p.stem[1:])))
+        return out
+
+    def _commit(
+        self,
+        files: list[str],
+        op: str,
+        batch_id: int | None = None,
+    ) -> Snapshot:
+        self.manifest_dir.mkdir(parents=True, exist_ok=True)
+        parent = self.current_version()
+        version = 0 if parent is None else parent + 1
+        manifest = self.manifest_dir / f"v{version:08d}.json"
+        payload = {
+            "version": version,
+            "files": sorted(files),
+            "op": op,
+            "parent": parent,
+            "batch_id": batch_id,
+            "ts": time.time(),
+        }
+        try:
+            # O_EXCL create: the optimistic-concurrency gate. Two racing
+            # writers both target version N+1; exactly one create wins.
+            with open(manifest, "x") as f:
+                json.dump(payload, f)
+        except FileExistsError as exc:
+            raise CommitConflict(
+                f"{self.root}: snapshot v{version} already committed; "
+                "re-read the table and retry"
+            ) from exc
+        # Atomic pointer swap (os.replace = rename(2)); readers see the
+        # old manifest or the new one, never a partial state.
+        tmp = self.manifest_dir / f"._current.{uuid.uuid4().hex}"
+        tmp.write_text(str(version))
+        os.replace(tmp, self._pointer())
+        return self.snapshot(version)
+
+    # ---------------- write path ----------------
+    def _write_data(self, df: DataFrame) -> list[str]:
+        """Land ``df`` as immutable parquet under a fresh uuid dir and
+        return the written files, relative to the table root. The write
+        itself is a normal distributed parquet write — only the manifest
+        bookkeeping is driver-side, and it is O(files), not O(rows)."""
+        sub = self.data_dir / uuid.uuid4().hex
+        df.write.mode("error").parquet(str(sub))
+        return [
+            str(p.relative_to(self.root))
+            for p in sub.rglob("*.parquet")
+            if not p.name.startswith((".", "_"))
+        ]
+
+    def append(self, df: DataFrame, batch_id: int | None = None) -> Snapshot:
+        new = self._write_data(df)
+        cur = self.current_version()
+        base = list(self.snapshot(cur).files) if cur is not None else []
+        return self._commit(base + new, "append", batch_id=batch_id)
+
+    def overwrite(self, df: DataFrame) -> Snapshot:
+        return self._commit(self._write_data(df), "overwrite")
+
+    def commit_batch(self, df: DataFrame, batch_id: int) -> Snapshot | None:
+        """Idempotent append for ``foreachBatch``: if ``batch_id`` was
+        already committed on this table, do nothing (a retried batch
+        re-runs after a partial failure; the data files it half-wrote on
+        the failed attempt were never committed and vacuum reclaims
+        them). Returns the new snapshot, or None on replay."""
+        if any(s.batch_id == batch_id for s in self.history()):
+            return None
+        return self.append(df, batch_id=batch_id)
+
+    def compact(self, spark: SparkSession, target_files: int = 8) -> Snapshot:
+        """Rewrite the current snapshot into ``target_files`` files and
+        commit — readers of any resolved snapshot are untouched (no
+        directory swap, no visibility gap: this is what
+        ``writers.compact_parquet`` documents it cannot give)."""
+        df = self.read(spark).repartition(target_files)
+        new = self._write_data(df)
+        return self._commit(new, "compact")
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete data files referenced by no kept snapshot and manifests
+        older than the kept window. Run only when no reader holds a
+        snapshot older than the window (retention contract, as in
+        Delta/Iceberg VACUUM)."""
+        hist = self.history()
+        if not hist:
+            return []
+        kept = hist[-keep_versions:]
+        live = {f for s in kept for f in s.files}
+        removed: list[str] = []
+        for p in sorted(self.data_dir.rglob("*.parquet")):
+            rel = str(p.relative_to(self.root))
+            if rel not in live:
+                p.unlink()
+                removed.append(rel)
+        # prune now-empty uuid dirs and retired manifests
+        for d in list(self.data_dir.iterdir()) if self.data_dir.exists() else []:
+            if d.is_dir() and not any(d.iterdir()):
+                shutil.rmtree(d, ignore_errors=True)
+        for s in hist[:-keep_versions]:
+            (self.manifest_dir / f"v{s.version:08d}.json").unlink(missing_ok=True)
+        return removed
+
+    # ---------------- read path ----------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read a snapshot (default: current). The file list is resolved
+        ONCE from the manifest — concurrent commits/compactions/vacuums
+        of later versions cannot tear this read."""
+        snap = self.snapshot(version)
+        if not snap.files:
+            raise FileNotFoundError(f"{self.root}: snapshot v{snap.version} is empty")
+        return spark.read.parquet(*[str(self.root / f) for f in snap.files])

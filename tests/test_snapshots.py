@@ -1,0 +1,89 @@
+"""Snapshot-table protocol tests: atomic commit, snapshot isolation,
+time travel, gap-free compaction, vacuum retention, idempotent streaming
+batch commits, and optimistic-concurrency conflict detection."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+    CommitConflict,
+    SnapshotTable,
+)
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return SnapshotTable(str(tmp_path / "tbl"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def test_append_accumulates_and_read_sees_all(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.append(_df(spark, 10, 15))
+    assert table.read(spark).count() == 15
+    assert table.current_version() == 1
+
+
+def test_overwrite_replaces_and_time_travel_preserves(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.overwrite(_df(spark, 100, 103))
+    assert table.read(spark).count() == 3
+    # v0 still resolves after the overwrite: snapshot isolation
+    assert table.read(spark, version=0).count() == 10
+    assert [s.op for s in table.history()] == ["append", "overwrite"]
+
+
+def test_compact_keeps_rows_and_old_snapshots_readable(spark, table):
+    for lo in range(0, 40, 10):
+        table.append(_df(spark, lo, lo + 10))
+    before = table.snapshot()
+    snap = table.compact(spark, target_files=2)
+    assert snap.op == "compact"
+    assert len(snap.files) <= 2 < len(before.files)
+    got = sorted(r.id for r in table.read(spark).collect())
+    assert got == list(range(40))
+    # the pre-compaction snapshot still reads (no directory swap)
+    assert table.read(spark, version=before.version).count() == 40
+
+
+def test_vacuum_reclaims_unreferenced_files_only(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.overwrite(_df(spark, 0, 5))
+    removed = table.vacuum(keep_versions=1)
+    assert removed, "v0's files should be reclaimed"
+    assert table.read(spark).count() == 5
+    with pytest.raises(FileNotFoundError):
+        table.snapshot(0)  # manifest pruned with its files
+
+
+def test_commit_batch_is_idempotent_on_replay(spark, table):
+    assert table.commit_batch(_df(spark, 0, 10), batch_id=7) is not None
+    # retried foreachBatch delivers the same batch id again
+    assert table.commit_batch(_df(spark, 0, 10), batch_id=7) is None
+    assert table.read(spark).count() == 10
+
+
+def test_concurrent_commit_conflict(spark, table):
+    table.append(_df(spark, 0, 5))
+    # simulate a racing writer that already took version 1
+    (table.manifest_dir / "v00000001.json").write_text(json.dumps({
+        "version": 1, "files": [], "op": "append", "parent": 0, "ts": 0.0,
+    }))
+    with pytest.raises(CommitConflict):
+        table.append(_df(spark, 5, 10))
+
+
+def test_uncommitted_writes_invisible_then_vacuumed(spark, table):
+    table.append(_df(spark, 0, 10))
+    # a crashed writer: data landed, no manifest committed
+    orphan = table._write_data(_df(spark, 99, 120))
+    assert table.read(spark).count() == 10  # invisible to readers
+    removed = table.vacuum(keep_versions=1)
+    assert set(orphan) <= set(removed)
+    assert table.read(spark).count() == 10
