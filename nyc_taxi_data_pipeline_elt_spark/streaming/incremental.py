@@ -62,10 +62,16 @@ def incremental_process(
     cfg: PipelineConfig,
     trip_type: str,
     checkpoint_dir: str,
+    consumer_table: "SnapshotTable | None" = None,
 ) -> None:
     """Process landing files for one fleet incrementally (availableNow).
 
     Each invocation handles only files not yet recorded in the checkpoint.
+
+    With ``consumer_table`` (a ``sources.snapshots.SnapshotTable``), the
+    consumer write upgrades from reconcilable-append (``_batch_id`` stamp)
+    to true exactly-once: ``commit_batch`` no-ops on a replayed batch id,
+    so a retried ``foreachBatch`` cannot double-append at all.
     """
     tune(spark)
     base = Path(cfg.landing_dir) / f"trip_type={trip_type}"
@@ -120,9 +126,15 @@ def incremental_process(
             # duplicates are detectable and removable per batch.
             .withColumn("_batch_id", F.lit(batch_id))
         )
-        consumer.write.mode("append").partitionBy(
-            *CONSUMER_PARTITION_KEYS
-        ).parquet(cfg.consumer_dir)
+        if consumer_table is not None:
+            # manifest-committed sink: replayed batch ids are rejected at
+            # commit time, so this path is exactly-once, not just
+            # reconcilable
+            consumer_table.commit_batch(consumer, batch_id)
+        else:
+            consumer.write.mode("append").partitionBy(
+                *CONSUMER_PARTITION_KEYS
+            ).parquet(cfg.consumer_dir)
 
     q = (
         _discovery_stream(spark, base)

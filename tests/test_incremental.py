@@ -48,3 +48,34 @@ def test_incremental_processes_only_new_files(spark, tmp_path):
     # a retried foreachBatch re-appends under an identical _batch_id
     assert "_batch_id" in consumer.columns
     assert consumer.select("_batch_id").distinct().count() == 2
+
+
+def test_incremental_snapshot_sink_exactly_once(spark, tmp_path):
+    """consumer_table variant: commits land in the snapshot table with
+    the batch id recorded, so a replayed batch id is a no-op commit."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import SnapshotTable
+
+    landing = tmp_path / "landing"
+    cfg = PipelineConfig(
+        landing_dir=str(landing),
+        consumer_dir=str(tmp_path / "consumer"),
+        reports_dir=str(tmp_path / "reports"),
+        dlq_dir=str(tmp_path / "dlq"),
+    )
+    table = SnapshotTable(str(tmp_path / "consumer_tbl"))
+    ckpt = str(tmp_path / "ckpt_yellow")
+
+    _write(_yellow(4), landing_key(landing, "yellow", 2023, 4))
+    incremental_process(spark, cfg, "yellow", ckpt, consumer_table=table)
+    assert table.read(spark).count() == 2
+    committed = [s.batch_id for s in table.history()]
+
+    # replaying the same batch id against the table is a no-op
+    assert table.commit_batch(table.read(spark), committed[0]) is None
+    assert table.read(spark).count() == 2
+
+    # a second month commits exactly one more snapshot
+    _write(_yellow(5), landing_key(landing, "yellow", 2023, 5))
+    incremental_process(spark, cfg, "yellow", ckpt, consumer_table=table)
+    assert table.read(spark).count() == 4
+    assert len(table.history()) == len(committed) + 1

@@ -79,6 +79,48 @@ def test_concurrent_commit_conflict(spark, table):
         table.append(_df(spark, 5, 10))
 
 
+def test_streaming_foreachbatch_exactly_once(spark, tmp_path, table):
+    """End-to-end: file-discovery stream -> foreachBatch -> commit_batch.
+    A replayed batch (same batch_id, as after a foreachBatch retry) must
+    not double-append, and a second availableNow run with no new files
+    must commit nothing."""
+    src = tmp_path / "src"
+    _df(spark, 0, 10).write.parquet(str(src / "a"))
+    _df(spark, 10, 30).write.parquet(str(src / "b"))
+
+    seen: list[int] = []
+
+    def handle(batch_df, batch_id):
+        seen.append(batch_id)
+        table.commit_batch(batch_df, batch_id)
+
+    def run():
+        q = (
+            spark.readStream.schema("id long, v long")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert table.read(spark).count() == 30
+    n_versions = len(table.history())
+
+    # simulate the retry path: foreachBatch redelivers an already-
+    # committed batch id after a sink-side failure
+    table.commit_batch(_df(spark, 0, 10), batch_id=seen[0])
+    assert table.read(spark).count() == 30
+
+    # no new files -> checkpoint delivers nothing -> no new snapshots
+    run()
+    assert len(table.history()) == n_versions
+    assert table.read(spark).count() == 30
+
+
 def test_uncommitted_writes_invisible_then_vacuumed(spark, table):
     table.append(_df(spark, 0, 10))
     # a crashed writer: data landed, no manifest committed
