@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TESTDATA_TABLES = (
     "region",
@@ -31,11 +31,14 @@ TESTDATA_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver-generated synthetic table (TESTDATA.md).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) — unsupported by the Spark
-    vectorized reader, so it arrives as epoch-nanos long (session conf
-    ``spark.sql.legacy.parquet.nanosAsLong``) and is truncated to Spark's
-    microsecond timestamps here. Oracle-checked queries must therefore only
-    emit values derived at >=1 µs granularity from ``ts``.
+    ``events.ts`` has shipped in two parquet encodings across driver data
+    generations: TIMESTAMP(NANOS) (arrives as epoch-nanos long under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and TIMESTAMP(MICROS)
+    without UTC adjustment (arrives as TIMESTAMP_NTZ). Both are
+    normalized here to Spark's session-TZ TimestampType — the session is
+    pinned to UTC, so the wall-clock values are identical either way and
+    every downstream query sees one stable type (NTZ notably refuses
+    numeric casts like ``ts.cast("long")``).
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
@@ -43,6 +46,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer DIV, not /: epoch-nanos (~1.7e18) exceeds double's
             # 2^53 exact-integer range.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -26,19 +26,33 @@ from pyspark.sql import types as T
 
 from nyc_taxi_data_pipeline_elt_spark.session import tune
 
-# What the parquet reader yields for events.parquet under
-# spark.sql.legacy.parquet.nanosAsLong (readStream requires an explicit
-# schema): ts arrives as epoch-nanos long.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# readStream requires an explicit schema, and events.parquet has shipped
+# with two ts encodings across driver data generations: TIMESTAMP(NANOS)
+# (reads as epoch-nanos long under spark.sql.legacy.parquet.nanosAsLong)
+# and TIMESTAMP(MICROS) without UTC adjustment (reads as TIMESTAMP_NTZ).
+# Sniff the footer once per sf_dir — driver-side, no Spark job — and
+# declare whichever raw type the file actually stores; stream_events
+# normalizes both to session-TZ TimestampType (session pinned to UTC).
+def _events_raw_schema(sf_dir: str) -> T.StructType:
+    ts_type: T.DataType = T.LongType()
+    try:
+        import pyarrow.parquet as pq
+
+        arrow_ts = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+        if str(arrow_ts).startswith("timestamp"):
+            ts_type = T.TimestampNTZType()
+    except Exception:
+        pass
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 # FileStreamSource requires a *directory*; the fixture is a single file.
@@ -58,11 +72,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-replay event stream: the deterministic test-double for a Kafka
     source; swap ``.format`` and the schema handling for real feeds."""
     tune(spark)
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(_events_stream_dir(sf_dir))
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    schema = _events_raw_schema(sf_dir)
+    raw = spark.readStream.schema(schema).parquet(_events_stream_dir(sf_dir))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, width: str = "5 minutes") -> DataFrame:
