@@ -158,6 +158,164 @@ def neardup_pairs(
     )
 
 
+def neardup_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_bands: int = 4,
+    band_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-blocked near-dup pairs — the *production* path that
+    :func:`neardup_pairs` (driver collect + full-corpus broadcast, the
+    exact verifier) is not.
+
+    Blocking: ``n_bands`` independent sign-LSH keys of ``band_planes``
+    bits each (banding, exactly like MinHash-LSH over text in
+    ``operators.dedup``); a pair is a candidate iff it collides in at
+    least one band. Physical shape: one row-local projection computes
+    every band key, ``explode`` fans each vector out to its
+    ``n_bands`` (band, bucket) rows, and the ONLY shuffle is the
+    ``groupBy`` on those keys — never all-pairs, no driver ``toPandas``,
+    no corpus broadcast. Each bucket group runs the same vectorized
+    numpy slab kernel as the exact verifier (dimension-by-dimension
+    accumulation keeps bit-parity with DuckDB ``list_dot_product``;
+    ``floor(x*1e6+0.5)/1e6`` == ``round(x, 6)``); duplicate hits across
+    bands are collapsed by one final ``dropDuplicates`` on the pair key
+    (the similarity is computed identically in every band, so any
+    surviving row carries the same value).
+
+    Recall/efficiency knob: P(candidate) = 1-(1-p^r)^b with
+    p = 1 - theta/pi. At a true near-dup threshold (cos >= 0.8,
+    p >= 0.9) the default 4x4 banding keeps ~98% recall while pruning
+    ~(1 - 2^-4) of comparisons per band; at the fixture's loose 0.35 it
+    trades ~58% of pairs for ~4x fewer comparisons. Both engines derive
+    the SAME deterministic approximation (shared hyperplane literals),
+    so the result is oracle-checkable and always a subset of the exact
+    pairs. At 100 TB: raise ``band_planes`` so per-bucket groups fit an
+    Arrow batch; bucket sizes stay balanced because the hyperplanes are
+    data-independent.
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = _hyperplanes(n_bands * band_planes)
+    id_type = dict(embeddings.dtypes)[id_col]
+    base = embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("v")
+    )
+    # Band keys are computed in one Arrow-vectorized *narrow* stage (no
+    # shuffle), not as unrolled JVM expressions: n_bands*band_planes
+    # 64-term dot products form nested add-trees that overflow Janino's
+    # 64KB method limit (measured: the whole stage falls back to
+    # interpreted row-at-a-time eval — far slower than the Arrow batch).
+    # The accumulation runs dimension-by-dimension across the batch, so
+    # every (vector, plane) dot keeps the left-to-right association of
+    # DuckDB's list_dot_product, and the sign bits agree bit-exactly.
+    P = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+    id_field = embeddings.schema[id_col].dataType.simpleString()
+
+    def band_keys(batches):
+        weights = 1 << np.arange(band_planes, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            D = V[:, 0:1] * P[:, 0][None, :]
+            for i in range(1, V.shape[1]):
+                D = D + V[:, i : i + 1] * P[:, i][None, :]
+            bits = D >= 0  # (n, n_planes)
+            frames = []
+            for b in range(n_bands):
+                bucket = (
+                    bits[:, b * band_planes : (b + 1) * band_planes] * weights
+                ).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id": pdf["id"],
+                            "v": pdf["v"],
+                            "band": np.full(len(pdf), b, dtype=np.int32),
+                            "bucket": bucket,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    keyed = base.mapInPandas(
+        band_keys,
+        schema=f"id {id_field}, v array<double>, band int, bucket long",
+    )
+    thr = float(threshold)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        A = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        ids = pdf["id"].to_numpy()
+        dim = A.shape[1]
+        S = A[:, 0:1] * A[:, 0][None, :]
+        nrm = A[:, 0] * A[:, 0]
+        for i in range(1, dim):
+            S = S + A[:, i : i + 1] * A[:, i][None, :]
+            nrm = nrm + A[:, i] * A[:, i]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = S / np.sqrt(nrm[:, None] * nrm[None, :])
+            r = np.floor(cos * 1e6 + 0.5) / 1e6
+            keep = (ids[:, None] < ids[None, :]) & ((r >= thr) | np.isnan(r))
+        ia, ib = np.nonzero(keep)
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "cos_sim": r[ia, ib]}
+        )
+
+    pairs = keyed.groupBy("band", "bucket").applyInPandas(
+        bucket_pairs, schema=f"id_a {id_type}, id_b {id_type}, cos_sim double"
+    )
+    return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def neardup_blocked_oracle_sql(
+    threshold: float = 0.35, n_bands: int = 4, band_planes: int = 4
+) -> str:
+    """DuckDB twin of :func:`neardup_pairs_blocked`: same hyperplane
+    literals, per-band equi-joins unioned (UNION dedups pair hits across
+    bands), then exact cosine on the candidates."""
+    planes = _hyperplanes(n_bands * band_planes)
+
+    def bits(sub: list[list[float]]) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(sub)
+        )
+
+    band_exprs = ",\n         ".join(
+        f"({bits(planes[b * band_planes:(b + 1) * band_planes])}) AS b{b}"
+        for b in range(n_bands)
+    )
+    union = "\n  UNION\n".join(
+        f"  SELECT a.vec_id AS id_a, b.vec_id AS id_b\n"
+        f"  FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.b{b} = b.b{b}"
+        for b in range(n_bands)
+    )
+    cos = (
+        "list_dot_product(ea.v, eb.v) / sqrt(list_dot_product(ea.v, ea.v)"
+        " * list_dot_product(eb.v, eb.v))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {band_exprs}
+  FROM embeddings
+),
+cand AS (
+{union}
+)
+SELECT c.id_a, c.id_b, round({cos}, 6) AS cos_sim
+FROM cand c
+JOIN e ea ON ea.vec_id = c.id_a
+JOIN e eb ON eb.vec_id = c.id_b
+WHERE round({cos}, 6) >= {threshold} OR isnan({cos})
+"""
+
+
 def _hyperplanes(n_planes: int, dim: int = EMBED_DIM) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes for sign-LSH, derived
     from a fixed seed and rounded to 6 decimals so the SAME literal

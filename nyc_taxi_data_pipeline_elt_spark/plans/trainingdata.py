@@ -195,6 +195,8 @@ LIMIT 10
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs verifier (collect+broadcast — small-corpus only);
+    the production path is :func:`embedding_neardup_blocked`."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     return S.neardup_pairs(emb, threshold=0.35)
@@ -207,6 +209,20 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round({_COS.format(a="a.v", b="b.v")}, 6) >= 0.35
 """
+
+
+def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked near-dup pairs — the scale path: banded sign-LSH
+    candidate generation (shuffle only on band keys, never all-pairs, no
+    driver collect / corpus broadcast), per-bucket vectorized kernel via
+    ``applyInPandas``. Result is a deterministic subset of
+    ``embedding_neardup_pairs`` that both engines derive identically."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.neardup_pairs_blocked(emb, threshold=0.35)
+
+
+NEARDUP_BLOCKED_ORACLE = S.neardup_blocked_oracle_sql(threshold=0.35)
 
 
 def _geomean_udaf():
@@ -827,6 +843,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "simsearch_bruteforce_topk": simsearch_bruteforce_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "embedding_neardup_blocked": embedding_neardup_blocked,
     "simsearch_ivf_topk": simsearch_ivf_topk,
     "simsearch_lsh_topk": simsearch_lsh_topk,
     "source_quality_udaf": source_quality_udaf,
@@ -856,6 +873,7 @@ ORACLE = {
     "dedup_simhash": D.simhash_oracle_sql(),
     "simsearch_bruteforce_topk": SIMSEARCH_ORACLE,
     "embedding_neardup_pairs": NEARDUP_ORACLE,
+    "embedding_neardup_blocked": NEARDUP_BLOCKED_ORACLE,
     "simsearch_ivf_topk": IVF_ORACLE,
     "simsearch_lsh_topk": LSH_TOPK_ORACLE,
     "source_quality_udaf": SOURCE_QUALITY_ORACLE,

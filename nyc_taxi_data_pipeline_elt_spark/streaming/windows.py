@@ -30,20 +30,34 @@ from nyc_taxi_data_pipeline_elt_spark.session import tune
 # with two ts encodings across driver data generations: TIMESTAMP(NANOS)
 # (reads as epoch-nanos long under spark.sql.legacy.parquet.nanosAsLong)
 # and TIMESTAMP(MICROS) without UTC adjustment (reads as TIMESTAMP_NTZ).
-# Sniff the footer once per sf_dir — driver-side, no Spark job — and
+# Sniff the footer — driver-side, no Spark job, memoized per sf_dir — and
 # declare whichever raw type the file actually stores; stream_events
 # normalizes both to session-TZ TimestampType (session pinned to UTC).
+# Nanos files MUST stay LongType: Spark's nanosAsLong reads them as INT64,
+# so an NTZ declaration fails at runtime with a parquet type mismatch.
+_RAW_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
+
 def _events_raw_schema(sf_dir: str) -> T.StructType:
+    if sf_dir in _RAW_SCHEMA_CACHE:
+        return _RAW_SCHEMA_CACHE[sf_dir]
     ts_type: T.DataType = T.LongType()
     try:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         arrow_ts = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
-        if str(arrow_ts).startswith("timestamp"):
+        if pa.types.is_timestamp(arrow_ts) and arrow_ts.unit != "ns":
             ts_type = T.TimestampNTZType()
-    except Exception:
-        pass
-    return T.StructType(
+    except (ImportError, FileNotFoundError, OSError) as exc:  # pragma: no cover
+        import warnings
+
+        warnings.warn(
+            f"events.parquet footer sniff failed ({exc!r}); assuming "
+            "epoch-nanos LongType ts — a micros/NTZ file will fail to stream",
+            stacklevel=2,
+        )
+    schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
             T.StructField("ts", ts_type),
@@ -53,6 +67,8 @@ def _events_raw_schema(sf_dir: str) -> T.StructType:
             T.StructField("props", T.StringType()),
         ]
     )
+    _RAW_SCHEMA_CACHE[sf_dir] = schema
+    return schema
 
 
 # FileStreamSource requires a *directory*; the fixture is a single file.

@@ -40,6 +40,48 @@ def test_pagerank_weighted_split(spark):
     assert got["c"] == pytest.approx(base + 0.85 * (1 / 3) * 0.25, abs=1e-9)
 
 
+def test_pagerank_dangling_one_step(spark):
+    # a -> {b, c}; b and c are dangling. With redistribution, after one
+    # iteration: dm = r(b)+r(c) = 2/3, each node gains d*dm/N uniformly.
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "src string, dst string"
+    )
+    got = {
+        r.node: r.rank
+        for r in pagerank(e, iterations=1, dangling=True).collect()
+    }
+    base = 0.15 / 3
+    redist = 0.85 * (2 / 3) / 3
+    assert got["a"] == pytest.approx(base + redist, abs=1e-9)
+    assert got["b"] == pytest.approx(base + 0.85 * (1 / 6) + redist, abs=1e-9)
+    assert got["c"] == pytest.approx(base + 0.85 * (1 / 6) + redist, abs=1e-9)
+
+
+def test_pagerank_dangling_conserves_mass(spark):
+    # the whole point of redistribution: total rank mass stays 1, while
+    # the leaky variant loses the dangling outflow every iteration
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "a")], "src string, dst string"
+    )
+    full = pagerank(e, iterations=4, dangling=True).collect()
+    assert sum(r.rank for r in full) == pytest.approx(1.0, abs=1e-8)
+    leaky = pagerank(e, iterations=4).collect()
+    assert sum(r.rank for r in leaky) < 1.0 - 1e-6
+
+
+def test_pagerank_no_danglers_unaffected(spark):
+    # on a graph where every node has out-edges the two formulations agree
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    plain = {r.node: r.rank for r in pagerank(e, iterations=3).collect()}
+    dang = {
+        r.node: r.rank
+        for r in pagerank(e, iterations=3, dangling=True).collect()
+    }
+    assert plain == pytest.approx(dang, abs=1e-12)
+
+
 def test_triangle_count(spark):
     # K4 has 4 triangles; a pendant edge adds none; direction/duplicates
     # of the input pairs are irrelevant after canonicalization

@@ -73,6 +73,18 @@ def test_sample_split_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_neardup_blocked_is_distributed(spark):
+    """The blocked near-dup path must shuffle only on the band keys plus
+    the final pair dedup — never all-pairs, no corpus broadcast; both
+    Python stages are Arrow-vectorized."""
+    plan = _plan(trainingdata.embedding_neardup_blocked(spark, SF_DIR))
+    assert "BroadcastExchange" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan  # band-key projection (narrow)
+    assert "FlatMapGroupsInPandas" in plan  # per-bucket pair kernel
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_quota_sample_single_shuffle(spark):
     """Quota sampling shuffles once on the stratum key; ranking adds no
     extra exchange."""

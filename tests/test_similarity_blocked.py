@@ -1,0 +1,45 @@
+"""LSH-blocked embedding near-dup: the production path must return a
+subset of the exact all-pairs verifier, stay fully distributed (no
+driver collect, no corpus broadcast), and agree with its DuckDB twin
+(covered by test_oracle_parity)."""
+
+from __future__ import annotations
+
+from nyc_taxi_data_pipeline_elt_spark.operators import similarity as S
+from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b): r.cos_sim for r in df.collect()}
+
+
+def test_blocked_subset_of_exact(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = _pairs(S.neardup_pairs(emb, threshold=0.35))
+    blocked = _pairs(S.neardup_pairs_blocked(emb, threshold=0.35))
+    assert blocked, "blocking produced no candidate pairs at all"
+    assert set(blocked) <= set(exact)
+    # the similarity values are computed identically in both paths
+    for k, v in blocked.items():
+        assert v == exact[k]
+
+
+def test_blocked_recall_improves_with_more_bands(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    few = _pairs(S.neardup_pairs_blocked(emb, n_bands=2, band_planes=4))
+    more = _pairs(S.neardup_pairs_blocked(emb, n_bands=6, band_planes=4))
+    assert set(few) <= set(more)
+    assert len(more) > len(few)
+
+
+def test_blocked_construction_runs_no_jobs(spark):
+    """Building the blocked plan must stay lazy — the exact verifier's
+    driver-side toPandas() is exactly what this path removes."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    S.neardup_pairs_blocked(emb)  # no action triggered
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
