@@ -6,6 +6,16 @@ JSON line ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
 Each query is materialized with the ``noop`` sink — full execution of the
 physical plan (scan -> shuffle -> agg) with no driver collect, which is the
 honest cost of the query at scale.
+
+Warm-up: queries are timed in alphabetical order inside one shared session,
+so whichever query FIRST touches a table pays its file-index/footer listing,
+and the first pandas/Arrow query pays Python-worker-pool startup (~1-2 s).
+Adding queries to the suite shifts those first-touch costs onto different
+alphabetical victims — measured round-2-vs-1: multimodal_meta 0.20 s -> 2.49 s
+with an unchanged three-projection plan, 2.09 s cold vs 0.33 s warm in the
+same JVM. The warm-up below therefore touches every fixture table and spins
+up the Python worker pool untimed, so per-query numbers compare plans across
+rounds instead of suite ordering.
 """
 
 from __future__ import annotations
@@ -32,12 +42,26 @@ def main() -> None:
     queries = entrymod.queries()
 
     # untimed warmup against the *benchmark* dataset: JIT/codegen
-    # compilation and the sf_dir file-index/footer caches are per-JVM
-    # one-time costs, not per-query costs — pay them before timing
+    # compilation, the per-table file-index/footer caches, and the Python
+    # worker pool are per-JVM one-time costs, not per-query costs — pay
+    # them all before timing (see module docstring for the measured
+    # ordering artifact this removes)
     try:
         queries["q1_monthly_revenue"](spark, sf_dir).write.format(
             "noop"
         ).mode("overwrite").save()
+        from nyc_taxi_data_pipeline_elt_spark.sources.readers import (
+            TESTDATA_TABLES,
+            load_table,
+        )
+
+        for t in TESTDATA_TABLES:
+            load_table(spark, sf_dir, t).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        spark.range(1024).repartition(32).mapInPandas(
+            lambda batches: batches, "id long"
+        ).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
 

@@ -1279,9 +1279,12 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB the binary value).  Exact decimal sums tie-break identically
     # (half-up for positives) in both engines; final cast to double is
     # deterministic.
-    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc_dec = F.col("l_discount").cast("decimal(18,2)")
-    revenue = price_dec * (F.lit(1).cast("decimal(18,2)") - disc_dec)
+    # tight widths keep the product long-backed decimal(17,4) (~20%
+    # faster than decimal(38,4)); exactness — and thus oracle parity —
+    # is width-independent
+    price_dec = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_dec = F.col("l_discount").cast("decimal(4,2)")
+    revenue = price_dec * (F.lit(1).cast("decimal(4,2)") - disc_dec)
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(supp_nation, lineitem.l_suppkey == supp_nation.s_suppkey)

