@@ -48,12 +48,20 @@ def ingest_local_file(
 
 
 def ingest_http(
-    landing_dir: str, trip_type: str, year: int, month: int, timeout: int = 300
+    landing_dir: str,
+    trip_type: str,
+    year: int,
+    month: int,
+    timeout: int = 300,
+    url_template: str = TLC_URL_TEMPLATE,
 ) -> Path:
-    """Stream one (fleet, month) file from the TLC CDN (S1) into landing."""
+    """Stream one (fleet, month) file from the TLC CDN (S1) into landing.
+
+    ``url_template`` defaults to the public TLC CDN; tests point it at a
+    local ``http.server`` to drive the full HTTP path offline."""
     dst = landing_key(landing_dir, trip_type, year, month)
     dst.parent.mkdir(parents=True, exist_ok=True)
-    url = TLC_URL_TEMPLATE.format(trip_type=trip_type, year=year, month=month)
+    url = url_template.format(trip_type=trip_type, year=year, month=month)
     with urllib.request.urlopen(url, timeout=timeout) as resp, open(dst, "wb") as out:
         shutil.copyfileobj(resp, out)
     return dst
