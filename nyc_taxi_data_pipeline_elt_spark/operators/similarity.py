@@ -345,6 +345,41 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _sign_buckets_arrow(
+    base: DataFrame, planes: list[list[float]], id_col: str, id_field: str
+) -> DataFrame:
+    """Row-local sign-LSH bucketing as one Arrow-vectorized narrow stage.
+
+    The JVM alternative — ``lsh_bucket``'s unrolled dot products — is a
+    nested add-tree of n_planes*dim terms that overflows Janino's 64KB
+    method limit beyond ~4 planes at dim 64, dropping the whole stage to
+    interpreted eval. Accumulation runs dimension-by-dimension so every
+    (vector, plane) dot keeps DuckDB list_dot_product's left-to-right
+    association; sign bits agree bit-exactly with the SQL twin."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.asarray(planes, dtype=np.float64)
+    weights = 1 << np.arange(len(planes), dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            D = V[:, 0:1] * P[:, 0][None, :]
+            for i in range(1, V.shape[1]):
+                D = D + V[:, i : i + 1] * P[:, i][None, :]
+            bucket = ((D >= 0) * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "v": pdf["v"], "bucket": bucket}
+            )
+
+    return base.mapInPandas(
+        gen, schema=f"{id_col} {id_field}, v array<double>, bucket long"
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,
@@ -354,18 +389,23 @@ def lsh_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: probe only the query's sign-LSH
-    bucket. The index build is one projection (no shuffle at all — the
-    bucket is row-local, unlike IVF's centroid aggregation); serving
-    fetches the query's bucket as a driver scalar and probes with a
-    pushed-down ``bucket = <b>`` filter, so a corpus clustered by bucket
-    scans ~1/2^n_planes of its files. Recall depends on n_planes: more
-    planes = smaller buckets = faster and less complete (multi-probe —
-    flipping low-margin bits — is the standard extension).
+    bucket. The index build is one row-local Arrow stage (no shuffle at
+    all, unlike IVF's centroid aggregation); serving fetches the query's
+    bucket as a driver scalar and probes with a ``bucket = <b>`` filter —
+    on a corpus WRITTEN with its bucket column (the deployment shape),
+    that probe is a pushed-down scan predicate skipping ~1-1/2^n_planes
+    of the files. Recall depends on n_planes: more planes = smaller
+    buckets = faster and less complete (multi-probe — flipping low-margin
+    bits — is the standard extension).
     """
     planes = _hyperplanes(n_planes)
-    e = embeddings.select(
-        F.col(id_col), as_double(vec_col).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    id_field = embeddings.schema[id_col].dataType.simpleString()
+    e = _sign_buckets_arrow(
+        embeddings.select(F.col(id_col), as_double(vec_col).alias("v")),
+        planes,
+        id_col,
+        id_field,
+    )
     qrow = (
         e.filter(F.col(id_col) == query_vec_id)
         .select("v", "bucket")
