@@ -316,6 +316,156 @@ WHERE round({cos}, 6) >= {threshold} OR isnan({cos})
 """
 
 
+def knn_join_blocked(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_bands: int = 4,
+    band_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN *join*: top-k cosine neighbors for EVERY vector,
+    candidates blocked by the same banded sign-LSH as
+    :func:`neardup_pairs_blocked` — the production all-vectors shape
+    (dedup clustering input, retrieval-index build) that single-query
+    top-k serving doesn't cover.
+
+    Physical shape: Arrow band-key stage (narrow) -> shuffle on band
+    keys -> per-bucket directed-pair slab kernel -> pair dedup across
+    bands -> one window shuffle on the vector id for the per-id top-k.
+    Never all-pairs, no driver collect, no corpus broadcast. Neighbors
+    outside every shared bucket are missed (recall follows the banding
+    formula); both engines derive the identical approximation.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    planes = _hyperplanes(n_bands * band_planes)
+    id_type = dict(embeddings.dtypes)[id_col]
+    base = embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("v")
+    )
+    P = np.asarray(planes, dtype=np.float64)
+
+    def band_keys(batches):
+        weights = 1 << np.arange(band_planes, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            D = V[:, 0:1] * P[:, 0][None, :]
+            for i in range(1, V.shape[1]):
+                D = D + V[:, i : i + 1] * P[:, i][None, :]
+            bits = D >= 0
+            frames = []
+            for b in range(n_bands):
+                bucket = (
+                    bits[:, b * band_planes : (b + 1) * band_planes] * weights
+                ).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id": pdf["id"],
+                            "v": pdf["v"],
+                            "band": np.full(len(pdf), b, dtype=np.int32),
+                            "bucket": bucket,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    keyed = base.mapInPandas(
+        band_keys, schema=f"id {id_type}, v array<double>, band int, bucket long"
+    )
+
+    def bucket_neighbors(pdf: pd.DataFrame) -> pd.DataFrame:
+        A = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        ids = pdf["id"].to_numpy()
+        dim = A.shape[1]
+        S = A[:, 0:1] * A[:, 0][None, :]
+        nrm = A[:, 0] * A[:, 0]
+        for i in range(1, dim):
+            S = S + A[:, i : i + 1] * A[:, i][None, :]
+            nrm = nrm + A[:, i] * A[:, i]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = S / np.sqrt(nrm[:, None] * nrm[None, :])
+            r = np.floor(cos * 1e6 + 0.5) / 1e6
+        keep = ids[:, None] != ids[None, :]
+        ia, ib = np.nonzero(keep)
+        return pd.DataFrame(
+            {"id": ids[ia], "nbr": ids[ib], "cos_sim": r[ia, ib]}
+        )
+
+    pairs = keyed.groupBy("band", "bucket").applyInPandas(
+        bucket_neighbors,
+        schema=f"id {id_type}, nbr {id_type}, cos_sim double",
+    ).dropDuplicates(["id", "nbr"])
+    w = Window.partitionBy("id").orderBy(F.col("cos_sim").desc(), F.col("nbr"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("nbr").alias("neighbor_id"),
+            "cos_sim",
+        )
+    )
+
+
+def knn_join_oracle_sql(
+    k: int = 3, n_bands: int = 4, band_planes: int = 4
+) -> str:
+    """DuckDB twin of :func:`knn_join_blocked`: per-band equi-joins
+    unioned into the directed candidate set, exact cosine, per-id
+    row_number top-k with the same (cos desc, neighbor) tie-break."""
+    planes = _hyperplanes(n_bands * band_planes)
+
+    def bits(sub: list[list[float]]) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(sub)
+        )
+
+    band_exprs = ",\n         ".join(
+        f"({bits(planes[b * band_planes:(b + 1) * band_planes])}) AS b{b}"
+        for b in range(n_bands)
+    )
+    union = "\n  UNION\n".join(
+        f"  SELECT a.vec_id AS va, b.vec_id AS vb\n"
+        f"  FROM e a JOIN e b ON a.vec_id <> b.vec_id AND a.b{b} = b.b{b}"
+        for b in range(n_bands)
+    )
+    cos = (
+        "list_dot_product(ea.v, eb.v) / sqrt(list_dot_product(ea.v, ea.v)"
+        " * list_dot_product(eb.v, eb.v))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {band_exprs}
+  FROM embeddings
+),
+cand AS (
+{union}
+),
+scored AS (
+  SELECT c.va AS vec_id, c.vb AS neighbor_id, round({cos}, 6) AS cos_sim
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.va
+  JOIN e eb ON eb.vec_id = c.vb
+)
+SELECT vec_id, neighbor_id, cos_sim FROM (
+  SELECT vec_id, neighbor_id, cos_sim,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
 def _hyperplanes(n_planes: int, dim: int = EMBED_DIM) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes for sign-LSH, derived
     from a fixed seed and rounded to 6 decimals so the SAME literal
@@ -424,12 +574,61 @@ def lsh_topk(
     )
 
 
+def lsh_topk_multiprobe(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k: probe the query's bucket AND every
+    bucket at Hamming distance 1 (each single sign bit flipped) —
+    n_planes+1 buckets total. The standard recall fix for sign-LSH:
+    near neighbors lost to one marginal hyperplane crossing come back,
+    at ~(n_planes+1)/2^n_planes of the corpus scanned instead of
+    1/2^n_planes. The probe set is computed driver-side from the query's
+    bucket (n_planes+1 integer literals), so on a bucket-clustered
+    corpus the probe is still a pushed-down ``bucket IN (...)`` scan."""
+    planes = _hyperplanes(n_planes)
+    id_field = embeddings.schema[id_col].dataType.simpleString()
+    e = _sign_buckets_arrow(
+        embeddings.select(F.col(id_col), as_double(vec_col).alias("v")),
+        planes,
+        id_col,
+        id_field,
+    )
+    qrow = (
+        e.filter(F.col(id_col) == query_vec_id)
+        .select("v", "bucket")
+        .first()
+    )
+    qb = int(qrow["bucket"])
+    probes = [qb] + [qb ^ (1 << i) for i in range(n_planes)]
+    qvec = F.array(*[F.lit(float(x)) for x in qrow["v"]])
+    return (
+        e.filter(F.col("bucket").isin(probes))
+        .filter(F.col(id_col) != query_vec_id)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col("v"), qvec), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_oracle_sql(
-    query_vec_id: int = 0, k: int = 10, n_planes: int = 6
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = 6,
+    multiprobe: bool = False,
 ) -> str:
-    """DuckDB twin of :func:`lsh_topk`, generated from the same
-    hyperplane literals (list_dot_product is left-to-right, the same
-    association as the unrolled Spark expression)."""
+    """DuckDB twin of :func:`lsh_topk` / :func:`lsh_topk_multiprobe`,
+    generated from the same hyperplane literals (list_dot_product is
+    left-to-right, the same association as the Arrow bucket stage). The
+    multi-probe candidate set "Hamming distance <= 1" is expressed as
+    ``xor(bucket, qbucket)`` being 0 or a power of two."""
     planes = _hyperplanes(n_planes)
     bits = " + ".join(
         f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN {1 << i} ELSE 0 END)"
@@ -439,6 +638,11 @@ def lsh_oracle_sql(
         "list_dot_product(v, qvec) / sqrt(list_dot_product(v, v)"
         " * list_dot_product(qvec, qvec))"
     )
+    if multiprobe:
+        xors = ", ".join(str(1 << i) for i in range(n_planes))
+        probe = f"(bucket = qbucket OR xor(bucket, qbucket) IN ({xors}))"
+    else:
+        probe = "bucket = qbucket"
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -448,7 +652,7 @@ WITH e AS (
 q AS (SELECT v AS qvec, bucket AS qbucket FROM e WHERE vec_id = {query_vec_id})
 SELECT vec_id, round({cos}, 6) AS cos_sim
 FROM e, q
-WHERE bucket = qbucket AND vec_id <> {query_vec_id}
+WHERE {probe} AND vec_id <> {query_vec_id}
 ORDER BY cos_sim DESC, vec_id
 LIMIT {k}
 """

@@ -1391,10 +1391,103 @@ LIMIT 25
 """
 
 
+# --- outer joins (completes the §2.7 join-type enumeration) -----------------
+def nation_wealth_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two sparse per-nation aggregates: nations with
+    high-balance customers vs nations with high-balance suppliers. Either
+    side can be missing for a nation, so the outer join (with coalesced
+    zero counts) is load-bearing, not decorative. Plan shape: two
+    shuffled aggregates over dimension-bounded keys, then a full outer
+    sort-merge join — at scale both inputs are already tiny post-agg."""
+    tune(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = (
+        customer.filter(F.col("c_acctbal") > 9000)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("rich_customers"))
+    )
+    supp = (
+        supplier.filter(F.col("s_acctbal") > 9000)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("rich_suppliers"))
+    )
+    return (
+        cust.join(supp, "n_name", "full_outer")
+        .select(
+            "n_name",
+            F.coalesce("rich_customers", F.lit(0)).alias("rich_customers"),
+            F.coalesce("rich_suppliers", F.lit(0)).alias("rich_suppliers"),
+        )
+    )
+
+
+NATION_WEALTH_ORACLE = """
+WITH cust AS (
+  SELECT n_name, count(*) AS rich_customers
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE c_acctbal > 9000 GROUP BY n_name
+),
+supp AS (
+  SELECT n_name, count(*) AS rich_suppliers
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE s_acctbal > 9000 GROUP BY n_name
+)
+SELECT coalesce(cust.n_name, supp.n_name) AS n_name,
+       coalesce(rich_customers, 0) AS rich_customers,
+       coalesce(rich_suppliers, 0) AS rich_suppliers
+FROM cust FULL OUTER JOIN supp ON cust.n_name = supp.n_name
+"""
+
+
+# --- set operations: INTERSECT / EXCEPT (absent in the reference, §2.5) -----
+def customer_year_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer retention via set ops: buyers active in both 1995 and
+    1996 (INTERSECT) vs churned 1995-only buyers (EXCEPT). Spark plans
+    both as left-semi/left-anti joins over the distinct key sets — the
+    same aggregate-then-join shape as the subquery battery, so the set
+    syntax costs nothing extra at scale."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .select("o_custkey")
+        .distinct()
+    )
+    y96 = (
+        orders.filter(F.year("o_orderdate") == 1996)
+        .select("o_custkey")
+        .distinct()
+    )
+    both = y95.intersect(y96).agg(F.count("*").alias("n_customers")).select(
+        F.lit("retained").alias("segment"), "n_customers"
+    )
+    churned = y95.exceptAll(y96).agg(F.count("*").alias("n_customers")).select(
+        F.lit("churned").alias("segment"), "n_customers"
+    )
+    return both.unionByName(churned)
+
+
+CUSTOMER_OVERLAP_ORACLE = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT 'retained' AS segment,
+       (SELECT count(*) FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)) AS n_customers
+UNION ALL
+SELECT 'churned',
+       (SELECT count(*) FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96))
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "events_xml_stats": events_xml_stats,
     "copurchase_part_pairs": copurchase_part_pairs,
+    "nation_wealth_coverage": nation_wealth_coverage,
+    "customer_year_overlap": customer_year_overlap,
     "revenue_by_nation": revenue_by_nation,
     "shipping_priority_topk": shipping_priority_topk,
     "customers_without_open_orders": customers_without_open_orders,
@@ -1478,4 +1571,6 @@ ORACLE = {
     "order_rank_positions": RANK_POSITIONS_ORACLE,
     "events_variant_stats": VARIANT_ORACLE,
     "nation_trade_volume": NATION_TRADE_ORACLE,
+    "nation_wealth_coverage": NATION_WEALTH_ORACLE,
+    "customer_year_overlap": CUSTOMER_OVERLAP_ORACLE,
 }

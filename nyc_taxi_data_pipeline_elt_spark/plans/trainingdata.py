@@ -281,6 +281,33 @@ def simsearch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_TOPK_ORACLE = S.lsh_oracle_sql(query_vec_id=0, k=10, n_planes=5)
 
 
+def simsearch_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH top-k: the query bucket plus every Hamming-1
+    neighbor bucket — the standard recall fix for marginal hyperplane
+    crossings, still a bucket-literal probe scan."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk_multiprobe(emb, query_vec_id=0, k=10, n_planes=5)
+
+
+LSH_MULTIPROBE_ORACLE = S.lsh_oracle_sql(
+    query_vec_id=0, k=10, n_planes=5, multiprobe=True
+)
+
+
+def knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH blocked kNN join: top-3 cosine neighbors for every
+    vector — the all-vectors retrieval/dedup-input shape; candidates
+    blocked exactly like embedding_neardup_blocked, ranked per id with
+    one window shuffle."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_join_blocked(emb, k=3)
+
+
+KNN_JOIN_ORACLE = S.knn_join_oracle_sql(k=3)
+
+
 def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -846,6 +873,8 @@ QUERIES = {
     "embedding_neardup_blocked": embedding_neardup_blocked,
     "simsearch_ivf_topk": simsearch_ivf_topk,
     "simsearch_lsh_topk": simsearch_lsh_topk,
+    "simsearch_lsh_multiprobe": simsearch_lsh_multiprobe,
+    "knn_join_embeddings": knn_join_embeddings,
     "source_quality_udaf": source_quality_udaf,
     "text_stats": text_stats,
     "lang_id_docs": lang_id_docs,
@@ -876,6 +905,8 @@ ORACLE = {
     "embedding_neardup_blocked": NEARDUP_BLOCKED_ORACLE,
     "simsearch_ivf_topk": IVF_ORACLE,
     "simsearch_lsh_topk": LSH_TOPK_ORACLE,
+    "simsearch_lsh_multiprobe": LSH_MULTIPROBE_ORACLE,
+    "knn_join_embeddings": KNN_JOIN_ORACLE,
     "source_quality_udaf": SOURCE_QUALITY_ORACLE,
     "text_stats": TEXT_STATS_ORACLE,
     "lang_id_docs": _lang_id_oracle(),
