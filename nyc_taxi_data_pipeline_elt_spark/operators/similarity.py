@@ -398,10 +398,19 @@ def knn_join_blocked(
             {"id": ids[ia], "nbr": ids[ib], "cos_sim": r[ia, ib]}
         )
 
-    pairs = keyed.groupBy("band", "bucket").applyInPandas(
-        bucket_neighbors,
-        schema=f"id {id_type}, nbr {id_type}, cos_sim double",
-    ).dropDuplicates(["id", "nbr"])
+    # One repartition on id serves BOTH downstream clusterings: hash(id)
+    # satisfies the (id, nbr) clustering dropDuplicates requires (subset
+    # rule) and is exactly the window's partitioning — so dedup + top-k
+    # add zero further exchanges after the band shuffle.
+    pairs = (
+        keyed.groupBy("band", "bucket")
+        .applyInPandas(
+            bucket_neighbors,
+            schema=f"id {id_type}, nbr {id_type}, cos_sim double",
+        )
+        .repartition("id")
+        .dropDuplicates(["id", "nbr"])
+    )
     w = Window.partitionBy("id").orderBy(F.col("cos_sim").desc(), F.col("nbr"))
     return (
         pairs.withColumn("rn", F.row_number().over(w))

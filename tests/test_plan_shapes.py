@@ -85,6 +85,14 @@ def test_neardup_blocked_is_distributed(spark):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
+def test_knn_join_two_exchanges(spark):
+    """Blocked kNN join: band-key shuffle + ONE id repartition that both
+    the pair dedup (subset clustering rule) and the top-k window reuse."""
+    plan = _plan(trainingdata.knn_join_embeddings(spark, SF_DIR))
+    assert "BroadcastExchange" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_quota_sample_single_shuffle(spark):
     """Quota sampling shuffles once on the stratum key; ranking adds no
     extra exchange."""

@@ -34,6 +34,33 @@ def test_blocked_recall_improves_with_more_bands(spark):
     assert len(more) > len(few)
 
 
+def test_multiprobe_recall_superset(spark):
+    """Multi-probe scans the exact bucket plus all Hamming-1 buckets, so
+    its top-k similarity floor is at least the single-probe one."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    single = S.lsh_topk(emb, query_vec_id=0, k=10, n_planes=5).collect()
+    multi = S.lsh_topk_multiprobe(emb, query_vec_id=0, k=10, n_planes=5).collect()
+    assert len(multi) >= len(single)
+    assert min(r.cos_sim for r in multi) >= min(r.cos_sim for r in single)
+
+
+def test_knn_join_matches_bruteforce_for_query_vector(spark):
+    """Where blocking keeps the true neighbors, the kNN join's row for a
+    vector agrees with exact brute force — check the neighbor list for
+    vec 0 is a subset of its brute-force top-20."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    knn = {
+        r.neighbor_id
+        for r in S.knn_join_blocked(emb, k=3).filter("vec_id = 0").collect()
+    }
+    brute = {
+        r.vec_id
+        for r in S.brute_force_topk(emb, query_vec_id=0, k=20).collect()
+    }
+    assert knn, "no neighbors found for vector 0"
+    assert knn <= brute
+
+
 def test_blocked_construction_runs_no_jobs(spark):
     """Building the blocked plan must stay lazy — the exact verifier's
     driver-side toPandas() is exactly what this path removes."""
