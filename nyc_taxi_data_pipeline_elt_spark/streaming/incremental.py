@@ -46,14 +46,22 @@ from nyc_taxi_data_pipeline_elt_spark.schemas import (
 from nyc_taxi_data_pipeline_elt_spark.session import tune
 
 
-def _discovery_stream(spark: SparkSession, base: Path) -> DataFrame:
+def _discovery_stream(
+    spark: SparkSession, base: Path, max_files_per_trigger: int | None = None
+) -> DataFrame:
     # VendorID is int64 in every TLC file; it is never actually decoded —
     # the projection to input_file_name() prunes all data columns.
+    reader = spark.readStream.schema("VendorID long").option(
+        "recursiveFileLookup", "true"
+    )
+    if max_files_per_trigger is not None:
+        # bounds per-batch work at scale (a backlog of thousands of landing
+        # files processes as a sequence of right-sized commits instead of
+        # one giant batch); with availableNow the run still drains the
+        # whole backlog, just across multiple micro-batches
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return (
-        spark.readStream.schema("VendorID long")
-        .option("recursiveFileLookup", "true")
-        .parquet(str(base))
-        .select(F.input_file_name().alias("path"))
+        reader.parquet(str(base)).select(F.input_file_name().alias("path"))
     )
 
 
@@ -63,10 +71,13 @@ def incremental_process(
     trip_type: str,
     checkpoint_dir: str,
     consumer_table: "SnapshotTable | None" = None,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Process landing files for one fleet incrementally (availableNow).
 
-    Each invocation handles only files not yet recorded in the checkpoint.
+    Each invocation handles only files not yet recorded in the checkpoint;
+    ``max_files_per_trigger`` caps per-batch file count so a large backlog
+    drains as multiple right-sized commits.
 
     With ``consumer_table`` (a ``sources.snapshots.SnapshotTable``), the
     consumer write upgrades from reconcilable-append (``_batch_id`` stamp)
@@ -137,7 +148,7 @@ def incremental_process(
             ).parquet(cfg.consumer_dir)
 
     q = (
-        _discovery_stream(spark, base)
+        _discovery_stream(spark, base, max_files_per_trigger)
         .writeStream.foreachBatch(handle_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -43,3 +43,49 @@ def test_partitioned_write_layout(spark, tmp_path):
 def test_unknown_format_rejected(spark):
     with pytest.raises(ValueError, match="unsupported format"):
         write_table(load_table(spark, SF_DIR, "region"), "/tmp/x", fmt="avro")
+
+
+def _stat_widths(path, col_idx):
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    widths = []
+    for f in _glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            widths.append(st.max - st.min)
+    return sum(widths) / len(widths)
+
+
+def test_zorder_tightens_stats_on_both_columns(spark, tmp_path):
+    """Z-ORDER vs single-key range clustering: sorting on l_orderkey alone
+    leaves l_partkey spanning its full range in every file (no skipping on
+    partkey predicates); the Morton layout keeps BOTH columns' footer
+    min/max windows a fraction of their full range."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.writers import (
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    rng = str(tmp_path / "rng")
+    zrd = str(tmp_path / "zrd")
+    write_range_clustered(li, rng, "l_orderkey", files=8)
+    write_zorder_clustered(li, zrd, ["l_orderkey", "l_partkey"], files=8)
+
+    # column 0 = l_orderkey, 1 = l_partkey in both layouts
+    full_order = _stat_widths(rng, 0) * 8  # range layout tiles the key space
+    assert _stat_widths(zrd, 1) < 0.6 * _stat_widths(rng, 1)
+    assert _stat_widths(zrd, 0) < 0.8 * full_order
+
+    # clustering must not change the data
+    back = spark.read.parquet(zrd)
+    assert back.count() == li.count()
+    assert (
+        back.agg(F.sum("l_quantity")).first()[0]
+        == li.agg(F.sum("l_quantity")).first()[0]
+    )

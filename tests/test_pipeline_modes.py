@@ -104,6 +104,42 @@ def test_three_modes_produce_identical_consumer_tables(spark, landing, tmp_path)
     ) == sorted(map(tuple, inc_dlq.select(*shared).collect()), key=repr)
 
 
+def test_multibatch_drain_matches_single_batch(spark, landing, tmp_path):
+    """maxFilesPerTrigger=1 drains the yellow backlog as one commit per
+    file (distinct batch ids, one snapshot version each) and still lands
+    exactly the single-batch result — exactly-once across a batch
+    SEQUENCE, not just a single batch."""
+    cfg = _cfg(landing, tmp_path, "multibatch")
+    table = SnapshotTable(f"{cfg.consumer_dir}_tbl")
+    incremental_process(
+        spark,
+        cfg,
+        "yellow",
+        str(tmp_path / "ckpt_multi"),
+        consumer_table=table,
+        max_files_per_trigger=1,
+    )
+    versions = [s.version for s in table.history()]
+    assert len(versions) == 2  # two yellow landing files -> two commits
+    multi = table.read(spark)
+    batch_ids = {r._batch_id for r in multi.select("_batch_id").distinct().collect()}
+    assert len(batch_ids) == 2
+
+    single_cfg = _cfg(landing, tmp_path, "singlebatch")
+    single_table = SnapshotTable(f"{single_cfg.consumer_dir}_tbl")
+    incremental_process(
+        spark,
+        single_cfg,
+        "yellow",
+        str(tmp_path / "ckpt_single"),
+        consumer_table=single_table,
+    )
+    key = lambda df: sorted(  # noqa: E731
+        map(tuple, df.select(*CONSUMER_COLUMNS).collect()), key=repr
+    )
+    assert key(multi) == key(single_table.read(spark))
+
+
 def test_incremental_rerun_is_noop_all_sinks(spark, landing, tmp_path):
     """Re-running either incremental mode over an unchanged landing dir
     must add nothing — discovery is checkpointed, commits are per-batch."""
