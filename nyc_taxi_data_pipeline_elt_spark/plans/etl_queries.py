@@ -190,14 +190,56 @@ GROUP BY o_orderstatus
 """
 
 
+def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed drive: orders land in three append commits split
+    by order priority; the feed since v0 must return exactly the rows of
+    the later two commits — resolved as a manifest file-set difference
+    (O(files) metadata, no row diffing), then aggregated. A compaction
+    between reads is invisible to the feed."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import SnapshotTable
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    root = Path(tempfile.gettempdir()) / "ntx_snapshot_cdf" / Path(sf_dir).name
+    shutil.rmtree(root, ignore_errors=True)
+    table = SnapshotTable(str(root))
+    bucket = F.col("o_orderkey") % 3
+    for b in range(3):
+        table.append(orders.filter(bucket == b))
+    return (
+        table.read_changes(spark, since_version=0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+    )
+
+
+SNAPSHOT_CDF_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+FROM orders
+WHERE o_orderkey % 3 IN (1, 2)
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "scd2_user_event_type": scd2_user_event_type,
     "cdc_orders_merge": cdc_orders_merge,
     "snapshot_table_roundtrip": snapshot_table_roundtrip,
+    "snapshot_change_feed": snapshot_change_feed,
 }
 
 ORACLE = {
     "scd2_user_event_type": SCD2_ORACLE,
     "cdc_orders_merge": CDC_ORACLE,
     "snapshot_table_roundtrip": SNAPSHOT_ROUNDTRIP_ORACLE,
+    "snapshot_change_feed": SNAPSHOT_CDF_ORACLE,
 }

@@ -211,11 +211,69 @@ class SnapshotTable:
         return removed
 
     # ---------------- read path ----------------
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
         """Read a snapshot (default: current). The file list is resolved
         ONCE from the manifest — concurrent commits/compactions/vacuums
-        of later versions cannot tear this read."""
+        of later versions cannot tear this read.
+
+        ``merge_schema=True`` unions the footers of every listed file, so
+        a table whose appends evolved the schema (added columns) reads
+        with the full union schema, older rows null-padded — pay the
+        per-file footer union only when evolution actually happened."""
         snap = self.snapshot(version)
         if not snap.files:
             raise FileNotFoundError(f"{self.root}: snapshot v{snap.version} is empty")
-        return spark.read.parquet(*[str(self.root / f) for f in snap.files])
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*[str(self.root / f) for f in snap.files])
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        since_version: int,
+        until_version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Change data feed: rows ADDED after ``since_version`` up to and
+        including ``until_version`` (default: current) — the incremental-
+        consumer shape (downstream jobs read only the delta instead of
+        diffing full snapshots). Because data files are immutable and
+        appends only ever add files, the delta is exactly the manifest
+        file-set difference — an O(files) metadata operation, no row
+        diffing at any scale.
+
+        ``compact`` snapshots rewrite files without changing rows and are
+        skipped; an ``overwrite`` in the range invalidates append-only
+        lineage and raises (same contract as Delta's CDF without
+        update/delete vectors)."""
+        until = self.current_version() if until_version is None else until_version
+        if until is None:
+            raise FileNotFoundError(f"{self.root}: no committed snapshot")
+        added: list[str] = []
+        for v in range(since_version + 1, until + 1):
+            s = self.snapshot(v)
+            if s.op == "compact":
+                continue
+            if s.op != "append":
+                raise ValueError(
+                    f"{self.root}: change feed crosses non-append snapshot "
+                    f"v{v} (op={s.op!r}); read the full snapshot instead"
+                )
+            parent_files = (
+                set(self.snapshot(s.parent).files)
+                if s.parent is not None
+                else set()
+            )
+            added.extend(f for f in s.files if f not in parent_files)
+        if not added:
+            return self.read(spark, until, merge_schema=merge_schema).limit(0)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*[str(self.root / f) for f in added])

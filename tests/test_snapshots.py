@@ -129,3 +129,42 @@ def test_uncommitted_writes_invisible_then_vacuumed(spark, table):
     removed = table.vacuum(keep_versions=1)
     assert set(orphan) <= set(removed)
     assert table.read(spark).count() == 10
+
+
+def test_change_feed_returns_only_the_delta(spark, table):
+    table.append(_df(spark, 0, 10))     # v0
+    table.append(_df(spark, 10, 15))    # v1
+    table.append(_df(spark, 15, 22))    # v2
+    delta = table.read_changes(spark, since_version=0)
+    assert sorted(r.id for r in delta.collect()) == list(range(10, 22))
+    only_v1 = table.read_changes(spark, since_version=0, until_version=1)
+    assert sorted(r.id for r in only_v1.collect()) == list(range(10, 15))
+    # metadata-only: empty range yields an empty frame with the schema
+    none = table.read_changes(spark, since_version=2)
+    assert none.count() == 0 and none.columns == ["id", "v"]
+
+
+def test_change_feed_skips_compaction_rejects_overwrite(spark, table):
+    table.append(_df(spark, 0, 10))     # v0
+    table.compact(spark, target_files=1)  # v1: rewrite, no logical change
+    table.append(_df(spark, 10, 12))    # v2
+    delta = table.read_changes(spark, since_version=0)
+    assert sorted(r.id for r in delta.collect()) == [10, 11]
+    table.overwrite(_df(spark, 0, 3))   # v3
+    with pytest.raises(ValueError, match="non-append"):
+        table.read_changes(spark, since_version=0)
+
+
+def test_schema_evolution_reads_union_schema(spark, table):
+    table.append(_df(spark, 0, 5))
+    evolved = spark.range(5, 8).selectExpr(
+        "id", "id * 2 AS v", "CAST(id AS STRING) AS tag"
+    )
+    table.append(evolved)
+    merged = table.read(spark, merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "tag"}
+    rows = {r.id: r.tag for r in merged.collect()}
+    assert rows[6] == "6" and rows[0] is None
+    # change feed carries the evolved schema too
+    delta = table.read_changes(spark, since_version=0, merge_schema=True)
+    assert set(delta.columns) == {"id", "v", "tag"}
