@@ -233,6 +233,37 @@ class SnapshotTable:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*[str(self.root / f) for f in snap.files])
 
+    def process_changes(
+        self,
+        spark: SparkSession,
+        checkpoint: str,
+        handle,
+    ) -> int | None:
+        """Incremental consumer over this table: feed every not-yet-seen
+        version's delta to ``handle(df, until_version)``, then advance an
+        atomically-swapped checkpoint file — the downstream half of the
+        change-data-feed story (a consumer re-run costs one pointer read
+        when nothing changed). Delivery is at-least-once across crashes
+        (handle ran, checkpoint not yet written); pass the supplied
+        version as a batch id into an idempotent sink — e.g.
+        ``downstream.commit_batch(df, batch_id=version)`` — to get
+        exactly-once end to end. Returns the newly-recorded version, or
+        None when there was nothing to process."""
+        ck = Path(checkpoint)
+        try:
+            last = int(ck.read_text().strip())
+        except (FileNotFoundError, ValueError):
+            last = -1
+        cur = self.current_version()
+        if cur is None or cur <= last:
+            return None
+        handle(self.read_changes(spark, since_version=last, until_version=cur), cur)
+        ck.parent.mkdir(parents=True, exist_ok=True)
+        tmp = ck.with_name(f".{ck.name}.{uuid.uuid4().hex}")
+        tmp.write_text(str(cur))
+        os.replace(tmp, ck)
+        return cur
+
     def read_changes(
         self,
         spark: SparkSession,

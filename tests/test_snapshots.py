@@ -168,3 +168,55 @@ def test_schema_evolution_reads_union_schema(spark, table):
     # change feed carries the evolved schema too
     delta = table.read_changes(spark, since_version=0, merge_schema=True)
     assert set(delta.columns) == {"id", "v", "tag"}
+
+
+def test_process_changes_chains_tables_exactly_once(spark, tmp_path):
+    """Incremental consumer: source-table deltas flow into a downstream
+    snapshot table with version-as-batch-id idempotence — replays after a
+    'crash' (checkpoint deleted) cannot double-append."""
+    src = SnapshotTable(str(tmp_path / "src"))
+    dst = SnapshotTable(str(tmp_path / "dst"))
+    ck = str(tmp_path / "consumer.ckpt")
+
+    def copy(df, version):
+        dst.commit_batch(df, batch_id=version)
+
+    src.append(_df(spark, 0, 10))           # v0
+    assert src.process_changes(spark, ck, copy) == 0
+    src.append(_df(spark, 10, 15))          # v1
+    src.append(_df(spark, 15, 18))          # v2
+    assert src.process_changes(spark, ck, copy) == 2
+    assert dst.read(spark).count() == 18
+    # idle call: one pointer read, no work
+    assert src.process_changes(spark, ck, copy) is None
+    # crash before checkpoint write -> replay is absorbed by the batch id
+    import os as _os
+
+    _os.remove(ck)
+    assert src.process_changes(spark, ck, copy) == 2
+    assert dst.read(spark).count() == 18
+
+
+def test_python_datasource_reads_snapshots(spark, table, tmp_path):
+    """spark.read.format('snapshot_table') resolves the manifest at plan
+    time: current version by default, any version via time travel, one
+    input partition per committed file."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    table.append(_df(spark, 0, 10))     # v0
+    table.append(_df(spark, 10, 15))    # v1
+    cur = (
+        spark.read.format("snapshot_table").load(str(table.root))
+    )
+    assert cur.count() == 15
+    assert sorted(cur.columns) == ["id", "v"]
+    assert cur.agg({"v": "sum"}).first()[0] == sum(2 * i for i in range(15))
+    v0 = (
+        spark.read.format("snapshot_table")
+        .option("version", 0)
+        .load(str(table.root))
+    )
+    assert v0.count() == 10
