@@ -45,6 +45,7 @@ _PRIORITY_WINDOW = [
     "q1_monthly_revenue",
     "q2_hourly_avg_value",
     "dq_filter_orders",
+    "dq_expectations_orders",
     "union_fleets_unify",
     "topk_orders",
     # catalog + SQL consumption (S9/S10) and ORDER BY surface (§2.6)
@@ -88,8 +89,9 @@ _PRIORITY_WINDOW = [
     "scd2_user_event_type",
     "cdc_orders_merge",
     "snapshot_table_roundtrip",
-    # dedup / ANN family
-    "dedup_ngram_jaccard",
+    # dedup / ANN family (ngram_jaccard rotates out this round — green in
+    # r1 and still locally parity-tested — to make room for the new
+    # aggregate-expectations capability above)
     "dedup_simhash",
     "dedup_clusters",
     "embedding_neardup_blocked",

@@ -55,6 +55,81 @@ def trips_rules() -> list[Rule]:
     ]
 
 
+# ---------------------------------------------------------------------------
+# Aggregate-level expectations: the "active DQ monitoring with rule
+# libraries" the reference's improvement list asks for (README.md:152) —
+# row-level rules above catch bad ROWS; expectations catch bad BATCHES
+# (row-count collapse, null-rate spikes, key-uniqueness breaks, domain
+# drift) before they propagate downstream.
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One table-level constraint.
+
+    kinds: ``row_count_min`` (threshold), ``null_rate_max`` (column +
+    threshold), ``unique`` (column), ``accepted_values`` (column +
+    values), ``min_value`` / ``max_value`` (column + threshold).
+    """
+
+    name: str
+    kind: str
+    column: str | None = None
+    threshold: float | None = None
+    values: tuple = ()
+
+
+def check_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Evaluate every expectation in ONE aggregation pass over ``df`` and
+    return a report frame ``(expectation, metric, passed)``.
+
+    All metrics compile into a single ``agg`` — one scan, one 1-row
+    result regardless of table size (the collect is O(#expectations)
+    scalars, metadata not data). Metrics are rounded at 6dp so the report
+    is engine-portable for the differential oracle.
+    """
+    aggs = []
+    n = F.count(F.lit(1)).cast("double")
+    for i, e in enumerate(expectations):
+        if e.kind == "row_count_min":
+            m = n
+        elif e.kind == "null_rate_max":
+            m = F.sum(F.col(e.column).isNull().cast("double")) / n
+        elif e.kind == "unique":
+            # duplicate fraction: 0.0 iff the column is unique
+            m = (n - F.count_distinct(F.col(e.column)).cast("double")) / n
+        elif e.kind == "accepted_values":
+            m = F.sum(
+                (~F.col(e.column).isin(*e.values)).cast("double")
+            ) / n
+        elif e.kind == "min_value":
+            m = F.min(F.col(e.column)).cast("double")
+        elif e.kind == "max_value":
+            m = F.max(F.col(e.column)).cast("double")
+        else:
+            raise ValueError(f"unknown expectation kind {e.kind!r}")
+        aggs.append(F.round(m, 6).alias(f"m{i}"))
+    row = df.agg(*aggs).first()
+
+    spark = df.sparkSession
+    report = []
+    for i, e in enumerate(expectations):
+        metric = float(row[f"m{i}"]) if row[f"m{i}"] is not None else None
+        if e.kind == "row_count_min":
+            passed = metric is not None and metric >= e.threshold
+        elif e.kind in ("null_rate_max", "unique", "accepted_values"):
+            limit = e.threshold if e.kind == "null_rate_max" else 0.0
+            passed = metric is not None and metric <= (limit or 0.0)
+        elif e.kind == "min_value":
+            passed = metric is not None and metric >= e.threshold
+        else:  # max_value
+            passed = metric is not None and metric <= e.threshold
+        report.append((e.name, metric, bool(passed)))
+    return spark.createDataFrame(
+        report, "expectation string, metric double, passed boolean"
+    )
+
+
 def apply_quality(df: DataFrame, rules: list[Rule]) -> QualityResult:
     """Split ``df`` into (good, bad-with-violations)."""
     if not rules:

@@ -164,12 +164,72 @@ LIMIT 10
 """
 
 
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-level expectations over orders — the reference README's
+    own 'active DQ monitoring' to-do (README.md:152), evaluated in ONE
+    aggregation pass (row-level rules catch bad rows; these catch bad
+    batches: count collapse, null spikes, key breaks, domain drift)."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.quality import (
+        Expectation,
+        check_expectations,
+    )
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return check_expectations(
+        orders,
+        [
+            Expectation("orders_nonempty", "row_count_min", threshold=1000),
+            Expectation("custkey_not_null", "null_rate_max", "o_custkey", 0.0),
+            Expectation("orderkey_unique", "unique", "o_orderkey"),
+            Expectation(
+                "status_domain",
+                "accepted_values",
+                "o_orderstatus",
+                values=("O", "F", "P"),
+            ),
+            Expectation("price_non_negative", "min_value", "o_totalprice", 0.0),
+        ],
+    )
+
+
+DQ_EXPECTATIONS_ORACLE = """
+SELECT 'orders_nonempty' AS expectation,
+       round(CAST(count(*) AS DOUBLE), 6) AS metric,
+       count(*) >= 1000 AS passed
+FROM orders
+UNION ALL
+SELECT 'custkey_not_null',
+       round(sum(CAST(o_custkey IS NULL AS INT)) / CAST(count(*) AS DOUBLE), 6),
+       sum(CAST(o_custkey IS NULL AS INT)) / CAST(count(*) AS DOUBLE) <= 0.0
+FROM orders
+UNION ALL
+SELECT 'orderkey_unique',
+       round((count(*) - count(DISTINCT o_orderkey)) / CAST(count(*) AS DOUBLE), 6),
+       (count(*) - count(DISTINCT o_orderkey)) / CAST(count(*) AS DOUBLE) <= 0.0
+FROM orders
+UNION ALL
+SELECT 'status_domain',
+       round(sum(CAST(o_orderstatus NOT IN ('O','F','P') AS INT))
+             / CAST(count(*) AS DOUBLE), 6),
+       sum(CAST(o_orderstatus NOT IN ('O','F','P') AS INT))
+             / CAST(count(*) AS DOUBLE) <= 0.0
+FROM orders
+UNION ALL
+SELECT 'price_non_negative',
+       round(CAST(min(o_totalprice) AS DOUBLE), 6),
+       min(o_totalprice) >= 0.0
+FROM orders
+"""
+
+
 QUERIES = {
     "q1_monthly_revenue": q1_monthly_revenue,
     "q2_hourly_avg_value": q2_hourly_avg_value,
     "dq_filter_orders": dq_filter_orders,
     "union_fleets_unify": union_fleets_unify,
     "topk_orders": topk_orders,
+    "dq_expectations_orders": dq_expectations_orders,
 }
 
 ORACLE = {
@@ -178,4 +238,5 @@ ORACLE = {
     "dq_filter_orders": DQ_ORACLE,
     "union_fleets_unify": UNION_ORACLE,
     "topk_orders": TOPK_ORACLE,
+    "dq_expectations_orders": DQ_EXPECTATIONS_ORACLE,
 }

@@ -68,3 +68,35 @@ def test_quality_split_routes_violations(spark):
     assert ("amount_non_negative",) in bad_rows  # the -1 amount row
     assert ("passengers_positive", "amount_non_negative") in bad_rows  # all-null row
     assert good.count() + bad.count() == df.count()
+
+
+def test_expectations_catch_bad_batches(spark):
+    """Aggregate expectations: a batch with a null spike and a duplicate
+    key fails exactly those checks, one aggregation pass for all."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.quality import (
+        Expectation,
+        check_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, 3.0), (2, "b", -1.0)],
+        "k int, name string, amount double",
+    )
+    report = {
+        r.expectation: (r.metric, r.passed)
+        for r in check_expectations(
+            df,
+            [
+                Expectation("nonempty", "row_count_min", threshold=1),
+                Expectation("name_nulls", "null_rate_max", "name", 0.1),
+                Expectation("k_unique", "unique", "k"),
+                Expectation("amount_min", "min_value", "amount", 0.0),
+                Expectation("amount_max", "max_value", "amount", 100.0),
+            ],
+        ).collect()
+    }
+    assert report["nonempty"] == (3.0, True)
+    assert report["name_nulls"][1] is False  # 1/3 > 0.1
+    assert report["k_unique"][1] is False  # duplicate k=2
+    assert report["amount_min"] == (-1.0, False)
+    assert report["amount_max"] == (5.0, True)
