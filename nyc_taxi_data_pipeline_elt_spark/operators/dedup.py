@@ -72,14 +72,13 @@ def lsh_band_keys(sig_prefix: str = "mh") -> list[Column]:
     return keys
 
 
-def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash.
-
-    Returns distinct (doc_a, doc_b) with doc_a < doc_b that collide in at
-    least one band. Signature = one hash-aggregate over the shingle rows
-    (k mins computed map-side partial); the self-join shuffles on
-    (band_idx, band_key) only.
-    """
+def minhash_band_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """MinHash LSH index rows ``(id_col, band_idx, band_key)`` — the
+    persistable band index: signature = one hash-aggregate over the
+    shingle rows (k mins computed map-side partial), then one row per
+    band. This IS the stored state of an incremental dedup corpus."""
     sh = shingle_rows(docs, n=3, id_col=id_col, text_col=text_col)
     sig = sh.groupBy(id_col).agg(
         *[
@@ -87,8 +86,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
             for seed in range(MINHASH_K)
         ]
     )
-
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -99,6 +97,49 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_key")
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against an existing corpus WITHOUT touching the
+    corpus text: the corpus exists only as its stored band index
+    (:func:`minhash_band_rows` rows). Returns ``(dups, new_rows)`` —
+    ``dups`` = distinct (new id, matched corpus id) colliding in >= 1
+    band; ``new_rows`` = the batch's band rows, ready to append to the
+    index for the next batch.
+
+    This is the production shape of crawl-time dedup at 100 TB: per
+    batch, cost is one signature aggregate over the NEW docs plus one
+    equi-join against the index on (band_idx, band_key) — the historical
+    corpus is never re-shingled, and the index join shuffles only band
+    keys (or nothing at all if the index is bucketed on them).
+    """
+    new_rows = minhash_band_rows(new_docs, id_col=id_col, text_col=text_col)
+    idx = band_index.select(
+        F.col(id_col).alias("corpus_doc_id"), "band_idx", "band_key"
+    )
+    dups = (
+        new_rows.select(F.col(id_col).alias("new_doc_id"), "band_idx", "band_key")
+        .join(idx, ["band_idx", "band_key"])
+        .select("new_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    return dups, new_rows
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash.
+
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b that collide in at
+    least one band. Signature = one hash-aggregate over the shingle rows
+    (k mins computed map-side partial); the self-join shuffles on
+    (band_idx, band_key) only.
+    """
+    banded = minhash_band_rows(docs, id_col=id_col, text_col=text_col)
 
     left = banded.alias("a")
     right = banded.alias("b")

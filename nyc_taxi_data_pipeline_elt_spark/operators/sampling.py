@@ -84,6 +84,52 @@ def weighted_bottom_k(
     )
 
 
+def mixture_sample(
+    df,
+    source_col: str,
+    key_col: str,
+    target_shares: dict[str, float],
+    salt: str = "mix-",
+):
+    """Corpus mixture sampling: draw the LARGEST sample whose source
+    composition matches ``target_shares`` exactly — the data-mixing step
+    of LLM corpus prep (e.g. 60% web / 30% code / 10% reference).
+
+    Given per-source counts ``n_s`` and target shares ``p_s``, the
+    binding source fixes the total budget ``T = min_s floor(n_s / p_s)``
+    and each source keeps its ``k_s = floor(p_s * T)`` lowest-uniform
+    rows — per-source bottom-k, so membership is deterministic and
+    layout-independent (same md5 uniforms as every other sampler here).
+
+    Physical shape: one tiny groupBy for the counts (driver scalars,
+    O(#sources)), then a rank-per-source window — a single shuffle on the
+    source key. Sources absent from ``target_shares`` are dropped.
+    """
+    from pyspark.sql import Window
+
+    counts = {
+        r["src"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("src"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    budget = min(
+        int(counts.get(s, 0) / p) for s, p in target_shares.items() if p > 0
+    )
+    quotas = {s: int(p * budget) for s, p in target_shares.items()}
+    quota_col = F.create_map(
+        *[F.lit(x) for kv in quotas.items() for x in kv]
+    )[F.col(source_col)]
+    w = Window.partitionBy(source_col).orderBy("_mix_u", key_col)
+    return (
+        df.filter(F.col(source_col).isin(*target_shares))
+        .withColumn("_mix_u", hash_uniform(key_col, salt))
+        .withColumn("_mix_rank", F.row_number().over(w))
+        .filter(F.col("_mix_rank") <= quota_col)
+        .drop("_mix_u", "_mix_rank")
+    )
+
+
 def bottom_k_sample(
     df, k: int, key_col: str, salt: str = "bottomk-", u_col: str = "u"
 ):

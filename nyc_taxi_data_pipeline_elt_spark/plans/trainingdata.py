@@ -136,6 +136,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_docs(docs)
 
 
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-time incremental dedup: the corpus (even doc ids) exists
+    only as its stored MinHash band index; the new batch (odd doc ids)
+    is signed once and joined against that index — the historical corpus
+    is never re-shingled. Result = (new, corpus) collision pairs; the
+    oracle derives the same pairs from the full-corpus LSH pair set
+    restricted to cross-parity pairs."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index = D.minhash_band_rows(corpus)
+    dups, _new_rows = D.incremental_minhash_dedup(batch, index)
+    return dups
+
+
+INCREMENTAL_MINHASH_ORACLE = f"""
+WITH pairs AS ({_minhash_oracle()})
+SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS new_doc_id,
+       CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS corpus_doc_id
+FROM pairs
+WHERE (doc_a % 2) <> (doc_b % 2)
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash candidate pairs -> connected components -> one canonical
     representative per near-dup cluster (the full dedup decision)."""
@@ -564,6 +589,56 @@ LIMIT 100
 """
 
 
+_MIX_SHARES = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture sampling — the LLM data-mixing step: the largest
+    sample whose source composition is exactly 50/30/20 across three
+    sources, membership decided by per-source md5 bottom-k (deterministic
+    at any layout). Output is the per-source count + id checksum, proving
+    exact membership against the oracle."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sample = M.mixture_sample(
+        docs, source_col="source", key_col="doc_id", target_shares=_MIX_SHARES
+    )
+    return sample.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+_MIX_VALUES = ", ".join(f"('{s}', {p})" for s, p in _MIX_SHARES.items())
+MIXTURE_SAMPLE_ORACLE = f"""
+WITH shares(source, p) AS (VALUES {_MIX_VALUES}),
+counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+budget AS (
+  SELECT min(CAST(floor(n / p) AS BIGINT)) AS t
+  FROM counts JOIN shares USING (source)
+),
+ranked AS (
+  SELECT d.doc_id, d.source,
+         CAST(floor(s.p * b.t) AS BIGINT) AS quota,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY ('0x' || substr(md5('mix-' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    / 4294967296.0,
+                    d.doc_id
+         ) AS rnk
+  FROM documents d
+  JOIN shares s ON d.source = s.source
+  CROSS JOIN budget b
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM ranked WHERE rnk <= quota
+GROUP BY source
+"""
+
+
 def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling proportional to document length (the curation
     move: long documents carry more training signal per draw) via
@@ -882,10 +957,12 @@ QUERIES = {
     "shard_assignment": shard_assignment,
     "tfidf_top_terms": tfidf_top_terms,
     "dedup_clusters": dedup_clusters,
+    "dedup_incremental_minhash": dedup_incremental_minhash,
     "chunk_documents": chunk_documents,
     "doc_sample_split": doc_sample_split,
     "doc_bottomk_sample": doc_bottomk_sample,
     "doc_weighted_sample": doc_weighted_sample,
+    "doc_mixture_sample": doc_mixture_sample,
     "bigrams_udtf": bigrams_udtf,
     "unigram_lm_scores": unigram_lm_scores,
     "embedding_quantize": embedding_quantize,
@@ -914,10 +991,12 @@ ORACLE = {
     "shard_assignment": SHARD_ORACLE,
     "tfidf_top_terms": TFIDF_ORACLE,
     "dedup_clusters": _clusters_oracle(),
+    "dedup_incremental_minhash": INCREMENTAL_MINHASH_ORACLE,
     "chunk_documents": CHUNK_ORACLE,
     "doc_sample_split": SAMPLE_SPLIT_ORACLE,
     "doc_bottomk_sample": BOTTOMK_ORACLE,
     "doc_weighted_sample": WEIGHTED_SAMPLE_ORACLE,
+    "doc_mixture_sample": MIXTURE_SAMPLE_ORACLE,
     "bigrams_udtf": BIGRAMS_ORACLE,
     "unigram_lm_scores": UNIGRAM_LM_ORACLE,
     "embedding_quantize": QUANTIZE_ORACLE,

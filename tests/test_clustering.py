@@ -95,3 +95,31 @@ def test_compact_parquet_partitioned_preserves_layout(spark, tmp_path):
     # compaction actually reduced file counts (16 per partition -> ~1)
     n_files = len(list(Path(out).rglob("*.parquet")))
     assert n_files <= 2 * len(part_dirs)
+
+
+def test_incremental_dedup_matches_full_cross_pairs(spark):
+    """Incremental dedup (new batch vs stored band index) must find
+    exactly the full-run candidate pairs that cross the corpus/batch
+    split — without re-signing the corpus."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_rows,
+        minhash_lsh_pairs,
+    )
+    from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    dups, new_rows = incremental_minhash_dedup(batch, minhash_band_rows(corpus))
+    got = {(r.new_doc_id, r.corpus_doc_id) for r in dups.collect()}
+    full = minhash_lsh_pairs(docs).collect()
+    want = {
+        (r.doc_a, r.doc_b) if r.doc_a % 2 == 1 else (r.doc_b, r.doc_a)
+        for r in full
+        if (r.doc_a % 2) != (r.doc_b % 2)
+    }
+    assert got == want and got
+    # the returned rows extend the index for the next batch
+    assert new_rows.columns == ["doc_id", "band_idx", "band_key"]
