@@ -34,6 +34,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.sources.partitionColumnTypeInference.enabled": "true",
     # Arrow for any toPandas()/pandas_udf boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python Data Source filter pushdown (sources/snapshot_datasource.py
+    # implements pushFilters; reading through it requires the flag).
+    "spark.sql.python.filterPushdown.enabled": "true",
     # events.parquet stores TIMESTAMP(NANOS), which the Spark reader
     # rejects; read it as epoch-nanos long and convert in the loader
     # (sources.readers.load_table).

@@ -21,7 +21,26 @@ surface.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+_PUSHABLE = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+    In: "in",
+}
 
 
 class SnapshotDataSource(DataSource):
@@ -67,16 +86,65 @@ class _SnapshotReader(DataSourceReader):
     def __init__(self, files: list[str], columns: list[str]):
         self.files = files
         self.columns = columns
+        self.pushed: list[tuple[str, str, object]] = []
+
+    def pushFilters(self, filters):
+        """Accept simple comparison/IN conjuncts on top-level columns;
+        everything else stays with Spark. Accepted filters are applied
+        EXACTLY (row-level, via pyarrow) in ``read``, and their min/max
+        envelopes additionally prune whole files at planning time — the
+        table-format file-skipping story, driven off footer statistics."""
+        for f in filters:
+            op = _PUSHABLE.get(type(f))
+            if op is not None and len(f.attribute) == 1:
+                value = f.values if isinstance(f, In) else f.value
+                self.pushed.append((f.attribute[0], op, value))
+            else:
+                yield f
+
+    def _file_may_match(self, path: str) -> bool:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for col, op, value in self.pushed:
+            i = names.get(col)
+            if i is None:
+                continue
+            stats = [
+                md.row_group(rg).column(i).statistics
+                for rg in range(md.num_row_groups)
+            ]
+            if not all(s is not None and s.has_min_max for s in stats):
+                continue
+            lo = min(s.min for s in stats)
+            hi = max(s.max for s in stats)
+            if (
+                (op == "=" and not lo <= value <= hi)
+                or (op == ">" and hi <= value)
+                or (op == ">=" and hi < value)
+                or (op == "<" and lo >= value)
+                or (op == "<=" and lo > value)
+                or (op == "in" and not any(lo <= v <= hi for v in value))
+            ):
+                return False
+        return True
 
     def partitions(self):
-        # one partition per committed data file: scan parallelism follows
-        # the manifest, with no directory listing anywhere
-        return [InputPartition(f) for f in self.files]
+        # one partition per committed data file (scan parallelism follows
+        # the manifest, no directory listing), minus files whose footer
+        # stats prove they cannot match the pushed conjuncts
+        files = [f for f in self.files if self._file_may_match(f)]
+        return [InputPartition(f) for f in files]
 
     def read(self, partition: InputPartition):
         import pyarrow.parquet as pq
 
-        # Arrow-vectorized: yield record batches, not per-row tuples
-        yield from pq.ParquetFile(partition.value).iter_batches(
-            columns=self.columns
+        # Arrow-vectorized: yield record batches, not per-row tuples.
+        # Pushed filters are applied exactly here (DNF conjunction), so
+        # Spark never re-evaluates them.
+        filters = [(c, o, list(v) if o == "in" else v) for c, o, v in self.pushed]
+        table = pq.read_table(
+            partition.value, columns=self.columns, filters=filters or None
         )
+        yield from table.to_batches()

@@ -220,3 +220,25 @@ def test_python_datasource_reads_snapshots(spark, table, tmp_path):
         .load(str(table.root))
     )
     assert v0.count() == 10
+
+
+def test_python_datasource_pushes_filters_and_prunes_files(spark, table):
+    """Pushed conjuncts are applied exactly by the connector (pyarrow
+    row-level) and their min/max envelopes prune whole files at planning
+    time: filtering to the second append's key range leaves one input
+    partition."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    table.append(_df(spark, 0, 10).coalesce(1))    # file A: ids 0..9
+    table.append(_df(spark, 10, 20).coalesce(1))   # file B: ids 10..19
+    df = spark.read.format("snapshot_table").load(str(table.root))
+    hit = df.filter("id >= 15")
+    assert sorted(r.id for r in hit.collect()) == list(range(15, 20))
+    # file A (max id 9) is pruned at planning time
+    assert hit.rdd.getNumPartitions() == 1
+    both = df.filter("v < 25")  # ids 0..12 span both files
+    assert both.rdd.getNumPartitions() == 2
+    assert both.count() == 13
