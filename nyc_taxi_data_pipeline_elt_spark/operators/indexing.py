@@ -21,6 +21,58 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    weight_col: str,
+    order_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Sequence packing — assign each document its (sequence id, offset)
+    in a stream of fixed-``capacity`` training sequences, documents laid
+    end-to-end in ``order_col`` order. The core corpus->training-batch
+    step: consumers emit sequence ``seq_id`` by concatenating its docs at
+    their ``seq_offset``, splitting any straddler at the boundary
+    (cumulative-binning contract: offsets are exact, a document whose
+    span crosses a boundary continues into the next sequence).
+
+    Distributed exactly like :func:`with_global_index`: the global
+    running token total is a per-partition cumulative sum plus a
+    broadcast per-partition offset — one range exchange and an
+    O(partitions) side job, never a single-task global window.
+    """
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+    ranged = df.repartitionByRange(partitions, F.col(order_col)).persist()
+
+    pid = F.spark_partition_id()
+    sums = ranged.groupBy(pid.alias("pid")).agg(
+        F.sum(weight_col).alias("toks")
+    )
+    w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.select(
+        "pid", F.coalesce(F.sum("toks").over(w), F.lit(0)).alias("part_offset")
+    )
+    local_before = F.coalesce(
+        F.sum(weight_col).over(
+            Window.partitionBy(pid)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    cum = F.col("part_offset") + F.col("__local_before")
+    return (
+        ranged.withColumn("__pid", pid)
+        .withColumn("__local_before", local_before)
+        .join(F.broadcast(offsets), F.col("__pid") == F.col("pid"))
+        .withColumn("seq_id", F.floor(cum / F.lit(capacity)).cast("long"))
+        .withColumn("seq_offset", (cum % F.lit(capacity)).cast("long"))
+        .drop("__pid", "__local_before", "pid", "part_offset")
+    )
+
+
 def with_global_index(
     df: DataFrame,
     order_col: str,

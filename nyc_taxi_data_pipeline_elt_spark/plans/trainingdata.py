@@ -765,6 +765,41 @@ FROM documents
 """
 
 
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: lay documents end-to-end in doc_id order into
+    4096-char training sequences; each doc gets its (seq_id, seq_offset).
+    Distributed global running total via range partition + broadcast
+    offsets (operators/indexing.py:pack_sequences) — the oracle's single
+    window is exactly the plan shape this operator exists to avoid."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.indexing import (
+        pack_sequences,
+    )
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs.select("doc_id", "n_chars"),
+        capacity=4096,
+        weight_col="n_chars",
+        order_col="doc_id",
+    ).select("doc_id", "n_chars", "seq_id", "seq_offset")
+
+
+PACK_SEQUENCES_ORACLE = """
+SELECT doc_id, n_chars,
+       CAST(floor(cb / 4096) AS BIGINT) AS seq_id,
+       CAST(cb % 4096 AS BIGINT) AS seq_offset
+FROM (
+  SELECT doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cb
+  FROM documents
+)
+"""
+
+
 # --- vectorized scalar UDF (pandas_udf) ------------------------------------------
 def doc_vowel_stats_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar ``@pandas_udf`` surface: Arrow-batched vectorized Python,
@@ -968,6 +1003,7 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "doc_quota_sample": doc_quota_sample,
     "doc_global_index": doc_global_index,
+    "pack_training_sequences": pack_training_sequences,
     "doc_vowel_stats_pandas_udf": doc_vowel_stats_pandas_udf,
 }
 
@@ -1002,5 +1038,6 @@ ORACLE = {
     "embedding_quantize": QUANTIZE_ORACLE,
     "doc_quota_sample": QUOTA_SAMPLE_ORACLE,
     "doc_global_index": GLOBAL_INDEX_ORACLE,
+    "pack_training_sequences": PACK_SEQUENCES_ORACLE,
     "doc_vowel_stats_pandas_udf": VOWEL_UDF_ORACLE,
 }

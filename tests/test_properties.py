@@ -63,3 +63,29 @@ def test_quality_split_partitions_input(spark, data):
     n_good, n_bad = good.count(), bad.count()
     assert n_good + n_bad == len(data)
     assert bad.filter(F.size("dq_violations") == 0).count() == 0
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing contract: offsets advance by exactly the document weights
+    in order, stay inside capacity, and sequence ids never decrease."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.indexing import pack_sequences
+    from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    cap = 2048
+    packed = pack_sequences(
+        docs.select("doc_id", "n_chars"),
+        capacity=cap,
+        weight_col="n_chars",
+        order_col="doc_id",
+    ).orderBy("doc_id").collect()
+    cum = 0
+    prev_seq = 0
+    for r in packed:
+        assert r.seq_id == cum // cap
+        assert r.seq_offset == cum % cap
+        assert 0 <= r.seq_offset < cap
+        assert r.seq_id >= prev_seq
+        prev_seq = r.seq_id
+        cum += r.n_chars
+    assert prev_seq > 0  # corpus actually spans multiple sequences
