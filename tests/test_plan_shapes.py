@@ -85,6 +85,45 @@ def test_neardup_blocked_is_distributed(spark):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
+def test_mixture_sample_single_data_shuffle(spark):
+    """Mixture sampling: apart from the O(#sources) count aggregate, the
+    data path is ONE shuffle on the source key for the per-source rank."""
+    plan = _plan(trainingdata.doc_mixture_sample(spark, SF_DIR))
+    assert "Exchange hashpartitioning(source" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_joins_band_keys_only(spark):
+    """Incremental dedup joins the new batch against the stored index on
+    the band keys — an equi join, never all-pairs."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_rows,
+    )
+    from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents")
+    dups, _ = incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        minhash_band_rows(docs.filter(F.col("doc_id") % 2 == 0)),
+    )
+    plan = _plan(dups)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_idx" in plan and "band_key" in plan
+
+
+def test_pack_sequences_no_global_window_on_data(spark):
+    """Sequence packing must never funnel the corpus through a single
+    task: every window over the data is partitioned; the only
+    single-partition window is the O(partitions) offset side."""
+    plan = _plan(trainingdata.pack_training_sequences(spark, SF_DIR))
+    # the offsets window (tiny) is the only SinglePartition exchange
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "Window" in plan
+
+
 def test_knn_join_two_exchanges(spark):
     """Blocked kNN join: band-key shuffle + ONE id repartition that both
     the pair dedup (subset clustering rule) and the top-k window reuse."""

@@ -89,3 +89,40 @@ def test_pack_sequences_invariants(spark):
         prev_seq = r.seq_id
         cum += r.n_chars
     assert prev_seq > 0  # corpus actually spans multiple sequences
+
+
+def test_mixture_sample_property(spark):
+    """On random per-source populations, the sample composition matches
+    the target shares exactly at the binding-source budget, and
+    membership is layout-independent."""
+    from hypothesis import given, settings, strategies as st
+    from nyc_taxi_data_pipeline_elt_spark.operators.sampling import mixture_sample
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        counts=st.tuples(
+            st.integers(5, 40), st.integers(5, 40), st.integers(5, 40)
+        )
+    )
+    def run(counts):
+        rows, base = [], 0
+        for si, n in enumerate(counts):
+            rows += [(base + i, f"s{si}") for i in range(n)]
+            base += 1000
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        shares = {"s0": 0.5, "s1": 0.3, "s2": 0.2}
+        budget = min(int(n / p) for n, p in zip(counts, shares.values()))
+        sample = mixture_sample(df, "source", "doc_id", shares)
+        got = {
+            r.source: r.n for r in
+            sample.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        for (s, p) in shares.items():
+            assert got.get(s, 0) == int(p * budget)
+        # layout independence: same members after a repartition
+        reparted = mixture_sample(df.repartition(7), "source", "doc_id", shares)
+        assert {r.doc_id for r in sample.collect()} == {
+            r.doc_id for r in reparted.collect()
+        }
+
+    run()
