@@ -79,13 +79,20 @@ class SnapshotDataSource(DataSource):
         return _SnapshotReader(
             [str(table.root / f) for f in snap.files],
             [f.name for f in schema.fields],
+            {str(table.root / f): s for f, s in (snap.stats or {}).items()},
         )
 
 
 class _SnapshotReader(DataSourceReader):
-    def __init__(self, files: list[str], columns: list[str]):
+    def __init__(
+        self,
+        files: list[str],
+        columns: list[str],
+        stats: dict | None = None,
+    ):
         self.files = files
         self.columns = columns
+        self.stats = stats or {}
         self.pushed: list[tuple[str, str, object]] = []
 
     def pushFilters(self, filters):
@@ -102,23 +109,34 @@ class _SnapshotReader(DataSourceReader):
             else:
                 yield f
 
-    def _file_may_match(self, path: str) -> bool:
+    def _envelopes(self, path: str) -> dict:
+        """Per-column [min, max] for a file: manifest stats when the
+        commit recorded them (pure metadata — no file I/O at planning),
+        else one footer read (legacy manifests)."""
+        if path in self.stats:
+            return self.stats[path]
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(path).metadata
-        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        for col, op, value in self.pushed:
-            i = names.get(col)
-            if i is None:
-                continue
+        out: dict = {}
+        for i in range(md.num_columns):
             stats = [
                 md.row_group(rg).column(i).statistics
                 for rg in range(md.num_row_groups)
             ]
-            if not all(s is not None and s.has_min_max for s in stats):
+            if stats and all(s is not None and s.has_min_max for s in stats):
+                out[md.schema.column(i).name] = [
+                    min(s.min for s in stats),
+                    max(s.max for s in stats),
+                ]
+        return out
+
+    def _file_may_match(self, path: str) -> bool:
+        env = self._envelopes(path)
+        for col, op, value in self.pushed:
+            if col not in env:
                 continue
-            lo = min(s.min for s in stats)
-            hi = max(s.max for s in stats)
+            lo, hi = env[col]
             if (
                 (op == "=" and not lo <= value <= hi)
                 or (op == ">" and hi <= value)

@@ -69,6 +69,9 @@ class Snapshot:
     parent: int | None
     batch_id: int | None
     ts: float
+    # per-file column stats: {rel_path: {col: [min, max]}} — recorded at
+    # commit time so readers can prune files from manifest metadata alone
+    stats: dict = None  # type: ignore[assignment]
 
 
 class SnapshotTable:
@@ -101,6 +104,7 @@ class SnapshotTable:
             parent=raw.get("parent"),
             batch_id=raw.get("batch_id"),
             ts=raw["ts"],
+            stats=raw.get("stats", {}),
         )
 
     def history(self) -> list[Snapshot]:
@@ -114,6 +118,7 @@ class SnapshotTable:
         files: list[str],
         op: str,
         batch_id: int | None = None,
+        stats: dict | None = None,
     ) -> Snapshot:
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
         parent = self.current_version()
@@ -126,6 +131,7 @@ class SnapshotTable:
             "parent": parent,
             "batch_id": batch_id,
             "ts": time.time(),
+            "stats": stats or {},
         }
         try:
             # O_EXCL create: the optimistic-concurrency gate. Two racing
@@ -158,14 +164,55 @@ class SnapshotTable:
             if not p.name.startswith((".", "_"))
         ]
 
+    def _collect_stats(self, rel_files: list[str]) -> dict:
+        """Per-file column min/max for just-written files — the Iceberg
+        move: pay O(files) footer reads once at COMMIT time, so every
+        later read can prune files from manifest metadata alone. Only
+        JSON-portable primitive stats are kept."""
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        for rel in rel_files:
+            md = pq.ParquetFile(str(self.root / rel)).metadata
+            cols: dict = {}
+            for i in range(md.num_columns):
+                name = md.schema.column(i).name
+                stats = [
+                    md.row_group(rg).column(i).statistics
+                    for rg in range(md.num_row_groups)
+                ]
+                # zero-row-group files (empty write tasks) carry no stats
+                if not stats or not all(
+                    s is not None and s.has_min_max for s in stats
+                ):
+                    continue
+                lo = min(s.min for s in stats)
+                hi = max(s.max for s in stats)
+                if isinstance(lo, (int, float, str, bool)) and isinstance(
+                    hi, (int, float, str, bool)
+                ):
+                    cols[name] = [lo, hi]
+            if cols:
+                out[rel] = cols
+        return out
+
     def append(self, df: DataFrame, batch_id: int | None = None) -> Snapshot:
         new = self._write_data(df)
         cur = self.current_version()
-        base = list(self.snapshot(cur).files) if cur is not None else []
-        return self._commit(base + new, "append", batch_id=batch_id)
+        base: list[str] = []
+        base_stats: dict = {}
+        if cur is not None:
+            snap = self.snapshot(cur)
+            base = list(snap.files)
+            base_stats = dict(snap.stats or {})
+        base_stats.update(self._collect_stats(new))
+        return self._commit(
+            base + new, "append", batch_id=batch_id, stats=base_stats
+        )
 
     def overwrite(self, df: DataFrame) -> Snapshot:
-        return self._commit(self._write_data(df), "overwrite")
+        new = self._write_data(df)
+        return self._commit(new, "overwrite", stats=self._collect_stats(new))
 
     def commit_batch(self, df: DataFrame, batch_id: int) -> Snapshot | None:
         """Idempotent append for ``foreachBatch``: if ``batch_id`` was
@@ -184,7 +231,7 @@ class SnapshotTable:
         ``writers.compact_parquet`` documents it cannot give)."""
         df = self.read(spark).repartition(target_files)
         new = self._write_data(df)
-        return self._commit(new, "compact")
+        return self._commit(new, "compact", stats=self._collect_stats(new))
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files referenced by no kept snapshot and manifests

@@ -242,3 +242,20 @@ def test_python_datasource_pushes_filters_and_prunes_files(spark, table):
     both = df.filter("v < 25")  # ids 0..12 span both files
     assert both.rdd.getNumPartitions() == 2
     assert both.count() == 13
+
+
+def test_commit_records_manifest_stats(spark, table):
+    """Commits record per-file column min/max in the manifest, so readers
+    prune files from metadata alone; appends inherit the parent's stats
+    for untouched files."""
+    table.append(_df(spark, 0, 10).coalesce(1))
+    table.append(_df(spark, 10, 20).coalesce(1))
+    snap = table.snapshot()
+    assert set(snap.stats) == set(snap.files)
+    envs = sorted(s["id"] for s in snap.stats.values())
+    assert envs == [[0, 9], [10, 19]]
+    # manifest JSON is the durable carrier
+    raw = json.loads(
+        (table.manifest_dir / f"v{snap.version:08d}.json").read_text()
+    )
+    assert raw["stats"]
