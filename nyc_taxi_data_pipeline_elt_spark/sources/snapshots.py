@@ -55,6 +55,7 @@ from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 
 class CommitConflict(RuntimeError):
@@ -213,6 +214,53 @@ class SnapshotTable:
     def overwrite(self, df: DataFrame) -> Snapshot:
         new = self._write_data(df)
         return self._commit(new, "overwrite", stats=self._collect_stats(new))
+
+    def replace_where(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        column: str,
+        values: list,
+    ) -> Snapshot:
+        """Predicate-scoped overwrite (Delta ``replaceWhere``): atomically
+        replace all rows with ``column`` in ``values`` by ``df`` — the
+        partition-scoped incremental re-run the reference leans on Delta
+        for, as one snapshot commit instead of a directory overwrite.
+
+        Copy-on-write driven by the manifest stats: files whose recorded
+        [min, max] envelope for ``column`` cannot contain any replaced
+        value are carried over VERBATIM (no read, no rewrite); only
+        intersecting files are read back, scrubbed of matching rows, and
+        rewritten. At scale this is why commit-time stats pay for
+        themselves — a one-month replace touches one month of files.
+        Files without recorded stats are conservatively rewritten.
+        """
+        cur = self.current_version()
+        snap = self.snapshot(cur) if cur is not None else None
+        keep_files: list[str] = []
+        touched: list[str] = []
+        stats = dict(snap.stats or {}) if snap else {}
+        for f in snap.files if snap else []:
+            env = stats.get(f, {}).get(column)
+            if env is not None and not any(
+                env[0] <= v <= env[1] for v in values
+            ):
+                keep_files.append(f)
+            else:
+                touched.append(f)
+        new_stats = {f: stats[f] for f in keep_files if f in stats}
+        out_files = list(keep_files)
+        if touched:
+            remainder = spark.read.parquet(
+                *[str(self.root / f) for f in touched]
+            ).filter(~F_col(column).isin(*values))
+            rem_files = self._write_data(remainder)
+            out_files += rem_files
+            new_stats.update(self._collect_stats(rem_files))
+        new = self._write_data(df)
+        out_files += new
+        new_stats.update(self._collect_stats(new))
+        return self._commit(out_files, "replace", stats=new_stats)
 
     def commit_batch(self, df: DataFrame, batch_id: int) -> Snapshot | None:
         """Idempotent append for ``foreachBatch``: if ``batch_id`` was

@@ -259,3 +259,51 @@ def test_commit_records_manifest_stats(spark, table):
         (table.manifest_dir / f"v{snap.version:08d}.json").read_text()
     )
     assert raw["stats"]
+
+
+def test_replace_where_rewrites_only_intersecting_files(spark, table):
+    """Predicate-scoped overwrite: files whose stats envelope excludes
+    the replaced values are carried over VERBATIM (same path, no
+    rewrite); only intersecting files are scrubbed and rewritten."""
+    def month_df(m, lo, hi):
+        return spark.range(lo, hi).selectExpr("id", f"{m} AS trip_month").coalesce(1)
+
+    table.append(month_df(1, 0, 10))    # file A: month 1
+    table.append(month_df(2, 10, 20))   # file B: month 2
+    before = table.snapshot()
+    file_a = next(
+        f for f in before.files if before.stats[f]["trip_month"] == [1, 1]
+    )
+
+    table.replace_where(spark, month_df(2, 100, 105), "trip_month", [2])
+    after = table.snapshot()
+    assert after.op == "replace"
+    assert file_a in after.files  # month-1 file untouched, not rewritten
+    got = table.read(spark)
+    assert sorted(r.id for r in got.filter("trip_month = 2").collect()) == list(
+        range(100, 105)
+    )
+    assert got.filter("trip_month = 1").count() == 10
+    # change feed correctly refuses to cross the rewrite
+    with pytest.raises(ValueError, match="non-append"):
+        table.read_changes(spark, since_version=0)
+
+
+def test_replace_where_scrubs_straddling_files(spark, table):
+    """A file containing BOTH replaced and kept rows is read back,
+    scrubbed of the replaced rows, and rewritten — no kept row is lost."""
+    mixed = spark.createDataFrame(
+        [(i, 1 if i % 2 == 0 else 2) for i in range(10)], "id long, trip_month int"
+    ).coalesce(1)
+    table.append(mixed)
+    table.replace_where(
+        spark,
+        spark.createDataFrame([(99, 2)], "id long, trip_month int"),
+        "trip_month",
+        [2],
+    )
+    got = table.read(spark)
+    assert sorted(r.id for r in got.filter("trip_month = 1").collect()) == [
+        0, 2, 4, 6, 8,
+    ]
+    assert [r.id for r in got.filter("trip_month = 2").collect()] == [99]
