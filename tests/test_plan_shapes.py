@@ -85,6 +85,34 @@ def test_neardup_blocked_is_distributed(spark):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A dim-filtered join against a Hive-partitioned fact must inject a
+    dynamic pruning expression into the fact's PartitionFilters — the
+    runtime star-join scan saver at 100 TB (only partitions matching the
+    dim filter are read, decided at execution time)."""
+    from pyspark.sql import functions as F
+
+    facts = spark.range(0, 2000).select(
+        "id",
+        (F.col("id") % 12 + 1).alias("trip_month"),
+        (F.col("id") * 2).alias("v"),
+    )
+    path = str(tmp_path / "fact")
+    facts.write.partitionBy("trip_month").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(m, "peak" if m in (7, 8) else "off") for m in range(1, 13)],
+        "trip_month int, season string",
+    )
+    j = (
+        fact.join(dim, "trip_month")
+        .filter(F.col("season") == "peak")
+        .agg(F.sum("v").alias("s"))
+    )
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower()
+
+
 def test_mixture_sample_single_data_shuffle(spark):
     """Mixture sampling: apart from the O(#sources) count aggregate, the
     data path is ONE shuffle on the source key for the per-source rank."""
