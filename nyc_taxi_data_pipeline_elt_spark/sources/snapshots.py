@@ -219,41 +219,50 @@ class SnapshotTable:
         self,
         spark: SparkSession,
         df: DataFrame,
-        column: str,
-        values: list,
+        predicate: dict[str, list] | None = None,
+        column: str | None = None,
+        values: list | None = None,
     ) -> Snapshot:
         """Predicate-scoped overwrite (Delta ``replaceWhere``): atomically
-        replace all rows with ``column`` in ``values`` by ``df`` — the
-        partition-scoped incremental re-run the reference leans on Delta
-        for, as one snapshot commit instead of a directory overwrite.
+        replace all rows matching ``predicate`` — a conjunction of
+        ``{column: accepted values}`` — by ``df``; the partition-scoped
+        incremental re-run the reference leans on Delta for, as one
+        snapshot commit instead of a directory overwrite. (``column`` /
+        ``values`` is single-conjunct shorthand.)
 
-        Copy-on-write driven by the manifest stats: files whose recorded
-        [min, max] envelope for ``column`` cannot contain any replaced
-        value are carried over VERBATIM (no read, no rewrite); only
-        intersecting files are read back, scrubbed of matching rows, and
-        rewritten. At scale this is why commit-time stats pay for
-        themselves — a one-month replace touches one month of files.
+        Copy-on-write driven by the manifest stats: a file is carried
+        over VERBATIM (no read, no rewrite) when ANY conjunct's recorded
+        [min, max] envelope excludes every accepted value; intersecting
+        files are read back, scrubbed of matching rows, and rewritten.
+        At scale this is why commit-time stats pay for themselves — a
+        one-(fleet, month) replace touches that slice's files only.
         Files without recorded stats are conservatively rewritten.
         """
+        if predicate is None:
+            predicate = {column: values}
         cur = self.current_version()
         snap = self.snapshot(cur) if cur is not None else None
         keep_files: list[str] = []
         touched: list[str] = []
         stats = dict(snap.stats or {}) if snap else {}
         for f in snap.files if snap else []:
-            env = stats.get(f, {}).get(column)
-            if env is not None and not any(
-                env[0] <= v <= env[1] for v in values
-            ):
-                keep_files.append(f)
-            else:
-                touched.append(f)
+            fstats = stats.get(f, {})
+            excluded = any(
+                fstats.get(c) is not None
+                and not any(fstats[c][0] <= v <= fstats[c][1] for v in vals)
+                for c, vals in predicate.items()
+            )
+            (keep_files if excluded else touched).append(f)
         new_stats = {f: stats[f] for f in keep_files if f in stats}
         out_files = list(keep_files)
         if touched:
+            match = None
+            for c, vals in predicate.items():
+                cond = F_col(c).isin(*vals)
+                match = cond if match is None else (match & cond)
             remainder = spark.read.parquet(
                 *[str(self.root / f) for f in touched]
-            ).filter(~F_col(column).isin(*values))
+            ).filter(~match)
             rem_files = self._write_data(remainder)
             out_files += rem_files
             new_stats.update(self._collect_stats(rem_files))

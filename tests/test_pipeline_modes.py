@@ -78,6 +78,42 @@ def _run_snapshot(spark, cfg: PipelineConfig, tmp_path):
     return out
 
 
+def _run_snapshot_replace(spark, cfg: PipelineConfig):
+    """Batch landing->consumer into ONE snapshot table via replace_where
+    per fleet — the snapshot-committed equivalent of the reference's
+    Delta partition-scoped overwrite (re-running a fleet replaces exactly
+    that fleet's rows, atomically)."""
+    from nyc_taxi_data_pipeline_elt_spark.pipeline import read_landing_conformed
+    from pyspark.sql import functions as F
+
+    table = SnapshotTable(f"{cfg.consumer_dir}_replace_tbl")
+    for _ in range(2):  # second pass proves replace idempotence
+        for fleet in FLEETS:
+            raw, _n = read_landing_conformed(spark, cfg.landing_dir, fleet)
+            unified = raw.withColumn(
+                "pickup_time",
+                F.coalesce("tpep_pickup_datetime", "lpep_pickup_datetime"),
+            ).withColumn(
+                "dropoff_time",
+                F.coalesce("tpep_dropoff_datetime", "lpep_dropoff_datetime"),
+            )
+            from nyc_taxi_data_pipeline_elt_spark.operators.quality import (
+                apply_quality,
+                trips_rules,
+            )
+            from nyc_taxi_data_pipeline_elt_spark.schemas import CONSUMER_COLUMNS
+
+            good, _bad = apply_quality(unified, trips_rules())
+            consumer = (
+                good.withColumn("trip_type", F.lit(fleet))
+                .withColumn("trip_year", F.year("pickup_time"))
+                .withColumn("trip_month", F.month("pickup_time"))
+                .select(*CONSUMER_COLUMNS)
+            )
+            table.replace_where(spark, consumer, {"trip_type": [fleet]})
+    return table.read(spark)
+
+
 def _canon(df):
     proj = df.select(*CONSUMER_COLUMNS)
     rows = sorted(map(tuple, proj.collect()), key=repr)
@@ -94,6 +130,11 @@ def test_three_modes_produce_identical_consumer_tables(spark, landing, tmp_path)
     assert batch[0] == inc[0] == snap[0], "consumer schema diverged"
     assert batch[1] == inc[1] == snap[1], "consumer rows diverged"
     assert len(batch[1]) > 0
+
+    repl = _canon(
+        _run_snapshot_replace(spark, _cfg(landing, tmp_path, "replace"))
+    )
+    assert repl == batch, "replace_where mode diverged from batch"
 
     # dead-letter parity on the shared columns (incremental adds _batch_id)
     batch_dlq = spark.read.parquet(_cfg(landing, tmp_path, "batch").dlq_dir)

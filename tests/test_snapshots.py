@@ -275,7 +275,7 @@ def test_replace_where_rewrites_only_intersecting_files(spark, table):
         f for f in before.files if before.stats[f]["trip_month"] == [1, 1]
     )
 
-    table.replace_where(spark, month_df(2, 100, 105), "trip_month", [2])
+    table.replace_where(spark, month_df(2, 100, 105), {"trip_month": [2]})
     after = table.snapshot()
     assert after.op == "replace"
     assert file_a in after.files  # month-1 file untouched, not rewritten
@@ -299,8 +299,7 @@ def test_replace_where_scrubs_straddling_files(spark, table):
     table.replace_where(
         spark,
         spark.createDataFrame([(99, 2)], "id long, trip_month int"),
-        "trip_month",
-        [2],
+        {"trip_month": [2]},
     )
     got = table.read(spark)
     assert sorted(r.id for r in got.filter("trip_month = 1").collect()) == [
