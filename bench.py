@@ -68,6 +68,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(queries):
         fn = queries[name]
+        # each query measures from a cache-clean session: operators that
+        # legitimately persist partition-pinned inputs (global indexing,
+        # sequence packing) cannot unpersist the frame they return, and
+        # letting those caches accumulate across 110 queries charges
+        # later queries with earlier queries' GC pressure
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
         start = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
