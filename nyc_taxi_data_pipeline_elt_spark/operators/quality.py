@@ -83,50 +83,54 @@ def check_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFr
     """Evaluate every expectation in ONE aggregation pass over ``df`` and
     return a report frame ``(expectation, metric, passed)``.
 
-    All metrics compile into a single ``agg`` — one scan, one 1-row
-    result regardless of table size (the collect is O(#expectations)
-    scalars, metadata not data). Metrics are rounded at 6dp so the report
-    is engine-portable for the differential oracle.
+    Fully lazy and JVM-side: all metrics compile into a single ``agg``
+    (one scan, a 1-row result regardless of table size), verdicts are
+    CASE expressions over that row, and ``stack`` unpivots it into the
+    report — no driver action, no Python loop over results. Metrics are
+    rounded at 6dp so the report is engine-portable for the differential
+    oracle.
     """
     aggs = []
+    verdicts = []
     n = F.count(F.lit(1)).cast("double")
     for i, e in enumerate(expectations):
         if e.kind == "row_count_min":
             m = n
+            ok = F.col(f"m{i}") >= F.lit(float(e.threshold))
         elif e.kind == "null_rate_max":
             m = F.sum(F.col(e.column).isNull().cast("double")) / n
+            ok = F.col(f"m{i}") <= F.lit(float(e.threshold or 0.0))
         elif e.kind == "unique":
             # duplicate fraction: 0.0 iff the column is unique
             m = (n - F.count_distinct(F.col(e.column)).cast("double")) / n
+            ok = F.col(f"m{i}") <= F.lit(0.0)
         elif e.kind == "accepted_values":
             m = F.sum(
                 (~F.col(e.column).isin(*e.values)).cast("double")
             ) / n
+            ok = F.col(f"m{i}") <= F.lit(0.0)
         elif e.kind == "min_value":
             m = F.min(F.col(e.column)).cast("double")
+            ok = F.col(f"m{i}") >= F.lit(float(e.threshold))
         elif e.kind == "max_value":
             m = F.max(F.col(e.column)).cast("double")
+            ok = F.col(f"m{i}") <= F.lit(float(e.threshold))
         else:
             raise ValueError(f"unknown expectation kind {e.kind!r}")
         aggs.append(F.round(m, 6).alias(f"m{i}"))
-    row = df.agg(*aggs).first()
+        verdicts.append(ok)
 
-    spark = df.sparkSession
-    report = []
+    stacked = []
     for i, e in enumerate(expectations):
-        metric = float(row[f"m{i}"]) if row[f"m{i}"] is not None else None
-        if e.kind == "row_count_min":
-            passed = metric is not None and metric >= e.threshold
-        elif e.kind in ("null_rate_max", "unique", "accepted_values"):
-            limit = e.threshold if e.kind == "null_rate_max" else 0.0
-            passed = metric is not None and metric <= (limit or 0.0)
-        elif e.kind == "min_value":
-            passed = metric is not None and metric >= e.threshold
-        else:  # max_value
-            passed = metric is not None and metric <= e.threshold
-        report.append((e.name, metric, bool(passed)))
-    return spark.createDataFrame(
-        report, "expectation string, metric double, passed boolean"
+        stacked += [
+            F.lit(e.name),
+            F.col(f"m{i}"),
+            F.coalesce(verdicts[i], F.lit(False)),  # null metric = failed
+        ]
+    return df.agg(*aggs).select(
+        F.stack(F.lit(len(expectations)), *stacked).alias(
+            "expectation", "metric", "passed"
+        )
     )
 
 
