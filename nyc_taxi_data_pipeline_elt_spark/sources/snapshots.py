@@ -73,6 +73,11 @@ class Snapshot:
     # per-file column stats: {rel_path: {col: [min, max]}} — recorded at
     # commit time so readers can prune files from manifest metadata alone
     stats: dict = None  # type: ignore[assignment]
+    # cumulative set of committed streaming batch ids (the Delta txn-map
+    # idea): replay detection reads ONE manifest, not the whole history.
+    # None = legacy manifest written before the set existed (fall back to
+    # a history scan); () = genuinely no batch commits yet.
+    batch_ids: tuple | None = ()
 
 
 class SnapshotTable:
@@ -106,6 +111,9 @@ class SnapshotTable:
             batch_id=raw.get("batch_id"),
             ts=raw["ts"],
             stats=raw.get("stats", {}),
+            batch_ids=(
+                tuple(raw["batch_ids"]) if "batch_ids" in raw else None
+            ),
         )
 
     def history(self) -> list[Snapshot]:
@@ -124,6 +132,20 @@ class SnapshotTable:
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
         parent = self.current_version()
         version = 0 if parent is None else parent + 1
+        # every commit carries the cumulative batch-id set forward, so a
+        # replayed foreachBatch is detected from the current manifest alone;
+        # a legacy parent (no recorded set) is reconstructed from history once
+        seen: list = []
+        if parent is not None:
+            parent_ids = self.snapshot(parent).batch_ids
+            if parent_ids is None:
+                seen = [
+                    s.batch_id for s in self.history() if s.batch_id is not None
+                ]
+            else:
+                seen = list(parent_ids)
+        if batch_id is not None and batch_id not in seen:
+            seen.append(batch_id)
         manifest = self.manifest_dir / f"v{version:08d}.json"
         payload = {
             "version": version,
@@ -133,6 +155,7 @@ class SnapshotTable:
             "batch_id": batch_id,
             "ts": time.time(),
             "stats": stats or {},
+            "batch_ids": seen,
         }
         try:
             # O_EXCL create: the optimistic-concurrency gate. Two racing
@@ -240,6 +263,19 @@ class SnapshotTable:
         """
         if predicate is None:
             predicate = {column: values}
+        # replaceWhere constraint (as in Delta): every replacement row must
+        # match the predicate — otherwise its old version survives alongside
+        # it. One cheap action over the (small) replacement batch only.
+        constraint = None
+        for c, vals in predicate.items():
+            cond = F_col(c).isin(*vals)
+            constraint = cond if constraint is None else (constraint & cond)
+        n_violating = df.filter(~constraint).limit(1).count()
+        if n_violating:
+            raise ValueError(
+                f"{self.root}: replace_where replacement data contains rows "
+                f"not matching {predicate!r}"
+            )
         cur = self.current_version()
         snap = self.snapshot(cur) if cur is not None else None
         keep_files: list[str] = []
@@ -276,9 +312,20 @@ class SnapshotTable:
         already committed on this table, do nothing (a retried batch
         re-runs after a partial failure; the data files it half-wrote on
         the failed attempt were never committed and vacuum reclaims
-        them). Returns the new snapshot, or None on replay."""
-        if any(s.batch_id == batch_id for s in self.history()):
-            return None
+        them). Returns the new snapshot, or None on replay.
+
+        Replay detection is O(1) manifest reads: the cumulative batch-id
+        set rides in every manifest, so a table with thousands of commits
+        never re-reads its history (legacy manifests without the set fall
+        back to the per-version scan)."""
+        cur = self.current_version()
+        if cur is not None:
+            snap = self.snapshot(cur)
+            if snap.batch_ids is not None:
+                if batch_id in snap.batch_ids:
+                    return None
+            elif any(s.batch_id == batch_id for s in self.history()):
+                return None
         return self.append(df, batch_id=batch_id)
 
     def compact(self, spark: SparkSession, target_files: int = 8) -> Snapshot:

@@ -306,3 +306,28 @@ def test_replace_where_scrubs_straddling_files(spark, table):
         0, 2, 4, 6, 8,
     ]
     assert [r.id for r in got.filter("trip_month = 2").collect()] == [99]
+
+
+def test_replace_where_rejects_nonmatching_replacement(spark, table):
+    """Replacement rows outside the predicate would silently coexist with
+    their old versions — reject them up front (Delta's constraint)."""
+    table.append(
+        spark.createDataFrame([(1, 1)], "id long, trip_month int")
+    )
+    with pytest.raises(ValueError, match="not matching"):
+        table.replace_where(
+            spark,
+            spark.createDataFrame([(9, 3)], "id long, trip_month int"),
+            {"trip_month": [2]},
+        )
+
+
+def test_commit_batch_replay_check_is_manifest_local(spark, table):
+    """The cumulative batch-id set rides in every manifest, including
+    across non-batch commits, so replay detection never re-reads history."""
+    table.commit_batch(_df(spark, 0, 5), batch_id=0)
+    table.append(_df(spark, 5, 10))            # non-batch commit carries set
+    table.compact(spark, target_files=1)       # so does compaction
+    assert table.snapshot().batch_ids == (0,)
+    assert table.commit_batch(_df(spark, 0, 5), batch_id=0) is None
+    assert table.read(spark).count() == 10
