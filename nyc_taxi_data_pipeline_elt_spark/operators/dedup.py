@@ -131,6 +131,39 @@ def incremental_minhash_dedup(
     return dups, new_rows
 
 
+def contamination_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    min_shared: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at
+    least ``min_shared`` distinct word ``n``-gram shingles with any
+    benchmark document — the train/test-overlap scrub every LLM corpus
+    needs before evaluation numbers mean anything.
+
+    Returns ``(id_col, bench_doc_id, shared_shingles)``. Physical shape:
+    the benchmark side's shingle index is BROADCAST (benchmarks are
+    tiny relative to the training corpus by construction), so the check
+    is a map-side join over the training shingles — no shuffle of the
+    corpus at any scale; the aggregate shuffles only matched pairs.
+    """
+    t = shingle_rows(train, n=n, id_col=id_col, text_col=text_col).distinct()
+    b = (
+        shingle_rows(bench, n=n, id_col=id_col, text_col=text_col)
+        .distinct()
+        .select(F.col(id_col).alias("bench_doc_id"), "s")
+    )
+    return (
+        t.join(F.broadcast(b), "s")
+        .groupBy(id_col, "bench_doc_id")
+        .agg(F.count("*").alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= min_shared)
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash.
 

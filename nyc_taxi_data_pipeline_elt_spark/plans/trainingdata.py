@@ -161,6 +161,41 @@ WHERE (doc_a % 2) <> (doc_b % 2)
 """
 
 
+def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (even ids) sharing >= 5
+    distinct 3-gram shingles with any benchmark doc (odd ids). The
+    benchmark shingle index is broadcast, so the corpus-side check is a
+    map-side join — no training-corpus shuffle at any scale."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.contamination_overlap(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        min_shared=5,
+    )
+
+
+DECONTAMINATE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [] END AS shingles
+  FROM toks
+), flat AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+)
+SELECT tr.doc_id, be.doc_id AS bench_doc_id, count(*) AS shared_shingles
+FROM flat tr JOIN flat be ON tr.s = be.s
+WHERE tr.doc_id % 2 = 0 AND be.doc_id % 2 = 1
+GROUP BY 1, 2
+HAVING count(*) >= 5
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash candidate pairs -> connected components -> one canonical
     representative per near-dup cluster (the full dedup decision)."""
@@ -993,6 +1028,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "dedup_clusters": dedup_clusters,
     "dedup_incremental_minhash": dedup_incremental_minhash,
+    "decontaminate_train_docs": decontaminate_train_docs,
     "chunk_documents": chunk_documents,
     "doc_sample_split": doc_sample_split,
     "doc_bottomk_sample": doc_bottomk_sample,
@@ -1028,6 +1064,7 @@ ORACLE = {
     "tfidf_top_terms": TFIDF_ORACLE,
     "dedup_clusters": _clusters_oracle(),
     "dedup_incremental_minhash": INCREMENTAL_MINHASH_ORACLE,
+    "decontaminate_train_docs": DECONTAMINATE_ORACLE,
     "chunk_documents": CHUNK_ORACLE,
     "doc_sample_split": SAMPLE_SPLIT_ORACLE,
     "doc_bottomk_sample": BOTTOMK_ORACLE,

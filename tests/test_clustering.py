@@ -123,3 +123,30 @@ def test_incremental_dedup_matches_full_cross_pairs(spark):
     assert got == want and got
     # the returned rows extend the index for the next batch
     assert new_rows.columns == ["doc_id", "band_idx", "band_key"]
+
+
+def test_contamination_overlap_known_answer(spark):
+    """A training doc copying a 5-word benchmark span is flagged with the
+    exact shared-shingle count; disjoint docs are not."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.dedup import (
+        contamination_overlap,
+    )
+
+    bench = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps along"),  # 3 shared
+            (2, "completely different words in every position here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.bench_doc_id): r.shared_shingles
+        for r in contamination_overlap(train, bench, min_shared=2).collect()
+    }
+    # shared 3-gram shingles: "the quick brown", "quick brown fox",
+    # "brown fox jumps"
+    assert got == {(1, 101): 3}
