@@ -30,25 +30,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records correctness rows for the FIRST 50 entries of
-# ``queries()`` insertion order. This priority list guarantees every
-# operator class gets a driver-verified row each round: the 5 reference
-# queries, all 8 streaming queries, all 8 TPC-H subquery shapes, all 5
-# modern-SQL/Arrow queries, graph (incl. the dangling-mass variant),
-# SCD2/CDC/snapshot ETL, the dedup/ANN family, and one representative
-# per remaining §2 class and LLM-pipeline capability (joins/as-of/skew,
-# windows, edit-distance join, UDAF/UDTF, text, multimodal, sampling,
-# chunking, indexing, quantization, unigram LM). Everything else —
-# redundant variants of already-covered shapes — registers after the
-# window (still benchmarked and locally parity-tested every round).
+# ``queries()`` insertion order. Round-4 rotation (COVERAGE.md ledger):
+# the 20 queries that had only local parity evidence after r3 enter the
+# window; every operator class keeps at least one r3-hash-verified
+# representative (reference surface, DQ, as-of/skew joins, windows,
+# edit-distance, streaming [stateful + tumbling + the late-data query
+# whose oracle is new this round], subquery decorrelation, modern
+# SQL/Arrow, graph, SCD2/CDC/snapshot, dedup/ANN production paths, text,
+# multimodal). dq_expectations_orders stays: its verdict semantics
+# changed this round (unrounded metrics) and needs re-verification.
+# Displaced r3-verified variants (5 streaming, 6 subquery shapes,
+# customer_status_history, source_extremes_arrow, pagerank_nation_trade,
+# doc_weighted_sample, doc_global_index, embedding_quantize,
+# unigram_lm_scores, bigrams_udtf, chunk_documents) remain registered,
+# benchmarked, and locally parity-tested.
 _PRIORITY_WINDOW = [
-    # reference surface (SURVEY §2.1-2.5, §7.2)
+    # ledger entries getting their first driver row (r4 rotation)
+    "dedup_incremental_minhash",
+    "decontaminate_train_docs",
+    "knn_join_embeddings",
+    "pack_training_sequences",
+    "doc_mixture_sample",
+    "snapshot_change_feed",
+    "simsearch_lsh_topk",
+    "simsearch_lsh_multiprobe",
+    "simsearch_bruteforce_topk",
+    "embedding_neardup_pairs",
+    "nation_wealth_coverage",
+    "customer_year_overlap",
+    "source_quality_udaf",
+    "text_stats",
+    "lang_id_docs",
+    "shard_assignment",
+    "doc_sample_split",
+    "doc_bottomk_sample",
+    "doc_quota_sample",
+    "doc_vowel_stats_pandas_udf",
+    # reference surface representatives (SURVEY §2.1-2.6, §7.2)
     "q1_monthly_revenue",
     "q2_hourly_avg_value",
     "dq_filter_orders",
     "dq_expectations_orders",
     "union_fleets_unify",
     "topk_orders",
-    # catalog + SQL consumption (S9/S10) and ORDER BY surface (§2.6)
     "sql_consumption_report",
     # joins: as-of (custom), skew-salted (§2.7)
     "lineitem_asof_prior_order",
@@ -57,54 +81,33 @@ _PRIORITY_WINDOW = [
     "top3_lineitems_per_supplier",
     # edit-distance similarity join (PassJoin)
     "similar_part_names",
-    # structured streaming (§2.9) — all of it
+    # structured streaming (§2.9): stateful + core window + the late-data
+    # query converting from rows-only to hash-checked this round
     "streaming_stateful_user_counts",
-    "streaming_click_purchase_join",
-    "streaming_segment_counts",
-    "streaming_dedup_slots",
     "streaming_tumbling_counts",
-    "streaming_sliding_totals",
-    "streaming_session_counts",
     "streaming_late_data_tumbling",
-    # TPC-H subquery battery — all 8 shapes
+    # TPC-H subquery battery representatives
     "disjunctive_part_revenue",
     "lone_fault_suppliers",
-    "big_spender_loners",
-    "small_qty_part_revenue",
-    "nation_market_share",
-    "priority_lines_by_flag",
-    "valuable_parts",
-    "overstocked_suppliers",
-    # modern SQL + Arrow map surface
+    # modern SQL + Arrow surface representatives
     "nation_reach_bfs",
-    "customer_status_history",
     "quantity_profile_by_flag",
     "doc_token_stats_arrow",
-    "source_extremes_arrow",
     # graph
-    "pagerank_nation_trade",
     "pagerank_dangling",
     "triangles_neardup",
     # ETL: SCD2 history, CDC merge, snapshot table format
     "scd2_user_event_type",
     "cdc_orders_merge",
     "snapshot_table_roundtrip",
-    # dedup / ANN family (ngram_jaccard rotates out this round — green in
-    # r1 and still locally parity-tested — to make room for the new
-    # aggregate-expectations capability above)
+    # dedup / ANN representatives
     "dedup_simhash",
     "dedup_clusters",
     "embedding_neardup_blocked",
     "simsearch_ivf_topk",
-    # LLM-pipeline capabilities, one representative each
+    # text + multimodal representatives
     "tfidf_top_terms",
-    "chunk_documents",
     "multimodal_meta",
-    "doc_weighted_sample",
-    "doc_global_index",
-    "embedding_quantize",
-    "unigram_lm_scores",
-    "bigrams_udtf",
 ]
 
 _PLAN_MODULES = (

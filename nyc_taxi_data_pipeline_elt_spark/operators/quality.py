@@ -86,37 +86,44 @@ def check_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFr
     Fully lazy and JVM-side: all metrics compile into a single ``agg``
     (one scan, a 1-row result regardless of table size), verdicts are
     CASE expressions over that row, and ``stack`` unpivots it into the
-    report — no driver action, no Python loop over results. Metrics are
-    rounded at 6dp so the report is engine-portable for the differential
-    oracle.
+    report — no driver action, no Python loop over results.
+
+    Verdicts are computed on the UNROUNDED aggregate (``r{i}``); only the
+    *reported* metric is rounded at 6dp for engine-portability. Rounding
+    the verdict input would let a near-threshold violation slip: one
+    duplicate key among >2M rows gives a duplicate fraction < 5e-7 that
+    rounds to 0.0, silently passing a ``unique`` gate at scale.
     """
+    if not expectations:
+        raise ValueError("no expectations given")
     aggs = []
     verdicts = []
     n = F.count(F.lit(1)).cast("double")
     for i, e in enumerate(expectations):
         if e.kind == "row_count_min":
             m = n
-            ok = F.col(f"m{i}") >= F.lit(float(e.threshold))
+            ok = F.col(f"r{i}") >= F.lit(float(e.threshold))
         elif e.kind == "null_rate_max":
             m = F.sum(F.col(e.column).isNull().cast("double")) / n
-            ok = F.col(f"m{i}") <= F.lit(float(e.threshold or 0.0))
+            ok = F.col(f"r{i}") <= F.lit(float(e.threshold or 0.0))
         elif e.kind == "unique":
             # duplicate fraction: 0.0 iff the column is unique
             m = (n - F.count_distinct(F.col(e.column)).cast("double")) / n
-            ok = F.col(f"m{i}") <= F.lit(0.0)
+            ok = F.col(f"r{i}") <= F.lit(0.0)
         elif e.kind == "accepted_values":
             m = F.sum(
                 (~F.col(e.column).isin(*e.values)).cast("double")
             ) / n
-            ok = F.col(f"m{i}") <= F.lit(0.0)
+            ok = F.col(f"r{i}") <= F.lit(0.0)
         elif e.kind == "min_value":
             m = F.min(F.col(e.column)).cast("double")
-            ok = F.col(f"m{i}") >= F.lit(float(e.threshold))
+            ok = F.col(f"r{i}") >= F.lit(float(e.threshold))
         elif e.kind == "max_value":
             m = F.max(F.col(e.column)).cast("double")
-            ok = F.col(f"m{i}") <= F.lit(float(e.threshold))
+            ok = F.col(f"r{i}") <= F.lit(float(e.threshold))
         else:
             raise ValueError(f"unknown expectation kind {e.kind!r}")
+        aggs.append(m.alias(f"r{i}"))
         aggs.append(F.round(m, 6).alias(f"m{i}"))
         verdicts.append(ok)
 

@@ -113,8 +113,18 @@ def mixture_sample(
         .agg(F.count("*").alias("n"))
         .collect()
     }
+    missing = [s for s, p in target_shares.items() if p > 0 and s not in counts]
+    if missing:
+        # A requested source with zero rows cannot contribute its share;
+        # silently returning an empty sample (budget 0) hides the data
+        # problem, and the SQL twin (counts INNER JOIN shares) would
+        # silently drop the source instead — fail loudly over either.
+        raise ValueError(
+            f"mixture_sample: sources {missing!r} in target_shares have no "
+            f"rows in {source_col!r}"
+        )
     budget = min(
-        int(counts.get(s, 0) / p) for s, p in target_shares.items() if p > 0
+        int(counts[s] / p) for s, p in target_shares.items() if p > 0
     )
     quotas = {s: int(p * budget) for s, p in target_shares.items()}
     quota_col = F.create_map(

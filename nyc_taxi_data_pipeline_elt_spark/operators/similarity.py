@@ -81,14 +81,23 @@ def brute_force_topk(
     )
 
 
+#: neardup_pairs refuses corpora above this size: the exact all-pairs
+#: design (driver toPandas + corpus broadcast) is a verifier, not a
+#: production path — beyond this bound use neardup_pairs_blocked.
+NEARDUP_EXACT_MAX_VECTORS = 100_000
+
+
 def neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_vectors: int = NEARDUP_EXACT_MAX_VECTORS,
 ) -> DataFrame:
     """All-pairs cosine >= threshold (exact). Quadratic — the verifier /
     small-corpus path; at scale, block with LSH or IVF buckets first.
+    Guarded: raises above ``max_vectors`` rows, pointing at the blocked
+    production twin, so this can never silently run on a real corpus.
 
     Physical shape: block-matrix product. The index side (all vectors) is
     a broadcast variable — same memory contract as the broadcast join it
@@ -118,6 +127,14 @@ def neardup_pairs(
     base = embeddings.select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("v")
     )
+    n_vectors = base.count()
+    if n_vectors > max_vectors:
+        raise ValueError(
+            f"neardup_pairs is the exact small-corpus verifier and refuses "
+            f"{n_vectors} vectors (> {max_vectors}): it collects the corpus "
+            f"to the driver and broadcasts it. Use neardup_pairs_blocked "
+            f"(banded sign-LSH, fully distributed) at this scale."
+        )
     side = base.toPandas()
     ids_all = side["id"].to_numpy()
     B = np.array([np.asarray(v, dtype=np.float64) for v in side["v"]])

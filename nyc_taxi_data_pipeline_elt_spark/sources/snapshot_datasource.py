@@ -64,21 +64,31 @@ class SnapshotDataSource(DataSource):
         return table, table.snapshot(int(v) if v is not None else None)
 
     def schema(self):
+        import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
         table, snap = self._snapshot()
         if not snap.files:
             raise ValueError(f"snapshot_table: v{snap.version} is empty")
-        return from_arrow_schema(
-            pq.read_schema(str(table.root / snap.files[0]))
-        )
+        # Union footers across ALL manifest files: on a schema-evolved
+        # table (appends via read(merge_schema=True) semantics) the first
+        # file alone would silently drop later-added columns. unify_schemas
+        # also widens promotable type mismatches (e.g. int32 -> int64).
+        footers = [pq.read_schema(str(table.root / f)) for f in snap.files]
+        unified = pa.unify_schemas(footers, promote_options="permissive")
+        # evolution implies nullability: pre-evolution files are
+        # null-padded for later-added columns, so every field is nullable
+        unified = pa.schema([f.with_nullable(True) for f in unified])
+        return from_arrow_schema(unified)
 
     def reader(self, schema) -> DataSourceReader:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         table, snap = self._snapshot()
         return _SnapshotReader(
             [str(table.root / f) for f in snap.files],
-            [f.name for f in schema.fields],
+            to_arrow_schema(schema),
             {str(table.root / f): s for f, s in (snap.stats or {}).items()},
         )
 
@@ -87,11 +97,12 @@ class _SnapshotReader(DataSourceReader):
     def __init__(
         self,
         files: list[str],
-        columns: list[str],
+        arrow_schema,
         stats: dict | None = None,
     ):
         self.files = files
-        self.columns = columns
+        self.arrow_schema = arrow_schema  # unified target schema (picklable)
+        self.columns = arrow_schema.names
         self.stats = stats or {}
         self.pushed: list[tuple[str, str, object]] = []
 
@@ -156,13 +167,29 @@ class _SnapshotReader(DataSourceReader):
         return [InputPartition(f) for f in files]
 
     def read(self, partition: InputPartition):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         # Arrow-vectorized: yield record batches, not per-row tuples.
         # Pushed filters are applied exactly here (DNF conjunction), so
         # Spark never re-evaluates them.
+        file_schema = pq.read_schema(partition.value)
+        present = [c for c in self.columns if c in file_schema.names]
+        missing = [c for c in self.columns if c not in file_schema.names]
+        if missing and any(c in missing for c, _, _ in self.pushed):
+            # a pushed comparison on an all-NULL (absent) column matches
+            # no rows — SQL three-valued logic; skip the file entirely
+            return
         filters = [(c, o, list(v) if o == "in" else v) for c, o, v in self.pushed]
         table = pq.read_table(
-            partition.value, columns=self.columns, filters=filters or None
+            partition.value, columns=present, filters=filters or None
         )
+        # Null-pad columns this (pre-evolution) file lacks, restore the
+        # unified column order, and cast to the unified types so every
+        # partition serves identical Arrow batches.
+        for c in missing:
+            table = table.append_column(
+                c, pa.nulls(table.num_rows, self.arrow_schema.field(c).type)
+            )
+        table = table.select(self.columns).cast(self.arrow_schema)
         yield from table.to_batches()

@@ -55,7 +55,9 @@ from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import coalesce as F_coalesce
 from pyspark.sql.functions import col as F_col
+from pyspark.sql.functions import lit as F_lit
 
 
 class CommitConflict(RuntimeError):
@@ -270,7 +272,12 @@ class SnapshotTable:
         for c, vals in predicate.items():
             cond = F_col(c).isin(*vals)
             constraint = cond if constraint is None else (constraint & cond)
-        n_violating = df.filter(~constraint).limit(1).count()
+        # Null-safe: ``~constraint`` is NULL (not True) for rows whose
+        # predicate column is NULL, which would let them slip past the
+        # check while never matching the predicate below — reject them.
+        n_violating = (
+            df.filter(~F_coalesce(constraint, F_lit(False))).limit(1).count()
+        )
         if n_violating:
             raise ValueError(
                 f"{self.root}: replace_where replacement data contains rows "
@@ -296,9 +303,13 @@ class SnapshotTable:
             for c, vals in predicate.items():
                 cond = F_col(c).isin(*vals)
                 match = cond if match is None else (match & cond)
+            # Null-safe keep: rows with a NULL predicate column inside a
+            # rewritten file can never match the predicate, so they must
+            # be carried into the remainder (Delta keeps them too);
+            # ``~match`` alone evaluates NULL for them and drops them.
             remainder = spark.read.parquet(
                 *[str(self.root / f) for f in touched]
-            ).filter(~match)
+            ).filter(~F_coalesce(match, F_lit(False)))
             rem_files = self._write_data(remainder)
             out_files += rem_files
             new_stats.update(self._collect_stats(rem_files))

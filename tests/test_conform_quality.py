@@ -100,3 +100,34 @@ def test_expectations_catch_bad_batches(spark):
     assert report["k_unique"][1] is False  # duplicate k=2
     assert report["amount_min"] == (-1.0, False)
     assert report["amount_max"] == (5.0, True)
+
+
+def test_expectation_verdicts_use_unrounded_metric(spark):
+    """One duplicate among 3M keys gives a duplicate fraction ~3.3e-7
+    that ROUNDS to 0.0 at the report's 6dp — the verdict must still fail,
+    i.e. be computed on the unrounded aggregate, or a unique gate
+    silently passes at scale."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_pipeline_elt_spark.operators.quality import (
+        Expectation,
+        check_expectations,
+    )
+
+    df = spark.range(3_000_000).union(spark.range(1)).select(
+        F.col("id").alias("k")
+    )
+    row = check_expectations(df, [Expectation("k_unique", "unique", "k")]).first()
+    assert row.metric == 0.0  # reported metric is the rounded one
+    assert row.passed is False  # verdict saw the raw ~3.3e-7
+
+
+def test_expectations_empty_list_raises(spark):
+    import pytest
+
+    from nyc_taxi_data_pipeline_elt_spark.operators.quality import (
+        check_expectations,
+    )
+
+    with pytest.raises(ValueError, match="no expectations"):
+        check_expectations(spark.range(3), [])

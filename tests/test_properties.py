@@ -126,3 +126,20 @@ def test_mixture_sample_property(spark):
         }
 
     run()
+
+
+def test_mixture_sample_missing_source_raises(spark):
+    """A target source with zero rows cannot contribute its share — the
+    operator fails loudly instead of returning an empty sample (and
+    instead of the SQL twin's silent share drop)."""
+    import pytest
+
+    from nyc_taxi_data_pipeline_elt_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "web"), (2, "web"), (3, "code")], "doc_id long, source string"
+    )
+    with pytest.raises(ValueError, match="reference_books"):
+        mixture_sample(
+            df, "source", "doc_id", {"web": 0.5, "code": 0.3, "reference_books": 0.2}
+        )

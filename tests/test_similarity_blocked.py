@@ -61,6 +61,17 @@ def test_knn_join_matches_bruteforce_for_query_vector(spark):
     assert knn <= brute
 
 
+def test_exact_verifier_refuses_large_corpus(spark):
+    """The exact all-pairs path is capped: above max_vectors it must
+    raise and point at the blocked production twin, so no registered
+    query can ever collect a real corpus to the driver."""
+    import pytest
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="neardup_pairs_blocked"):
+        S.neardup_pairs(emb, max_vectors=10)
+
+
 def test_blocked_construction_runs_no_jobs(spark):
     """Building the blocked plan must stay lazy — the exact verifier's
     driver-side toPandas() is exactly what this path removes."""

@@ -170,6 +170,49 @@ def test_schema_evolution_reads_union_schema(spark, table):
     assert set(delta.columns) == {"id", "v", "tag"}
 
 
+def test_replace_where_keeps_null_predicate_rows(spark, table):
+    """Rows whose predicate column is NULL inside a rewritten file can
+    never match the predicate, so they must survive the rewrite (Delta
+    semantics); and replacement rows with NULL predicate columns must be
+    rejected by the constraint — both need null-safe predicates."""
+    base = spark.createDataFrame(
+        [(1, 10), (None, 20), (2, 30)], "m int, v int"
+    ).coalesce(1)
+    table.append(base)
+    table.replace_where(
+        spark,
+        spark.createDataFrame([(1, 11)], "m int, v int"),
+        {"m": [1]},
+    )
+    rows = {r.v for r in table.read(spark).collect()}
+    assert rows == {11, 20, 30}  # the NULL-m row (v=20) survived
+    with pytest.raises(ValueError, match="not matching"):
+        table.replace_where(
+            spark,
+            spark.createDataFrame([(None, 99)], "m int, v int"),
+            {"m": [2]},
+        )
+
+
+def test_python_datasource_schema_evolution(spark, table):
+    """The connector's schema() unions footers across manifest files, so
+    columns added by later appends are visible and pre-evolution files
+    are null-padded — parity with read(merge_schema=True)."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    table.append(_df(spark, 0, 5))
+    table.append(
+        spark.range(5, 8).selectExpr("id", "id * 2 AS v", "CAST(id AS STRING) AS tag")
+    )
+    df = spark.read.format("snapshot_table").load(str(table.root))
+    assert set(df.columns) == {"id", "v", "tag"}
+    rows = {r.id: r.tag for r in df.collect()}
+    assert rows[6] == "6" and rows[0] is None
+
+
 def test_process_changes_chains_tables_exactly_once(spark, tmp_path):
     """Incremental consumer: source-table deltas flow into a downstream
     snapshot table with version-as-batch-id idempotence — replays after a
