@@ -78,7 +78,13 @@ def minhash_band_rows(
     """MinHash LSH index rows ``(id_col, band_idx, band_key)`` — the
     persistable band index: signature = one hash-aggregate over the
     shingle rows (k mins computed map-side partial), then one row per
-    band. This IS the stored state of an incremental dedup corpus."""
+    band. This IS the stored state of an incremental dedup corpus.
+
+    Shape note: the explode-of-struct-array here was A/B'd against the
+    direct ``posexplode``-of-key-array alternative at sf0.1 (isolated,
+    median of 3 interleaved passes): 3.04 s vs 3.14 s through the full
+    ``minhash_lsh_pairs`` plan — equivalent within noise, so the shared
+    index-builder shape stays."""
     sh = shingle_rows(docs, n=3, id_col=id_col, text_col=text_col)
     sig = sh.groupBy(id_col).agg(
         *[

@@ -5,8 +5,10 @@ and returns the materialized result.
 Oracle story: complete-mode windowed aggregations over a fully-replayed
 bounded stream equal their batch GROUP BY — so tumbling/sliding/session
 windows get real DuckDB oracles (time_bucket / lag-gap sessionization).
-The watermarked append-mode query is genuinely streaming-semantic (rows
-newer than the final watermark stay unemitted) -> rows-only check.
+The watermarked append-mode query is streaming-semantic (rows newer than
+the final watermark stay unemitted), but the final watermark itself is a
+deterministic function of the bounded input — max event time minus the
+delay — so even that cut has a batch twin (LATE_DATA_ORACLE).
 """
 
 from __future__ import annotations
@@ -91,12 +93,35 @@ GROUP BY user_id, session_seq
 
 
 def streaming_late_data_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # append mode + watermark: windows past the final watermark are emitted,
-    # trailing windows stay in state -> no batch-SQL twin (rows-only check)
+    # append mode + watermark: on a full availableNow replay Spark runs a
+    # trailing no-data batch that advances the watermark to
+    # (max event time, ms-truncated) - delay and emits every window whose
+    # end has been passed; trailing windows stay in state unemitted. That
+    # final-watermark cut IS batch-expressible, so this gets a real
+    # oracle (below) instead of the rows-only check it had through r3.
     events = W.stream_events(spark, sf_dir)
     return W.run_to_memory(
         W.late_data_tumbling(events), _unique("late"), mode="append"
     )
+
+
+# The final watermark is max(event time) truncated to ms (Spark tracks
+# per-batch max event time in ms) minus the 10-minute delay; append mode
+# emits windows whose end the watermark has passed. Both <= and < agree
+# on the fixture data (no window end lands exactly on the watermark);
+# probed empirically at sf0.001 and sf0.01 against the streaming result.
+LATE_DATA_ORACLE = """
+WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+wm AS (SELECT epoch_ms(max(ts)) - 600000 AS wm_ms FROM ev),
+agg AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+         event_type, count(*) AS n_events
+  FROM ev GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events
+FROM agg, wm
+WHERE epoch_ms(window_start + INTERVAL '5 minutes') <= wm_ms
+"""
 
 
 def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,4 +217,5 @@ ORACLE = {
     "streaming_tumbling_counts": TUMBLING_ORACLE,
     "streaming_sliding_totals": SLIDING_ORACLE,
     "streaming_session_counts": SESSION_ORACLE,
+    "streaming_late_data_tumbling": LATE_DATA_ORACLE,
 }

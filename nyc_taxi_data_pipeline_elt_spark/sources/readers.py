@@ -101,3 +101,39 @@ def to_pandas(df: DataFrame):
     the Arrow-backed ``toPandas`` on an already-aggregated (small) result.
     """
     return df.toPandas()
+
+
+def read_jsonl_with_dlq(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-on-read JSONL ingestion with a malformed-record DLQ — the
+    crawl-ingest reality the reference's improvement list gestures at
+    (``README.md:146``: DLQ for malformed rows) applied to the
+    semi-structured layer: web-scale corpora arrive as JSON lines where
+    some fraction is truncated or invalid, and dropping them silently
+    (DROPMALFORMED) destroys the audit trail.
+
+    PERMISSIVE mode + ``columnNameOfCorruptRecord`` keeps every input
+    line: parsed rows flow to ``good`` (corrupt column dropped), broken
+    lines land in ``bad`` with the raw line preserved for replay. Both
+    sides are one scan each of the same source; the corrupt-marker filter
+    is pushed into the scan and rows stay whole-stage-codegen'd.
+
+    Note Spark's contract: the corrupt-record column must be ADDED to the
+    user schema, and a query may not reference ONLY that column
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — so the DLQ side carries the full
+    partially-parsed row alongside ``raw_line``, which is also the more
+    useful quarantine record (whatever fields did parse are kept).
+    """
+    reader_schema = f"{schema}, _corrupt_record string"
+    raw = (
+        spark.read.schema(reader_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).withColumnRenamed(
+        "_corrupt_record", "raw_line"
+    )
+    return good, bad

@@ -58,6 +58,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import coalesce as F_coalesce
 from pyspark.sql.functions import col as F_col
 from pyspark.sql.functions import lit as F_lit
+from pyspark.sql.functions import max as F_max
+from pyspark.sql.functions import min as F_min
 
 
 class CommitConflict(RuntimeError):
@@ -317,6 +319,124 @@ class SnapshotTable:
         out_files += new
         new_stats.update(self._collect_stats(new))
         return self._commit(out_files, "replace", stats=new_stats)
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        when_matched: str = "update",
+        when_not_matched: str | None = "insert",
+    ) -> Snapshot:
+        """MERGE INTO at the table-format layer: apply ``source`` rows to
+        the table by ``key_cols`` as ONE atomic snapshot commit —
+        ``when_matched`` = ``update`` (source row replaces the target
+        row) or ``delete``; ``when_not_matched`` = ``insert`` or None
+        (update/delete-only). The Delta MERGE the reference's stack would
+        lean on for CDC application, built on this format's primitives.
+
+        Copy-on-write driven by manifest stats, like ``replace_where``: a
+        file whose recorded [min, max] envelope on ANY key column is
+        disjoint from the source's key range cannot contain a matching
+        key and is carried over VERBATIM (no read, no rewrite). At scale
+        a CDC batch touching one day's keys rewrites that day's files
+        only. The source-side key range is one tiny aggregate over the
+        (small, by CDC construction) batch — O(#key_cols) driver scalars;
+        matching is a distributed anti/semi join on the touched files
+        only, which is complete because pruned files provably hold no
+        matching key. Rows with NULL keys never equal any source key and
+        flow through the anti-join untouched (SQL MERGE semantics).
+
+        Like Delta, raises when several source rows share a key (the
+        "multiple source rows matched" ambiguity) — one cheap action on
+        the batch.
+        """
+        if when_matched not in ("update", "delete"):
+            raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+        if when_not_matched not in ("insert", None):
+            raise ValueError(
+                f"when_not_matched must be insert|None, got {when_not_matched!r}"
+            )
+        dup = (
+            source.groupBy(*key_cols)
+            .count()
+            .filter(F_col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"{self.root}: merge source has multiple rows for the same "
+                f"{key_cols} key — deduplicate the batch first"
+            )
+        cur = self.current_version()
+        if cur is None:
+            if when_not_matched == "insert":
+                new = self._write_data(source)
+                return self._commit(new, "merge", stats=self._collect_stats(new))
+            return self._commit([], "merge", stats={})
+        snap = self.snapshot(cur)
+
+        key_range = source.agg(
+            *[
+                agg(c).alias(f"{side}_{c}")
+                for c in key_cols
+                for side, agg in (("lo", F_min), ("hi", F_max))
+            ]
+        ).first()
+        stats = dict(snap.stats or {})
+        carried: list[str] = []
+        touched: list[str] = []
+        for f in snap.files:
+            fstats = stats.get(f, {})
+            disjoint = any(
+                fstats.get(c) is not None
+                and key_range[f"lo_{c}"] is not None
+                and (
+                    fstats[c][1] < key_range[f"lo_{c}"]
+                    or fstats[c][0] > key_range[f"hi_{c}"]
+                )
+                for c in key_cols
+            )
+            (carried if disjoint else touched).append(f)
+        new_stats = {f: stats[f] for f in carried if f in stats}
+        out_files = list(carried)
+
+        out_rows = None
+        if touched:
+            target = spark.read.parquet(*[str(self.root / f) for f in touched])
+            if set(source.columns) != set(target.columns):
+                raise ValueError(
+                    f"{self.root}: merge source columns {sorted(source.columns)} "
+                    f"!= table columns {sorted(target.columns)}"
+                )
+            out_rows = target.join(
+                source.select(*key_cols), key_cols, "left_anti"
+            )
+        if when_matched == "update" or when_not_matched == "insert":
+            if when_not_matched == "insert":
+                incoming = source  # matched updates + unmatched inserts
+            elif touched:
+                # update-only: keep just the source rows that matched
+                target_keys = spark.read.parquet(
+                    *[str(self.root / f) for f in touched]
+                ).select(*key_cols)
+                incoming = source.join(target_keys, key_cols, "left_semi")
+            else:
+                incoming = None
+            if incoming is not None:
+                cols = out_rows.columns if out_rows is not None else incoming.columns
+                incoming = incoming.select(*cols)
+                out_rows = (
+                    incoming
+                    if out_rows is None
+                    else out_rows.unionByName(incoming)
+                )
+        if out_rows is not None:
+            new = self._write_data(out_rows)
+            out_files += new
+            new_stats.update(self._collect_stats(new))
+        return self._commit(out_files, "merge", stats=new_stats)
 
     def commit_batch(self, df: DataFrame, batch_id: int) -> Snapshot | None:
         """Idempotent append for ``foreachBatch``: if ``batch_id`` was

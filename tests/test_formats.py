@@ -29,6 +29,31 @@ def test_roundtrip(spark, tmp_path, fmt):
     assert chk(back) == chk(src)
 
 
+def test_jsonl_dlq_splits_malformed_lines(spark, tmp_path):
+    """PERMISSIVE JSONL ingest: parsed rows flow to good, truncated /
+    invalid lines land in the DLQ with the raw line intact for replay —
+    nothing is silently dropped."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.readers import (
+        read_jsonl_with_dlq,
+    )
+
+    p = tmp_path / "crawl.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "truncated...\n'
+        "not json at all\n"
+        '{"doc_id": 3, "text": "fine"}\n'
+    )
+    good, bad = read_jsonl_with_dlq(
+        spark, str(p), "doc_id bigint, text string"
+    )
+    assert {r.doc_id for r in good.collect()} == {1, 3}
+    assert "_corrupt_record" not in good.columns
+    bad_lines = [r.raw_line for r in bad.collect()]
+    assert len(bad_lines) == 2
+    assert "not json at all" in bad_lines  # raw line preserved for replay
+
+
 def test_partitioned_write_layout(spark, tmp_path):
     src = load_table(spark, SF_DIR, "orders").withColumn(
         "o_year", F.year("o_orderdate")

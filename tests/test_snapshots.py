@@ -365,6 +365,75 @@ def test_replace_where_rejects_nonmatching_replacement(spark, table):
         )
 
 
+def test_merge_upserts_in_one_commit(spark, table):
+    """MERGE update+insert: matched rows take the source version,
+    unmatched source rows are inserted, everything lands as ONE snapshot
+    commit with op=merge."""
+    table.append(_df(spark, 0, 5))  # v = id * 2
+    src = spark.createDataFrame([(2, 999), (7, 777)], "id long, v long")
+    snap = table.merge(spark, src, ["id"])
+    assert snap.op == "merge"
+    got = {r.id: r.v for r in table.read(spark).collect()}
+    assert got[2] == 999 and got[7] == 777
+    assert got[0] == 0 and got[4] == 8  # untouched rows carried
+    assert len(got) == 6
+    # previous snapshot still reads the pre-merge state (time travel)
+    old = {r.id: r.v for r in table.read(spark, version=snap.version - 1).collect()}
+    assert old[2] == 4 and 7 not in old
+
+
+def test_merge_delete_and_update_only(spark, table):
+    table.append(_df(spark, 0, 5))
+    table.merge(
+        spark,
+        spark.createDataFrame([(1,), (3,)], "id long").selectExpr("id", "0L AS v"),
+        ["id"],
+        when_matched="delete",
+        when_not_matched=None,
+    )
+    assert sorted(r.id for r in table.read(spark).collect()) == [0, 2, 4]
+    # update-only: the unmatched source row (id=9) must NOT be inserted
+    table.merge(
+        spark,
+        spark.createDataFrame([(2, 22), (9, 99)], "id long, v long"),
+        ["id"],
+        when_not_matched=None,
+    )
+    got = {r.id: r.v for r in table.read(spark).collect()}
+    assert got == {0: 0, 2: 22, 4: 8}
+
+
+def test_merge_prunes_disjoint_files_by_stats(spark, table):
+    """A CDC batch whose key range misses a file's [min, max] envelope
+    carries that file verbatim — same path in the new manifest."""
+    table.append(spark.range(0, 10).selectExpr("id", "id AS v").coalesce(1))
+    table.append(spark.range(100, 110).selectExpr("id", "id AS v").coalesce(1))
+    before = table.snapshot()
+    low_file = next(f for f in before.files if before.stats[f]["id"][0] == 0)
+    table.merge(
+        spark, spark.createDataFrame([(105, -1)], "id long, v long"), ["id"]
+    )
+    after = table.snapshot()
+    assert low_file in after.files  # disjoint file untouched
+    got = {r.id: r.v for r in table.read(spark).collect()}
+    assert got[105] == -1 and got[3] == 3 and len(got) == 20
+
+
+def test_merge_rejects_ambiguous_source(spark, table):
+    table.append(_df(spark, 0, 5))
+    dup = spark.createDataFrame([(1, 10), (1, 11)], "id long, v long")
+    with pytest.raises(ValueError, match="multiple rows"):
+        table.merge(spark, dup, ["id"])
+
+
+def test_merge_into_empty_table_inserts(spark, table):
+    snap = table.merge(
+        spark, spark.createDataFrame([(1, 10)], "id long, v long"), ["id"]
+    )
+    assert snap.op == "merge" and snap.version == 0
+    assert table.read(spark).count() == 1
+
+
 def test_commit_batch_replay_check_is_manifest_local(spark, table):
     """The cumulative batch-id set rides in every manifest, including
     across non-batch commits, so replay detection never re-reads history."""
