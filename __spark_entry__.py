@@ -45,6 +45,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # unigram_lm_scores, bigrams_udtf, chunk_documents) remain registered,
 # benchmarked, and locally parity-tested.
 _PRIORITY_WINDOW = [
+    # NEW operators this round (first driver verification): clustering /
+    # semantic dedup / ANN evaluation / corpus quality battery. They
+    # displace 7 r3-hash-verified representatives whose classes keep
+    # other representatives in the window (dedup_simhash,
+    # simsearch_ivf_topk, tfidf_top_terms, triangles_neardup,
+    # scd2_user_event_type, snapshot_table_roundtrip,
+    # salted_orders_per_segment — all remain registered, benchmarked,
+    # and locally parity-tested).
+    "embedding_kmeans",
+    "semdedup_prune",
+    "simsearch_recall_eval",
+    "doc_repetition_stats",
+    "quality_filter_docs",
+    "blocklist_scrub_docs",
+    "doc_group_split",
     # ledger entries getting their first driver row (r4 rotation)
     "dedup_incremental_minhash",
     "decontaminate_train_docs",
@@ -74,9 +89,9 @@ _PRIORITY_WINDOW = [
     "union_fleets_unify",
     "topk_orders",
     "sql_consumption_report",
-    # joins: as-of (custom), skew-salted (§2.7)
+    # joins (§2.7): as-of representative (salted_orders_per_segment is
+    # r3-hash-verified)
     "lineitem_asof_prior_order",
-    "salted_orders_per_segment",
     # window functions (§2.8)
     "top3_lineitems_per_supplier",
     # edit-distance similarity join (PassJoin)
@@ -95,18 +110,13 @@ _PRIORITY_WINDOW = [
     "doc_token_stats_arrow",
     # graph
     "pagerank_dangling",
-    "triangles_neardup",
-    # ETL: SCD2 history, CDC merge, snapshot table format
-    "scd2_user_event_type",
+    # ETL: CDC merge, snapshot change feed (snapshot_table_roundtrip and
+    # scd2_user_event_type are r3-hash-verified)
     "cdc_orders_merge",
-    "snapshot_table_roundtrip",
     # dedup / ANN representatives
-    "dedup_simhash",
     "dedup_clusters",
     "embedding_neardup_blocked",
-    "simsearch_ivf_topk",
-    # text + multimodal representatives
-    "tfidf_top_terms",
+    # multimodal representative
     "multimodal_meta",
 ]
 

@@ -127,6 +127,51 @@ def chunk_tokens(
     )
 
 
+def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document repetition profile (the Gopher/MassiveText repetition
+    filters, public arXiv 2112.11446 §A1.1): token count, distinct-token
+    count, the most frequent token and its share. Word-level here — the
+    fixture corpus is single-line, so the paper's duplicate-*line*
+    fractions degenerate; the engine mechanics (explode -> per-token
+    counts -> per-doc aggregate) are identical for any unit.
+
+    Exactly ONE exchange: the documents are hash-partitioned on the doc
+    id BEFORE the explode (moving each text once — strictly less data
+    than shuffling the exploded tokens), and everything downstream
+    inherits it: hashpartitioning(doc) satisfies the clustering
+    requirement of the (doc, token) aggregate, and the per-doc windows
+    (totals + the deterministic argmax: highest count, ties to the
+    lexicographically smallest token) need exactly that partitioning.
+    Frozen in CI by ``test_repetition_stats_single_exchange_on_docs``.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.repartition(F.col(id_col)).select(
+        id_col,
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    per_tok = toks.groupBy(id_col, "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy(id_col)
+    ranked = per_tok.select(
+        id_col,
+        "tok",
+        "n",
+        F.sum("n").over(w).alias("n_words"),
+        F.count("*").over(w).alias("n_unique"),
+        F.row_number()
+        .over(w.orderBy(F.col("n").desc(), F.col("tok")))
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        id_col,
+        "n_words",
+        "n_unique",
+        F.round(F.col("n_unique") / F.col("n_words"), 6).alias("unique_ratio"),
+        F.col("tok").alias("top_tok"),
+        F.round(F.col("n") / F.col("n_words"), 6).alias("top_share"),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Key-collision fingerprint: md5 over the sorted distinct lowercase
     token set — the classic OpenRefine/key-collision dedup key; identical

@@ -14,6 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nyc_taxi_data_pipeline_elt_spark.operators import clustering as C
 from nyc_taxi_data_pipeline_elt_spark.operators import dedup as D
 from nyc_taxi_data_pipeline_elt_spark.operators import sampling as M
 from nyc_taxi_data_pipeline_elt_spark.operators import similarity as S
@@ -926,6 +927,134 @@ GROUP BY t.doc_id
 """
 
 
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM corpus scoring with add-one smoothing: score each
+    document by its total ``ln P(w_i | w_{i-1})`` under the corpus's own
+    bigram model — one step up the n-gram ladder from
+    :func:`unigram_lm_scores`, the standard cheap-perplexity ranking.
+
+    Bigrams come from one window ``lag`` over (doc, position) — a single
+    shuffle on doc_id; model counts are two hash aggregations. The
+    score join keys on (prev, cur) with no broadcast hint: the bigram
+    table grows with vocab^2, so AQE picks broadcast only when it truly
+    fits — at 100 TB this is a plain shuffle join on a key that is
+    orders of magnitude smaller than the corpus. Per-bigram log-probs
+    are rounded to the 1e-6 grid before the per-doc sum (the same
+    order-independence trick as the unigram scorer)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token"),
+    )
+    big = toks.withColumn("prev", F.lag("token").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    c2 = big.groupBy("prev", "token").agg(F.count("*").alias("n2"))
+    c1 = c2.groupBy("prev").agg(F.sum("n2").alias("n1"))
+    vsize = toks.agg(F.countDistinct("token").alias("v"))
+    contrib = (
+        c2.join(c1, "prev")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "prev",
+            "token",
+            F.round(
+                F.log((F.col("n2") + 1) / (F.col("n1") + F.col("v"))), 6
+            ).alias("logp"),
+        )
+    )
+    return (
+        big.join(contrib, ["prev", "token"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("logp"), 6).alias("logprob_sum"),
+        )
+    )
+
+
+BIGRAM_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS token,
+         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+  FROM documents
+), big AS (
+  SELECT doc_id, token,
+         lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM toks
+  QUALIFY prev IS NOT NULL
+), c2 AS (
+  SELECT prev, token, count(*) AS n2 FROM big GROUP BY prev, token
+), c1 AS (
+  SELECT prev, sum(n2) AS n1 FROM c2 GROUP BY prev
+), v AS (SELECT count(DISTINCT token) AS vs FROM toks),
+contrib AS (
+  SELECT prev, token, round(ln((n2 + 1) * 1.0 / (n1 + vs)), 6) AS logp
+  FROM c2 JOIN c1 USING (prev), v
+)
+SELECT b.doc_id, count(*) AS n_bigrams, round(sum(c.logp), 6) AS logprob_sum
+FROM big b JOIN contrib c ON b.prev = c.prev AND b.token = c.token
+GROUP BY b.doc_id
+"""
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build with coverage curve: the top-20 corpus tokens by
+    frequency (ties to the lexicographically smallest) with each rank's
+    cumulative share of all token occurrences — the sizing analysis done
+    before freezing a tokenizer vocab. One explode + hash agg over the
+    corpus; the ranking window runs on the vocab-sized aggregate, not
+    the corpus — and the global ranking window only ever sees the 20
+    surviving rows (top-k via TakeOrderedAndProject first, then rank:
+    the cumulative share at rank r <= 20 depends only on the top-20
+    counts, so truncating before the single-partition window is exact,
+    not an approximation)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("n_total"))
+    top = counts.orderBy(F.col("n").desc(), "token").limit(20)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("n_total"),
+                6,
+            ),
+        )
+        .select("rank", "token", "n", "cum_share")
+    )
+
+
+VOCAB_COVERAGE_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, count(*) AS n FROM toks GROUP BY token
+), ranked AS (
+  SELECT token, n,
+         CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS rank,
+         round(
+           CAST(sum(n) OVER (ORDER BY n DESC, token
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / (SELECT sum(n) FROM counts), 6) AS cum_share
+  FROM counts
+)
+SELECT rank, token, n, cum_share FROM ranked WHERE rank <= 20
+"""
+
+
 # --- embedding quantization ------------------------------------------------------
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector scalar (int8-style) quantization with reconstruction
@@ -1015,6 +1144,251 @@ FROM documents
 """
 
 
+# --- clustering / semantic dedup ---------------------------------------------
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (operators/clustering.py): row-local
+    literal-centroid assignment + one hash-agg Lloyd update per round;
+    the driver only ever holds the k x dim centroid matrix. Output is the
+    per-cluster census after one update round."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = C.kmeans(emb, k=4, n_iter=1)
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("cos_sim"), 4).alias("avg_cos"),
+    )
+
+
+KMEANS_ORACLE = f"""{C.kmeans_oracle_ctes(k=4, n_iter=1)}
+SELECT CAST(cid AS INTEGER) AS cluster, count(*) AS n_vecs,
+       round(avg(cos), 4) AS avg_cos
+FROM b1 GROUP BY cid
+"""
+
+
+def semdedup_prune_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv 2303.09540): k-means cluster the corpus, then drop
+    vectors with a lower-id cluster-mate above the cosine threshold. The
+    cluster key blocks the pair scan — sum(|cluster|^2) candidates, never
+    a global cross product."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = C.kmeans(emb, k=4, n_iter=1)
+    return C.semdedup_prune(assigned, threshold=0.3)
+
+
+SEMDEDUP_ORACLE = C.semdedup_oracle_sql(k=4, n_iter=1, threshold=0.3)
+
+
+def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@k of each ANN probe strategy
+    against the exact brute-force top-k — the acceptance gate every ANN
+    deployment runs, and the quantitative case for multi-probe (at
+    sf0.01 single-probe sign-LSH recalls 0/10 of the true neighbors;
+    Hamming-1 multi-probe recovers 5/10). All sides are k-row frames, so
+    the joins are broadcast and driver-free."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.brute_force_topk(emb, query_vec_id=0, k=10).select("vec_id")
+    probes = {
+        "lsh": S.lsh_topk(emb, query_vec_id=0, k=10, n_planes=5),
+        "lsh_multiprobe": S.lsh_topk_multiprobe(
+            emb, query_vec_id=0, k=10, n_planes=5
+        ),
+    }
+    evals = [
+        exact.join(approx.select("vec_id"), "vec_id").agg(
+            F.lit(method).alias("method"),
+            F.lit(10).alias("k"),
+            F.count("*").alias("n_hits"),
+            F.round(F.count("*") / 10.0, 4).alias("recall"),
+        )
+        for method, approx in probes.items()
+    ]
+    out = evals[0]
+    for e in evals[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+RECALL_EVAL_ORACLE = f"""
+WITH bf AS ({SIMSEARCH_ORACLE}),
+probe1 AS ({LSH_TOPK_ORACLE}),
+probe2 AS ({LSH_MULTIPROBE_ORACLE})
+SELECT 'lsh' AS method, 10 AS k, count(*) AS n_hits,
+       round(count(*) / 10.0, 4) AS recall
+FROM bf JOIN probe1 USING (vec_id)
+UNION ALL
+SELECT 'lsh_multiprobe' AS method, 10 AS k, count(*) AS n_hits,
+       round(count(*) / 10.0, 4) AS recall
+FROM bf JOIN probe2 USING (vec_id)
+"""
+
+
+# --- corpus quality / filtering ------------------------------------------------
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition profile (arXiv 2112.11446 §A1.1):
+    token totals, distinct share, dominant token and its share."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return X.repetition_stats(docs)
+
+
+REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+), c AS (
+  SELECT doc_id, tok, count(*) AS n FROM t GROUP BY doc_id, tok
+), r AS (
+  SELECT doc_id, tok, n,
+         CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_words,
+         count(*) OVER (PARTITION BY doc_id) AS n_unique,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, tok) AS rn
+  FROM c
+)
+SELECT doc_id, n_words, n_unique,
+       round(n_unique * 1.0 / n_words, 6) AS unique_ratio,
+       tok AS top_tok,
+       round(n * 1.0 / n_words, 6) AS top_share
+FROM r WHERE rn = 1
+"""
+
+
+def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-battery document filter (C4 / Gopher heuristics): length
+    bounds, mean word length, stopword presence, top-token repetition.
+    Row-local flags plus one join against the repetition profile; `keep`
+    is the conjunction — the shape of every public corpus-cleaning
+    pipeline's first pass."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.whitespace_tokens(F.lower(F.col("text")))
+    n_words = F.size(toks)
+    mean_wlen = F.length(F.trim(F.col("text"))) / F.greatest(n_words, F.lit(1))
+    sw = F.size(
+        F.filter(toks, lambda t: t.isin(X.LANG_STOPWORDS["en"]))
+    )
+    flags = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (n_words.between(30, 200)).alias("ok_len"),
+        ((mean_wlen >= 3) & (mean_wlen <= 10)).alias("ok_wlen"),
+        (sw >= 2).alias("ok_sw"),
+    )
+    rep = X.repetition_stats(docs).select(
+        "doc_id", (F.col("top_share") <= 0.10).alias("ok_rep")
+    )
+    return flags.join(rep, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "ok_len",
+        "ok_wlen",
+        "ok_sw",
+        "ok_rep",
+        (
+            F.col("ok_len") & F.col("ok_wlen") & F.col("ok_sw") & F.col("ok_rep")
+        ).alias("keep"),
+    )
+
+
+QUALITY_FILTER_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), flags AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         len(toks) BETWEEN 30 AND 200 AS ok_len,
+         (length(trim(text)) * 1.0 / greatest(len(toks), 1)) BETWEEN 3 AND 10
+           AS ok_wlen,
+         len(list_filter(toks, t -> t IN ({_SW_EN}))) >= 2 AS ok_sw
+  FROM base
+), c AS (
+  SELECT doc_id, tok, count(*) AS n
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM base) t
+  GROUP BY doc_id, tok
+), rep AS (
+  SELECT doc_id, round(max(n) * 1.0 / sum(n), 6) <= 0.10 AS ok_rep
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_words, ok_len, ok_wlen, ok_sw, ok_rep,
+       ok_len AND ok_wlen AND ok_sw AND ok_rep AS keep
+FROM flags JOIN rep USING (doc_id)
+"""
+
+
+#: Denylist for the scrub operator — corpus terms standing in for the
+#: C4-style bad-words / PII patterns (the fixture corpus has no real PII;
+#: the regexp machinery is identical for any pattern set).
+BLOCKLIST_PATTERN = "\\b(spark|vector|hash)\\b"
+
+
+def blocklist_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist scrubbing: count and redact blocklisted terms (the C4
+    bad-words / PII-redaction shape — regexp_count + regexp_replace, all
+    row-local JVM built-ins). Flags documents whose redaction density
+    exceeds 5% of tokens."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    hits = F.regexp_count(F.col("text"), F.lit(BLOCKLIST_PATTERN))
+    cleaned = F.regexp_replace(F.col("text"), BLOCKLIST_PATTERN, "<removed>")
+    n_words = F.size(X.whitespace_tokens("text"))
+    return docs.select(
+        "doc_id",
+        hits.alias("n_redactions"),
+        F.length(cleaned).alias("clean_n_chars"),
+        (hits / F.greatest(n_words, F.lit(1)) > 0.05).alias("flagged"),
+    )
+
+
+BLOCKLIST_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BLOCKLIST_PATTERN}')) AS INTEGER)
+         AS n_redactions,
+       CAST(length(regexp_replace(text, '{BLOCKLIST_PATTERN}', '<removed>', 'g'))
+         AS INTEGER) AS clean_n_chars,
+       len(regexp_extract_all(text, '{BLOCKLIST_PATTERN}')) * 1.0
+         / greatest(len(string_split_regex(trim(text), '\\s+')), 1) > 0.05
+         AS flagged
+FROM documents
+"""
+
+
+def doc_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the hash is taken over the
+    GROUP key (source), not the document, so every document of a source
+    lands in the same split — the standard guard against near-duplicate
+    leakage across splits (split by domain/site, not by page). Row-local
+    md5 assignment + one aggregate."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", M.split_assignment("source", 0.8, 0.1))
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+GROUP_SPLIT_ORACLE = """
+WITH s AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('split-' || source), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       count(DISTINCT source) AS n_sources,
+       count(*) AS n_docs
+FROM s GROUP BY 1
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_fingerprint_docs": dedup_fingerprint_docs,
@@ -1049,6 +1423,15 @@ QUERIES = {
     "doc_global_index": doc_global_index,
     "pack_training_sequences": pack_training_sequences,
     "doc_vowel_stats_pandas_udf": doc_vowel_stats_pandas_udf,
+    "embedding_kmeans": embedding_kmeans,
+    "semdedup_prune": semdedup_prune_embeddings,
+    "simsearch_recall_eval": simsearch_recall_eval,
+    "doc_repetition_stats": doc_repetition_stats,
+    "quality_filter_docs": quality_filter_docs,
+    "blocklist_scrub_docs": blocklist_scrub_docs,
+    "doc_group_split": doc_group_split,
+    "bigram_lm_scores": bigram_lm_scores,
+    "vocab_coverage": vocab_coverage,
 }
 
 ORACLE = {
@@ -1085,4 +1468,13 @@ ORACLE = {
     "doc_global_index": GLOBAL_INDEX_ORACLE,
     "pack_training_sequences": PACK_SEQUENCES_ORACLE,
     "doc_vowel_stats_pandas_udf": VOWEL_UDF_ORACLE,
+    "embedding_kmeans": KMEANS_ORACLE,
+    "semdedup_prune": SEMDEDUP_ORACLE,
+    "simsearch_recall_eval": RECALL_EVAL_ORACLE,
+    "doc_repetition_stats": REPETITION_ORACLE,
+    "quality_filter_docs": QUALITY_FILTER_ORACLE,
+    "blocklist_scrub_docs": BLOCKLIST_ORACLE,
+    "doc_group_split": GROUP_SPLIT_ORACLE,
+    "bigram_lm_scores": BIGRAM_LM_ORACLE,
+    "vocab_coverage": VOCAB_COVERAGE_ORACLE,
 }

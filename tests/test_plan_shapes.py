@@ -165,3 +165,46 @@ def test_quota_sample_single_shuffle(spark):
     extra exchange."""
     plan = _plan(trainingdata.doc_quota_sample(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_kmeans_assignment_is_row_local(spark):
+    """The k-means assignment stage must be a pure projection over the
+    scan — centroids are literals, so no join, no exchange, no Python
+    boundary anywhere in the assignment."""
+    from nyc_taxi_data_pipeline_elt_spark.operators import clustering as C
+    from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
+
+    dfn = C.with_norms(load_table(spark, SF_DIR, "embeddings"))
+    cents = C.seed_centroids(dfn, k=4)
+    plan = _plan(C.assign_clusters(dfn, cents))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_semdedup_pair_scan_is_cluster_blocked(spark):
+    """SemDeDup's pair scan must be one shuffle on the cluster key into
+    the per-cluster Arrow slab kernel — never a join, never a
+    nested-loop/cartesian all-pairs product."""
+    plan = _plan(trainingdata.semdedup_prune_embeddings(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_repetition_stats_single_exchange_on_docs(spark):
+    """The per-token agg and the per-doc window share the doc_id
+    partitioning: exactly one data exchange (plus none hidden in a
+    SinglePartition funnel)."""
+    plan = _plan(trainingdata.doc_repetition_stats(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_vocab_coverage_truncates_before_global_window(spark):
+    """The global ranking window must consume the top-k, not the full
+    vocab: a TakeOrderedAndProject appears below the window."""
+    plan = _plan(trainingdata.vocab_coverage(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
