@@ -63,6 +63,102 @@ def shingle_rows(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    n: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``n``-gram, then
+    keep the minimum hash of each sliding window of ``w`` consecutive
+    shingles. Guarantees a match for any shared run of
+    ``n + w - 1`` tokens while storing ~2/(w+1) of the shingle hashes —
+    the classic robust local fingerprint for plagiarism / overlap
+    detection, one density knob up from MinHash's global signature.
+
+    Physical shape: posexplode + two window passes that share the one
+    hash partition on ``id_col`` (shingle build via ``lead``, window
+    min via a rows frame), then a distinct — whose partial aggregation
+    already collapses most duplicates map-side because consecutive
+    windows usually share their minimum. Hashes are the first 8 md5 hex
+    digits as a BIGINT, bit-identical in DuckDB.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), "\\s+")).alias(
+            "pos", "tk"
+        ),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tk", j).over(win) for j in range(1, n)]
+    sh = (
+        tok.select(
+            F.col(id_col),
+            "pos",
+            F.concat_ws(" ", F.col("tk"), *leads).alias("s"),
+            leads[-1].alias("_guard"),
+        )
+        .filter(F.col("_guard").isNotNull())
+        .select(
+            id_col,
+            "pos",
+            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    frame = win.rowsBetween(0, w - 1)
+    fp = (
+        sh.select(
+            F.col(id_col),
+            F.min("h").over(frame).alias("fp"),
+            F.lead("h", w - 1).over(win).alias("_full"),
+        )
+        .filter(F.col("_full").isNotNull())
+        .select(id_col, "fp")
+        .distinct()
+    )
+    return fp
+
+
+def winnow_oracle_sql(
+    n: int = 3, w: int = 4, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints`."""
+    leads = ", ".join(
+        f"lead(tk, {j}) OVER (PARTITION BY doc_id ORDER BY pos)"
+        for j in range(1, n)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tk,
+         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+  FROM {table}
+), sh AS (
+  SELECT doc_id, pos,
+         concat_ws(' ', tk, {leads}) AS s,
+         lead(tk, {n - 1}) OVER (PARTITION BY doc_id ORDER BY pos) AS _guard
+  FROM tok
+  QUALIFY _guard IS NOT NULL
+), h AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+  FROM sh
+), wmin AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
+         lead(h, {w - 1}) OVER (PARTITION BY doc_id ORDER BY pos) AS _full
+  FROM h
+  QUALIFY _full IS NOT NULL
+)
+SELECT DISTINCT doc_id, fp FROM wmin
+"""
+
+
 def lsh_band_keys(sig_prefix: str = "mh") -> list[Column]:
     """Collapse the signature into LSH_BANDS bucket keys (md5 of each band)."""
     keys = []

@@ -1144,6 +1144,63 @@ FROM documents
 """
 
 
+def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) local fingerprints: min-hash of every sliding
+    window of w=4 consecutive 3-gram shingle hashes — guarantees any
+    shared 6-token run produces a common fingerprint while storing a
+    fraction of the shingles (operators/dedup.py:winnow_fingerprints)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.winnow_fingerprints(docs, n=3, w=4)
+
+
+WINNOW_ORACLE = D.winnow_oracle_sql(n=3, w=4)
+
+
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the
+    information-theoretic quality signal (gibberish and boilerplate sit
+    at the distribution's tails). One explode + two hash aggregations;
+    per-character contributions are rounded to the 1e-6 grid before the
+    per-doc sum so the result is order-independent across engines."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit("."), 0)).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("doc_id")
+    contrib = counts.withColumn("n", F.sum("c").over(w)).select(
+        "doc_id",
+        "n",
+        F.round(
+            -(F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n")), 6
+        ).alias("term"),
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.first("n").alias("n_chars"),
+        F.round(F.sum("term"), 6).alias("entropy"),
+    )
+
+
+CHAR_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents
+), counts AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+), contrib AS (
+  SELECT doc_id,
+         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
+         round(-(c * 1.0 / sum(c) OVER (PARTITION BY doc_id))
+               * ln(c * 1.0 / sum(c) OVER (PARTITION BY doc_id)), 6) AS term
+  FROM counts
+)
+SELECT doc_id, any_value(n) AS n_chars, round(sum(term), 6) AS entropy
+FROM contrib GROUP BY doc_id
+"""
+
+
 # --- clustering / semantic dedup ---------------------------------------------
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means (operators/clustering.py): row-local
@@ -1389,6 +1446,47 @@ FROM s GROUP BY 1
 """
 
 
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet — the curation dashboard every
+    training-data pipeline publishes: document/token volumes, quality
+    score, and the quality-filter keep rate, composed from the same
+    operator frames users query individually (filters + profile join,
+    then one aggregate per source)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text_stats(spark, sf_dir).select("doc_id", "n_tokens", "quality")
+    keep = quality_filter_docs(spark, sf_dir).select("doc_id", "keep")
+    joined = docs.select("doc_id", "source").join(stats, "doc_id").join(
+        keep, "doc_id"
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.round(
+            F.sum(F.col("keep").cast("long")) / F.count("*"), 4
+        ).alias("keep_rate"),
+    )
+
+
+CORPUS_DATASHEET_ORACLE = f"""
+WITH stats AS ({TEXT_STATS_ORACLE}),
+keepf AS ({QUALITY_FILTER_ORACLE})
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens,
+       round(avg(s.quality), 4) AS avg_quality,
+       CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS keep_rate
+FROM documents d
+JOIN stats s USING (doc_id)
+JOIN keepf k USING (doc_id)
+GROUP BY d.source
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_fingerprint_docs": dedup_fingerprint_docs,
@@ -1432,6 +1530,9 @@ QUERIES = {
     "doc_group_split": doc_group_split,
     "bigram_lm_scores": bigram_lm_scores,
     "vocab_coverage": vocab_coverage,
+    "winnow_fingerprint_docs": winnow_fingerprint_docs,
+    "doc_char_entropy": doc_char_entropy,
+    "corpus_datasheet": corpus_datasheet,
 }
 
 ORACLE = {
@@ -1477,4 +1578,7 @@ ORACLE = {
     "doc_group_split": GROUP_SPLIT_ORACLE,
     "bigram_lm_scores": BIGRAM_LM_ORACLE,
     "vocab_coverage": VOCAB_COVERAGE_ORACLE,
+    "winnow_fingerprint_docs": WINNOW_ORACLE,
+    "doc_char_entropy": CHAR_ENTROPY_ORACLE,
+    "corpus_datasheet": CORPUS_DATASHEET_ORACLE,
 }
