@@ -1144,6 +1144,75 @@ FROM documents
 """
 
 
+def kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-cardinality sketch over the
+    corpus's 3-gram shingle space (the statistic that sizes a dedup
+    index before building it) — the deterministic, oracle-checkable
+    counterpart to `approx_distinct_stats`'s HLL (whose register layout
+    is engine-private by construction). Estimate = (k-1)/h_(k) with
+    md5-uniform hashes (Bar-Yossef et al. 2002, public): bit-identical
+    in both engines, so even the *approximation* hash-matches.
+
+    Shape: shingle -> distinct (one shuffle) -> bottom-k by hash
+    (TakeOrderedAndProject — never a global sort) -> 1-row aggregate.
+    The true count rides along to expose the sketch's relative error;
+    at scale you'd drop it and keep only the k-row bottom-k pass."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    k = 256
+    toks = D.shingle_rows(docs, n=3).select(
+        F.col("s").alias("token")
+    ).distinct()
+    hashed = toks.select(
+        "token", M.hash_uniform("token", "kmv-").alias("h")
+    )
+    bottom = hashed.orderBy("h").limit(k)
+    n_true = toks.agg(F.count("*").alias("n_true"))
+    return bottom.agg(
+        F.lit(k).alias("k"),
+        F.max("h").alias("kth_hash"),
+        F.round((F.lit(k) - 1) / F.max("h"), 4).alias("estimate"),
+    ).crossJoin(F.broadcast(n_true)).select(
+        "k",
+        F.round("kth_hash", 12).alias("kth_hash"),
+        "estimate",
+        "n_true",
+        F.round(
+            F.abs(F.col("estimate") - F.col("n_true")) / F.col("n_true"), 4
+        ).alias("rel_error"),
+    )
+
+
+KMV_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tk,
+         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+  FROM documents
+), toks AS (
+  SELECT DISTINCT concat_ws(' ', tk,
+           lead(tk, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+           lead(tk, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS token
+  FROM tok
+  QUALIFY lead(tk, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+), hashed AS (
+  SELECT token,
+         ('0x' || substr(md5('kmv-' || token), 1, 8))::BIGINT
+           / 4294967296.0 AS h
+  FROM toks
+), bottom AS (
+  SELECT h FROM hashed ORDER BY h LIMIT 256
+), agg AS (
+  SELECT 256 AS k, max(h) AS kth_hash,
+         round(255 / max(h), 4) AS estimate
+  FROM bottom
+), t AS (SELECT count(*) AS n_true FROM toks)
+SELECT k, round(kth_hash, 12) AS kth_hash, estimate, n_true,
+       round(abs(estimate - n_true) / n_true, 4) AS rel_error
+FROM agg, t
+"""
+
+
 def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) local fingerprints: min-hash of every sliding
     window of w=4 consecutive 3-gram shingle hashes — guarantees any
@@ -1247,25 +1316,30 @@ def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     exact = S.brute_force_topk(emb, query_vec_id=0, k=10).select("vec_id")
-    probes = {
-        "lsh": S.lsh_topk(emb, query_vec_id=0, k=10, n_planes=5),
-        "lsh_multiprobe": S.lsh_topk_multiprobe(
-            emb, query_vec_id=0, k=10, n_planes=5
-        ),
-    }
-    evals = [
-        exact.join(approx.select("vec_id"), "vec_id").agg(
-            F.lit(method).alias("method"),
-            F.lit(10).alias("k"),
-            F.count("*").alias("n_hits"),
-            F.round(F.count("*") / 10.0, 4).alias("recall"),
+    probes = S.lsh_topk(emb, query_vec_id=0, k=10, n_planes=5).select(
+        "vec_id", F.lit("lsh").alias("method")
+    ).unionByName(
+        S.lsh_topk_multiprobe(emb, query_vec_id=0, k=10, n_planes=5).select(
+            "vec_id", F.lit("lsh_multiprobe").alias("method")
         )
-        for method, approx in probes.items()
-    ]
-    out = evals[0]
-    for e in evals[1:]:
-        out = out.unionByName(e)
-    return out
+    )
+    # union the tagged probe sets BEFORE the single join against the
+    # exact top-k, so the brute-force pass runs once for both methods;
+    # the left join against the method list keeps 0-recall rows
+    methods = spark.createDataFrame(
+        [("lsh",), ("lsh_multiprobe",)], "method string"
+    )
+    hits = probes.join(exact, "vec_id").groupBy("method").agg(
+        F.count("*").alias("hits")
+    )
+    return methods.join(hits, "method", "left").select(
+        "method",
+        F.lit(10).alias("k"),
+        F.coalesce(F.col("hits"), F.lit(0)).alias("n_hits"),
+        F.round(F.coalesce(F.col("hits"), F.lit(0)) / 10.0, 4).alias(
+            "recall"
+        ),
+    )
 
 
 RECALL_EVAL_ORACLE = f"""
@@ -1533,6 +1607,7 @@ QUERIES = {
     "winnow_fingerprint_docs": winnow_fingerprint_docs,
     "doc_char_entropy": doc_char_entropy,
     "corpus_datasheet": corpus_datasheet,
+    "kmv_distinct_tokens": kmv_distinct_tokens,
 }
 
 ORACLE = {
@@ -1581,4 +1656,5 @@ ORACLE = {
     "winnow_fingerprint_docs": WINNOW_ORACLE,
     "doc_char_entropy": CHAR_ENTROPY_ORACLE,
     "corpus_datasheet": CORPUS_DATASHEET_ORACLE,
+    "kmv_distinct_tokens": KMV_ORACLE,
 }

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -91,6 +92,71 @@ class SnapshotDataSource(DataSource):
             to_arrow_schema(schema),
             {str(table.root / f): s for f, s in (snap.stats or {}).items()},
         )
+
+    def streamReader(self, schema):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("snapshot_table: .load(path) is required")
+        return _SnapshotStreamReader(path, to_arrow_schema(schema))
+
+
+class _SnapshotStreamReader(DataSourceStreamReader):
+    """Structured Streaming source over a snapshot table:
+
+        spark.readStream.format("snapshot_table").load(path)
+
+    Offsets are table VERSIONS (``{"version": N}``), so exactly-once
+    delivery falls out of the commit protocol: a microbatch covers the
+    append snapshots in ``(start, end]`` and its partitions are exactly
+    the data files those commits added (``SnapshotTable.added_files`` —
+    the manifest diff, O(files) metadata, no directory listing and no
+    row diffing). Compactions rewrite rows without changing them and are
+    skipped; an overwrite in the range raises, the append-only-lineage
+    contract shared with ``read_changes``. Each partition serves one
+    parquet file as Arrow record batches — the same vectorized path as
+    the batch reader."""
+
+    def __init__(self, path: str, arrow_schema):
+        self.path = path
+        self.arrow_schema = arrow_schema
+
+    def _table(self):
+        from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+            SnapshotTable,
+        )
+
+        return SnapshotTable(self.path)
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        cur = self._table().current_version()
+        return {"version": -1 if cur is None else cur}
+
+    def partitions(self, start: dict, end: dict):
+        table = self._table()
+        added = table.added_files(int(start["version"]), int(end["version"]))
+        # an offset range advanced only by compactions adds no rows;
+        # Spark still needs >= 1 partition to plan the (empty) batch
+        if not added:
+            return [InputPartition(None)]
+        return [InputPartition(str(table.root / f)) for f in added]
+
+    def read(self, partition: InputPartition):
+        if partition.value is None:
+            return
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.value)
+        yield from table.cast(self.arrow_schema).to_batches()
+
+    def commit(self, end: dict) -> None:
+        # progress tracking lives in the streaming checkpoint; manifests
+        # are immutable so there is nothing to clean up table-side
+        pass
 
 
 class _SnapshotReader(DataSourceReader):

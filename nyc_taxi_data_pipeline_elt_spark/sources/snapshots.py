@@ -546,6 +546,31 @@ class SnapshotTable:
         os.replace(tmp, ck)
         return cur
 
+    def added_files(self, since_version: int, until_version: int) -> list[str]:
+        """Relative paths of data files ADDED by append snapshots in
+        ``(since_version, until_version]`` — the manifest-diff core of
+        the change feed, O(files) metadata. ``compact`` snapshots
+        rewrite rows without changing them and are skipped; any other
+        non-append op invalidates append-only lineage and raises (the
+        same contract as Delta CDF without update/delete vectors)."""
+        added: list[str] = []
+        for v in range(since_version + 1, until_version + 1):
+            s = self.snapshot(v)
+            if s.op == "compact":
+                continue
+            if s.op != "append":
+                raise ValueError(
+                    f"{self.root}: change feed crosses non-append snapshot "
+                    f"v{v} (op={s.op!r}); read the full snapshot instead"
+                )
+            parent_files = (
+                set(self.snapshot(s.parent).files)
+                if s.parent is not None
+                else set()
+            )
+            added.extend(f for f in s.files if f not in parent_files)
+        return added
+
     def read_changes(
         self,
         spark: SparkSession,
@@ -568,22 +593,7 @@ class SnapshotTable:
         until = self.current_version() if until_version is None else until_version
         if until is None:
             raise FileNotFoundError(f"{self.root}: no committed snapshot")
-        added: list[str] = []
-        for v in range(since_version + 1, until + 1):
-            s = self.snapshot(v)
-            if s.op == "compact":
-                continue
-            if s.op != "append":
-                raise ValueError(
-                    f"{self.root}: change feed crosses non-append snapshot "
-                    f"v{v} (op={s.op!r}); read the full snapshot instead"
-                )
-            parent_files = (
-                set(self.snapshot(s.parent).files)
-                if s.parent is not None
-                else set()
-            )
-            added.extend(f for f in s.files if f not in parent_files)
+        added = self.added_files(since_version, until)
         if not added:
             return self.read(spark, until, merge_schema=merge_schema).limit(0)
         reader = spark.read

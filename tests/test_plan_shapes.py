@@ -168,9 +168,9 @@ def test_quota_sample_single_shuffle(spark):
 
 
 def test_kmeans_assignment_is_row_local(spark):
-    """The k-means assignment stage must be a pure projection over the
-    scan — centroids are literals, so no join, no exchange, no Python
-    boundary anywhere in the assignment."""
+    """The k-means assignment stage must be a NARROW Arrow stage over
+    the scan — the centroid matrix rides in the closure, so no join and
+    no exchange anywhere in the assignment."""
     from nyc_taxi_data_pipeline_elt_spark.operators import clustering as C
     from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
 
@@ -179,7 +179,7 @@ def test_kmeans_assignment_is_row_local(spark):
     plan = _plan(C.assign_clusters(dfn, cents))
     assert "Exchange" not in plan
     assert "Join" not in plan
-    assert "Python" not in plan
+    assert "MapInPandas" in plan
 
 
 def test_semdedup_pair_scan_is_cluster_blocked(spark):
