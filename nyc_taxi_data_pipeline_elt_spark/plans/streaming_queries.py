@@ -198,6 +198,50 @@ GROUP BY c_mktsegment
 """
 
 
+def streaming_snapshot_source_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end drive of the snapshot-table Structured Streaming
+    source (sources/snapshot_datasource.py:_SnapshotStreamReader): the
+    events fixture is committed into a snapshot table as two appends,
+    then `readStream.format("snapshot_table")` replays it — version
+    offsets, manifest-diff microbatches, Arrow serving — into a
+    complete-mode aggregate. Equal to the batch GROUP BY over the same
+    rows, so fully oracle-checked."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="snapstream-")
+    table = SnapshotTable(tmp + "/events_tbl")
+    table.append(events.filter(F.col("event_id") % 2 == 0))
+    table.append(events.filter(F.col("event_id") % 2 == 1))
+    spark.dataSource.register(SnapshotDataSource)
+    stream = spark.readStream.format("snapshot_table").load(str(table.root))
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return W.run_to_memory(agg, _unique("snapsource"))
+
+
+SNAPSHOT_SOURCE_ORACLE = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "streaming_stateful_user_counts": streaming_stateful_user_counts,
     "streaming_click_purchase_join": streaming_click_purchase_join,
@@ -207,6 +251,7 @@ QUERIES = {
     "streaming_sliding_totals": streaming_sliding_totals,
     "streaming_session_counts": streaming_session_counts,
     "streaming_late_data_tumbling": streaming_late_data_tumbling,
+    "streaming_snapshot_source_counts": streaming_snapshot_source_counts,
 }
 
 ORACLE = {
@@ -218,4 +263,5 @@ ORACLE = {
     "streaming_sliding_totals": SLIDING_ORACLE,
     "streaming_session_counts": SESSION_ORACLE,
     "streaming_late_data_tumbling": LATE_DATA_ORACLE,
+    "streaming_snapshot_source_counts": SNAPSHOT_SOURCE_ORACLE,
 }
