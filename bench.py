@@ -164,7 +164,18 @@ def main() -> None:
     worst_spread = max(
         (s for n, s in spreads.items() if timings[n] >= 1.0), default=1.0
     )
-    contaminated = any(la > cpus for la in load_avgs) or worst_spread > 2.0
+    # Per-query suspicion vs run-level contamination: on a shared
+    # sandbox, ~1 of 120 queries catching a GC storm in 2 of 3 passes is
+    # the expected case, and its median alone is suspect — the run is
+    # only condemned when the machine was overloaded or the pattern is
+    # widespread (>10% of the >=1s queries suspect).
+    suspects = sorted(
+        n for n, s in spreads.items() if timings[n] >= 1.0 and s > 2.0
+    )
+    n_over1s = sum(1 for n, t in timings.items() if t >= 1.0)
+    contaminated = any(la > cpus for la in load_avgs) or len(
+        suspects
+    ) > max(2, n_over1s // 10)
 
     # Full per-query detail goes to a sidecar file; the stdout line must
     # stay short enough that a consumer keeping only the LAST ~2000 bytes
@@ -185,6 +196,7 @@ def main() -> None:
                         for n, ts in per_pass.items()
                     },
                     "median_over_min_spread": spreads,
+                    "suspect_queries": suspects,
                     "n_passes": passes,
                     "load_avg_per_pass": load_avgs,
                     "contaminated": contaminated,
@@ -208,6 +220,7 @@ def main() -> None:
         "n_passes": passes,
         "load_avg_per_pass": load_avgs,
         "worst_median_over_min": worst_spread,
+        "suspect_queries": suspects,
         "contaminated": contaminated,
         "detail": "BENCH_DETAIL.json",
         "sf": sf,
