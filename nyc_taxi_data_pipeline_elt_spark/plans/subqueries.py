@@ -405,6 +405,115 @@ GROUP BY s_name
 """
 
 
+# --- Q4: correlated EXISTS behind a grouped count ----------------------------
+def late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4's shape adapted to the fixture columns (no commitdate/
+    receiptdate): orders counted per priority when at least one line
+    shipped after the order date. The correlated EXISTS decorrelates to
+    a left-semi join on the orderkey — the orders spine is scanned once
+    and the semi side never duplicates matches."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        lineitem,
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+LATE_SHIPMENT_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+
+# --- Q13: outer-join count distribution (count of counts) --------------------
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed exactly N orders — the
+    outer-join histogram (customers with zero orders must appear in the
+    0 bucket, so the join is LEFT OUTER and the count counts the
+    nullable side's key, not '*'). Two hash aggregations; the second
+    runs on the customer-sized aggregate."""
+    tune(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+CUSTOMER_DISTRIBUTION_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+# --- Q18: IN over a grouped HAVING, joined back and top-k --------------------
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total line quantity exceeds a threshold,
+    with their customer — the semi-join-on-grouped-HAVING shape, ranked
+    by price. The heavy-order key set is orders-sized after its
+    aggregate; the final top-k is TakeOrderedAndProject. Quantities are
+    integral doubles, so the sums are FP-exact and cast losslessly."""
+    tune(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    heavy = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+LARGE_ORDERS_ORACLE = """
+SELECT c_name, o_orderkey, o_totalprice,
+       CAST(sum_qty AS BIGINT) AS sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+) heavy ON o_orderkey = heavy.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
 QUERIES = {
     "disjunctive_part_revenue": disjunctive_part_revenue,
     "lone_fault_suppliers": lone_fault_suppliers,
@@ -414,6 +523,9 @@ QUERIES = {
     "priority_lines_by_flag": priority_lines_by_flag,
     "valuable_parts": valuable_parts,
     "overstocked_suppliers": overstocked_suppliers,
+    "late_shipment_priorities": late_shipment_priorities,
+    "customer_order_distribution": customer_order_distribution,
+    "large_volume_orders": large_volume_orders,
 }
 
 ORACLE = {
@@ -425,4 +537,7 @@ ORACLE = {
     "priority_lines_by_flag": PRIORITY_LINES_ORACLE,
     "valuable_parts": VALUABLE_PARTS_ORACLE,
     "overstocked_suppliers": OVERSTOCKED_ORACLE,
+    "late_shipment_priorities": LATE_SHIPMENT_ORACLE,
+    "customer_order_distribution": CUSTOMER_DISTRIBUTION_ORACLE,
+    "large_volume_orders": LARGE_ORDERS_ORACLE,
 }
