@@ -329,6 +329,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT over candidate pairs:
+    ``containment(A in B) = |A ∩ B| / |A|`` — the inclusion metric
+    (Broder's resemblance-vs-containment distinction, public). Jaccard
+    misses a small document quoted wholesale inside a large one (the
+    union denominator dilutes it); containment is the dedup signal for
+    quote/boilerplate inclusion. Same inverted-index join as
+    :func:`ngram_jaccard_pairs` — candidates share >= 1 shingle, one
+    shuffle on the shingle key — emitting both directions' containment
+    and keeping pairs where either side is mostly inside the other
+    (compared on the rounded value, engine-deterministic)."""
+    inv = shingle_rows(docs, n=n, id_col=id_col, text_col=text_col).distinct()
+    sizes = inv.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    c_a = F.round(F.col("n_common") / F.col("na"), 6)
+    c_b = F.round(F.col("n_common") / F.col("nb"), 6)
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+        )
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 # 64-bit simhash assembled nibble-by-nibble from md5 hex digits, written in
 # portable SQL (only substr/md5/%/>=/CASE) so one generator yields both the

@@ -131,6 +131,42 @@ WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
 """
 
 
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (|A∩B|/|A|): catches a document
+    mostly included in another even when the Jaccard union dilutes the
+    overlap below the symmetric threshold (operators/dedup.py:
+    containment_pairs)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, threshold=0.6)
+
+
+CONTAINMENT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toks WHERE len(t) >= 3
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / sa.n_sh, 6) AS containment_a,
+       round(n_common * 1.0 / sb.n_sh, 6) AS containment_b
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(n_common * 1.0 / sa.n_sh, 6) >= 0.6
+   OR round(n_common * 1.0 / sb.n_sh, 6) >= 0.6
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
@@ -1144,6 +1180,84 @@ FROM documents
 """
 
 
+def classifier_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text-classifier inference at corpus scale — the
+    fastText-style quality-classifier pass every curation pipeline runs
+    (hashed bag-of-tokens -> weight lookup -> sigmoid). The 'model' here
+    is a deterministic stand-in: each token hashes to one of 1024
+    buckets and the bucket's weight is an md5-derived uniform in
+    [-1, 1), so the inference *mechanics* (row-local feature hashing,
+    per-token weight contribution, per-doc reduction, logistic link)
+    are exactly the production shape while staying engine-reproducible.
+
+    Everything is row-local expressions + one hash aggregation: bucket
+    and weight derive from the token string itself, so there is no
+    weight-table join at all — the degenerate-best case of a broadcast
+    model. Per-token contributions are rounded to the 1e-6 grid before
+    the sum (order independence); exp() is libm-identical (probed like
+    ln in the LM scorers)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("feat-"), F.col("token"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % 1024
+    weight = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wt-"), bucket.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    ) * 2.0 - 1.0
+    contrib = toks.select(
+        "doc_id", F.round(weight, 6).alias("w")
+    )
+    summed = contrib.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum("w"), 6).alias("margin"),
+    )
+    score = F.round(
+        1.0 / (1.0 + F.exp(-F.col("margin") / F.col("n_tokens"))), 6
+    )
+    return summed.select(
+        "doc_id",
+        "n_tokens",
+        "margin",
+        score.alias("score"),
+        (score > 0.5).alias("keep"),
+    )
+
+
+CLASSIFIER_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+), contrib AS (
+  SELECT doc_id,
+         round((('0x' || substr(md5('wt-' ||
+                  (('0x' || substr(md5('feat-' || token), 1, 8))::BIGINT % 1024)
+                ), 1, 8))::BIGINT / 4294967296.0) * 2.0 - 1.0, 6) AS w
+  FROM toks
+), summed AS (
+  SELECT doc_id, count(*) AS n_tokens, round(sum(w), 6) AS margin
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, margin,
+       round(1.0 / (1.0 + exp(-margin / n_tokens)), 6) AS score,
+       round(1.0 / (1.0 + exp(-margin / n_tokens)), 6) > 0.5 AS keep
+FROM summed
+"""
+
+
 def kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-cardinality sketch over the
     corpus's 3-gram shingle space (the statistic that sizes a dedup
@@ -1638,6 +1752,8 @@ QUERIES = {
     "doc_char_entropy": doc_char_entropy,
     "corpus_datasheet": corpus_datasheet,
     "kmv_distinct_tokens": kmv_distinct_tokens,
+    "classifier_score_docs": classifier_score_docs,
+    "dedup_containment_pairs": dedup_containment_pairs,
 }
 
 ORACLE = {
@@ -1687,4 +1803,6 @@ ORACLE = {
     "doc_char_entropy": CHAR_ENTROPY_ORACLE,
     "corpus_datasheet": CORPUS_DATASHEET_ORACLE,
     "kmv_distinct_tokens": KMV_ORACLE,
+    "classifier_score_docs": CLASSIFIER_ORACLE,
+    "dedup_containment_pairs": CONTAINMENT_ORACLE,
 }
