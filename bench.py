@@ -76,21 +76,15 @@ def _reset_heavy_state(spark) -> None:
         pass
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-
-    spark = get_spark("ntx-bench")
+def run_one_pass(sf_dir: str) -> dict[str, float]:
+    """Run every registered query once in THIS process's (fresh) JVM and
+    return name -> seconds (-1.0 on failure). Untimed warmup first:
+    JIT/codegen compilation, the per-table file-index/footer caches, and
+    the Python worker pool are per-JVM one-time costs, not per-query
+    costs (see module docstring for the measured ordering artifact this
+    removes)."""
     queries = entrymod.queries()
-
-    # untimed warmup against the *benchmark* dataset: JIT/codegen
-    # compilation, the per-table file-index/footer caches, and the Python
-    # worker pool are per-JVM one-time costs, not per-query costs — pay
-    # them all before timing (see module docstring for the measured
-    # ordering artifact this removes)
+    spark = get_spark("ntx-bench")
     try:
         queries["q1_monthly_revenue"](spark, sf_dir).write.format(
             "noop"
@@ -110,39 +104,87 @@ def main() -> None:
     except Exception:
         pass
 
+    out: dict[str, float] = {}
+    for name in sorted(queries):
+        fn = queries[name]
+        # cache-clean start for every query: operators that legitimately
+        # persist partition-pinned inputs (global indexing, sequence
+        # packing) cannot unpersist the frame they return, and letting
+        # caches accumulate across ~130 queries charges later queries
+        # with earlier queries' GC pressure
+        if name.startswith(_HEAVY_PREFIXES):
+            _reset_heavy_state(spark)
+        else:
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
+        start = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            out[name] = time.perf_counter() - start
+        except Exception as exc:  # keep the bench line parseable
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            out[name] = -1.0
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD") == "1":
+        # child mode: one pass, one line of JSON on stdout
+        print(json.dumps(run_one_pass(sf_dir)))
+        return
+
+    # Each pass runs in a SUBPROCESS so it gets a genuinely fresh JVM.
+    # In-process SparkSession restarts are not enough: py4j keeps the
+    # JVM alive, and ~130 queries x N passes of generated classes and
+    # heap debt measurably tax later passes' heavy queries (measured:
+    # dedup_clusters 5.3 s in pass 1, 30-39 s in passes 2-3 of the SAME
+    # run after a session restart, vs 3.5-3.9 s across five isolated
+    # repeats). ~20 s of untimed subprocess startup per pass buys
+    # pass-independent medians that compare plans, not JVM age.
+    import subprocess
+
+    queries = entrymod.queries()
     per_pass: dict[str, list[float]] = {n: [] for n in queries}
     failed: set[str] = set()
     load_avgs: list[float] = []
+    env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
     for _ in range(passes):
         try:
             load_avgs.append(round(os.getloadavg()[0], 2))
         except OSError:
             load_avgs.append(-1.0)
-        for name in sorted(queries):
-            if name in failed:
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve())],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=sys.stderr,
+            text=True,
+        )
+        try:
+            result = json.loads(proc.stdout.strip().splitlines()[-1])
+        except (json.JSONDecodeError, IndexError):
+            print(
+                f"bench: pass subprocess failed (rc={proc.returncode})",
+                file=sys.stderr,
+            )
+            continue
+        for name, t in result.items():
+            if name not in per_pass:
                 continue
-            fn = queries[name]
-            # cache-clean start for every query: operators that
-            # legitimately persist partition-pinned inputs (global
-            # indexing, sequence packing) cannot unpersist the frame
-            # they return, and letting caches accumulate across ~110
-            # queries charges later queries with earlier queries' GC
-            # pressure
-            if name.startswith(_HEAVY_PREFIXES):
-                _reset_heavy_state(spark)
-            else:
-                try:
-                    spark.catalog.clearCache()
-                except Exception:
-                    pass
-            start = time.perf_counter()
-            try:
-                df = fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                per_pass[name].append(time.perf_counter() - start)
-            except Exception as exc:  # keep the bench line parseable
-                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            if t < 0:
                 failed.add(name)
+            else:
+                per_pass[name].append(t)
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -243,7 +285,6 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
