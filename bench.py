@@ -10,30 +10,33 @@ honest cost of the query at scale.
 Measurement protocol (round-4 rework — single-pass timing in this sandbox
 spread up to ~10x per query across otherwise-identical runs):
 
-- **median of N interleaved passes** (default 3, ``$SPARK_GRAFT_BENCH_PASSES``):
-  the full suite runs N times and each query reports the per-query median,
-  so one pass polluted by co-tenant load or a GC storm cannot set any
-  query's number.
+- **median of N passes, each in its own SUBPROCESS** (default 3,
+  ``$SPARK_GRAFT_BENCH_PASSES``): every pass gets a genuinely fresh JVM
+  (an in-process SparkSession restart is not enough — py4j keeps the JVM,
+  and accumulated generated classes/heap debt measurably taxed later
+  passes: dedup_clusters 5.3 s in pass 1 vs 30-39 s in passes 2-3 of one
+  run, against 3.5-3.9 s across five isolated repeats). Each query
+  reports its per-pass median, so one polluted pass cannot set any
+  query's number and JVM age cannot inflate whole passes.
 - **state reset before the heavy families** (dedup/kNN/graph/edit-distance):
   cache clear + explicit JVM GC, so earlier queries' garbage is not billed
   to them.
 - **self-identifying contamination**: the 1-minute host load average is
   sampled before every pass and emitted, together with each query's
-  median/min spread across passes. A single polluted pass lands in the
-  max and is absorbed by the median, so the trust signal is whether the
-  MEDIAN exceeds the best-observed pass: ``median/min > 2`` on a >=1 s
-  query means at least half the passes were polluted and the reported
-  value itself is suspect. The line carries ``contaminated: true`` when
-  that triggers or load exceeds the executor thread count — a flagged
-  artifact says "re-run me", not "the code got slower".
+  median/min spread across passes. ``median/min > 2`` on a >=1 s query
+  means at least half its passes were polluted — those queries are listed
+  in ``suspect_queries``; the run-level ``contaminated: true`` fires when
+  the host was overloaded or >10% of the >=1 s queries are suspect. A
+  flagged artifact says "re-run me", not "the code got slower".
 
-Warm-up: queries are timed inside one shared session, so whichever query
+Warm-up: within a pass, queries share one session, so whichever query
 FIRST touches a table pays its file-index/footer listing, and the first
 pandas/Arrow query pays Python-worker-pool startup (~1-2 s). Measured
 round-2-vs-1: multimodal_meta 0.20 s -> 2.49 s with an unchanged plan,
-2.09 s cold vs 0.33 s warm in the same JVM. The warm-up below therefore
-touches every fixture table and spins up the Python worker pool untimed,
-so per-query numbers compare plans across rounds instead of suite ordering.
+2.09 s cold vs 0.33 s warm in the same JVM. Every pass subprocess
+therefore touches all fixture tables and spins up the Python worker pool
+untimed, so per-query numbers compare plans across rounds instead of
+suite ordering.
 """
 
 from __future__ import annotations
