@@ -67,7 +67,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs)
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(table: str = "documents") -> str:
     sig_cols = ",\n         ".join(
         f"list_min(list_transform(shingles, s -> md5('{seed}|' || s))) AS mh{seed}"
         for seed in range(D.MINHASH_K)
@@ -79,7 +79,7 @@ def _minhash_oracle() -> str:
     bands_union = "\n  UNION ALL\n  ".join(band_rows)
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM {table}
 ), sh AS (
   SELECT doc_id,
          CASE WHEN len(t) >= 3
@@ -1705,6 +1705,68 @@ GROUP BY d.source
 """
 
 
+def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline, composed from the same operator
+    frames users run individually — the FineWeb/C4 shape in one plan:
+
+      1. quality-rule filter (keep only rule-passing docs),
+      2. exact dedup (lowest doc id per md5(text)),
+      3. MinHash-LSH near-dup pruning on the survivors (drop the higher
+         id of every candidate pair),
+      4. per-source datasheet of the final corpus.
+
+    Each stage consumes the previous stage's frame, so Catalyst plans
+    the whole pipeline as one DAG — no materialization between stages —
+    and every shuffle is one of the stages' own (filter join, dedup
+    window, band-key join). The oracle composes the same stages from
+    the individually-verified oracle fragments, scoped to the curated
+    subset via the parametrized MinHash CTE."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    keep = quality_filter_docs(spark, sf_dir).filter(F.col("keep")).select(
+        "doc_id"
+    )
+    filtered = docs.join(keep, "doc_id")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (
+        filtered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    drops = (
+        D.minhash_lsh_pairs(exact)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = exact.join(drops, "doc_id", "left_anti")
+    return final.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(X.whitespace_tokens("text"))).alias("n_tokens"),
+    )
+
+
+CURATION_ORACLE = f"""
+WITH keepq AS ({QUALITY_FILTER_ORACLE}),
+filtered AS (
+  SELECT d.* FROM documents d JOIN keepq k USING (doc_id) WHERE k.keep
+),
+exact AS (
+  SELECT * FROM filtered
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+pairs AS ({{MINHASH}}),
+drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+final AS (
+  SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         AS n_tokens
+FROM final GROUP BY source
+"""
+
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_fingerprint_docs": dedup_fingerprint_docs,
@@ -1754,6 +1816,7 @@ QUERIES = {
     "kmv_distinct_tokens": kmv_distinct_tokens,
     "classifier_score_docs": classifier_score_docs,
     "dedup_containment_pairs": dedup_containment_pairs,
+    "curate_corpus_pipeline": curate_corpus_pipeline,
 }
 
 ORACLE = {
@@ -1805,4 +1868,7 @@ ORACLE = {
     "kmv_distinct_tokens": KMV_ORACLE,
     "classifier_score_docs": CLASSIFIER_ORACLE,
     "dedup_containment_pairs": CONTAINMENT_ORACLE,
+    "curate_corpus_pipeline": CURATION_ORACLE.replace(
+        "{MINHASH}", _minhash_oracle(table="exact")
+    ),
 }
