@@ -208,3 +208,12 @@ def test_vocab_coverage_truncates_before_global_window(spark):
     vocab: a TakeOrderedAndProject appears below the window."""
     plan = _plan(trainingdata.vocab_coverage(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_curation_pipeline_is_one_fused_dag(spark):
+    """The composed curation pipeline must stay a single DAG of its
+    stages' own shuffles — no cartesian products, no nested-loop joins
+    smuggled in by the stage composition."""
+    plan = _plan(trainingdata.curate_corpus_pipeline(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -39,3 +39,22 @@ def test_fingerprints_are_sparser_than_shingles(spark):
     # 13-token doc -> 11 shingles; winnowing with w=4 must select fewer
     fps = _fps(spark)
     assert 0 < len(fps[1]) < 11
+
+
+def test_containment_flags_included_doc_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment ~1.0 for
+    the short side while Jaccard stays below its threshold."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "red orange yellow green blue indigo"
+    filler = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short), (2, f"{filler} {short}")],
+        "doc_id: long, text: string",
+    )
+    cont = containment_pairs(docs, threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0]["containment_a"] == 1.0
+    assert ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
