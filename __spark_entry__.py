@@ -131,6 +131,7 @@ _PLAN_MODULES = (
     "etl_queries",
     "subqueries",
     "modern_sql",
+    "tpch_completion",
 )
 
 
