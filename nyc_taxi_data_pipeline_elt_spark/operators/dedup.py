@@ -574,3 +574,100 @@ def exact_dedup_groups(
         F.count("*").alias("n_copies"),
         F.md5(F.col(key_col)).alias("text_hash"),
     ).select("keep_doc_id", "n_copies", "text_hash")
+
+
+def span_dedup_docs(
+    docs: DataFrame,
+    span: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level exact span dedup (the C4 / RefinedWeb repeated-span
+    removal shape): documents are cut into consecutive ``span``-token
+    windows, every window that has already appeared ANYWHERE in the
+    corpus (first occurrence = lowest (doc_id, span_idx)) is dropped,
+    and the survivors are stitched back into a cleaned document.
+
+    Returns ``(id_col, n_spans, n_kept, cleaned_text)`` — one row per
+    document, ``cleaned_text`` NULL when every span was a repeat.
+
+    Plan shape: posexplode + integer-division span ids, span text
+    assembled with a ``max(CASE pos % span)`` pivot + ``concat_ws``
+    (all codegen'd — no array HOF lambdas on the per-token path, see
+    module header), one window over span_text for the first-occurrence
+    rank, one final hash-agg on the doc. Two shuffles total (span_text,
+    then doc) regardless of corpus size; span-text buckets are tiny by
+    construction, so no skew. The final per-doc reassembly uses one
+    array_sort/transform over the doc's kept spans — O(spans-per-doc)
+    lambda evals, not O(tokens).
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("pos", "tk"),
+    )
+    slot_aggs = [
+        F.max(F.when(F.col("pos") % span == j, F.col("tk"))).alias(f"_t{j}")
+        for j in range(span)
+    ]
+    spans = (
+        tok.withColumn("span_idx", (F.col("pos") / span).cast("long"))
+        .groupBy(id_col, "span_idx")
+        .agg(*slot_aggs)
+        # concat_ws skips NULLs, so a short final span needs no guard
+        .select(
+            F.col(id_col),
+            F.col("span_idx"),
+            F.concat_ws(" ", *[f"_t{j}" for j in range(span)]).alias("span_text"),
+        )
+    )
+    w = Window.partitionBy("span_text").orderBy(id_col, "span_idx")
+    ranked = spans.withColumn("rn", F.row_number().over(w))
+    kept = F.when(
+        F.col("rn") == 1, F.struct(F.col("span_idx"), F.col("span_text"))
+    )
+    out = ranked.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        F.array_sort(F.collect_list(kept)).alias("_kept"),
+    )
+    return out.select(
+        F.col(id_col),
+        "n_spans",
+        "n_kept",
+        F.when(
+            F.col("n_kept") > 0,
+            F.array_join(
+                F.transform(F.col("_kept"), lambda x: x["span_text"]), " "
+            ),
+        ).alias("cleaned_text"),
+    )
+
+
+def span_dedup_oracle_sql(
+    span: int = 10, table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`span_dedup_docs` — zipped unnest for the
+    (span_idx, span_text) rows, the same first-occurrence window, and a
+    NULL-skipping ordered string_agg for the reassembly."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, string_split_regex(trim(text), '\\s+') AS t FROM {table}
+), spans AS (
+  SELECT {id_col},
+         unnest(range(0, greatest(1, CAST(ceil(len(t) / {span}.0) AS BIGINT)))) AS span_idx,
+         unnest(list_transform(
+            range(0, greatest(1, CAST(ceil(len(t) / {span}.0) AS BIGINT))),
+            j -> array_to_string(t[j * {span} + 1 : j * {span} + {span}], ' '))) AS span_text
+  FROM toks
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY span_text
+                               ORDER BY {id_col}, span_idx) AS rn
+  FROM spans
+)
+SELECT {id_col},
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       string_agg(CASE WHEN rn = 1 THEN span_text END, ' ' ORDER BY span_idx) AS cleaned_text
+FROM ranked
+GROUP BY {id_col}
+"""

@@ -765,3 +765,69 @@ def ivf_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def random_project(
+    emb: DataFrame,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: compress embeddings to
+    ``out_dim`` coordinates by dotting each vector against ``out_dim``
+    fixed pseudo-random hyperplanes (the same deterministic
+    :func:`_hyperplanes` family the sign-LSH index uses, so the oracle
+    embeds identical literals). The standard cheap dimensionality
+    reduction before clustering / coarse ANN when PCA is too expensive
+    to fit distributed.
+
+    Returns ``(id_col, p0..p{out_dim-1})`` as RAW doubles — no rounding
+    on either engine: accumulation runs dimension-by-dimension (see
+    :func:`_sign_buckets_arrow`) so every coordinate keeps DuckDB
+    list_dot_product's left-to-right association and is bit-identical
+    to the SQL twin, while cross-engine round() of a double is NOT
+    tie-stable (the min_cost_supplier_per_part lesson). Row-local: ONE
+    Arrow-vectorized narrow stage, no shuffle at all — at 100 TB this
+    is a pure map over the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    planes = _hyperplanes(out_dim)
+    P = np.asarray(planes, dtype=np.float64)
+    id_field = emb.schema[id_col].dataType.simpleString()
+    base = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            D = V[:, 0:1] * P[:, 0][None, :]
+            for i in range(1, V.shape[1]):
+                D = D + V[:, i : i + 1] * P[:, i][None, :]
+            out = {id_col: pdf[id_col]}
+            for j in range(P.shape[0]):
+                out[f"p{j}"] = D[:, j]
+            yield pd.DataFrame(out)
+
+    schema = ", ".join(
+        [f"{id_col} {id_field}"] + [f"p{j} double" for j in range(out_dim)]
+    )
+    return base.mapInPandas(gen, schema=schema)
+
+
+def random_project_oracle_sql(
+    out_dim: int = 8, table: str = "embeddings", id_col: str = "vec_id"
+) -> str:
+    """DuckDB twin of :func:`random_project`: list_dot_product against
+    the same hyperplane literals."""
+    planes = _hyperplanes(out_dim)
+    cols = ",\n       ".join(
+        f"list_dot_product(v, {planes[j]!r}) AS p{j}" for j in range(out_dim)
+    )
+    return f"""
+WITH e AS (SELECT {id_col}, embedding::DOUBLE[] AS v FROM {table})
+SELECT {id_col},
+       {cols}
+FROM e
+"""

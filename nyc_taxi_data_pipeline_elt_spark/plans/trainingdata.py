@@ -1767,6 +1767,75 @@ FROM final GROUP BY source
 
 
 
+def dedup_spans_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-span removal (the C4 / RefinedWeb exact
+    span dedup): every 10-token window that already appeared anywhere
+    in the corpus is dropped, documents are reassembled from the
+    surviving spans. See operators/dedup.py:span_dedup_docs for the
+    plan shape (two shuffles total at any corpus size)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.span_dedup_docs(docs, span=10)
+
+
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster: the dedup
+    DECISION a production pipeline ships — not the lowest doc_id but
+    the best document (longest, tie-break lowest id) of each MinHash
+    connected component is kept. One window over the component frame
+    (edge-sized, tiny next to the corpus) after a join with the
+    documents' length column; clusters come from the same
+    minhash_lsh_pairs -> connected_components path the dedup_clusters
+    query verifies."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs)
+    comp = D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
+    )
+    member = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        member.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count("*").over(Window.partitionBy("cluster_rep"))
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_rep",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("n_chars").alias("canonical_chars"),
+            "n_members",
+        )
+    )
+
+
+CANONICAL_DOCS_ORACLE = f"""
+WITH comp AS ({_clusters_oracle()}), m AS (
+  SELECT c.cluster_rep, d.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_rep
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rk,
+         count(*) OVER (PARTITION BY c.cluster_rep) AS n_members
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT cluster_rep, doc_id AS canonical_doc_id,
+       n_chars AS canonical_chars, n_members
+FROM m WHERE rk = 1
+"""
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss compression of the embedding corpus to 8
+    coordinates against fixed hyperplane literals — see
+    operators/similarity.py:random_project (one Arrow narrow stage,
+    zero shuffles)."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.random_project(emb, out_dim=8)
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_fingerprint_docs": dedup_fingerprint_docs,
@@ -1817,6 +1886,9 @@ QUERIES = {
     "classifier_score_docs": classifier_score_docs,
     "dedup_containment_pairs": dedup_containment_pairs,
     "curate_corpus_pipeline": curate_corpus_pipeline,
+    "dedup_spans_corpus": dedup_spans_corpus,
+    "dedup_canonical_docs": dedup_canonical_docs,
+    "embedding_random_projection": embedding_random_projection,
 }
 
 ORACLE = {
@@ -1871,4 +1943,7 @@ ORACLE = {
     "curate_corpus_pipeline": CURATION_ORACLE.replace(
         "{MINHASH}", _minhash_oracle(table="exact")
     ),
+    "dedup_spans_corpus": D.span_dedup_oracle_sql(span=10),
+    "dedup_canonical_docs": CANONICAL_DOCS_ORACLE,
+    "embedding_random_projection": S.random_project_oracle_sql(out_dim=8),
 }
