@@ -38,7 +38,7 @@ part of the engine's §2.7/§2.5b extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_pipeline_elt_spark.plans.subqueries import _REV_DEC_SQL, _rev_dec
@@ -53,13 +53,13 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Q2's correlated scalar subquery (``ps_supplycost = (SELECT min ...)``)
     is planned here as: offers = min unit price per (part, supplier);
-    part minimum = one more hash-agg over offers; keep offers equal to
-    their part minimum. Two hash aggregates and one equi-join on
-    l_partkey — Catalyst's own decorrelation of the subquery form
-    produces the same shape, written directly so the offers frame is
-    computed once, not twice. Unit price is a raw double division:
-    IEEE-754 makes it bit-identical on any engine, so the min-equality
-    is exact without rounding.
+    part minimum = a window min over p_partkey; keep offers equal to
+    their part minimum. One hash aggregate plus one window exchange —
+    Catalyst's decorrelation of the subquery form computes the offers
+    frame twice and joins; the direct form halves the exchanges.
+    Unit price is a raw double division: IEEE-754 makes it
+    bit-identical on any engine, so the min-equality is exact without
+    rounding.
 
     100-TB: the filtered part side (1/30 of a dimension) and the
     EUROPE supplier side are broadcast; lineitem is scanned once with
@@ -90,9 +90,12 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
-    part_min = offers.groupBy("p_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    # per-part min as a window over the (already tiny) offers frame:
+    # one p_partkey exchange instead of the groupBy+self-join shape's
+    # two extra exchanges — same correlated-min semantics
+    w = Window.partitionBy("p_partkey")
     return (
-        offers.join(part_min, "p_partkey")
+        offers.withColumn("min_cost", F.min("unit_cost").over(w))
         .filter(F.col("unit_cost") == F.col("min_cost"))
         .select(
             "s_acctbal",

@@ -217,3 +217,49 @@ def test_curation_pipeline_is_one_fused_dag(spark):
     plan = _plan(trainingdata.curate_corpus_pipeline(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_dedup_two_exchanges(spark):
+    """Span assembly is row-local (no per-token shuffle): the whole
+    query must shuffle exactly twice — the span_text first-occurrence
+    window and the per-doc reassembly agg."""
+    plan = _plan(trainingdata.dedup_spans_corpus(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_random_projection_no_shuffle(spark):
+    """JL projection is a pure map: zero exchanges in the plan."""
+    plan = _plan(trainingdata.embedding_random_projection(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_min_cost_supplier_window_shape(spark):
+    """Q2's correlated min must plan as offers-agg + window (2
+    exchanges), with every dimension side broadcast and no nested
+    loop."""
+    from nyc_taxi_data_pipeline_elt_spark.plans import tpch_completion
+
+    plan = _plan(tpch_completion.min_cost_supplier_per_part(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_part_supplier_variety_anti_join_broadcasts(spark):
+    """Q16's NOT IN exclusion must be a broadcast left-anti join, and
+    the distinct-count agg the only shuffles."""
+    from nyc_taxi_data_pipeline_elt_spark.plans import tpch_completion
+
+    plan = _plan(tpch_completion.part_supplier_variety(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_returned_item_losses_is_topk(spark):
+    """Q10's top-20 must be a TakeOrderedAndProject with the orderdate
+    window pushed to the orders scan."""
+    from nyc_taxi_data_pipeline_elt_spark.plans import tpch_completion
+
+    plan = _plan(tpch_completion.returned_item_losses(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
