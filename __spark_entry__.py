@@ -72,7 +72,6 @@ _PRIORITY_WINDOW = [
     "simsearch_lsh_topk",
     "simsearch_lsh_multiprobe",
     "simsearch_bruteforce_topk",
-    "embedding_neardup_pairs",
     "nation_wealth_coverage",
     "customer_year_overlap",
     "source_quality_udaf",
@@ -83,12 +82,24 @@ _PRIORITY_WINDOW = [
     "doc_bottomk_sample",
     "doc_quota_sample",
     "doc_vowel_stats_pandas_udf",
+    # NEWEST operators (late r4): TPC-H completion battery + span dedup
+    # + canonical selection + JL projection — each gets its first driver
+    # row now; the 8 displaced representatives (q2_hourly_avg_value,
+    # dq_filter_orders, union_fleets_unify, streaming_stateful_user_counts,
+    # lone_fault_suppliers, cdc_orders_merge, embedding_neardup_blocked,
+    # embedding_neardup_pairs) are all r1-r3 driver-hash-verified and
+    # their classes keep in-window representatives.
+    "min_cost_supplier_per_part",
+    "nation_profit_by_year",
+    "returned_item_losses",
+    "top_revenue_suppliers",
+    "part_supplier_variety",
+    "dedup_spans_corpus",
+    "dedup_canonical_docs",
+    "embedding_random_projection",
     # reference surface representatives (SURVEY §2.1-2.6, §7.2)
     "q1_monthly_revenue",
-    "q2_hourly_avg_value",
-    "dq_filter_orders",
     "dq_expectations_orders",
-    "union_fleets_unify",
     "large_volume_orders",  # topk_orders (r3-verified) -> Q18 top-k shape
     "sql_consumption_report",
     # joins (§2.7): as-of representative (salted_orders_per_segment is
@@ -98,26 +109,24 @@ _PRIORITY_WINDOW = [
     "top3_lineitems_per_supplier",
     # edit-distance similarity join (PassJoin)
     "similar_part_names",
-    # structured streaming (§2.9): stateful + core window + the late-data
-    # query converting from rows-only to hash-checked this round
-    "streaming_stateful_user_counts",
+    # structured streaming (§2.9): custom source + the late-data query
+    # converting from rows-only to hash-checked this round
+    # (streaming_stateful_user_counts r3-verified, displaced)
     "streaming_snapshot_source_counts",  # streaming_tumbling_counts (r3-verified) -> custom streaming source
     "streaming_late_data_tumbling",
     # TPC-H subquery battery representatives
     "late_shipment_priorities",  # disjunctive_part_revenue (r3-verified) -> Q4 EXISTS shape
-    "lone_fault_suppliers",
     # modern SQL + Arrow surface representatives
     "nation_reach_bfs",
     "customer_order_distribution",  # quantity_profile_by_flag (r3-verified) -> Q13 histogram
     "winnow_fingerprint_docs",  # doc_token_stats_arrow (r3-verified) -> winnowing fingerprints
     # graph
     "pagerank_dangling",
-    # ETL: CDC merge, snapshot change feed (snapshot_table_roundtrip and
-    # scd2_user_event_type are r3-hash-verified)
-    "cdc_orders_merge",
+    # ETL: snapshot change feed (snapshot_table_roundtrip,
+    # scd2_user_event_type, cdc_orders_merge are r1-r3 hash-verified;
+    # snapshot_change_feed is earlier in the window)
     # dedup / ANN representatives
     "dedup_containment_pairs",  # dedup_clusters (r3-verified) -> containment metric
-    "embedding_neardup_blocked",
     # multimodal representative
     "multimodal_meta",
 ]
