@@ -1482,8 +1482,146 @@ SELECT 'churned',
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view -> click -> purchase): how many
+    users completed each step IN ORDER — the MATCH_RECOGNIZE /
+    windowFunnel shape of product analytics.
+
+    Single-pass plan: one window partitioned on user_id ordered by
+    (ts, event_id) carries two cumulative "seen a qualifying earlier
+    step" flags (frame = UNBOUNDED PRECEDING..1 PRECEDING, so a step
+    counts only when its predecessor happened STRICTLY before), then
+    one hash-agg per user and a 1-row global rollup. Exactly one data
+    shuffle at any event volume; counts are integers, conversion
+    rates raw IEEE divisions of those integers — deterministic
+    cross-engine without rounding."""
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_view = (F.col("event_type") == "view").cast("int")
+    is_click = (F.col("event_type") == "click").cast("int")
+    is_purchase = (F.col("event_type") == "purchase").cast("int")
+    staged = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("seen_view", F.coalesce(F.max(is_view).over(w_prev), F.lit(0)))
+        .withColumn("click_chain", is_click * F.col("seen_view"))
+        .withColumn(
+            "seen_click_chain",
+            F.coalesce(F.max("click_chain").over(w_prev), F.lit(0)),
+        )
+        .withColumn("purchase_chain", is_purchase * F.col("seen_click_chain"))
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(is_view).alias("s1"),
+        F.max("click_chain").alias("s2"),
+        F.max("purchase_chain").alias("s3"),
+    )
+    return per_user.agg(
+        F.sum("s1").cast("bigint").alias("users_view"),
+        F.sum("s2").cast("bigint").alias("users_view_click"),
+        F.sum("s3").cast("bigint").alias("users_full_funnel"),
+        (F.sum("s2").cast("double") / F.sum("s1")).alias("click_rate"),
+        (F.sum("s3").cast("double") / F.sum("s2")).alias("purchase_rate"),
+    )
+
+
+FUNNEL_ORACLE = """
+WITH staged AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+           * coalesce(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS click_chain,
+         event_type, ts, event_id
+  FROM events
+), staged2 AS (
+  SELECT user_id, is_view, click_chain,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+           * coalesce(max(click_chain)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS purchase_chain
+  FROM staged
+), per_user AS (
+  SELECT user_id, max(is_view) AS s1, max(click_chain) AS s2,
+         max(purchase_chain) AS s3
+  FROM staged2 GROUP BY user_id
+)
+SELECT CAST(sum(s1) AS BIGINT) AS users_view,
+       CAST(sum(s2) AS BIGINT) AS users_view_click,
+       CAST(sum(s3) AS BIGINT) AS users_full_funnel,
+       CAST(sum(s2) AS DOUBLE) / sum(s1) AS click_rate,
+       CAST(sum(s3) AS DOUBLE) / sum(s2) AS purchase_rate
+FROM per_user
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by their first signup
+    day, counted as retained in each subsequent week they had ANY
+    activity — the standard growth-analytics triangle.
+
+    Plan: signup cohort anchor = one hash-agg on user_id; daily
+    activity deduped per (user, day) with MAP-SIDE partial
+    deduplication — every exchange after the first carries
+    (user, day) pairs, not raw events, which at 100 TB of events is
+    the dominant volume cut (an alternative single user_id
+    repartition would co-locate all three aggs but shuffle the full
+    event stream undeduped). The final matrix is cohort-days x
+    week-offsets — bounded by calendar, not event volume. Counts are
+    exact integers."""
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    cohorts = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("cohort_day"))
+    )
+    activity = events.select("user_id", day.alias("day")).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .filter(F.col("day") >= F.col("cohort_day"))
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(F.datediff("day", "cohort_day") / F.lit(7))
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+COHORT_RETENTION_ORACLE = """
+WITH cohorts AS (
+  SELECT user_id, min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS cohort_day
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+  FROM events
+)
+SELECT cohort_day,
+       CAST(floor(date_diff('day', cohort_day, day) / 7.0) AS BIGINT)
+         AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+WHERE day >= cohort_day
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "funnel_conversion": funnel_conversion,
+    "cohort_retention": cohort_retention,
     "events_xml_stats": events_xml_stats,
     "copurchase_part_pairs": copurchase_part_pairs,
     "nation_wealth_coverage": nation_wealth_coverage,
@@ -1530,6 +1668,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "funnel_conversion": FUNNEL_ORACLE,
+    "cohort_retention": COHORT_RETENTION_ORACLE,
     "copurchase_part_pairs": COPURCHASE_ORACLE,
     "events_xml_stats": EVENTS_XML_ORACLE,
     "lineitem_asof_prior_order": ASOF_ORACLE,

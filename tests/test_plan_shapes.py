@@ -263,3 +263,11 @@ def test_returned_item_losses_is_topk(spark):
     plan = _plan(tpch_completion.returned_item_losses(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_funnel_single_data_shuffle(spark):
+    """The ordered funnel must do ONE data shuffle (the user_id window,
+    reused by the per-user agg) plus the 1-row global rollup."""
+    plan = _plan(analytics.funnel_conversion(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
