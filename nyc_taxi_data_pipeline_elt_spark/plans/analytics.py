@@ -1618,10 +1618,62 @@ GROUP BY 1, 2
 """
 
 
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals in 20 buckets — the
+    profiling primitive behind every engine's column-stats pass (the
+    equi-DEPTH twin is order_price_deciles).
+
+    The global [min, max] is a 1-row aggregate broadcast-cross-joined
+    (never collected); bucketing is then row-local arithmetic, and the
+    final count is one hash-agg on a 20-value key. Every derived bound
+    is raw IEEE arithmetic on identical operands — identical bits on
+    both engines, no rounding."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    n_buckets = 20
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(n_buckets))
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col("o_totalprice") - F.col("mn")) / width).cast("int"),
+    )
+    return (
+        orders.select("o_totalprice")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            bucket.alias("bucket"),
+            (F.col("mn") + bucket * width).alias("bucket_lo"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+PRICE_HISTOGRAM_ORACLE = """
+WITH bounds AS (
+  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+), bucketed AS (
+  SELECT CAST(least(19, floor((o_totalprice - mn) / ((mx - mn) / 20.0)))
+              AS INT) AS bucket,
+         mn, mx
+  FROM orders, bounds
+)
+SELECT bucket,
+       mn + bucket * ((mx - mn) / 20.0) AS bucket_lo,
+       count(*) AS n_orders
+FROM bucketed
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
+    "order_price_histogram": order_price_histogram,
     "events_xml_stats": events_xml_stats,
     "copurchase_part_pairs": copurchase_part_pairs,
     "nation_wealth_coverage": nation_wealth_coverage,
@@ -1670,6 +1722,7 @@ QUERIES = {
 ORACLE = {
     "funnel_conversion": FUNNEL_ORACLE,
     "cohort_retention": COHORT_RETENTION_ORACLE,
+    "order_price_histogram": PRICE_HISTOGRAM_ORACLE,
     "copurchase_part_pairs": COPURCHASE_ORACLE,
     "events_xml_stats": EVENTS_XML_ORACLE,
     "lineitem_asof_prior_order": ASOF_ORACLE,

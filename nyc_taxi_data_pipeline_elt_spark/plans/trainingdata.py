@@ -1767,6 +1767,61 @@ FROM final GROUP BY source
 
 
 
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation for the TEXT dedup path (the analog of
+    simsearch_recall_eval for MinHash-LSH): candidate recall and
+    precision of the banded LSH index against the exact n-gram-Jaccard
+    >= 0.5 pair set — the acceptance gate for choosing (bands, rows)
+    before a production dedup run. Composed from the two
+    independently-verified operator frames; counts are 1-row
+    aggregates cross-joined broadcast (the house never-collect scalar
+    pattern), ratios raw IEEE divisions of exact integers.
+
+    At 100 TB the exact side is the expensive one (inverted-index
+    join) — production runs it on a sample; the composition is
+    unchanged."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    cand = D.minhash_lsh_pairs(docs)
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_hits = (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_exact")).alias(
+                "lsh_recall"
+            ),
+            (F.col("n_hits").cast("double") / F.col("n_candidates")).alias(
+                "lsh_precision"
+            ),
+        )
+    )
+
+
+LSH_RECALL_EVAL_ORACLE = f"""
+WITH exact AS ({NGRAM_JACCARD_ORACLE}),
+cand AS ({{MINHASH}}),
+ne AS (SELECT count(*) AS n_exact FROM exact),
+nc AS (SELECT count(*) AS n_candidates FROM cand),
+nh AS (SELECT count(*) AS n_hits
+       FROM cand c JOIN exact e
+         ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b)
+SELECT n_exact, n_candidates, n_hits,
+       CAST(n_hits AS DOUBLE) / n_exact AS lsh_recall,
+       CAST(n_hits AS DOUBLE) / n_candidates AS lsh_precision
+FROM ne, nc, nh
+"""
+
+
 def dedup_spans_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level repeated-span removal (the C4 / RefinedWeb exact
     span dedup): every 10-token window that already appeared anywhere
@@ -1889,6 +1944,7 @@ QUERIES = {
     "dedup_spans_corpus": dedup_spans_corpus,
     "dedup_canonical_docs": dedup_canonical_docs,
     "embedding_random_projection": embedding_random_projection,
+    "dedup_lsh_recall_eval": dedup_lsh_recall_eval,
 }
 
 ORACLE = {
@@ -1946,4 +2002,7 @@ ORACLE = {
     "dedup_spans_corpus": D.span_dedup_oracle_sql(span=10),
     "dedup_canonical_docs": CANONICAL_DOCS_ORACLE,
     "embedding_random_projection": S.random_project_oracle_sql(out_dim=8),
+    "dedup_lsh_recall_eval": LSH_RECALL_EVAL_ORACLE.replace(
+        "{MINHASH}", _minhash_oracle()
+    ),
 }
