@@ -1459,7 +1459,20 @@ def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id")
         )
 
-    exact = S.brute_force_topk(emb, query_vec_id=0, k=k).select("vec_id")
+    # exact top-k from the SAME persisted frame the probes read: e's "v"
+    # is as_double(embedding) bit-preserved through Arrow and the cosine
+    # is the identical expression, so this equals brute_force_topk(emb)
+    # while skipping a second corpus scan and a second query-row job
+    exact = (
+        e.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(S.cosine(F.col("v"), qvec), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+        .select("vec_id")
+    )
     probes = probe([qb]).select(
         "vec_id", F.lit("lsh").alias("method")
     ).unionByName(
