@@ -143,3 +143,79 @@ def test_mixture_sample_missing_source_raises(spark):
         mixture_sample(
             df, "source", "doc_id", {"web": 0.5, "code": 0.3, "reference_books": 0.2}
         )
+
+
+# -- span dedup invariants ----------------------------------------------------
+
+_span_docs = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=12
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_span_docs)
+def test_span_dedup_partition_and_reconstruction(spark, token_lists):
+    """For ANY corpus: every span is kept exactly once corpus-wide per
+    distinct span text (first occurrence), kept+dropped partitions each
+    doc's spans, and a corpus with all-distinct span texts reconstructs
+    every document verbatim."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.dedup import span_dedup_docs
+
+    data = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(data, "doc_id: long, text: string")
+    span = 3
+    out = {r["doc_id"]: r for r in span_dedup_docs(df, span=span).collect()}
+    # per-doc span count is ceil(len/span); n_kept <= n_spans
+    total_kept = 0
+    distinct_spans = set()
+    for i, toks in enumerate(token_lists):
+        n_spans = -(-len(toks) // span)
+        assert out[i]["n_spans"] == n_spans
+        assert 0 <= out[i]["n_kept"] <= n_spans
+        total_kept += out[i]["n_kept"]
+        for j in range(n_spans):
+            distinct_spans.add(" ".join(toks[j * span : (j + 1) * span]))
+    # corpus-wide: exactly one survivor per distinct span text
+    assert total_kept == len(distinct_spans)
+    # reconstruction: a doc whose spans were all first occurrences is
+    # returned verbatim
+    first_doc_spans = {
+        " ".join(token_lists[0][j * span : (j + 1) * span])
+        for j in range(-(-len(token_lists[0]) // span))
+    }
+    if out[0]["n_kept"] == out[0]["n_spans"] == len(first_doc_spans):
+        assert out[0]["cleaned_text"] == data[0][1]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_canonical_selection_is_cluster_member(spark, raw_pairs):
+    """For ANY pair graph: each cluster's canonical doc is a member of
+    that cluster, and every clustered node appears in exactly one
+    cluster."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = [(a, b) if a < b else (b, a + 31) for a, b in raw_pairs]
+    pdf = spark.createDataFrame(pairs, "doc_a: long, doc_b: long")
+    comp = connected_components(pdf)
+    rows = comp.collect()
+    membership = {}
+    for r in rows:
+        assert r["node"] not in membership
+        membership[r["node"]] = r["component"]
+    # component label is the min reachable node: must itself be a member
+    for node, c in membership.items():
+        assert membership.get(c) == c
+        assert c <= node
