@@ -230,8 +230,53 @@ GROUP BY source
 """
 
 
+def sql_scripting_threshold_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN...END compound with a local variable
+    and a WHILE loop): escalate a price threshold by powers of 2 for as
+    long as DOUBLING it would still leave more than 10 qualifying
+    orders — i.e. find the largest power-of-2 multiple of $1000 that
+    still keeps a >10-order population — and return it with its count.
+    The "escalate until selective enough" control-flow pattern
+    expressed INSIDE one SQL statement instead of a driver loop; the
+    look-ahead condition guarantees a non-degenerate result (the
+    returned population is always >10).
+
+    Each iteration is one scan-side count (pushed predicate on a single
+    column); the loop variable lives in the scripting interpreter, so
+    the shape ships to a cluster unchanged. The DuckDB twin derives the
+    same fixpoint with a recursive CTE — same semantics, two different
+    modern-SQL facilities."""
+    tune(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+    BEGIN
+      DECLARE thr DOUBLE DEFAULT 1000.0;
+      WHILE (SELECT count(*) FROM orders WHERE o_totalprice > thr * 2) > 10 DO
+        SET thr = thr * 2;
+      END WHILE;
+      SELECT thr AS threshold, count(*) AS n_orders
+      FROM orders WHERE o_totalprice > thr;
+    END
+    """)
+
+
+SQL_SCRIPTING_ORACLE = """
+WITH RECURSIVE t(thr) AS (
+  SELECT CAST(1000.0 AS DOUBLE)
+  UNION ALL
+  SELECT thr * 2 FROM t
+  WHERE (SELECT count(*) FROM orders WHERE o_totalprice > thr * 2) > 10
+)
+SELECT max(thr) AS threshold,
+       (SELECT count(*) FROM orders
+        WHERE o_totalprice > (SELECT max(thr) FROM t)) AS n_orders
+FROM t
+"""
+
+
 QUERIES = {
     "nation_reach_bfs": nation_reach_bfs,
+    "sql_scripting_threshold_scan": sql_scripting_threshold_scan,
     "customer_status_history": customer_status_history,
     "quantity_profile_by_flag": quantity_profile_by_flag,
     "doc_token_stats_arrow": doc_token_stats_arrow,
@@ -240,6 +285,7 @@ QUERIES = {
 
 ORACLE = {
     "nation_reach_bfs": NATION_REACH_SQL,
+    "sql_scripting_threshold_scan": SQL_SCRIPTING_ORACLE,
     "customer_status_history": CUSTOMER_STATUS_ORACLE,
     "quantity_profile_by_flag": QUANTITY_PROFILE_ORACLE,
     "doc_token_stats_arrow": DOC_TOKEN_STATS_ORACLE,
