@@ -766,6 +766,68 @@ class BigramCounts:
             yield f"{a} {b}", n
 
 
+class ExtractJsonKeys:
+    """Polymorphic Python UDTF (Spark 4 ``analyze``): the OUTPUT SCHEMA
+    is computed at plan time from the constant key-list argument — one
+    output column per requested JSON key — so the same table function
+    serves any key set without per-shape registration. The complement
+    of the static-schema ``BigramCounts`` UDTF; together they cover the
+    full Spark 4 UDTF API. Values surface as strings (the caller casts),
+    missing keys as NULL."""
+
+    @staticmethod
+    def analyze(js, keys):
+        from pyspark.sql.types import StringType, StructField, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        fields = [
+            StructField(k.strip(), StringType())
+            for k in keys.value.split(",")
+        ]
+        return AnalyzeResult(schema=StructType(fields))
+
+    def eval(self, js, keys):
+        import json
+
+        ks = [k.strip() for k in keys.split(",")]
+        d = json.loads(js) if js else {}
+        yield tuple(
+            None if d.get(k) is None else str(d.get(k)) for k in ks
+        )
+
+
+def props_extract_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL-apply the polymorphic UDTF over the events props JSON
+    (schema decided by ``analyze`` from the 'k' key list) and aggregate
+    the extracted values per event type. Python row path — an API
+    surface demonstration like bigrams_udtf, not a hot-path design;
+    the built-in twin is events_json_stats."""
+    tune(spark)
+    from pyspark.sql.functions import udtf as _udtf
+
+    spark.udtf.register("extract_json_keys", _udtf(ExtractJsonKeys))
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__events_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(e.k AS BIGINT)) AS BIGINT) AS total_k
+        FROM __events_udtf, LATERAL extract_json_keys(props, 'k') e
+        GROUP BY event_type
+        """
+    )
+
+
+PROPS_EXTRACT_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS total_k
+FROM events GROUP BY event_type
+"""
+
+
 def bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     spark.udtf.register("bigram_counts", BigramCounts)
@@ -1958,6 +2020,7 @@ QUERIES = {
     "dedup_canonical_docs": dedup_canonical_docs,
     "embedding_random_projection": embedding_random_projection,
     "dedup_lsh_recall_eval": dedup_lsh_recall_eval,
+    "props_extract_udtf": props_extract_udtf,
 }
 
 ORACLE = {
@@ -2018,4 +2081,5 @@ ORACLE = {
     "dedup_lsh_recall_eval": LSH_RECALL_EVAL_ORACLE.replace(
         "{MINHASH}", _minhash_oracle()
     ),
+    "props_extract_udtf": PROPS_EXTRACT_ORACLE,
 }
