@@ -16,6 +16,7 @@ from __future__ import annotations
 import itertools
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from nyc_taxi_data_pipeline_elt_spark.streaming import windows as W
 
@@ -242,8 +243,58 @@ FROM events GROUP BY event_type
 """
 
 
+def streaming_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered-funnel stage flags from the custom stateful
+    operator (streaming/windows.py:stateful_funnel); on the bounded
+    replay the final flags equal the batch window funnel's per-user
+    aggregation, which is the oracle. Restricted to the first three
+    days so the stages actually discriminate (the full month saturates
+    every user to s3=1 and the hash would prove nothing)."""
+    events = W.stream_events(spark, sf_dir).filter(
+        F.col("ts") < F.lit("2024-01-04").cast("timestamp")
+    )
+    return W.run_to_memory(
+        W.stateful_funnel(events), _unique("funnel"), mode="append"
+    )
+
+
+# same staged-flag construction as analytics.FUNNEL_ORACLE, stopped at
+# the per-user aggregate; ts CAST truncates ns->us like the Spark loader,
+# so the (ts, event_id) ordering matches the operator's (ts_us, event_id)
+STREAMING_FUNNEL_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-04'
+), staged AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+           * coalesce(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS click_chain,
+         event_type, ts, event_id
+  FROM ev
+), staged2 AS (
+  SELECT user_id, is_view, click_chain,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+           * coalesce(max(click_chain)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS purchase_chain
+  FROM staged
+)
+SELECT user_id,
+       CAST(max(is_view) AS INT) AS s1,
+       CAST(max(click_chain) AS INT) AS s2,
+       CAST(max(purchase_chain) AS INT) AS s3
+FROM staged2 GROUP BY user_id
+"""
+
+
 QUERIES = {
     "streaming_stateful_user_counts": streaming_stateful_user_counts,
+    "streaming_funnel_stages": streaming_funnel_stages,
     "streaming_click_purchase_join": streaming_click_purchase_join,
     "streaming_segment_counts": streaming_segment_counts,
     "streaming_dedup_slots": streaming_dedup_slots,
@@ -256,6 +307,7 @@ QUERIES = {
 
 ORACLE = {
     "streaming_stateful_user_counts": STATEFUL_ORACLE,
+    "streaming_funnel_stages": STREAMING_FUNNEL_ORACLE,
     "streaming_click_purchase_join": SS_JOIN_ORACLE,
     "streaming_segment_counts": SEGMENT_COUNTS_ORACLE,
     "streaming_dedup_slots": DEDUP_SLOTS_ORACLE,

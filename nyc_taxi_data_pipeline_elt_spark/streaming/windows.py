@@ -328,3 +328,70 @@ def run_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def stateful_funnel(events: DataFrame) -> DataFrame:
+    """Streaming ordered-funnel stages (view -> click -> purchase) as a
+    per-user state machine via ``applyInPandasWithState`` — the
+    streaming twin of the batch ``funnel_conversion`` window query and
+    the ClickHouse-windowFunnel shape.
+
+    State per user = three stage flags. Each micro-batch's rows are
+    sorted by (event-time micros, event_id) before the flags advance, so
+    a step counts only when its predecessor fired on a STRICTLY earlier
+    row — identical semantics to the batch window's UNBOUNDED..1
+    PRECEDING frame. Flags persist across batches; like every
+    windowFunnel implementation, cross-batch disorder is assumed
+    resolved upstream (per-key in-order delivery or batch-spanning
+    sessions) — the replay harness delivers the fixture as one ordered
+    batch, which is also what the oracle equality requires.
+
+    Projects to (user_id, ts_us, event_type) before the state shuffle
+    (see stateful_user_counts: payload columns must not ride the
+    exchange, epoch-micros skip the Arrow timestamp converter).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(
+                    pdf["ts_us"].astype("int64"),
+                    pdf["event_id"].astype("int64"),
+                    pdf["etype"],
+                )
+            )
+        rows.sort()
+        s1, s2, s3 = state.get if state.exists else (0, 0, 0)
+        for _, _, ty in rows:
+            if ty == "view":
+                s1 = 1
+            elif ty == "click" and s1:
+                # s1 was set by a strictly earlier row (or prior batch):
+                # same-row self-satisfaction is impossible since one row
+                # has one type
+                s2 = 1
+            elif ty == "purchase" and s2:
+                s3 = 1
+        state.update((s1, s2, s3))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "s1": [s1], "s2": [s2], "s3": [s3]}
+        )
+
+    return (
+        events.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            F.col("event_type").alias("etype"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, s1 int, s2 int, s3 int",
+            stateStructType="s1 int, s2 int, s3 int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
