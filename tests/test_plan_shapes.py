@@ -271,3 +271,39 @@ def test_funnel_single_data_shuffle(spark):
     plan = _plan(analytics.funnel_conversion(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_runtime_bloom_filter_injects_on_fact_fact_join(spark):
+    """At 100 TB the selective-dim x fact join that can't broadcast is
+    exactly where Catalyst's runtime bloom filter pays: a bloom built
+    from the filtered creation side must appear as a might_contain
+    filter on the application side's scan. Local fixtures are below
+    the application-side scan threshold, so it is lowered for the
+    assertion (at real scale the default 10GB threshold passes by
+    itself); AQE/broadcast are disabled because broadcast joins get
+    the reduction for free."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        part = spark.read.parquet(f"{SF_DIR}/part.parquet").filter(
+            F.col("p_size") == 1
+        )
+        j = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .count()
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
