@@ -1635,9 +1635,13 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
     )
     width = (F.col("mx") - F.col("mn")) / F.lit(float(n_buckets))
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.floor((F.col("o_totalprice") - F.col("mn")) / width).cast("int"),
+    # mx == mn (constant column) would make width 0 and the division
+    # NaN: collapse to bucket 0, mirrored in the oracle's CASE
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("o_totalprice") - F.col("mn")) / width).cast("int"),
+        )
     )
     return (
         orders.select("o_totalprice")
@@ -1656,8 +1660,9 @@ PRICE_HISTOGRAM_ORACLE = """
 WITH bounds AS (
   SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
 ), bucketed AS (
-  SELECT CAST(least(19, floor((o_totalprice - mn) / ((mx - mn) / 20.0)))
-              AS INT) AS bucket,
+  SELECT CAST(CASE WHEN mx = mn THEN 0
+              ELSE least(19, floor((o_totalprice - mn) / ((mx - mn) / 20.0)))
+              END AS INT) AS bucket,
          mn, mx
   FROM orders, bounds
 )

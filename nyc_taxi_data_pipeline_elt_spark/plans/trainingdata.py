@@ -790,7 +790,14 @@ class ExtractJsonKeys:
         import json
 
         ks = [k.strip() for k in keys.split(",")]
-        d = json.loads(js) if js else {}
+        try:
+            d = json.loads(js) if js else {}
+            if not isinstance(d, dict):
+                d = {}
+        except (ValueError, TypeError):
+            # malformed payload -> all-NULL row, mirroring SQL
+            # json_extract semantics instead of failing the task
+            d = {}
         yield tuple(
             None if d.get(k) is None else str(d.get(k)) for k in ks
         )

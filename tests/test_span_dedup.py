@@ -56,3 +56,23 @@ def test_random_projection_matches_manual_dot(spark):
         for i in range(64):
             expect += vec[i] * planes[j][i]
         assert math.isclose(row[f"p{j}"], expect, rel_tol=1e-12)
+
+
+def test_props_udtf_malformed_json_yields_nulls(spark):
+    """Malformed payloads must produce all-NULL rows (SQL json_extract
+    semantics), never a task failure."""
+    from pyspark.sql.functions import udtf
+
+    from nyc_taxi_data_pipeline_elt_spark.plans.trainingdata import (
+        ExtractJsonKeys,
+    )
+
+    spark.udtf.register("extract_json_keys_t", udtf(ExtractJsonKeys))
+    spark.createDataFrame(
+        [('{"k": 1}',), ("not json",), (None,), ("[1,2]",)], "props string"
+    ).createOrReplaceTempView("__props_edge")
+    rows = spark.sql(
+        "SELECT e.k FROM __props_edge, LATERAL extract_json_keys_t(props, 'k') e"
+    ).collect()
+    assert sorted(r["k"] for r in rows if r["k"] is not None) == ["1"]
+    assert sum(1 for r in rows if r["k"] is None) == 3
