@@ -243,6 +243,50 @@ FROM events GROUP BY event_type
 """
 
 
+def streaming_click_purchase_left_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-proved NULL
+    emission (streaming/windows.py:click_purchase_left_join); the
+    oracle reproduces both the matches (batch time-range join) and the
+    NULL set (anti-join cut at final-watermark - window)."""
+    events = W.stream_events(spark, sf_dir)
+    return W.run_to_memory(
+        W.click_purchase_left_join(events), _unique("ss_ljoin"), mode="append"
+    )
+
+
+SS_LEFT_JOIN_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+), clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM ev WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM ev WHERE event_type = 'purchase'
+), wm AS (
+  SELECT least((SELECT max(click_ts) FROM clicks),
+               (SELECT max(purchase_ts) FROM purch))
+         - INTERVAL 1 HOUR AS w
+), matched AS (
+  SELECT c.user_id, c.click_id, p.purchase_id
+  FROM clicks c JOIN purch p ON c.user_id = p.user_id
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+), unmatched AS (
+  SELECT c.user_id, c.click_id, NULL AS purchase_id
+  FROM clicks c, wm
+  WHERE NOT EXISTS (
+          SELECT 1 FROM purch p WHERE p.user_id = c.user_id
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+    AND c.click_ts + INTERVAL 30 MINUTE < wm.w
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+"""
+
+
 def streaming_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user ordered-funnel stage flags from the custom stateful
     operator (streaming/windows.py:stateful_funnel); on the bounded
@@ -295,6 +339,7 @@ FROM staged2 GROUP BY user_id
 QUERIES = {
     "streaming_stateful_user_counts": streaming_stateful_user_counts,
     "streaming_funnel_stages": streaming_funnel_stages,
+    "streaming_click_purchase_left_join": streaming_click_purchase_left_join,
     "streaming_click_purchase_join": streaming_click_purchase_join,
     "streaming_segment_counts": streaming_segment_counts,
     "streaming_dedup_slots": streaming_dedup_slots,
@@ -308,6 +353,7 @@ QUERIES = {
 ORACLE = {
     "streaming_stateful_user_counts": STATEFUL_ORACLE,
     "streaming_funnel_stages": STREAMING_FUNNEL_ORACLE,
+    "streaming_click_purchase_left_join": SS_LEFT_JOIN_ORACLE,
     "streaming_click_purchase_join": SS_JOIN_ORACLE,
     "streaming_segment_counts": SEGMENT_COUNTS_ORACLE,
     "streaming_dedup_slots": DEDUP_SLOTS_ORACLE,

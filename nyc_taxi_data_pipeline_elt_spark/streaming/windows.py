@@ -395,3 +395,49 @@ def stateful_funnel(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def click_purchase_left_join(
+    events: DataFrame, window: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, with its matching
+    purchase or NULL once the watermark proves no match can arrive.
+
+    The outer side's NULL rows are the genuinely streaming-specific
+    part: they are emitted only when the global watermark (min of both
+    sides' watermarks) passes click_ts + window, i.e. when the state
+    store can prove completion — so on a bounded replay the NULL set is
+    exactly the batch anti-join RESTRICTED to clicks whose match window
+    closed before the final watermark; newer unmatched clicks are still
+    open state when the stream ends and are never emitted. The oracle
+    derives that cutoff arithmetically (the streaming_late_data_tumbling
+    final-watermark lesson, applied to a join)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window}")
+        )
+    )
+    return clicks.join(purchases, cond, "leftOuter").select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id"
+    )
