@@ -162,14 +162,54 @@ JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi
 """
 
 
+def nation_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest path over the nation trade graph:
+    cheapest way to route from NATION_12 within 4 hops
+    (a nation with outgoing trade at every fixture scale), where an edge's
+    cost is inversely tied to trade volume (busy lanes are cheap). Edge
+    costs are exact integers (greatest(1, 10000 DIV w)), so path sums
+    and the min are engine-independent; the fixed 4-round Bellman-Ford
+    contract is what lets the DuckDB twin enumerate the same path space
+    with a hop-bounded recursive CTE (operators/graph.py:bounded_sssp)."""
+    tune(spark)
+    edges = _trade_edges(spark, sf_dir).select(
+        "src",
+        "dst",
+        F.greatest(F.lit(1), F.floor(F.lit(10000) / F.col("w"))).alias("cost"),
+    )
+    return G.bounded_sssp(edges, "NATION_12", rounds=4).select(
+        F.col("node").alias("nation"), "min_cost"
+    )
+
+
+SSSP_ORACLE = f"""
+WITH RECURSIVE trade AS ({_TRADE_EDGES_SQL}),
+edges AS (
+  SELECT src, dst, greatest(1, CAST(floor(10000 / w) AS BIGINT)) AS cost
+  FROM trade
+),
+paths(node, cost, hops) AS (
+  SELECT 'NATION_12', CAST(0 AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, p.cost + e.cost, p.hops + 1
+  FROM paths p JOIN edges e ON e.src = p.node
+  WHERE p.hops < 4
+)
+SELECT node AS nation, min(cost) AS min_cost
+FROM paths GROUP BY node
+"""
+
+
 QUERIES = {
     "pagerank_nation_trade": pagerank_nation_trade,
     "pagerank_dangling": pagerank_dangling,
     "triangles_neardup": triangles_neardup,
+    "nation_cheapest_route": nation_cheapest_route,
 }
 
 ORACLE = {
     "pagerank_nation_trade": PAGERANK_ORACLE,
     "pagerank_dangling": PAGERANK_DANGLING_ORACLE,
     "triangles_neardup": TRIANGLES_ORACLE,
+    "nation_cheapest_route": SSSP_ORACLE,
 }
