@@ -94,3 +94,19 @@ def test_triangle_count(spark):
 def test_triangle_count_empty_of_triangles(spark):
     e = spark.createDataFrame([("a", "b"), ("b", "c")], "doc_a string, doc_b string")
     assert triangle_count(e).collect()[0].n_triangles == 0
+
+
+def test_bounded_sssp_closed_form(spark):
+    """Diamond with a cheap long way round: a -> b -> d costs 10+1,
+    a -> d direct costs 100; with 2 rounds the cheap 2-hop path wins,
+    with 1 round only the direct edge is reachable at its cost."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.graph import bounded_sssp
+
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("b", "d", 1), ("a", "d", 100)],
+        "src: string, dst: string, cost: long",
+    )
+    two = {r["node"]: r["min_cost"] for r in bounded_sssp(edges, "a", rounds=2).collect()}
+    assert two == {"a": 0, "b": 10, "d": 11}
+    one = {r["node"]: r["min_cost"] for r in bounded_sssp(edges, "a", rounds=1).collect()}
+    assert one == {"a": 0, "b": 10, "d": 100}
