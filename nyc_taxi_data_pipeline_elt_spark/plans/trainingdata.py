@@ -1849,6 +1849,61 @@ FROM final GROUP BY source
 
 
 
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tuning curve: how many candidate pairs survive at each
+    Jaccard threshold — the one-pass sweep an operator runs before
+    committing a near-dup cutoff for a corpus. Exact jaccard is
+    computed ONCE over the inverted-index candidates (pairs sharing
+    >= 1 shingle) and the per-threshold counts are conditional sums in
+    a single 1-row aggregate; integer counts, no re-scans."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.0)
+    return pairs.agg(
+        F.count("*").alias("n_candidates"),
+        *[
+            F.sum((F.col("jaccard") >= t).cast("long")).alias(
+                f"n_ge_{str(t).replace('.', '')}"
+            )
+            # thresholds chosen to straddle the corpus's jaccard knee
+            # (noise-overlap pairs die between 0.01 and 0.05; true
+            # near-dups persist through 0.9)
+            for t in (0.01, 0.02, 0.05, 0.3, 0.9)
+        ],
+    )
+
+
+THRESHOLD_SWEEP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toks WHERE len(t) >= 3
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+j AS (
+  SELECT round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jac
+  FROM common
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+)
+SELECT count(*) AS n_candidates,
+       CAST(sum(CASE WHEN jac >= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_001,
+       CAST(sum(CASE WHEN jac >= 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_002,
+       CAST(sum(CASE WHEN jac >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_005,
+       CAST(sum(CASE WHEN jac >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_03,
+       CAST(sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_09
+FROM j
+"""
+
+
 def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality evaluation for the TEXT dedup path (the analog of
     simsearch_recall_eval for MinHash-LSH): candidate recall and
@@ -2028,6 +2083,7 @@ QUERIES = {
     "embedding_random_projection": embedding_random_projection,
     "dedup_lsh_recall_eval": dedup_lsh_recall_eval,
     "props_extract_udtf": props_extract_udtf,
+    "dedup_threshold_sweep": dedup_threshold_sweep,
 }
 
 ORACLE = {
@@ -2089,4 +2145,5 @@ ORACLE = {
         "{MINHASH}", _minhash_oracle()
     ),
     "props_extract_udtf": PROPS_EXTRACT_ORACLE,
+    "dedup_threshold_sweep": THRESHOLD_SWEEP_ORACLE,
 }
