@@ -1849,6 +1849,60 @@ FROM final GROUP BY source
 
 
 
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-corpus sanity profile before any ANN indexing: L2-norm
+    order statistics plus the count of near-zero vectors (the rows that
+    break cosine math and IVF training). Norms are the unrolled
+    left-to-right dot (bit-identical to list_dot_product) under sqrt —
+    order statistics and comparisons only, no cross-row float
+    summation, so the profile is engine-exact; percentiles follow the
+    order_price_percentiles recipe (exact percentile + 2dp round).
+    One scan, one 1-row aggregate."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = S.as_double("embedding")
+    # peak |coordinate| as an unrolled greatest-chain (codegen'd, like
+    # the dot products) — the "is any dimension dominating?" signal;
+    # the fixture's unit norms make the norm stats a (correct)
+    # constant-1 confirmation, the peak distribution varies per vector
+    peak = F.greatest(
+        *[F.abs(F.element_at(v, i + 1)) for i in range(S.EMBED_DIM)]
+    )
+    norms = emb.select(
+        F.sqrt(S.dot(v, v)).alias("nrm"), peak.alias("peak")
+    )
+    return norms.agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.min("nrm"), 2).alias("min_norm"),
+        F.round(F.expr("percentile(nrm, 0.5)"), 2).alias("median_norm"),
+        F.round(F.max("nrm"), 2).alias("max_norm"),
+        F.sum((F.col("nrm") < 0.1).cast("long")).alias("n_near_zero"),
+        F.round(F.expr("percentile(peak, 0.5)"), 2).alias("median_peak"),
+        F.round(F.expr("percentile(peak, 0.99)"), 2).alias("p99_peak"),
+        F.round(F.max("peak"), 2).alias("max_peak"),
+    )
+
+
+NORM_PROFILE_ORACLE = """
+WITH norms AS (
+  SELECT sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS peak
+  FROM embeddings
+)
+SELECT count(*) AS n_vectors,
+       round(min(nrm), 2) AS min_norm,
+       round(quantile_cont(nrm, 0.5), 2) AS median_norm,
+       round(max(nrm), 2) AS max_norm,
+       CAST(sum(CASE WHEN nrm < 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_near_zero,
+       round(quantile_cont(peak, 0.5), 2) AS median_peak,
+       round(quantile_cont(peak, 0.99), 2) AS p99_peak,
+       round(max(peak), 2) AS max_peak
+FROM norms
+"""
+
+
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup tuning curve: how many candidate pairs survive at each
     Jaccard threshold — the one-pass sweep an operator runs before
@@ -2084,6 +2138,7 @@ QUERIES = {
     "dedup_lsh_recall_eval": dedup_lsh_recall_eval,
     "props_extract_udtf": props_extract_udtf,
     "dedup_threshold_sweep": dedup_threshold_sweep,
+    "embedding_norm_profile": embedding_norm_profile,
 }
 
 ORACLE = {
@@ -2146,4 +2201,5 @@ ORACLE = {
     ),
     "props_extract_udtf": PROPS_EXTRACT_ORACLE,
     "dedup_threshold_sweep": THRESHOLD_SWEEP_ORACLE,
+    "embedding_norm_profile": NORM_PROFILE_ORACLE,
 }
