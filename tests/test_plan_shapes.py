@@ -307,3 +307,13 @@ def test_runtime_bloom_filter_injects_on_fact_fact_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_histogram_single_data_exchange(spark):
+    """The equi-width histogram's global [min, max] is a broadcast 1-row
+    aggregate (a BroadcastNestedLoopJoin with a one-row build side IS
+    the never-collect scalar pattern, not a quadratic join); the only
+    hash exchange in the plan must be the final 20-key count."""
+    plan = _plan(analytics.order_price_histogram(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
