@@ -266,29 +266,136 @@ def contamination_overlap(
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash.
 
     Returns distinct (doc_a, doc_b) with doc_a < doc_b that collide in at
     least one band. Signature = one hash-aggregate over the shingle rows
     (k mins computed map-side partial); the self-join shuffles on
     (band_idx, band_key) only.
+
+    **Hot-bucket cap** (``max_bucket_size``): real corpora have
+    boilerplate — a band key shared by c near-identical docs emits
+    c*(c-1)/2 pairs, and at 100 TB a 10%-frequency boilerplate cluster
+    makes that output volume unsurvivable by ANY join strategy (AQE skew
+    split parallelizes the c^2 compute but cannot shrink the c^2
+    output). Buckets larger than the cap therefore emit STAR edges
+    (bucket-min id, other id) instead of all pairs: O(c) rows that
+    preserve the CONNECTED COMPONENTS of the candidate graph exactly
+    (every doc in the bucket stays linked through the hub), which is
+    what the downstream dedup_clusters/canonical-doc stages consume.
+    The trade, documented: within-mega-bucket pairwise verification
+    loses non-hub pairs — acceptable because a full band-key collision
+    at this bucket size already implies near-identity. Default ``None``
+    keeps the exact all-pairs contract (small buckets are unaffected
+    either way).
     """
     banded = minhash_band_rows(docs, id_col=id_col, text_col=text_col)
-
     left = banded.alias("a")
     right = banded.alias("b")
-    return (
-        left.join(
+
+    if max_bucket_size is None:
+        pairs = left.join(
             right,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        return pairs.distinct()
+
+    # bucket sizes + hub: one extra hash-agg on the same (band) keys the
+    # join shuffles on — O(#buckets) rows, co-partitioned with the join
+    sizes = banded.groupBy("band_idx", "band_key").agg(
+        F.count("*").alias("__bsz"), F.min(id_col).alias("__hub")
+    )
+    tagged = banded.join(sizes, ["band_idx", "band_key"])
+    small = tagged.filter(F.col("__bsz") <= max_bucket_size)
+    big = tagged.filter(F.col("__bsz") > max_bucket_size)
+
+    sl, sr = small.alias("a"), small.alias("b")
+    small_pairs = sl.join(
+        sr,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+    )
+    star_pairs = big.filter(F.col(id_col) != F.col("__hub")).select(
+        F.least(F.col("__hub"), F.col(id_col)).alias("doc_a"),
+        F.greatest(F.col("__hub"), F.col(id_col)).alias("doc_b"),
+    )
+    return small_pairs.unionByName(star_pairs).distinct()
+
+
+def _common_shingle_counts(
+    inv: DataFrame, id_col: str, df_cap: int | None
+) -> DataFrame:
+    """``(doc_a, doc_b, n_common)`` for every pair sharing >= 1 shingle.
+
+    ``df_cap=None``: single-phase inverted-index self-join — exact, but
+    a shingle appearing in c docs contributes c^2 join rows ON ONE KEY,
+    so one 10%-frequency boilerplate shingle at corpus scale is a
+    straggler no skew-split can save (the c^2 is in the OUTPUT).
+
+    ``df_cap=k``: candidate+verify. Shingles with document frequency
+    > k are dropped from CANDIDATE GENERATION only (they carry ~no
+    discriminative signal — the stopword argument); surviving candidate
+    pairs get their ``n_common`` recomputed EXACTLY over the full
+    uncapped shingle sets, so every reported count/metric value is
+    identical to the exact path. The only semantic difference,
+    documented: a pair whose shared shingles are ALL hotter than the
+    cap produces no candidate and is missed — i.e. pure-boilerplate
+    pairs, which dedup wants gone anyway. Join volume becomes
+    O(sum over capped shingles of c^2) for candidates plus
+    O(candidates x shingles-per-doc) for the verify — both bounded."""
+    a, b = inv.alias("a"), inv.alias("b")
+    if df_cap is None:
+        return (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("n_common"))
+        )
+    rare = inv.groupBy("s").agg(F.count("*").alias("__df")).filter(
+        F.col("__df") <= df_cap
+    )
+    capped = inv.join(rare.select("s"), "s")
+    ca, cb = capped.alias("a"), capped.alias("b")
+    cand = (
+        ca.join(
+            cb,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
         )
         .distinct()
+    )
+    # exact verify over the FULL shingle sets: explode each candidate by
+    # doc_a's shingles, match doc_b's — linear in candidates x doc size
+    return (
+        cand.join(inv.select(F.col(id_col).alias("doc_a"), "s"), "doc_a")
+        .join(inv.select(F.col(id_col).alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
     )
 
 
@@ -298,24 +405,17 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing >= 1 shingle (inverted index
-    join), filtered to ``round(jaccard, 6) >= threshold``."""
+    join), filtered to ``round(jaccard, 6) >= threshold``. ``df_cap``
+    switches candidate generation to the hot-shingle-capped
+    candidate+verify plan (see :func:`_common_shingle_counts`) — metric
+    values stay exact; only pairs sharing exclusively hotter-than-cap
+    shingles are missed."""
     inv = shingle_rows(docs, n=n, id_col=id_col, text_col=text_col).distinct()
     sizes = inv.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-
-    a, b = inv.alias("a"), inv.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
+    common = _common_shingle_counts(inv, id_col, df_cap)
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.round(
@@ -335,6 +435,7 @@ def containment_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Asymmetric shingle CONTAINMENT over candidate pairs:
     ``containment(A in B) = |A ∩ B| / |A|`` — the inclusion metric
@@ -345,22 +446,12 @@ def containment_pairs(
     :func:`ngram_jaccard_pairs` — candidates share >= 1 shingle, one
     shuffle on the shingle key — emitting both directions' containment
     and keeping pairs where either side is mostly inside the other
-    (compared on the rounded value, engine-deterministic)."""
+    (compared on the rounded value, engine-deterministic). ``df_cap``
+    as in :func:`ngram_jaccard_pairs`: hot-shingle-capped candidate
+    generation with an exact verify."""
     inv = shingle_rows(docs, n=n, id_col=id_col, text_col=text_col).distinct()
     sizes = inv.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a, b = inv.alias("a"), inv.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
+    common = _common_shingle_counts(inv, id_col, df_cap)
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
     c_a = F.round(F.col("n_common") / F.col("na"), 6)

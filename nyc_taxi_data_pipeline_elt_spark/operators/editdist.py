@@ -208,3 +208,186 @@ def levenshtein_join(
         )
     )
     return verified.unionByName(short_pairs)
+
+
+def dispatch_stats(
+    df: DataFrame,
+    name_col: str,
+    block_col: str,
+    tau: int = 3,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Per-block dispatch statistics for :func:`levenshtein_join_auto`:
+    one segment explode + two hash aggregations (linear in the data),
+    producing O(#blocks) rows::
+
+        (blk, n_rows, quad_pairs, est_candidates, collision_ratio)
+
+    ``est_candidates`` proxies the PassJoin candidate volume by the
+    index side's own segment collisions: a segment text occurring ``c``
+    times at the same (seg_no, length) yields ~``c*(c-1)/2`` candidate
+    pairs from equal-length strings alone — an underestimate of the
+    full cross-length probe volume but strongly correlated with it
+    (dense vocabularies collide at every length delta, high-entropy
+    ones at none). ``collision_ratio = est_candidates / quad_pairs``:
+    near 0 the segment filter prunes almost everything and PassJoin
+    wins; past ~0.1 the explode/join/dedup overhead outweighs the
+    pruning and the bounded-quadratic scan wins (measured crossover on
+    the TPC-H part corpus: ratio 0.39 -> quadratic 3.8x faster).
+
+    ``sample_fraction`` estimates on a Bernoulli sample: both the
+    collision count and the pair count scale ~fraction^2, so the RATIO
+    is fraction-invariant while the agg cost drops linearly —
+    ``n_rows``/``quad_pairs`` are rescaled back to corpus size for the
+    small-block cutoff."""
+    k = tau + 1
+    base = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(name_col).alias("n_"),
+        F.length(name_col).alias("len_"),
+    )
+    scale = 1.0
+    if sample_fraction is not None and sample_fraction < 1.0:
+        base = base.sample(False, sample_fraction, seed=7)
+        scale = 1.0 / sample_fraction
+    seg_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg_no"),
+                _seg_start(F.col("len_"), i, k).alias("pos"),
+                _seg_len(F.col("len_"), i, k).alias("slen"),
+            )
+            for i in range(k)
+        ]
+    )
+    segs = (
+        base.filter(F.col("len_") >= k)
+        .select("blk", "n_", "len_", F.explode(seg_structs).alias("s"))
+        .filter(F.col("s.slen") > 0)
+        .select(
+            "blk",
+            F.col("s.seg_no").alias("seg_no"),
+            "len_",
+            F.expr("substring(n_, s.pos + 1, s.slen)").alias("seg"),
+        )
+    )
+    coll = (
+        segs.groupBy("blk", "seg_no", "len_", "seg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("blk")
+        .agg(
+            (F.sum(F.col("c") * (F.col("c") - 1)) / 2).alias("est_candidates")
+        )
+    )
+    rows = base.groupBy("blk").agg(F.count("*").alias("n_sampled"))
+    return (
+        rows.join(coll, "blk", "left")
+        .select(
+            "blk",
+            (F.col("n_sampled") * scale).cast("long").alias("n_rows"),
+            (
+                F.col("n_sampled") * (F.col("n_sampled") - 1) / 2
+            ).alias("quad_pairs_sampled"),
+            F.coalesce("est_candidates", F.lit(0.0)).alias("est_candidates"),
+        )
+        .select(
+            "blk",
+            "n_rows",
+            (F.col("quad_pairs_sampled") * scale * scale)
+            .cast("long")
+            .alias("quad_pairs"),
+            "est_candidates",
+            F.round(
+                F.col("est_candidates")
+                / F.greatest(F.col("quad_pairs_sampled"), F.lit(1.0)),
+                6,
+            ).alias("collision_ratio"),
+        )
+    )
+
+
+def levenshtein_join_auto(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    block_col: str,
+    tau: int = 3,
+    ratio_threshold: float = 0.1,
+    min_rows_for_passjoin: int = 2000,
+    sample_fraction: float | None = None,
+    quad_parallelism: int | None = None,
+) -> DataFrame:
+    """Collision-aware edit-distance join: per BLOCK, route to PassJoin
+    (:func:`levenshtein_join`) or the bounded-quadratic scan by the
+    measured segment-collision ratio (:func:`dispatch_stats`).
+
+    Both branches are exact (identical result sets), so the dispatch is
+    purely a cost decision: PassJoin when the segment filter prunes
+    >= (1 - ratio_threshold) of the pair space AND the block is big
+    enough for the explode/join overhead to amortize; the quadratic
+    scan otherwise (dense vocabularies, small blocks). The decision
+    table is O(#blocks) and broadcast back onto the data — no collect
+    of row data, one extra linear agg over the corpus (or a sample).
+
+    The quadratic branch goes through the salted join
+    (operators/skew.py): a plain block equi-join would put each block's
+    whole O(n_blk^2) pair scan on ONE task (AQE sizes partitions by
+    input bytes and a self-join's input is tiny next to its pair
+    output), so the probe side is salted ``quad_parallelism`` ways and
+    the build side replicated — the scan fans out across the cluster at
+    the cost of replicating only the (small, dense) quad-routed rows."""
+    stats = dispatch_stats(
+        df, name_col, block_col, tau, sample_fraction=sample_fraction
+    )
+    decisions = stats.select(
+        F.col("blk").alias(block_col),
+        (
+            (F.col("collision_ratio") < ratio_threshold)
+            & (F.col("n_rows") >= min_rows_for_passjoin)
+        ).alias("__use_passjoin"),
+    )
+    routed = df.join(F.broadcast(decisions), block_col, "left").withColumn(
+        "__use_passjoin", F.coalesce("__use_passjoin", F.lit(False))
+    )
+    pj_side = routed.filter(F.col("__use_passjoin")).drop("__use_passjoin")
+    quad_side = routed.filter(~F.col("__use_passjoin")).drop("__use_passjoin")
+
+    pj = levenshtein_join(pj_side, key_col, name_col, block_col, tau)
+
+    if quad_parallelism is None:
+        quad_parallelism = max(
+            df.sparkSession.sparkContext.defaultParallelism, 8
+        )
+    a = quad_side.select(
+        F.col(block_col),
+        F.col(key_col).alias("key_a"),
+        F.col(name_col).alias("name_a"),
+    )
+    b = quad_side.select(
+        F.col(block_col),
+        F.col(key_col).alias("key_b"),
+        F.col(name_col).alias("name_b"),
+    )
+    # Salt like operators/skew.py:salted_join, but pin the probe side's
+    # partition count with an explicit repartition (REPARTITION_BY_NUM):
+    # the pair scan's INPUT bytes are tiny, so AQE's coalescing would
+    # otherwise fold the salted shuffle back into one task and the
+    # O(n_blk^2) OUTPUT would materialize there — the exact single-task
+    # fail the salt exists to prevent. REPARTITION_BY_NUM is exempt
+    # from AQE coalescing, so the scan keeps quad_parallelism tasks.
+    salted_a = a.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("key_a"), F.lit(quad_parallelism)).cast("int"),
+    ).repartition(quad_parallelism, F.col(block_col), F.col("_salt"))
+    salted_b = b.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(quad_parallelism)])),
+    )
+    quad = (
+        salted_a.join(salted_b, [block_col, "_salt"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", tau))
+        .filter(F.col("edit_dist") >= 0)
+        .select(block_col, "key_a", "key_b", "edit_dist")
+    )
+    return pj.unionByName(quad)

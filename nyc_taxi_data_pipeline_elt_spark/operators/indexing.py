@@ -75,17 +75,22 @@ def pack_sequences(
 
 def with_global_index(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     index_name: str = "example_id",
     partitions: int | None = None,
 ) -> DataFrame:
     """Add a deterministic contiguous 0-based ``index_name`` column in
-    ``order_col`` order (``order_col`` must be unique — it is the total
-    order that makes the index reproducible across layouts/reruns)."""
+    ``order_col`` order (``order_col`` — a column name or a list of
+    names ordered lexicographically — must be unique as a whole; it is
+    the total order that makes the index reproducible across
+    layouts/reruns)."""
     spark = df.sparkSession
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 8)
-    ranged = df.repartitionByRange(partitions, F.col(order_col)).persist()
+    ranged = df.repartitionByRange(
+        partitions, *[F.col(c) for c in order_cols]
+    ).persist()
 
     pid = F.spark_partition_id()
     # per-partition counts -> cumulative start offset of each partition
@@ -96,7 +101,7 @@ def with_global_index(
     )
 
     local_rank: Column = F.row_number().over(
-        Window.partitionBy(pid).orderBy(order_col)
+        Window.partitionBy(pid).orderBy(*order_cols)
     )
     out = (
         ranged.withColumn("__pid", pid)

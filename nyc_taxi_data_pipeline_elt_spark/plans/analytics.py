@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nyc_taxi_data_pipeline_elt_spark.operators import editdist as ED
+from nyc_taxi_data_pipeline_elt_spark.operators.indexing import with_global_index
 from nyc_taxi_data_pipeline_elt_spark.session import tune
 from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
 
@@ -581,14 +583,49 @@ FROM orders
 
 # --- distribution analytics: ntile / percent_rank / cume_dist -------------------
 def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist over the whole table WITHOUT the
+    single-task ``Window.orderBy(...)`` (the `WindowExec: No Partition
+    Defined` 100 TB fail): global rank comes from the range-partition +
+    broadcast-offset pattern (operators/indexing.py:with_global_index),
+    and all three distribution functions are pure arithmetic on
+    (rank, n):
+
+    - ``percent_rank = (rank - 1) / (n - 1)`` — the ORDER BY key
+      (o_totalprice, o_orderkey) is unique, so no peer-group term;
+    - ``cume_dist = rank / n`` — ditto (every row is its own peer group);
+    - ``ntile(10)``: the first ``n % 10`` buckets get ``n/10 + 1`` rows
+      (Spark/ANSI semantics), derived from rank by closed form.
+
+    n rides in as a broadcast one-row scalar (the histogram's pinned
+    plan shape) — no collect, no global window; the only
+    SinglePartition exchange is the O(partitions) offset side job."""
     tune(spark)
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
-    return orders.select(
-        "o_orderkey",
-        F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    base = orders.select("o_orderkey", "o_totalprice")
+    idx = with_global_index(
+        base, ["o_totalprice", "o_orderkey"], index_name="__idx"
+    )
+    rank = F.col("__idx") + 1  # row_number, 1-based, unique total order
+    n_df = base.agg(F.count("*").alias("__n"))
+    k = 10
+    q = (F.col("__n") / k).cast("long")  # base bucket size
+    rem = F.col("__n") % k  # first `rem` buckets get one extra row
+    big_span = rem * (q + 1)  # rows covered by the big buckets
+    decile = (
+        F.when(rank <= big_span, F.floor((rank - 1) / (q + 1)))
+        .otherwise(rem + F.floor((rank - big_span - 1) / F.greatest(q, F.lit(1))))
+        + 1
+    )
+    return (
+        idx.crossJoin(F.broadcast(n_df))
+        .select(
+            "o_orderkey",
+            decile.cast("int").alias("decile"),
+            F.round(
+                (rank - 1) / F.greatest(F.col("__n") - 1, F.lit(1)), 6
+            ).alias("pct_rank"),
+            F.round(rank / F.col("__n"), 6).alias("cume"),
+        )
     )
 
 
@@ -628,34 +665,33 @@ GROUP BY l_returnflag
 # --- string similarity: levenshtein (brand-blocked, never all-pairs) ------------
 def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-matches within a blocking key (p_brand) — the
-    entity-resolution shape; blocking bounds the quadratic term. The
-    distance uses the threshold-bounded levenshtein (banded DP with
-    early exit, returns -1 past the bound) so far-apart names cost
-    O(len*k) instead of O(len^2).
+    entity-resolution shape. Routed per block by the measured
+    segment-collision ratio (operators/editdist.py:levenshtein_join_auto):
 
-    Why not the PassJoin segment filter (``operators/editdist.py``)?
-    Measured on this corpus it does NOT pay: part names draw ~5 words
-    from a ~90-word vocabulary, so verbatim-segment collisions are
-    rampant — 3.1M distinct candidates against 8.0M total in-brand pairs
-    (sf0.1), only a 2.6x cut, and the extra explode/join/dedup shuffles
-    cost more than they save (19s vs 5s). The segment filter is the
-    right plan for high-entropy strings (it prunes near-everything —
-    see test_editdist); the dense-vocabulary case is the quadratic scan
-    with a bounded verifier. Pick by candidate-collision rate."""
+    - PassJoin segment filter where it prunes (high-entropy names:
+      near-zero collisions, candidates ~O(n) instead of O(n^2/blocks));
+    - bounded-quadratic scan (banded-DP levenshtein with early exit)
+      where it doesn't. THIS corpus lands there by measurement: part
+      names draw ~5 words from a ~90-word vocabulary, so verbatim
+      segments collide rampantly — 3.1M candidates vs 8.0M in-brand
+      pairs at sf0.1 (ratio 0.39), and PassJoin's explode/join/dedup
+      costs more than it saves (19s vs 5s).
+
+    The dispatch stats are one linear agg producing O(#blocks) rows,
+    broadcast back onto the data — so at 100x, blocks whose vocabulary
+    diversifies flip to PassJoin automatically while dense blocks keep
+    the scan; both branches are exact, so the result is
+    route-independent."""
     tune(spark)
     part = load_table(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_brand"), F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
+    out = ED.levenshtein_join_auto(
+        part, "p_partkey", "p_name", "p_brand", tau=3
     )
-    b = part.select(
-        F.col("p_brand"), F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
-    )
-    return (
-        a.join(b, "p_brand")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 3))
-        .filter(F.col("edit_dist") >= 0)
-        .select("p_brand", "key_a", "key_b", "edit_dist")
+    return out.select(
+        "p_brand",
+        F.col("key_a"),
+        F.col("key_b"),
+        "edit_dist",
     )
 
 

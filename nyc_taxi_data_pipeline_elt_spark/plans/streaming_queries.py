@@ -256,6 +256,11 @@ def streaming_click_purchase_left_join(
     )
 
 
+# The `click_ts + window < wm` comparison below is STRICT by measured
+# Spark semantics: a click whose match-window bound lands exactly on the
+# final watermark is still open state and emits no NULL row
+# (tests/test_streaming.py:test_left_join_null_boundary_is_strict pins
+# this with a fixture at exact equality).
 SS_LEFT_JOIN_ORACLE = """
 WITH ev AS (
   SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
@@ -297,8 +302,19 @@ def streaming_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = W.stream_events(spark, sf_dir).filter(
         F.col("ts") < F.lit("2024-01-04").cast("timestamp")
     )
-    return W.run_to_memory(
+    out = W.run_to_memory(
         W.stateful_funnel(events), _unique("funnel"), mode="append"
+    )
+    # append mode emits one row per user per micro-batch; if the
+    # availableNow replay ever splits into several batches (multi-file
+    # source split, maxFilesPerTrigger) a user appears once per batch.
+    # Flags are monotone non-decreasing across batches, so max() per
+    # user IS the final state — this keeps the one-row-per-user oracle
+    # equality independent of the replay's batch boundaries.
+    return out.groupBy("user_id").agg(
+        F.max("s1").alias("s1"),
+        F.max("s2").alias("s2"),
+        F.max("s3").alias("s3"),
     )
 
 

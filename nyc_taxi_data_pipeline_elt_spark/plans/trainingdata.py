@@ -220,6 +220,77 @@ def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement of the
+    n-gram scrub above: flag training vectors whose cosine similarity to
+    ANY benchmark vector reaches theta (paraphrased benchmark leakage
+    that shares no shingles). Benchmark = ``label = 0`` (benchmarks are
+    the small side by construction) and is BROADCAST, so the check is a
+    map-side pass over the training scan — no corpus shuffle at any
+    scale, the exact physical shape of ``contamination_overlap``. For
+    corpora where the benchmark outgrows a broadcast, the blocked
+    sign-LSH path (operators/similarity.py) swaps in unchanged.
+
+    Output: one row per contaminated train vector with its worst
+    (highest-cosine) benchmark match — ``max_cos`` ties broken by
+    smallest benchmark id, deterministic on the rounded grid."""
+    tune(spark)
+    theta = 0.35
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("bench_vec_id"),
+        S.as_double("embedding").alias("bv"),
+    )
+    train = emb.filter(F.col("label") != 0).select(
+        "vec_id", S.as_double("embedding").alias("tv")
+    )
+    scored = (
+        train.crossJoin(F.broadcast(bench))
+        .select(
+            "vec_id",
+            "bench_vec_id",
+            F.round(S.cosine(F.col("tv"), F.col("bv")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= theta)
+    )
+    w_best = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("bench_vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "bench_vec_id",
+            F.col("cos").alias("max_cos"),
+        )
+    )
+
+
+_COS_TB = (
+    "list_dot_product(tv, bv) / sqrt(list_dot_product(tv, tv)"
+    " * list_dot_product(bv, bv))"
+)
+
+SEMANTIC_DECONTAMINATE_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id AS bench_vec_id, v AS bv FROM e WHERE label = 0),
+t AS (SELECT vec_id, v AS tv FROM e WHERE label <> 0),
+scored AS (
+  SELECT t.vec_id, b.bench_vec_id,
+         round({_COS_TB}, 6) AS cos
+  FROM t, b
+  WHERE round({_COS_TB}, 6) >= 0.35
+), best AS (
+  SELECT vec_id, bench_vec_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, bench_vec_id) AS rn
+  FROM scored
+)
+SELECT vec_id, bench_vec_id, cos AS max_cos FROM best WHERE rn = 1
+"""
+
+
 DECONTAMINATE_ORACLE = """
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
@@ -773,7 +844,10 @@ class ExtractJsonKeys:
     serves any key set without per-shape registration. The complement
     of the static-schema ``BigramCounts`` UDTF; together they cover the
     full Spark 4 UDTF API. Values surface as strings (the caller casts),
-    missing keys as NULL."""
+    missing keys as NULL. Non-string values are rendered as their JSON
+    text (``json.dumps``: ``true``/``false``, numbers, nested objects)
+    so the output agrees with SQL ``json_extract_string`` semantics
+    rather than Python ``repr``; raw strings pass through as-is."""
 
     @staticmethod
     def analyze(js, keys):
@@ -798,9 +872,14 @@ class ExtractJsonKeys:
             # malformed payload -> all-NULL row, mirroring SQL
             # json_extract semantics instead of failing the task
             d = {}
-        yield tuple(
-            None if d.get(k) is None else str(d.get(k)) for k in ks
-        )
+        def render(v):
+            if v is None:
+                return None
+            if isinstance(v, str):
+                return v
+            return json.dumps(v, separators=(",", ":"))
+
+        yield tuple(render(d.get(k)) for k in ks)
 
 
 def props_extract_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -820,16 +899,19 @@ def props_extract_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT event_type,
                count(*) AS n_events,
-               CAST(sum(CAST(e.k AS BIGINT)) AS BIGINT) AS total_k
+               CAST(sum(TRY_CAST(e.k AS BIGINT)) AS BIGINT) AS total_k
         FROM __events_udtf, LATERAL extract_json_keys(props, 'k') e
         GROUP BY event_type
         """
     )
 
 
+# TRY_CAST on both sides: Spark CAST would yield NULL on a non-numeric
+# payload but DuckDB CAST hard-errors — TRY_CAST pins the NULL behavior
+# in both engines so non-numeric 'k' values cannot diverge.
 PROPS_EXTRACT_ORACLE = """
 SELECT event_type, count(*) AS n_events,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
          AS total_k
 FROM events GROUP BY event_type
 """
@@ -2104,6 +2186,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "decontaminate_train_docs": decontaminate_train_docs,
+    "semantic_decontaminate": semantic_decontaminate,
     "chunk_documents": chunk_documents,
     "doc_sample_split": doc_sample_split,
     "doc_bottomk_sample": doc_bottomk_sample,
@@ -2163,6 +2246,7 @@ ORACLE = {
     "dedup_clusters": _clusters_oracle(),
     "dedup_incremental_minhash": INCREMENTAL_MINHASH_ORACLE,
     "decontaminate_train_docs": DECONTAMINATE_ORACLE,
+    "semantic_decontaminate": SEMANTIC_DECONTAMINATE_ORACLE,
     "chunk_documents": CHUNK_ORACLE,
     "doc_sample_split": SAMPLE_SPLIT_ORACLE,
     "doc_bottomk_sample": BOTTOMK_ORACLE,

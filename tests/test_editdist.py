@@ -98,3 +98,118 @@ def test_tau_one(spark):
         for i in range(30)
     ]
     _check(spark, rows, tau=1)
+
+
+def _entropy_corpus(rng: random.Random, n: int, blk: str):
+    """High-entropy random strings: verbatim segment collisions ~never."""
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    return [
+        (blk, i, "".join(rng.choice(alpha) for _ in range(rng.randint(16, 28))))
+        for i in range(n)
+    ]
+
+
+DENSE_WORDS = ["black", "blush", "beige", "brown", "coral", "azure"]
+
+
+def _dense_corpus(rng: random.Random, n: int, blk: str, start: int = 0):
+    """Dense vocabulary (TPC-H part-name shape, sharpened): every word
+    is 5 chars, so all strings have the same length, segment boundaries
+    align exactly, and verbatim segments collide rampantly."""
+    return [
+        (blk, start + i, " ".join(rng.choice(DENSE_WORDS) for _ in range(4)))
+        for i in range(n)
+    ]
+
+
+def test_dispatch_stats_separate_corpora(spark):
+    """The collision-ratio estimate must rank a dense-vocabulary block
+    far above a high-entropy block — that ordering is the whole basis
+    of the auto dispatch."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.editdist import (
+        dispatch_stats,
+    )
+
+    rng = random.Random(11)
+    rows = _dense_corpus(rng, 120, "dense") + _entropy_corpus(
+        rng, 120, "entropy"
+    )
+    df = spark.createDataFrame(rows, "blk string, k int, n string")
+    stats = {
+        r["blk"]: r
+        for r in dispatch_stats(df, "n", "blk", tau=3).collect()
+    }
+    assert stats["dense"]["collision_ratio"] > 0.1
+    assert stats["entropy"]["collision_ratio"] < 0.01
+    assert stats["dense"]["n_rows"] == 120
+
+
+def test_auto_dispatch_routes_and_matches_bruteforce(spark):
+    """levenshtein_join_auto: a dense-vocab block routes to the
+    quadratic scan, a high-entropy block (above the row cutoff) routes
+    to PassJoin — and the combined result equals brute force exactly
+    (both branches are exact, so routing is invisible in the output)."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.editdist import (
+        dispatch_stats,
+        levenshtein_join_auto,
+    )
+
+    rng = random.Random(23)
+    # entropy block with planted near-duplicates so the result is non-trivial
+    ent = _entropy_corpus(rng, 150, "entropy")
+    planted = [
+        ("entropy", 1000 + i, _mutate(rng, ent[i][2], 1 + i % 3))
+        for i in range(20)
+    ]
+    rows = _dense_corpus(rng, 60, "dense") + ent + planted
+    df = spark.createDataFrame(rows, "blk string, k int, n string")
+
+    got = sorted(
+        map(
+            tuple,
+            levenshtein_join_auto(
+                df, "k", "n", "blk", tau=3,
+                min_rows_for_passjoin=100,
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, _brute(df, 3).collect()))
+    assert got == want
+    assert len(want) > 10
+
+    stats = {
+        r["blk"]: r for r in dispatch_stats(df, "n", "blk", tau=3).collect()
+    }
+    # the routing predicate used by levenshtein_join_auto
+    assert stats["dense"]["collision_ratio"] >= 0.1  # -> quadratic
+    assert (
+        stats["entropy"]["collision_ratio"] < 0.1
+        and stats["entropy"]["n_rows"] >= 100
+    )  # -> PassJoin
+
+
+def test_auto_dispatch_sampled_ratio_stable(spark):
+    """The Bernoulli-sampled estimate must land on the same side of the
+    threshold as the full computation (the ratio is fraction-invariant
+    in expectation)."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.editdist import (
+        dispatch_stats,
+    )
+
+    rng = random.Random(31)
+    rows = _dense_corpus(rng, 400, "dense") + _entropy_corpus(
+        rng, 400, "entropy"
+    )
+    df = spark.createDataFrame(rows, "blk string, k int, n string")
+    full = {
+        r["blk"]: r["collision_ratio"]
+        for r in dispatch_stats(df, "n", "blk", tau=3).collect()
+    }
+    samp = {
+        r["blk"]: r["collision_ratio"]
+        for r in dispatch_stats(
+            df, "n", "blk", tau=3, sample_fraction=0.5
+        ).collect()
+    }
+    assert (full["dense"] > 0.1) == (samp["dense"] > 0.1)
+    assert (full["entropy"] < 0.01) == (samp["entropy"] < 0.01)

@@ -317,3 +317,32 @@ def test_histogram_single_data_exchange(spark):
     plan = _plan(analytics.order_price_histogram(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_deciles_no_global_window(spark):
+    """ntile/percent_rank/cume_dist must come from the range-partition +
+    broadcast-offset global rank, never a `Window.orderBy` over the
+    whole table: every window over data is partitioned (by
+    spark_partition_id); the only SinglePartition exchanges are the
+    O(partitions) offsets side and the one-row count scalar."""
+    import re
+
+    plan = _plan(analytics.order_price_deciles(spark, SF_DIR))
+    assert plan.count("Exchange SinglePartition") <= 2
+    # every Window operator must carry a non-empty partition spec
+    for m in re.finditer(r"Window \[[^\]]*windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        # spec lists partition cols before the first ASC/DESC ordering
+        assert spec.split(",")[0].strip(), f"unpartitioned window: {spec}"
+    assert "rangepartitioning(o_totalprice" in plan
+
+
+def test_similar_part_names_quad_branch_distributed(spark):
+    """The collision-aware dispatch's quadratic branch must keep its
+    pinned partition count (REPARTITION_BY_NUM is exempt from AQE
+    coalescing) — without it the whole O(n_blk^2) pair scan lands on
+    one task the moment AQE sees the tiny input bytes."""
+    plan = _plan(analytics.similar_part_names(spark, SF_DIR))
+    assert "REPARTITION_BY_NUM" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,53 @@
+"""Recall floors for the ANN / LSH index-quality evaluations.
+
+``simsearch_recall_eval`` and ``dedup_lsh_recall_eval`` REPORT recall
+but (pre-r5) nothing asserted a minimum — an LSH regression (bad
+hyperplane literals, a band mis-split) would still hash-match its own
+wrong index. These tests pin floors measured at sf0.001/sf0.01 with
+headroom, so a silent index-quality regression fails CI even while the
+oracle comparison (which re-derives the same wrong candidates) stays
+green.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nyc_taxi_data_pipeline_elt_spark.plans import trainingdata as TD
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+
+
+def _by_method(df):
+    return {r["method"]: r for r in df.collect()}
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MED])
+def test_simsearch_multiprobe_recall_floor(spark, sf_dir):
+    """Hamming-1 multi-probe must recover a meaningful fraction of the
+    exact top-10 (measured: 0.8 at sf0.001, 0.5 at sf0.01), and must
+    never do worse than single-probe — the monotonicity is structural
+    (its bucket set is a superset)."""
+    rows = _by_method(TD.simsearch_recall_eval(spark, sf_dir))
+    multi = rows["lsh_multiprobe"]["recall"]
+    single = rows["lsh"]["recall"]
+    assert multi >= 0.4, f"multi-probe recall@10 collapsed: {multi}"
+    assert multi >= single
+
+
+def test_dedup_lsh_recall_floor(spark):
+    """The banded MinHash index must recover (nearly) all exact
+    n-gram-Jaccard >= 0.5 pairs. With 32 hashes in 8 bands of 4 rows,
+    a >= 0.5-similar pair shares a band with probability
+    1-(1-0.5^4)^8 ~= 0.40 per the S-curve — but the fixture's true
+    pairs are far above the 0.5 threshold (near-duplicates by
+    construction), so measured recall is 1.0 at both SFs; 0.9 leaves
+    regression headroom without tolerating a band mis-split (which
+    drops recall to ~0)."""
+    for sf_dir in (SF_SMALL, SF_MED):
+        row = TD.dedup_lsh_recall_eval(spark, sf_dir).collect()[0]
+        assert row["n_exact"] > 0, "fixture lost its planted near-dups"
+        assert row["lsh_recall"] >= 0.9, (
+            f"{sf_dir}: LSH candidate recall {row['lsh_recall']}"
+        )

@@ -53,3 +53,109 @@ def test_session_windows_match_batch_sessionization(spark):
     n_streaming = streaming_sessions.count()
     n_batch = batch.agg(F.sum("n_sessions")).collect()[0][0]
     assert n_streaming == n_batch
+
+
+def test_left_join_null_boundary_is_strict(spark, tmp_path):
+    """Pins the state-eviction boundary of the stream-stream LEFT OUTER
+    join: a click whose match window ends EXACTLY at the final
+    watermark must NOT produce a NULL row (Spark evicts strictly — the
+    row is still open state when the stream ends); one second past the
+    watermark it must. SS_LEFT_JOIN_ORACLE's `click_ts + window < wm`
+    comparison encodes exactly this — if Spark's eviction semantics
+    ever shift to non-strict, this test (not a fixture accident)
+    catches the divergence."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def run(probe_offset_seconds: int, name: str):
+        # probe click at t0 (window bound t0+30min); watermark drivers on
+        # both sides at t0 + 90min + offset => final watermark (max - 1h)
+        # lands at bound + offset
+        late = t0 + dt.timedelta(minutes=90, seconds=probe_offset_seconds)
+        rows = [
+            (1, 100, "click", t0),
+            (2, 101, "click", late),
+            (3, 102, "purchase", late),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string, ts timestamp"
+        )
+        d = str(tmp_path / name)
+        df.repartition(1).write.parquet(d, mode="overwrite")
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = W.run_to_memory(
+            W.click_purchase_left_join(stream), f"wmprobe_{name}", mode="append"
+        )
+        return sorted(tuple(r) for r in out.collect())
+
+    assert run(0, "exact") == []  # bound == watermark: no emission
+    assert run(1, "past") == [(1, 100, None)]  # bound < watermark: NULL row
+
+
+def test_stateful_funnel_state_survives_restart(spark, tmp_path):
+    """Checkpoint-kill-restart proof for the applyInPandasWithState
+    funnel (the analog of test_snapshot_stream's exactly-once proof,
+    for the STATE side): run 1 delivers view+click, the query stops;
+    run 2 restarts from the checkpoint and delivers only the purchase.
+    The purchase can set s3 ONLY if s2 was recovered from the state
+    store — a fresh state would leave (0, 0, 1)-shaped flags, which the
+    assert distinguishes."""
+    import datetime as dt
+
+    src = tmp_path / "funnel_src"
+    ck = str(tmp_path / "funnel_ck")
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string, ts timestamp"
+        )
+        df.repartition(1).write.parquet(str(src / name))
+
+    def drain():
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, event_type string, ts timestamp"
+        ).parquet(str(src) + "/*")
+        out = []
+        q = (
+            W.stateful_funnel(stream)
+            .writeStream.foreachBatch(
+                lambda df, _bid: out.extend(
+                    (r["user_id"], r["s1"], r["s2"], r["s3"])
+                    for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # last flags per user (flags are monotone across batches)
+        final = {}
+        for u, s1, s2, s3 in out:
+            final[u] = (s1, s2, s3)
+        return final
+
+    write_batch("b1", [
+        (1, 1, "view", t0),
+        (1, 2, "click", t0 + dt.timedelta(minutes=1)),
+        (2, 3, "view", t0),
+    ])
+    first = drain()
+    assert first[1] == (1, 1, 0)
+    assert first[2] == (1, 0, 0)
+
+    # second installment: later timestamps, only the missing stages
+    write_batch("b2", [
+        (1, 4, "purchase", t0 + dt.timedelta(minutes=5)),
+        (2, 5, "click", t0 + dt.timedelta(minutes=6)),
+    ])
+    second = drain()
+    # s3=1 for user 1 REQUIRES the recovered s2; s2=1 for user 2
+    # REQUIRES the recovered s1
+    assert second[1] == (1, 1, 1)
+    assert second[2] == (1, 1, 0)
