@@ -63,16 +63,23 @@ _PRIORITY_WINDOW = [
     "streaming_click_purchase_left_join",
     "nation_cheapest_route",
     "sql_scripting_threshold_scan",
+    # --- operators NEW in r5 (first driver verification) ---------------
+    "semantic_decontaminate",  # embedding-space benchmark scrub
+    "percentile_sketch_eval",  # approx_percentile rank-error gate
+    "streaming_user_totals_tws",  # Spark 4 transformWithState (probed)
+    "streaming_dedup_within_watermark",  # state-bounded streaming dedup
     # --- queries whose plan CHANGED this round (re-verification) -------
     "order_price_deciles",  # global window -> range-partition + offsets
     "similar_part_names",  # collision-aware PassJoin/quadratic dispatch
     # --- one verified representative per operator class ----------------
+    # (displaced to make room for the four new queries:
+    # q2_hourly_avg_value, large_volume_orders, min_cost_supplier_per_part,
+    # dedup_minhash_lsh — all r1-r4 driver-hash-verified, classes keep
+    # in-window representatives)
     # reference surface (SURVEY §2.1-2.6, §7.2)
     "q1_monthly_revenue",
-    "q2_hourly_avg_value",
     "dq_expectations_orders",
     "sql_consumption_report",
-    "large_volume_orders",
     # joins (§2.7): as-of + salted-skew
     "lineitem_asof_prior_order",
     "salted_orders_per_segment",
@@ -84,8 +91,6 @@ _PRIORITY_WINDOW = [
     "streaming_stateful_user_counts",
     # TPC-H subquery battery
     "late_shipment_priorities",
-    # TPC-H completion battery
-    "min_cost_supplier_per_part",
     # modern SQL + Arrow surface
     "nation_reach_bfs",
     "customer_order_distribution",
@@ -97,7 +102,6 @@ _PRIORITY_WINDOW = [
     "snapshot_table_roundtrip",
     # dedup / ANN production paths
     "dedup_containment_pairs",
-    "dedup_minhash_lsh",
     "semdedup_prune",
     "embedding_kmeans",
     "knn_join_embeddings",

@@ -462,6 +462,81 @@ GROUP BY o_orderpriority
 """
 
 
+# --- sketch-quality eval: approx_percentile rank-error bound ---------------------
+def percentile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance gate for the KLL/GK quantile sketch — the analog of
+    simsearch_recall_eval for ``approx_percentile``: at 100 TB the exact
+    ``percentile`` (full sort per group) is off the table and the sketch
+    is the production path, so PROVE its contract holds on this corpus.
+    ``approx_percentile(x, p, acc)`` guarantees a returned value whose
+    RANK lies within ``n/acc`` of ``p*n``. The sketch value itself is
+    engine-specific (not oracle-comparable), so the query emits the
+    exact percentile plus a Spark-side ``within_bound`` verdict: the
+    sketch value's true rank (one conditional count over the scan,
+    broadcast-scalar pattern) compared against the guaranteed window.
+    The oracle expects every verdict TRUE with the exact values — a
+    sketch regression flips a boolean and the hash."""
+    tune(spark)
+    acc = 100
+    ps = [0.25, 0.5, 0.75, 0.95]
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count("*").alias("n"),
+        *[
+            F.expr(f"percentile(o_totalprice, {p})").alias(f"ex_{i}")
+            for i, p in enumerate(ps)
+        ],
+        *[
+            F.expr(
+                f"approx_percentile(o_totalprice, {p}, {acc})"
+            ).alias(f"ap_{i}")
+            for i, p in enumerate(ps)
+        ],
+    )
+    # true rank of each sketch value: conditional counts in ONE pass
+    # over the scan, the 1-row agg broadcast onto it (never-collect)
+    ranked = orders.crossJoin(F.broadcast(agg)).agg(
+        F.first("n").alias("n"),
+        *[F.first(f"ex_{i}").alias(f"ex_{i}") for i in range(len(ps))],
+        *[
+            F.sum(
+                (F.col("o_totalprice") <= F.col(f"ap_{i}")).cast("long")
+            ).alias(f"rk_{i}")
+            for i in range(len(ps))
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(p).alias("p"),
+            F.round(F.col(f"ex_{i}"), 2).alias("exact_value"),
+            (
+                F.abs(F.col(f"rk_{i}") - F.lit(p) * F.col("n"))
+                <= F.col("n") / acc + 1
+            ).alias("within_bound"),
+        )
+        for i, p in enumerate(ps)
+    ]
+    return (
+        ranked.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.p", "r.exact_value", "r.within_bound")
+    )
+
+
+PERCENTILE_SKETCH_EVAL_ORACLE = """
+WITH ex AS (
+  SELECT quantile_cont(o_totalprice, 0.25) AS q25,
+         quantile_cont(o_totalprice, 0.50) AS q50,
+         quantile_cont(o_totalprice, 0.75) AS q75,
+         quantile_cont(o_totalprice, 0.95) AS q95
+  FROM orders
+)
+SELECT CAST(0.25 AS DOUBLE) AS p, round(q25, 2) AS exact_value, true AS within_bound FROM ex
+UNION ALL SELECT CAST(0.5 AS DOUBLE), round(q50, 2), true FROM ex
+UNION ALL SELECT CAST(0.75 AS DOUBLE), round(q75, 2), true FROM ex
+UNION ALL SELECT CAST(0.95 AS DOUBLE), round(q95, 2), true FROM ex
+"""
+
+
 # --- skew-salted join ------------------------------------------------------------
 # Same result as the plain join (salting is an internal repartitioning
 # trick), so the oracle is the unsalted SQL.
@@ -1742,6 +1817,7 @@ QUERIES = {
     "nation_trade_volume": nation_trade_volume,
     "lineitem_asof_prior_order": lineitem_asof_prior_order,
     "order_price_percentiles": order_price_percentiles,
+    "percentile_sketch_eval": percentile_sketch_eval,
     "salted_orders_per_segment": salted_orders_per_segment,
     "forecast_revenue": forecast_revenue,
     "priority_by_linestatus": priority_by_linestatus,
@@ -1768,6 +1844,7 @@ ORACLE = {
     "events_xml_stats": EVENTS_XML_ORACLE,
     "lineitem_asof_prior_order": ASOF_ORACLE,
     "order_price_percentiles": PERCENTILE_ORACLE,
+    "percentile_sketch_eval": PERCENTILE_SKETCH_EVAL_ORACLE,
     "salted_orders_per_segment": SALTED_JOIN_ORACLE,
     "forecast_revenue": Q6_ORACLE,
     "priority_by_linestatus": Q12_ORACLE,

@@ -143,6 +143,37 @@ GROUP BY user_id
 """
 
 
+def streaming_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user totals on the Spark 4 transformWithState API
+    (streaming/windows.py:stateful_user_totals_tws); update-mode
+    emissions deduped to the final (max — both accumulators are
+    monotone) row per user, so the oracle is the batch GROUP BY.
+
+    transformWithState's state protocol needs google.protobuf at
+    runtime, absent in this container — where the probe fails, the
+    contract-identical applyInPandasWithState twin
+    (W.stateful_user_totals) runs instead, so the registered query is
+    green everywhere and exercises the NEW API wherever its runtime
+    exists (tests/test_streaming.py pins probe + fallback equality)."""
+    events = W.stream_events(spark, sf_dir)
+    if W.tws_runtime_available():
+        op, sink_mode = W.stateful_user_totals_tws, "update"
+    else:
+        op, sink_mode = W.stateful_user_totals, "append"
+    out = W.run_to_memory(op(events), _unique("tws"), mode=sink_mode)
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("total_value"), 2).alias("total_value"),
+    )
+
+
+TWS_TOTALS_ORACLE = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
 def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = W.stream_events(spark, sf_dir)
     return W.run_to_memory(
@@ -175,6 +206,27 @@ DEDUP_SLOTS_ORACLE = """
 SELECT DISTINCT user_id, event_type,
        time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS slot
 FROM events
+"""
+
+
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark over a DOUBLED replay (the same
+    source unioned with itself — every event redelivered once, inside
+    its original's watermark window): the state-bounded dedup must
+    collapse the doubling exactly, so the oracle is the plain DISTINCT
+    twin (streaming/windows.py:dedup_within_watermark)."""
+    doubled = W.stream_events(spark, sf_dir).unionByName(
+        W.stream_events(spark, sf_dir)
+    )
+    return W.run_to_memory(
+        W.dedup_within_watermark(doubled), _unique("dedup_wm"), mode="append"
+    )
+
+
+DEDUP_WM_ORACLE = """
+SELECT DISTINCT event_id, event_type FROM events
 """
 
 
@@ -354,11 +406,13 @@ FROM staged2 GROUP BY user_id
 
 QUERIES = {
     "streaming_stateful_user_counts": streaming_stateful_user_counts,
+    "streaming_user_totals_tws": streaming_user_totals_tws,
     "streaming_funnel_stages": streaming_funnel_stages,
     "streaming_click_purchase_left_join": streaming_click_purchase_left_join,
     "streaming_click_purchase_join": streaming_click_purchase_join,
     "streaming_segment_counts": streaming_segment_counts,
     "streaming_dedup_slots": streaming_dedup_slots,
+    "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
     "streaming_tumbling_counts": streaming_tumbling_counts,
     "streaming_sliding_totals": streaming_sliding_totals,
     "streaming_session_counts": streaming_session_counts,
@@ -368,11 +422,13 @@ QUERIES = {
 
 ORACLE = {
     "streaming_stateful_user_counts": STATEFUL_ORACLE,
+    "streaming_user_totals_tws": TWS_TOTALS_ORACLE,
     "streaming_funnel_stages": STREAMING_FUNNEL_ORACLE,
     "streaming_click_purchase_left_join": SS_LEFT_JOIN_ORACLE,
     "streaming_click_purchase_join": SS_JOIN_ORACLE,
     "streaming_segment_counts": SEGMENT_COUNTS_ORACLE,
     "streaming_dedup_slots": DEDUP_SLOTS_ORACLE,
+    "streaming_dedup_within_watermark": DEDUP_WM_ORACLE,
     "streaming_tumbling_counts": TUMBLING_ORACLE,
     "streaming_sliding_totals": SLIDING_ORACLE,
     "streaming_session_counts": SESSION_ORACLE,

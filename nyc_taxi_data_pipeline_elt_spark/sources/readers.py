@@ -137,3 +137,30 @@ def read_jsonl_with_dlq(
         "_corrupt_record", "raw_line"
     )
     return good, bad
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Multimodal ingestion edge: read a directory of opaque media files
+    (images/audio/video) via Spark's ``binaryFile`` source into the
+    ``(path, modificationTime, length, content)`` schema — the raw-bytes
+    twin of the parquet ``payload`` column that operators/multimodal.py
+    processes. ``glob`` filters by filename (pushed down as
+    ``pathGlobFilter``, so non-matching files are never opened);
+    ``max_bytes`` pushes a length predicate into the file index (skip
+    oversized assets before any byte is read). At scale this is the
+    standard lake pattern: binaryFile scan -> metadata/feature extract
+    (Arrow-batched) -> parquet with a binary column; the scan
+    parallelizes per-file and never materializes a file on the driver.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

@@ -245,6 +245,27 @@ def dedup_user_slots(
     return slotted.dropDuplicates(["user_id", "event_type", "slot"])
 
 
+def dedup_within_watermark(
+    events: DataFrame, delay: str = "10 minutes"
+) -> DataFrame:
+    """Watermark-BOUNDED streaming dedup (``dropDuplicatesWithinWatermark``,
+    Spark 3.5+): keep the first occurrence of each ``event_id``, but
+    evict dedup state once the watermark passes an id's event time plus
+    the delay — the production shape for at-least-once sources (Kafka
+    redeliveries arrive within seconds, so state need not grow with the
+    stream's lifetime the way plain ``dropDuplicates`` state does).
+    Contract on a bounded replay where every duplicate lands inside its
+    original's watermark window (true for a doubled replay of the same
+    files): output keys = ``SELECT DISTINCT event_id``. Emits only
+    (event_id, event_type) so the result is replay-order-independent."""
+    return (
+        events.withWatermark("ts", delay)
+        .select("event_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+
+
 def stateful_user_counts(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: running
     per-user event count + last-seen timestamp.
@@ -393,6 +414,126 @@ def stateful_funnel(events: DataFrame) -> DataFrame:
             stateStructType="s1 int, s2 int, s3 int",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def tws_runtime_available() -> bool:
+    """Feature probe for ``transformWithStateInPandas``: its state-store
+    protocol between the JVM and the Python worker is protobuf-encoded
+    (``pyspark/sql/streaming/proto/StateMessage_pb2``), so the API hard-
+    requires ``google.protobuf`` at RUNTIME — absent in this container
+    (measured: the driver worker crashes in ``set_handle_state`` with
+    ``ImportError: cannot import name 'descriptor'``). Same probe
+    pattern as the PIL-gated media decode: the operator below is fully
+    wired and activates the day the environment grows protobuf."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (event count, value total) on the legacy
+    ``applyInPandasWithState`` API — the execution-equivalent twin of
+    :func:`stateful_user_totals_tws`, and its fallback where the
+    transformWithState runtime (protobuf) is unavailable. Identical
+    output contract; see the tws docstring for the shared design."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, tv = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            tv += float(pdf["value"].sum())
+        if state.exists:
+            prev_n, prev_tv = state.get
+            n += prev_n
+            tv += prev_tv
+        state.update((n, tv))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [tv]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id bigint, n_events bigint, total_value double"
+            ),
+            stateStructType="n bigint, tv double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (event count, value total) on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (typed composable state: ValueState /
+    ListState / MapState, timers, TTL, initial state) and the shape new
+    stateful operators should take; ``stateful_user_counts`` keeps the
+    legacy API covered. Same bounded-replay contract: the final
+    emission per user equals the batch ``GROUP BY user_id`` aggregate.
+
+    Requires the protobuf runtime — probe with
+    :func:`tws_runtime_available`; :func:`stateful_user_totals` is the
+    contract-identical fallback.
+
+    ``timeMode="None"`` for the availableNow replay (processing-time
+    timers would keep scheduling cleanup batches, the NoTimeout lesson);
+    projects to ``(user_id, value)`` before the state shuffle so payload
+    columns never ride the exchange into the Python worker. Values are
+    strictly positive, so both accumulators are monotone across batches
+    and the caller's max-per-user dedup is batch-boundary-proof (the
+    funnel lesson)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "totals", "n bigint, tv double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, tv = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                tv += float(pdf["value"].sum())
+            if self._st.exists():
+                prev_n, prev_tv = self._st.get()
+                n += prev_n
+                tv += prev_tv
+            self._st.update((n, tv))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [tv],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=Totals(),
+            outputStructType=(
+                "user_id bigint, n_events bigint, total_value double"
+            ),
+            outputMode="Update",
+            timeMode="None",
         )
     )
 

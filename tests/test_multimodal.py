@@ -66,3 +66,32 @@ def test_real_decoder_probes_pil_at_call_time():
     buf = io.BytesIO()
     Image.new("RGB", (5, 3)).save(buf, format="PNG")
     assert real_decode(buf.getvalue()) == (5, 3)
+
+
+def test_binary_file_source_reads_media_dir(spark, tmp_path):
+    """binaryFile ingestion edge (sources/readers.py:read_binary_dir):
+    glob pushdown selects only matching files, the length cap prunes
+    oversized assets, and the bytes round-trip into the same opaque
+    payload shape the multimodal operators consume."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.readers import (
+        read_binary_dir,
+    )
+
+    payloads = {
+        "a.png": b"\x89PNG" + b"\x00" * 40,
+        "b.png": b"\x89PNG" + b"\x01" * 4000,
+        "c.txt": b"not media",
+    }
+    for name, blob in payloads.items():
+        (tmp_path / name).write_bytes(blob)
+
+    df = read_binary_dir(spark, str(tmp_path), glob="*.png")
+    rows = {r["path"].split("/")[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.png", "b.png"}
+    assert bytes(rows["a.png"]["content"]) == payloads["a.png"]
+    assert rows["b.png"]["length"] == 4004
+
+    capped = read_binary_dir(
+        spark, str(tmp_path), glob="*.png", max_bytes=1000
+    )
+    assert [r["path"].split("/")[-1] for r in capped.collect()] == ["a.png"]

@@ -159,3 +159,43 @@ def test_stateful_funnel_state_survives_restart(spark, tmp_path):
     # REQUIRES the recovered s1
     assert second[1] == (1, 1, 1)
     assert second[2] == (1, 1, 0)
+
+
+def test_tws_dispatch_matches_batch_aggregate(spark):
+    """streaming_user_totals_tws runs the Spark 4 transformWithState
+    operator where its protobuf runtime exists and the contract-
+    identical applyInPandasWithState twin where it doesn't; either way
+    the result must equal the batch GROUP BY. Also pins that the probe
+    reflects the actual runtime (a probe that lies would crash the
+    registered query at driver time)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_pipeline_elt_spark.plans.streaming_queries import (
+        streaming_user_totals_tws,
+    )
+    from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
+
+    probe = W.tws_runtime_available()
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        assert probe is True
+    except ImportError:
+        assert probe is False
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in streaming_user_totals_tws(spark, SF_DIR).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .withColumnRenamed("total_value", "tv")
+        .collect()
+    }
+    assert got == want
