@@ -68,6 +68,7 @@ _PRIORITY_WINDOW = [
     "percentile_sketch_eval",  # approx_percentile rank-error gate
     "streaming_user_totals_tws",  # Spark 4 transformWithState (probed)
     "streaming_dedup_within_watermark",  # state-bounded streaming dedup
+    "dedup_minhash_lsh_capped",  # hot-bucket star-edge cap, oracle-checked
     # --- queries whose plan CHANGED this round (re-verification) -------
     "order_price_deciles",  # global window -> range-partition + offsets
     "similar_part_names",  # collision-aware PassJoin/quadratic dispatch
@@ -104,7 +105,6 @@ _PRIORITY_WINDOW = [
     "dedup_containment_pairs",
     "semdedup_prune",
     "embedding_kmeans",
-    "knn_join_embeddings",
     # text analysis
     "text_stats",
     "quality_filter_docs",

@@ -50,7 +50,14 @@ def pack_sequences(
     sums = ranged.groupBy(pid.alias("pid")).agg(
         F.sum(weight_col).alias("toks")
     )
-    w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    # partitionBy(lit) keeps the (intended, O(partitions)-row) single
+    # partition but silences the WindowExec no-partition warning that
+    # otherwise spams every run of this pattern
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = sums.select(
         "pid", F.coalesce(F.sum("toks").over(w), F.lit(0)).alias("part_offset")
     )
@@ -95,7 +102,14 @@ def with_global_index(
     pid = F.spark_partition_id()
     # per-partition counts -> cumulative start offset of each partition
     counts = ranged.groupBy(pid.alias("pid")).count()
-    w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    # partitionBy(lit) keeps the (intended, O(partitions)-row) single
+    # partition but silences the WindowExec no-partition warning that
+    # otherwise spams every run of this pattern
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = counts.select(
         "pid", F.coalesce(F.sum("count").over(w), F.lit(0)).alias("offset")
     )

@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_pipeline_elt_spark.operators import editdist as ED
-from nyc_taxi_data_pipeline_elt_spark.operators.indexing import with_global_index
 from nyc_taxi_data_pipeline_elt_spark.session import tune
 from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
 
@@ -673,15 +672,41 @@ def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n rides in as a broadcast one-row scalar (the histogram's pinned
     plan shape) — no collect, no global window; the only
-    SinglePartition exchange is the O(partitions) offset side job."""
+    SinglePartition exchange is the O(partitions) offset side job, and
+    n itself is summed from the SAME per-partition counts frame the
+    offsets come from, so the data is scanned exactly once (inlining
+    indexing.py:with_global_index rather than calling it buys exactly
+    that shared-counts reuse)."""
     tune(spark)
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select("o_orderkey", "o_totalprice")
-    idx = with_global_index(
-        base, ["o_totalprice", "o_orderkey"], index_name="__idx"
+
+    parts = max(spark.sparkContext.defaultParallelism, 8)
+    ranged = base.repartitionByRange(
+        parts, F.col("o_totalprice"), F.col("o_orderkey")
+    ).persist()
+    pid = F.spark_partition_id()
+    counts = ranged.groupBy(pid.alias("pid")).count().persist()
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("offset")
+    )
+    n_df = counts.agg(F.sum("count").alias("__n"))  # O(partitions) rows
+    local_rank = F.row_number().over(
+        Window.partitionBy(pid).orderBy("o_totalprice", "o_orderkey")
+    )
+    idx = (
+        ranged.withColumn("__pid", pid)
+        .withColumn("__local", local_rank)
+        .join(F.broadcast(offsets), F.col("__pid") == F.col("pid"))
+        .withColumn("__idx", F.col("offset") + F.col("__local") - 1)
+        .drop("__pid", "__local", "pid", "offset")
     )
     rank = F.col("__idx") + 1  # row_number, 1-based, unique total order
-    n_df = base.agg(F.count("*").alias("__n"))
     k = 10
     q = (F.col("__n") / k).cast("long")  # base bucket size
     rem = F.col("__n") % k  # first `rem` buckets get one extra row

@@ -101,6 +101,45 @@ FROM banded a JOIN banded b
 """
 
 
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-bucket-capped LSH candidate path
+    (operators/dedup.py:minhash_lsh_pairs(max_bucket_size=2)) — the
+    100 TB-production form: band buckets above the cap emit O(c) star
+    edges around the bucket-min hub instead of O(c^2) pairs, preserving
+    the candidate graph's connected components exactly. cap=2 so the
+    fixture's size-3 buckets actually exercise the star branch; the
+    oracle replays the identical cap arithmetic in SQL, so the driver
+    hash-checks the CAPPED semantics, not just the exact path."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, max_bucket_size=2)
+
+
+def _minhash_capped_oracle(cap: int, table: str = "documents") -> str:
+    base = _minhash_oracle(table)
+    head, _, _tail = base.rpartition("SELECT DISTINCT")
+    return f"""{head}, sizes AS (
+  SELECT band_idx, band_key, count(*) AS bsz, min(doc_id) AS hub
+  FROM banded GROUP BY 1, 2
+), tagged AS (
+  SELECT banded.doc_id, banded.band_idx, banded.band_key, s.bsz, s.hub
+  FROM banded JOIN sizes s USING (band_idx, band_key)
+), small_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM tagged a JOIN tagged b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  WHERE a.bsz <= {cap}
+), star_pairs AS (
+  SELECT least(hub, doc_id) AS doc_a, greatest(hub, doc_id) AS doc_b
+  FROM tagged WHERE bsz > {cap} AND doc_id <> hub
+)
+SELECT DISTINCT doc_a, doc_b FROM (
+  SELECT * FROM small_pairs UNION ALL SELECT * FROM star_pairs
+)
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
@@ -1207,7 +1246,11 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = toks.groupBy("token").agg(F.count("*").alias("n"))
     total = counts.agg(F.sum("n").alias("n_total"))
     top = counts.orderBy(F.col("n").desc(), "token").limit(20)
-    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    # 20-row frame post-limit: partitionBy(lit) keeps the intended
+    # single partition without the WindowExec no-partition warning
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("n").desc(), F.col("token")
+    )
     return (
         top.crossJoin(F.broadcast(total))
         .withColumn("rank", F.row_number().over(w))
@@ -2168,6 +2211,7 @@ QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_fingerprint_docs": dedup_fingerprint_docs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "simsearch_bruteforce_topk": simsearch_bruteforce_topk,
@@ -2228,6 +2272,7 @@ ORACLE = {
     "dedup_exact_docs": DEDUP_EXACT_ORACLE,
     "dedup_fingerprint_docs": DEDUP_FINGERPRINT_ORACLE,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_minhash_lsh_capped": _minhash_capped_oracle(cap=2),
     "dedup_ngram_jaccard": NGRAM_JACCARD_ORACLE,
     "dedup_simhash": D.simhash_oracle_sql(),
     "simsearch_bruteforce_topk": SIMSEARCH_ORACLE,

@@ -346,3 +346,22 @@ def test_similar_part_names_quad_branch_distributed(spark):
     assert "REPARTITION_BY_NUM" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark side must ride a broadcast (map-side pass over the
+    training scan — no corpus shuffle); the only hash exchange allowed
+    is the worst-match window's partition by vec_id."""
+    plan = _plan(trainingdata.semantic_decontaminate(spark, SF_DIR))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_percentile_sketch_eval_never_collects(spark):
+    """Both the exact/approx percentile aggregate and the rank counts
+    are 1-row frames joined back broadcast (the never-collect scalar
+    pattern): no hash exchange of row data anywhere in the plan."""
+    plan = _plan(analytics.percentile_sketch_eval(spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
