@@ -50,11 +50,12 @@ def pack_sequences(
     sums = ranged.groupBy(pid.alias("pid")).agg(
         F.sum(weight_col).alias("toks")
     )
-    # partitionBy(lit) keeps the (intended, O(partitions)-row) single
-    # partition but silences the WindowExec no-partition warning that
-    # otherwise spams every run of this pattern
+    # pmod(pid, 1) is 0 for every row but NOT foldable (a lit(0)
+    # partition key gets constant-folded away, restoring the empty
+    # partition spec): keeps the intended O(partitions)-row single
+    # partition while silencing the WindowExec no-partition warning
     w = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(F.pmod(F.col("pid"), F.lit(1)))
         .orderBy("pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -102,11 +103,12 @@ def with_global_index(
     pid = F.spark_partition_id()
     # per-partition counts -> cumulative start offset of each partition
     counts = ranged.groupBy(pid.alias("pid")).count()
-    # partitionBy(lit) keeps the (intended, O(partitions)-row) single
-    # partition but silences the WindowExec no-partition warning that
-    # otherwise spams every run of this pattern
+    # pmod(pid, 1) is 0 for every row but NOT foldable (a lit(0)
+    # partition key gets constant-folded away, restoring the empty
+    # partition spec): keeps the intended O(partitions)-row single
+    # partition while silencing the WindowExec no-partition warning
     w = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(F.pmod(F.col("pid"), F.lit(1)))
         .orderBy("pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )

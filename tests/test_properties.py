@@ -219,3 +219,64 @@ def test_canonical_selection_is_cluster_member(spark, raw_pairs):
     for node, c in membership.items():
         assert membership.get(c) == c
         assert c <= node
+
+
+# --- collision-aware edit-distance dispatch ---------------------------------
+_ED_WORDS = ["black", "blush", "beige", "azure", "qzkvx", "mwyto"]
+
+ed_corpus = st.lists(
+    st.one_of(
+        # dense phrases (collide) and random strings (don't), mixed freely
+        st.tuples(st.just("d"), st.integers(0, 5), st.integers(0, 5),
+                  st.integers(0, 5)),
+        st.tuples(st.just("r"), st.text("abcdefghij0123456789",
+                                        min_size=6, max_size=24)),
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(ed_corpus)
+def test_levenshtein_auto_equals_bruteforce_any_corpus(spark, specs):
+    """levenshtein_join_auto must equal the quadratic brute force for ANY
+    corpus and ANY routing decision — the dispatch is a cost choice,
+    never a semantics choice. Low row cutoff forces the PassJoin branch
+    to actually run on eligible blocks."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.editdist import (
+        levenshtein_join_auto,
+    )
+
+    rows = []
+    for i, spec in enumerate(specs):
+        if spec[0] == "d":
+            s = " ".join(_ED_WORDS[j] for j in spec[1:])
+        else:
+            s = spec[1]
+        rows.append(("blk", i, s))
+    df = spark.createDataFrame(rows, "blk string, k int, n string")
+
+    got = sorted(
+        map(
+            tuple,
+            levenshtein_join_auto(
+                df, "k", "n", "blk", tau=2,
+                min_rows_for_passjoin=4, quad_parallelism=4,
+            ).collect(),
+        )
+    )
+    a = df.selectExpr("blk", "k AS key_a", "n AS na")
+    b = df.selectExpr("blk", "k AS key_b", "n AS nb")
+    want = sorted(
+        map(
+            tuple,
+            a.join(b, "blk")
+            .filter(F.col("key_a") < F.col("key_b"))
+            .withColumn("edit_dist", F.levenshtein("na", "nb", 2))
+            .filter(F.col("edit_dist") >= 0)
+            .select("blk", "key_a", "key_b", "edit_dist")
+            .collect(),
+        )
+    )
+    assert got == want
