@@ -69,6 +69,7 @@ _PRIORITY_WINDOW = [
     "streaming_user_totals_tws",  # Spark 4 transformWithState (probed)
     "streaming_dedup_within_watermark",  # state-bounded streaming dedup
     "dedup_minhash_lsh_capped",  # hot-bucket star-edge cap, oracle-checked
+    "curriculum_budget_selection",  # quality curriculum under token budget
     # --- queries whose plan CHANGED this round (re-verification) -------
     "order_price_deciles",  # global window -> range-partition + offsets
     "similar_part_names",  # collision-aware PassJoin/quadratic dispatch
@@ -108,8 +109,9 @@ _PRIORITY_WINDOW = [
     # text analysis
     "text_stats",
     "quality_filter_docs",
-    # sampling / packing
-    "pack_training_sequences",
+    # sampling / packing: curriculum_budget_selection composes the same
+    # pack_sequences + with_global_index machinery (pack_training_sequences
+    # r4-verified, displaced)
     # multimodal
     "multimodal_meta",
 ]

@@ -1856,6 +1856,60 @@ FROM s GROUP BY 1
 """
 
 
+def curriculum_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum data selection under a token budget — the
+    "spend my N training tokens on the best documents" decision, as a
+    composition of the verified building blocks: quality scores
+    (text_stats) -> global curriculum position by (quality DESC, doc_id)
+    via the composite-key range-partition index -> running token total
+    against the budget via the sequence-packing machinery. ``in_budget``
+    marks the curriculum prefix whose cumulative token count (before the
+    doc) is under 20k — the straddling document is kept, the
+    cumulative-binning contract of pack_sequences.
+
+    Plan shape: one range exchange + O(partitions) offset side jobs —
+    never a single-task global window over the corpus (that is the
+    oracle's spelling, not the operator's)."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.indexing import (
+        pack_sequences,
+        with_global_index,
+    )
+
+    tune(spark)
+    budget = 20_000
+    stats = text_stats(spark, sf_dir).select("doc_id", "n_tokens", "quality")
+    ranked = with_global_index(
+        stats.withColumn("negq", -F.col("quality")),
+        ["negq", "doc_id"],
+        index_name="cur_pos",
+    )
+    packed = pack_sequences(
+        ranked, capacity=budget, weight_col="n_tokens", order_col="cur_pos"
+    )
+    return packed.select(
+        "doc_id",
+        "quality",
+        F.col("cur_pos").cast("long").alias("cur_pos"),
+        (F.col("seq_id") == 0).alias("in_budget"),
+    )
+
+
+CURRICULUM_ORACLE = f"""
+WITH stats AS ({TEXT_STATS_ORACLE}),
+ordered AS (
+  SELECT doc_id, quality,
+         row_number() OVER (ORDER BY quality DESC, doc_id) - 1 AS cur_pos,
+         coalesce(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before_toks
+  FROM stats
+)
+SELECT doc_id, quality, CAST(cur_pos AS BIGINT) AS cur_pos,
+       before_toks < 20000 AS in_budget
+FROM ordered
+"""
+
+
 def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus datasheet — the curation dashboard every
     training-data pipeline publishes: document/token volumes, quality
@@ -2240,6 +2294,7 @@ QUERIES = {
     "winnow_fingerprint_docs": winnow_fingerprint_docs,
     "doc_char_entropy": doc_char_entropy,
     "corpus_datasheet": corpus_datasheet,
+    "curriculum_budget_selection": curriculum_budget_selection,
     "kmv_distinct_tokens": kmv_distinct_tokens,
     "classifier_score_docs": classifier_score_docs,
     "dedup_containment_pairs": dedup_containment_pairs,
@@ -2301,6 +2356,7 @@ ORACLE = {
     "winnow_fingerprint_docs": WINNOW_ORACLE,
     "doc_char_entropy": CHAR_ENTROPY_ORACLE,
     "corpus_datasheet": CORPUS_DATASHEET_ORACLE,
+    "curriculum_budget_selection": CURRICULUM_ORACLE,
     "kmv_distinct_tokens": KMV_ORACLE,
     "classifier_score_docs": CLASSIFIER_ORACLE,
     "dedup_containment_pairs": CONTAINMENT_ORACLE,
