@@ -311,6 +311,12 @@ def minhash_lsh_pairs(
         )
         return pairs.distinct()
 
+    # The capped plan reads the band rows FOUR times (sizes agg + both
+    # sides of the small-bucket self-join + the star branch): persist
+    # them once instead of re-shingling/re-signing the corpus per read
+    # (measured ~1.6x on the registered query; the bench's cache reset
+    # between heavy queries reclaims it).
+    banded = banded.persist()
     # bucket sizes + hub: one extra hash-agg on the same (band) keys the
     # join shuffles on — O(#buckets) rows, co-partitioned with the join
     sizes = banded.groupBy("band_idx", "band_key").agg(
