@@ -872,6 +872,12 @@ def reference_scrub(
             F.col(ref_id_col), as_double(vec_col).alias("rv")
         ).collect()
     )
+    id_type_early = dict(emb.dtypes)[id_col]
+    if not ref_rows:
+        # empty reference set: vacuously clean corpus (crawl batches
+        # before the first benchmark lands hit this routinely)
+        schema = f"{id_col} {id_type_early}, {ref_id_col} bigint, max_cos double"
+        return emb.sparkSession.createDataFrame([], schema)
     rids = np.array([rid for rid, _ in ref_rows], dtype=np.int64)
     R = np.array([list(v) for _, v in ref_rows], dtype=np.float64)
     bb = np.zeros(len(ref_rows), dtype=np.float64)

@@ -71,3 +71,67 @@ def test_group_split_is_leakage_safe(spark):
         .collect()
     )
     assert per_source and all(r["n_splits"] == 1 for r in per_source)
+
+
+def test_reference_scrub_closed_form(spark):
+    """Closed-form contract for the semantic scrub kernel: an exact
+    duplicate of a reference vector scores cos 1.0; an orthogonal
+    vector is excluded; a vector equidistant from two references
+    reports the LOWEST reference id (the oracle's ORDER BY cos DESC,
+    ref_id tie-break)."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.similarity import (
+        reference_scrub,
+    )
+
+    dim = 64
+
+    def vec(*hot):
+        v = [0.0] * dim
+        for i, x in hot:
+            v[i] = x
+        return v
+
+    refs = spark.createDataFrame(
+        [(100, vec((0, 1.0))), (101, vec((1, 1.0)))],
+        "bench_vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, vec((0, 2.0))),            # duplicate direction of ref 100
+            (2, vec((2, 1.0))),            # orthogonal to both -> excluded
+            (3, vec((0, 1.0), (1, 1.0))),  # tie: cos ~0.707107 to both
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: (r["bench_vec_id"], r["max_cos"])
+        for r in reference_scrub(corpus, refs, theta=0.5).collect()
+    }
+    assert rows[1] == (100, 1.0)
+    assert 2 not in rows
+    assert rows[3][0] == 100  # lowest ref id wins the tie
+    assert abs(rows[3][1] - 0.707107) < 1e-9
+
+
+def test_reference_scrub_empty_sides(spark):
+    """No references -> nothing is contaminated; empty corpus -> empty
+    result. Neither may error (the crawl-time batches that hit these
+    edges are routine)."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.similarity import (
+        reference_scrub,
+    )
+
+    dim = 64
+    v = [1.0] + [0.0] * (dim - 1)
+    corpus = spark.createDataFrame(
+        [(1, v)], "vec_id long, embedding array<double>"
+    )
+    refs = spark.createDataFrame(
+        [(9, v)], "bench_vec_id long, embedding array<double>"
+    )
+    empty_refs = refs.filter("bench_vec_id < 0")
+    empty_corpus = corpus.filter("vec_id < 0")
+
+    assert reference_scrub(empty_corpus, refs, theta=0.5).count() == 0
+    # empty reference set: vacuously clean corpus
+    assert reference_scrub(corpus, empty_refs, theta=0.5).count() == 0

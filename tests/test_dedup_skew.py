@@ -140,3 +140,12 @@ def test_df_cap_bounds_join_fanout(spark):
         .collect()[0][0]
     )
     assert hot_df >= 30
+
+
+def test_caps_on_empty_corpus(spark):
+    """Empty input must flow through the capped plans without error —
+    the first crawl batch is empty more often than not."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert D.minhash_lsh_pairs(empty, max_bucket_size=5).count() == 0
+    assert D.ngram_jaccard_pairs(empty, df_cap=5).count() == 0
+    assert D.containment_pairs(empty, df_cap=5).count() == 0

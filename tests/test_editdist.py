@@ -213,3 +213,14 @@ def test_auto_dispatch_sampled_ratio_stable(spark):
     }
     assert (full["dense"] > 0.1) == (samp["dense"] > 0.1)
     assert (full["entropy"] < 0.01) == (samp["entropy"] < 0.01)
+
+
+def test_auto_dispatch_empty_input(spark):
+    from nyc_taxi_data_pipeline_elt_spark.operators.editdist import (
+        dispatch_stats,
+        levenshtein_join_auto,
+    )
+
+    empty = spark.createDataFrame([], "blk string, k int, n string")
+    assert dispatch_stats(empty, "n", "blk").count() == 0
+    assert levenshtein_join_auto(empty, "k", "n", "blk").count() == 0
