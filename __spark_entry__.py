@@ -70,6 +70,10 @@ _PRIORITY_WINDOW = [
     "streaming_dedup_within_watermark",  # state-bounded streaming dedup
     "dedup_minhash_lsh_capped",  # hot-bucket star-edge cap, oracle-checked
     "curriculum_budget_selection",  # quality curriculum under token budget
+    "pii_redact_docs",  # typed-tag PII scrub, map-only codegen chain
+    "mixture_temperature_weights",  # mT5-style temperature source mixing
+    "embedding_standardize_profile",  # per-dim moments + 3-sigma screen
+    "winsorized_order_stats",  # robust agg clipped at exact p01/p99
     # --- queries whose plan CHANGED this round (re-verification) -------
     "order_price_deciles",  # global window -> range-partition + offsets
     "similar_part_names",  # collision-aware PassJoin/quadratic dispatch
@@ -102,13 +106,14 @@ _PRIORITY_WINDOW = [
     # ETL: CDC + snapshot table format
     "cdc_orders_merge",
     "snapshot_table_roundtrip",
-    # dedup / ANN production paths
+    # dedup / ANN production paths (semdedup_prune / embedding_kmeans
+    # r4-verified, displaced by the four new-in-r5 operators above;
+    # embedding class keeps neardup_pairs + norm_profile +
+    # standardize_profile in-window)
     "dedup_containment_pairs",
-    "semdedup_prune",
-    "embedding_kmeans",
-    # text analysis
-    "text_stats",
-    "quality_filter_docs",
+    # text analysis (text_stats / quality_filter_docs r4-verified,
+    # displaced; class keeps bigram_lm_scores, vocab_coverage,
+    # doc_char_entropy, pii_redact_docs in-window)
     # sampling / packing: curriculum_budget_selection composes the same
     # pack_sequences + with_global_index machinery (pack_training_sequences
     # r4-verified, displaced)

@@ -182,3 +182,41 @@ def fingerprint(text: Column | str) -> Column:
         )
     )
     return F.md5(F.array_join(toks, " "))
+
+
+# PII patterns, restricted to syntax that parses identically as a Java
+# regex (Spark) and an RE2 regex (DuckDB): character classes, bounded
+# repetition, \b word boundaries — no lookaround, no backreferences.
+# Order matters: SSN before phone (both are digit-dash shapes; the SSN
+# 3-2-4 grouping must win over the phone's 3-3-4), email before phone so
+# a digit-heavy local-part is consumed as an email first.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b", "<IP>"),
+]
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts (pre-redaction), one
+    ``regexp_extract_all``-length expression per category — all inside
+    whole-stage codegen, no Python boundary."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Mask emails / SSNs / phone numbers / IPv4 addresses with typed
+    placeholder tags — the standard pre-training scrub (cf. the public
+    Dolma/BigCode PII pipelines; real deployments swap in NER models,
+    the engine mechanics — a chain of vectorized regex rewrites over the
+    corpus — are identical). Chained ``regexp_replace`` stays JVM-side;
+    at 100 TB this is a map-only stage with zero shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c

@@ -1810,11 +1810,83 @@ GROUP BY 1, 2
 """
 
 
+# --- robust aggregation: winsorized statistics --------------------------------
+def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-status order-value statistics: clip o_totalprice
+    at the global exact p01/p99 (continuous interpolation), then
+    aggregate — the robust-mean pass that keeps a handful of extreme
+    rows from dominating a 100 TB metric (same motivation as the
+    quality-score trimming in data-curation pipelines).
+
+    Plan: one exact-percentile agg to a single 2-value row (Spark's
+    ``percentile`` is a partial-merge aggregate — no global sort), then
+    a 1-row broadcast cross join feeds the clip into ONE map-side
+    combined hash agg. Two scans of orders, zero wide shuffles beyond
+    the O(groups) agg exchanges. Clip verdicts compare against the
+    percentile ROUNDED to 2dp on both engines so boundary rows agree
+    (both engines interpolate with the same (n-1)*p rule; 2dp absorbs
+    float-order drift)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.01)), 2).alias("p01"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99"),
+    )
+    clipped = orders.crossJoin(F.broadcast(bounds)).select(
+        "o_orderstatus",
+        "p01",
+        "p99",
+        F.greatest(F.least(F.col("o_totalprice"), F.col("p99")), F.col("p01")).alias(
+            "v"
+        ),
+        (F.col("o_totalprice") < F.col("p01")).cast("int").alias("lo"),
+        (F.col("o_totalprice") > F.col("p99")).cast("int").alias("hi"),
+    )
+    return (
+        clipped.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("v"), 2).alias("avg_winsorized"),
+            F.round(F.sum("v"), 2).alias("sum_winsorized"),
+            F.sum("lo").cast("long").alias("n_clipped_low"),
+            F.sum("hi").cast("long").alias("n_clipped_high"),
+            F.round(F.max("p01"), 2).alias("p01"),
+            F.round(F.max("p99"), 2).alias("p99"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+WINSORIZED_ORACLE = """
+WITH bounds AS (
+  SELECT round(quantile_cont(o_totalprice, 0.01), 2) AS p01,
+         round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+  FROM orders
+), clipped AS (
+  SELECT o_orderstatus, p01, p99,
+         greatest(least(o_totalprice, p99), p01) AS v,
+         CASE WHEN o_totalprice < p01 THEN 1 ELSE 0 END AS lo,
+         CASE WHEN o_totalprice > p99 THEN 1 ELSE 0 END AS hi
+  FROM orders, bounds
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(avg(v), 2) AS avg_winsorized,
+       round(sum(v), 2) AS sum_winsorized,
+       CAST(sum(lo) AS BIGINT) AS n_clipped_low,
+       CAST(sum(hi) AS BIGINT) AS n_clipped_high,
+       round(max(p01), 2) AS p01, round(max(p99), 2) AS p99
+FROM clipped
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "order_price_histogram": order_price_histogram,
+    "winsorized_order_stats": winsorized_order_stats,
     "events_xml_stats": events_xml_stats,
     "copurchase_part_pairs": copurchase_part_pairs,
     "nation_wealth_coverage": nation_wealth_coverage,
@@ -1865,6 +1937,7 @@ ORACLE = {
     "funnel_conversion": FUNNEL_ORACLE,
     "cohort_retention": COHORT_RETENTION_ORACLE,
     "order_price_histogram": PRICE_HISTOGRAM_ORACLE,
+    "winsorized_order_stats": WINSORIZED_ORACLE,
     "copurchase_part_pairs": COPURCHASE_ORACLE,
     "events_xml_stats": EVENTS_XML_ORACLE,
     "lineitem_asof_prior_order": ASOF_ORACLE,

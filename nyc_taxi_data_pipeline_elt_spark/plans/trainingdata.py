@@ -2246,6 +2246,221 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.random_project(emb, out_dim=8)
 
 
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus (operators/text.py:redact_pii): mask
+    emails / SSNs / phones / IPv4s with typed tags and report per-doc
+    match counts. The fixture text is synthetic word salad with no PII,
+    so the discriminating surface is built deterministically from key
+    columns — every doc gets an email + IP, every 3rd a phone, every
+    5th an SSN — then scrubbed; the output hash proves both the rewrite
+    and that clean text passes through byte-identical.
+
+    Plan: map-only (regex chain inside whole-stage codegen), zero
+    shuffles, zero Python — at 100 TB this is the ideal scrub shape.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat_ws(
+        " ",
+        F.substring("text", 1, 80),
+        F.concat(F.lit("user"), "doc_id", F.lit("@"), "source", F.lit(".net")),
+        F.concat(
+            F.lit("10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad(((F.col("doc_id") * 3) % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("ssn 123-45-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    counts = X.pii_counts(payload)
+    return docs.select(
+        "doc_id",
+        *[counts[k].alias(f"n_{k}") for k in ("email", "ssn", "phone", "ipv4")],
+        F.md5(X.redact_pii(payload)).alias("redacted_md5"),
+    )
+
+
+# concat_ws skips NULLs but joins empty strings WITH a separator; the
+# oracle mirrors the Spark construction exactly (CASE yields '' so both
+# engines emit the same trailing-space layout before the md5).
+_PII_PAYLOAD_SQL = """
+  concat_ws(' ',
+    substr(text, 1, 80),
+    'user' || doc_id || '@' || source || '.net',
+    '10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256),
+    CASE WHEN doc_id % 3 = 0
+         THEN 'call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+         ELSE '' END,
+    CASE WHEN doc_id % 5 = 0
+         THEN 'ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE '' END)
+"""
+
+PII_REDACT_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, {_PII_PAYLOAD_SQL} AS payload FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(payload,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+       len(regexp_extract_all(payload,
+           '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b')) AS n_ssn,
+       len(regexp_extract_all(payload,
+           '\\b[0-9]{{3}}[-.][0-9]{{3}}[-.][0-9]{{4}}\\b')) AS n_phone,
+       len(regexp_extract_all(payload,
+           '\\b[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}\\b')) AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(payload,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+           '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b', '<SSN>', 'g'),
+           '\\b[0-9]{{3}}[-.][0-9]{{3}}[-.][0-9]{{4}}\\b', '<PHONE>', 'g'),
+           '\\b[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}\\b', '<IP>', 'g')) AS redacted_md5
+FROM p
+"""
+
+
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights — the multilingual
+    mixing rule (public mT5/XLM-R recipe): w_i ∝ p_i^alpha with
+    alpha=0.3, p_i the source's token share. Upweights tail sources,
+    downweights the head; ``expected_docs`` is the per-source draw
+    count for a 1000-doc budget under the reweighted distribution.
+
+    Plan: one map-side-combined agg to O(#sources) rows, then the
+    normalization runs over that metadata-sized frame via a 1-row
+    broadcast cross join — no second scan, no window, no collect."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(X.token_count("text")).alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum(F.pow(F.col("n_tokens"), F.lit(0.3))).alias("tot_pow"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("p_raw"),
+            F.round(
+                F.pow(F.col("n_tokens"), F.lit(0.3)) / F.col("tot_pow"), 6
+            ).alias("p_temp"),
+            F.round(
+                F.pow(F.col("n_tokens"), F.lit(0.3)) / F.col("tot_pow") * 1000
+            )
+            .cast("long")
+            .alias("expected_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_TEMPERATURE_ORACLE = """
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n_tokens) AS tot_tokens, sum(pow(n_tokens, 0.3)) AS tot_pow
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / tot_tokens, 6) AS p_raw,
+       round(pow(n_tokens, 0.3) / tot_pow, 6) AS p_temp,
+       CAST(round(pow(n_tokens, 0.3) / tot_pow * 1000) AS BIGINT) AS expected_docs
+FROM per_src, tot
+ORDER BY source
+"""
+
+
+def embedding_standardize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus standardization profile: mean / population
+    stddev for each of the 64 coordinates, plus how many vectors sit
+    beyond 3 sigma in that dimension — the feature-scaling pass that
+    precedes k-means / PQ codebook training, and the outlier screen.
+
+    Plan: standardization is inherently two-pass (the z-rule needs the
+    moments first). Pass 1: posexplode (narrow) into one hash agg keyed
+    by position — 64 result rows of metadata. Pass 2: re-scan with the
+    64-row stats frame BROADCAST back onto the exploded rows (never a
+    shuffle join, never a collect) and count the 3-sigma exceedances.
+    Float-sum order varies with partitioning, so moments are rounded to
+    4dp and the outlier rule uses a wide margin (3 sigma) — integer
+    verdicts stay stable across engines."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    )
+    agg = pos.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("mu"),
+        F.stddev_pop("x").alias("sigma"),
+        F.max(F.abs("x")).alias("max_abs"),
+    )
+    z_out = (
+        pos.join(F.broadcast(agg.select("dim", "mu", "sigma")), "dim")
+        .filter(F.abs(F.col("x") - F.col("mu")) > 3 * F.col("sigma"))
+        .groupBy("dim")
+        .agg(F.count("*").alias("n_outlier3s"))
+    )
+    return (
+        agg.join(z_out, "dim", "left")
+        .select(
+            "dim",
+            "n",
+            F.round("mu", 4).alias("mu"),
+            F.round("sigma", 4).alias("sigma"),
+            F.round("max_abs", 4).alias("max_abs"),
+            F.coalesce("n_outlier3s", F.lit(0)).cast("long").alias("n_outlier3s"),
+        )
+        .orderBy("dim")
+    )
+
+
+EMBEDDING_STANDARDIZE_ORACLE = """
+WITH pos AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS x
+  FROM embeddings
+), agg AS (
+  SELECT dim, count(*) AS n, avg(x) AS mu, stddev_pop(x) AS sigma,
+         max(abs(x)) AS max_abs
+  FROM pos GROUP BY dim
+), z AS (
+  SELECT p.dim, count(*) AS n_outlier3s
+  FROM pos p JOIN agg a ON p.dim = a.dim
+  WHERE abs(p.x - a.mu) > 3 * a.sigma
+  GROUP BY p.dim
+)
+SELECT a.dim, a.n, round(a.mu, 4) AS mu, round(a.sigma, 4) AS sigma,
+       round(a.max_abs, 4) AS max_abs,
+       CAST(coalesce(z.n_outlier3s, 0) AS BIGINT) AS n_outlier3s
+FROM agg a LEFT JOIN z ON a.dim = z.dim
+ORDER BY a.dim
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_fingerprint_docs": dedup_fingerprint_docs,
@@ -2302,6 +2517,9 @@ QUERIES = {
     "dedup_spans_corpus": dedup_spans_corpus,
     "dedup_canonical_docs": dedup_canonical_docs,
     "embedding_random_projection": embedding_random_projection,
+    "pii_redact_docs": pii_redact_docs,
+    "mixture_temperature_weights": mixture_temperature_weights,
+    "embedding_standardize_profile": embedding_standardize_profile,
     "dedup_lsh_recall_eval": dedup_lsh_recall_eval,
     "props_extract_udtf": props_extract_udtf,
     "dedup_threshold_sweep": dedup_threshold_sweep,
@@ -2366,6 +2584,9 @@ ORACLE = {
     "dedup_spans_corpus": D.span_dedup_oracle_sql(span=10),
     "dedup_canonical_docs": CANONICAL_DOCS_ORACLE,
     "embedding_random_projection": S.random_project_oracle_sql(out_dim=8),
+    "pii_redact_docs": PII_REDACT_ORACLE,
+    "mixture_temperature_weights": MIXTURE_TEMPERATURE_ORACLE,
+    "embedding_standardize_profile": EMBEDDING_STANDARDIZE_ORACLE,
     "dedup_lsh_recall_eval": LSH_RECALL_EVAL_ORACLE.replace(
         "{MINHASH}", _minhash_oracle()
     ),
