@@ -74,6 +74,8 @@ _PRIORITY_WINDOW = [
     "mixture_temperature_weights",  # mT5-style temperature source mixing
     "embedding_standardize_profile",  # per-dim moments + 3-sigma screen
     "winsorized_order_stats",  # robust agg clipped at exact p01/p99
+    "skew_diagnosis_orders",  # join-key skew profile + salt sizing
+    "join_cardinality_estimate",  # KMV sketch join-size estimation
     # --- queries whose plan CHANGED this round (re-verification) -------
     "order_price_deciles",  # global window -> range-partition + offsets
     "similar_part_names",  # collision-aware PassJoin/quadratic dispatch
@@ -92,8 +94,10 @@ _PRIORITY_WINDOW = [
     # window functions (§2.8)
     "top3_lineitems_per_supplier",
     # structured streaming (§2.9): custom source, watermark, stateful
+    # (streaming_late_data_tumbling / dedup_containment_pairs r4-verified,
+    # displaced by skew_diagnosis_orders + join_cardinality_estimate; both
+    # classes keep several in-window entries)
     "streaming_snapshot_source_counts",
-    "streaming_late_data_tumbling",
     "streaming_stateful_user_counts",
     # TPC-H subquery battery
     "late_shipment_priorities",
@@ -110,7 +114,6 @@ _PRIORITY_WINDOW = [
     # r4-verified, displaced by the four new-in-r5 operators above;
     # embedding class keeps neardup_pairs + norm_profile +
     # standardize_profile in-window)
-    "dedup_containment_pairs",
     # text analysis (text_stats / quality_filter_docs r4-verified,
     # displaced; class keeps bigram_lm_scores, vocab_coverage,
     # doc_char_entropy, pii_redact_docs in-window)

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_pipeline_elt_spark.operators import editdist as ED
+from nyc_taxi_data_pipeline_elt_spark.operators import sampling as M
 from nyc_taxi_data_pipeline_elt_spark.session import tune
 from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
 
@@ -1881,12 +1882,170 @@ ORDER BY o_orderstatus
 """
 
 
+# --- scale operations: skew diagnosis + join-size estimation ------------------
+def skew_diagnosis_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for orders.o_custkey — the diagnostic run
+    BEFORE choosing a shuffle strategy at 100 TB: per-key counts, the
+    p50/p99/max of that distribution, the heaviest key's row share, and
+    the salt factor ``salted_join`` would need (ceil(max/p50)) to level
+    the hottest key's partition to a median one.
+
+    Plan: one map-side-combined hash agg to the per-key frame (O(keys)
+    rows — the only full-data pass), then a 1-row aggregate over it.
+    The percentile aggregate is partial-merge, no global sort; nothing
+    is collected. This is the engine's answer to "do I need the skew
+    machinery?" before paying for it."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    return per_key.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_key_rows"),
+        F.round(F.percentile("cnt", F.lit(0.5)), 2).alias("p50_key_rows"),
+        F.round(F.percentile("cnt", F.lit(0.99)), 2).alias("p99_key_rows"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_key_share"),
+        F.ceil(
+            F.max("cnt") / F.greatest(F.percentile("cnt", F.lit(0.5)), F.lit(1.0))
+        )
+        .cast("long")
+        .alias("recommended_salt"),
+    )
+
+
+SKEW_DIAGNOSIS_ORACLE = """
+WITH per_key AS (
+  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(cnt) AS BIGINT) AS max_key_rows,
+       round(quantile_cont(cnt, 0.5), 2) AS p50_key_rows,
+       round(quantile_cont(cnt, 0.99), 2) AS p99_key_rows,
+       round(max(cnt) * 1.0 / sum(cnt), 6) AS top_key_share,
+       CAST(ceil(max(cnt) / greatest(quantile_cont(cnt, 0.5), 1.0)) AS BIGINT)
+         AS recommended_salt
+FROM per_key
+"""
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-key overlap estimation between two join sides from KMV
+    sketches (Bar-Yossef et al. 2002, Beyer et al. SIGMOD'07 merge
+    rule) — what a planner consults to size orders ⋈ customer WITHOUT
+    scanning either side twice: union cardinality from the merged
+    sketch's k-th smallest hash, intersection via the Jaccard share of
+    sketch members present on both sides. md5-uniform hashes make the
+    whole estimate engine-deterministic, so even the approximation
+    hash-matches the oracle; exact counts ride along to expose the
+    sketch error (the same eval contract as kmv_distinct_tokens /
+    simsearch_recall_eval).
+
+    Plan per side: distinct (one shuffle of keys) -> bottom-k by hash
+    (TakeOrderedAndProject, never a global sort) -> the k-row sketches
+    full-outer-join and a 1-row aggregate. At 100 TB the data passes
+    are the two distincts; everything after is k rows."""
+    tune(spark)
+    k = 64
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def sketch(df: DataFrame, col: str) -> DataFrame:
+        keys = df.select(F.col(col).alias("key")).distinct()
+        return (
+            keys.select(M.hash_uniform("key", "jce-").alias("h"))
+            .orderBy("h")
+            .limit(k)
+        )
+
+    ska = sketch(orders, "o_custkey").withColumn("in_a", F.lit(1))
+    skb = sketch(customer, "c_custkey").withColumn("in_b", F.lit(1))
+    merged = (
+        ska.join(skb, "h", "full_outer")
+        .select(
+            "h",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+        .orderBy("h")
+        .limit(k)
+    )
+    exact = orders.select(F.col("o_custkey").alias("key")).distinct().join(
+        customer.select(F.col("c_custkey").alias("key")).distinct(),
+        "key",
+        "full_outer",
+    )
+    exact_counts = exact.agg(
+        F.count("*").cast("long").alias("exact_union"),
+    )
+    est = merged.agg(
+        F.count("*").alias("m"),
+        F.max("h").alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    ).select(
+        F.lit(k).alias("k"),
+        # fewer than k distinct hashes => the sketch IS the union
+        F.when(F.col("m") < k, F.col("m").cast("double"))
+        .otherwise(F.round((F.lit(k) - 1) / F.col("kth"), 4))
+        .alias("est_union"),
+        F.col("n_both").cast("long").alias("sketch_overlap"),
+        F.round(
+            F.col("n_both")
+            / F.col("m")
+            * F.when(F.col("m") < k, F.col("m").cast("double")).otherwise(
+                (F.lit(k) - 1) / F.col("kth")
+            ),
+            4,
+        ).alias("est_intersection"),
+    )
+    return est.crossJoin(F.broadcast(exact_counts))
+
+
+JOIN_CARDINALITY_ORACLE = """
+WITH ska AS (
+  SELECT h, 1 AS in_a FROM (
+    SELECT ('0x' || substr(md5('jce-' || CAST(key AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS h
+    FROM (SELECT DISTINCT o_custkey AS key FROM orders)
+  ) ORDER BY h LIMIT 64
+), skb AS (
+  SELECT h, 1 AS in_b FROM (
+    SELECT ('0x' || substr(md5('jce-' || CAST(key AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS h
+    FROM (SELECT DISTINCT c_custkey AS key FROM customer)
+  ) ORDER BY h LIMIT 64
+), merged AS (
+  SELECT h, coalesce(in_a, 0) AS in_a, coalesce(in_b, 0) AS in_b
+  FROM ska FULL OUTER JOIN skb USING (h)
+  ORDER BY h LIMIT 64
+), agg AS (
+  SELECT count(*) AS m, max(h) AS kth, sum(in_a * in_b) AS n_both FROM merged
+), exact AS (
+  SELECT count(*) AS exact_union
+  FROM (SELECT DISTINCT o_custkey AS key FROM orders)
+       FULL OUTER JOIN (SELECT DISTINCT c_custkey AS key FROM customer)
+       USING (key)
+)
+SELECT 64 AS k,
+       CASE WHEN m < 64 THEN m * 1.0
+            ELSE round((64 - 1) / kth, 4) END AS est_union,
+       CAST(n_both AS BIGINT) AS sketch_overlap,
+       round(n_both * 1.0 / m
+             * (CASE WHEN m < 64 THEN m * 1.0 ELSE (64 - 1) / kth END),
+             4) AS est_intersection,
+       CAST(exact_union AS BIGINT) AS exact_union
+FROM agg, exact
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "order_price_histogram": order_price_histogram,
     "winsorized_order_stats": winsorized_order_stats,
+    "skew_diagnosis_orders": skew_diagnosis_orders,
+    "join_cardinality_estimate": join_cardinality_estimate,
     "events_xml_stats": events_xml_stats,
     "copurchase_part_pairs": copurchase_part_pairs,
     "nation_wealth_coverage": nation_wealth_coverage,
@@ -1938,6 +2097,8 @@ ORACLE = {
     "cohort_retention": COHORT_RETENTION_ORACLE,
     "order_price_histogram": PRICE_HISTOGRAM_ORACLE,
     "winsorized_order_stats": WINSORIZED_ORACLE,
+    "skew_diagnosis_orders": SKEW_DIAGNOSIS_ORACLE,
+    "join_cardinality_estimate": JOIN_CARDINALITY_ORACLE,
     "copurchase_part_pairs": COPURCHASE_ORACLE,
     "events_xml_stats": EVENTS_XML_ORACLE,
     "lineitem_asof_prior_order": ASOF_ORACLE,

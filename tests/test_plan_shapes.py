@@ -365,3 +365,27 @@ def test_percentile_sketch_eval_never_collects(spark):
     plan = _plan(analytics.percentile_sketch_eval(spark, SF_DIR))
     assert "Exchange hashpartitioning" not in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pii_redact_is_map_only(spark):
+    """The PII scrub must stay a pure scan->project plan: no exchange,
+    no Python eval node — the zero-shuffle codegen chain it claims."""
+    plan = _plan(trainingdata.pii_redact_docs(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_skew_diagnosis_two_aggs_no_sort(spark):
+    """Key-skew profile = per-key hash agg + 1-row agg; the percentile
+    aggregate must be partial-merge (no global Sort in the plan)."""
+    plan = _plan(analytics.skew_diagnosis_orders(spark, SF_DIR))
+    assert "Sort " not in plan and "Sort[" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_join_cardinality_sketches_are_topk(spark):
+    """Each side's bottom-k-by-hash sketch must plan as
+    TakeOrderedAndProject (partial top-k), never a global sort of the
+    distinct-key frame."""
+    plan = _plan(analytics.join_cardinality_estimate(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
