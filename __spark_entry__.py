@@ -120,8 +120,10 @@ _PRIORITY_WINDOW = [
     # sampling / packing: curriculum_budget_selection composes the same
     # pack_sequences + with_global_index machinery (pack_training_sequences
     # r4-verified, displaced)
-    # multimodal
-    "multimodal_meta",
+    # multimodal: the codec-free REAL audio path (binary PCM column ->
+    # integer frame stats -> engine-side RMS/silence) takes the class
+    # slot from multimodal_meta (r4-verified)
+    "audio_energy_profile",
 ]
 
 _PLAN_MODULES = (

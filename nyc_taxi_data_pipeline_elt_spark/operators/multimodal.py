@@ -159,3 +159,95 @@ def extract_features(df: DataFrame, use_real_decoder: bool = False) -> DataFrame
             )
 
     return df.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+# --- audio: a REAL (codec-free) media compute path ---------------------------
+# PCM is raw samples — no codec needed — so unlike the image/video stubs
+# above, the audio path below is complete in this environment: synthesize
+# int16 PCM into a true binary column, then frame it and measure energy.
+# Swapping the synthesizer for torchaudio.load changes nothing downstream.
+
+AUDIO_SR = 8000
+AUDIO_FRAME = 200  # samples per analysis frame (25 ms at 8 kHz)
+
+
+def _pcm_samples(doc_id: int, n: int):
+    """Deterministic int16 waveform for ``doc_id``: a per-doc sine tone
+    with every (doc_id % 4)-th frame muted. The phase argument is
+    reduced modulo one period IN INTEGER ARITHMETIC before sin(), so
+    both engines evaluate sin on the same small double and the
+    floor(x + 0.5) quantization lands on the same int16 grid —
+    engine-exact samples, hence engine-exact frame statistics."""
+    import numpy as np
+
+    t = np.arange(n, dtype=np.int64)
+    freq = 200 + (doc_id % 40) * 20
+    phase = 2.0 * np.pi * ((freq * t) % AUDIO_SR) / AUDIO_SR
+    wave = np.floor(3000.0 * np.sin(phase) + 0.5)
+    muted = ((t // AUDIO_FRAME) % 4) == (doc_id % 4)
+    wave[muted] = 0.0
+    return wave.astype(np.int16)
+
+
+def synthesize_pcm(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Materialize a binary PCM payload per document (the audio-ingest
+    stand-in): ``n_samples`` varies per doc so frame counts discriminate.
+    One narrow Arrow stage; the payload is genuine little-endian int16
+    bytes, exactly what a ``binaryFile`` scan of .raw/.wav data yields
+    after header strip."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            ns = (800 + (ids % 5) * 400).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        _pcm_samples(int(i), int(n)).tobytes()
+                        for i, n in zip(ids, ns)
+                    ],
+                    "n_samples": ns.astype("int32"),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        batches, schema="doc_id bigint, payload binary, n_samples int"
+    )
+
+
+def audio_frame_stats(pcm: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
+    """Per-frame energy statistics from the binary payload: decode
+    little-endian int16 with ``np.frombuffer`` (zero-copy), reshape to
+    frames, emit INTEGER sum-of-squares and peak per frame. Returning
+    integers keeps the Python boundary float-free — RMS/silence math
+    happens engine-side where the oracle can mirror it exactly.
+
+    1->N batch explosion (one row per frame), the same Arrow shape as
+    video frame extraction; scales with partitions, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out_id, out_idx, out_sumsq, out_peak = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                x = np.frombuffer(bytes(payload), dtype="<i2").astype(np.int64)
+                n_frames = len(x) // frame
+                fr = x[: n_frames * frame].reshape(n_frames, frame)
+                out_id.extend([doc_id] * n_frames)
+                out_idx.extend(range(n_frames))
+                out_sumsq.extend((fr * fr).sum(axis=1).tolist())
+                out_peak.extend(np.abs(fr).max(axis=1).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "sumsq": pd.Series(out_sumsq, dtype="int64"),
+                    "peak": pd.Series(out_peak, dtype="int32"),
+                }
+            )
+
+    return pcm.mapInPandas(
+        batches, schema="doc_id bigint, frame_idx int, sumsq bigint, peak int"
+    )

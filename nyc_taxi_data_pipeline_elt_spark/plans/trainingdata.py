@@ -19,6 +19,7 @@ from nyc_taxi_data_pipeline_elt_spark.operators import dedup as D
 from nyc_taxi_data_pipeline_elt_spark.operators import sampling as M
 from nyc_taxi_data_pipeline_elt_spark.operators import similarity as S
 from nyc_taxi_data_pipeline_elt_spark.operators import text as X
+from nyc_taxi_data_pipeline_elt_spark.operators import multimodal as MM
 from nyc_taxi_data_pipeline_elt_spark.operators.multimodal import attach_payload
 from nyc_taxi_data_pipeline_elt_spark.session import tune
 from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
@@ -2461,6 +2462,84 @@ ORDER BY a.dim
 """
 
 
+def audio_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document audio energy profile through the REAL (codec-free)
+    media path: deterministic int16 PCM synthesized into a true binary
+    column (operators/multimodal.py:synthesize_pcm — the audio-ingest
+    stand-in), frames decoded with np.frombuffer and reduced to INTEGER
+    sum-of-squares/peak per frame (audio_frame_stats), then silence
+    ratio + RMS computed engine-side. Unlike the image/video decode
+    stubs this is end-to-end executable here: PCM needs no codec.
+
+    Plan: two narrow Arrow stages (synthesize, frame) + one hash agg on
+    doc_id — no shuffle until the final O(docs x frames) aggregate. The
+    Python boundary emits only integers, so all float math happens in
+    engine SQL where the oracle replays it exactly; samples themselves
+    are engine-exact (integer phase reduction before sin, floor(x+0.5)
+    quantization — see _pcm_samples)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    frames = MM.audio_frame_stats(MM.synthesize_pcm(docs))
+    # milli-RMS as an INTEGER: IEEE sqrt is correctly rounded, so
+    # floor(sqrt(x)*1000 + 0.5) is bit-identical cross-engine, and the
+    # per-doc SUM of integers is exact — no float mean to land on a
+    # rounding boundary (a 3dp-rounded avg did, 1590.9555 exactly).
+    rms_milli = F.floor(
+        F.sqrt(F.col("sumsq") / F.lit(MM.AUDIO_FRAME)) * 1000 + F.lit(0.5)
+    ).cast("long")
+    per_frame = frames.select(
+        "doc_id",
+        "sumsq",
+        "peak",
+        rms_milli.alias("rms_milli"),
+        (F.col("peak") < 100).cast("int").alias("silent"),
+    )
+    return per_frame.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum("silent").cast("long").alias("n_silent"),
+        F.max("peak").alias("peak_amp"),
+        F.sum("rms_milli").cast("long").alias("sum_rms_milli"),
+        F.max("sumsq").alias("max_frame_sumsq"),
+    )
+
+
+# closed-form replay of the synthesizer: generate_series stands in for
+# np.arange, the integer phase reduction and floor(x+0.5) quantization
+# are verbatim — so even though DuckDB never sees the binary payload,
+# every frame statistic is computed from the identical int16 samples
+AUDIO_ENERGY_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, 800 + (doc_id % 5) * 400 AS n FROM documents
+), t AS (
+  SELECT doc_id, unnest(generate_series(0, n - 1)) AS t FROM d
+), samp AS (
+  SELECT doc_id, t // {MM.AUDIO_FRAME} AS frame_idx,
+         CASE WHEN ((t // {MM.AUDIO_FRAME}) % 4) = (doc_id % 4) THEN 0
+              ELSE CAST(floor(3000.0 * sin(
+                     2 * pi() * (((200 + (doc_id % 40) * 20) * t) % {MM.AUDIO_SR})
+                     / {MM.AUDIO_SR}.0) + 0.5) AS BIGINT)
+         END AS s
+  FROM t
+), fr AS (
+  SELECT doc_id, frame_idx, sum(s * s) AS sumsq, max(abs(s)) AS peak
+  FROM samp GROUP BY doc_id, frame_idx
+), pf AS (
+  SELECT doc_id, sumsq, peak,
+         CAST(floor(sqrt(sumsq / {MM.AUDIO_FRAME}.0) * 1000 + 0.5) AS BIGINT)
+           AS rms_milli,
+         CASE WHEN peak < 100 THEN 1 ELSE 0 END AS silent
+  FROM fr
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(silent) AS BIGINT) AS n_silent,
+       CAST(max(peak) AS INT) AS peak_amp,
+       CAST(sum(rms_milli) AS BIGINT) AS sum_rms_milli,
+       CAST(max(sumsq) AS BIGINT) AS max_frame_sumsq
+FROM pf GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_fingerprint_docs": dedup_fingerprint_docs,
@@ -2520,6 +2599,7 @@ QUERIES = {
     "pii_redact_docs": pii_redact_docs,
     "mixture_temperature_weights": mixture_temperature_weights,
     "embedding_standardize_profile": embedding_standardize_profile,
+    "audio_energy_profile": audio_energy_profile,
     "dedup_lsh_recall_eval": dedup_lsh_recall_eval,
     "props_extract_udtf": props_extract_udtf,
     "dedup_threshold_sweep": dedup_threshold_sweep,
@@ -2587,6 +2667,7 @@ ORACLE = {
     "pii_redact_docs": PII_REDACT_ORACLE,
     "mixture_temperature_weights": MIXTURE_TEMPERATURE_ORACLE,
     "embedding_standardize_profile": EMBEDDING_STANDARDIZE_ORACLE,
+    "audio_energy_profile": AUDIO_ENERGY_ORACLE,
     "dedup_lsh_recall_eval": LSH_RECALL_EVAL_ORACLE.replace(
         "{MINHASH}", _minhash_oracle()
     ),

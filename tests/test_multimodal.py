@@ -95,3 +95,34 @@ def test_binary_file_source_reads_media_dir(spark, tmp_path):
         spark, str(tmp_path), glob="*.png", max_bytes=1000
     )
     assert [r["path"].split("/")[-1] for r in capped.collect()] == ["a.png"]
+
+
+def test_pcm_payload_is_true_int16_bytes(spark):
+    """The synthesized payload must be genuine little-endian int16 PCM:
+    decoding it off the DataFrame reproduces _pcm_samples exactly."""
+    import numpy as np
+
+    from nyc_taxi_data_pipeline_elt_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([(3,), (7,)], "doc_id bigint")
+    rows = {r["doc_id"]: r for r in MM.synthesize_pcm(docs).collect()}
+    for doc_id, row in rows.items():
+        expected = MM._pcm_samples(doc_id, 800 + (doc_id % 5) * 400)
+        got = np.frombuffer(bytes(row["payload"]), dtype="<i2")
+        assert row["n_samples"] == len(expected)
+        assert np.array_equal(got, expected)
+
+
+def test_audio_frames_mute_pattern(spark):
+    """Every (doc_id % 4)-th frame is muted: its peak and sumsq are 0;
+    all other frames carry near-full-scale energy."""
+    from nyc_taxi_data_pipeline_elt_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([(5,)], "doc_id bigint")  # 5 % 4 == 1
+    frames = MM.audio_frame_stats(MM.synthesize_pcm(docs)).collect()
+    assert len(frames) == (800 + (5 % 5) * 400) // MM.AUDIO_FRAME == 4
+    by_idx = {f["frame_idx"]: f for f in frames}
+    assert by_idx[1]["peak"] == 0 and by_idx[1]["sumsq"] == 0
+    for i in (0, 2, 3):
+        assert by_idx[i]["peak"] > 2500
+        assert by_idx[i]["sumsq"] > 0
