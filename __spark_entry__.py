@@ -76,6 +76,8 @@ _PRIORITY_WINDOW = [
     "winsorized_order_stats",  # robust agg clipped at exact p01/p99
     "skew_diagnosis_orders",  # join-key skew profile + salt sizing
     "join_cardinality_estimate",  # KMV sketch join-size estimation
+    "image_luma_profile",  # raw-bitmap decode/feature/resize, codec-free
+    "video_motion_profile",  # raw-frame differencing motion screen
     # --- queries whose plan CHANGED this round (re-verification) -------
     "order_price_deciles",  # global window -> range-partition + offsets
     "similar_part_names",  # collision-aware PassJoin/quadratic dispatch
@@ -103,13 +105,13 @@ _PRIORITY_WINDOW = [
     "late_shipment_priorities",
     # modern SQL + Arrow surface
     "nation_reach_bfs",
-    "customer_order_distribution",
     "winnow_fingerprint_docs",
     # graph
     "pagerank_dangling",
     # ETL: CDC + snapshot table format
     "cdc_orders_merge",
-    "snapshot_table_roundtrip",
+    # (snapshot_table_roundtrip / customer_order_distribution r4-verified,
+    # displaced by image_luma_profile + video_motion_profile)
     # dedup / ANN production paths (semdedup_prune / embedding_kmeans
     # r4-verified, displaced by the four new-in-r5 operators above;
     # embedding class keeps neardup_pairs + norm_profile +

@@ -251,3 +251,164 @@ def audio_frame_stats(pcm: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
     return pcm.mapInPandas(
         batches, schema="doc_id bigint, frame_idx int, sumsq bigint, peak int"
     )
+
+
+# --- image / video: raw-bitmap compute, same codec-free principle ------------
+# A raw RGB888 bitmap (or a gray frame stack) is just bytes on a grid, so
+# resize / luma statistics / frame differencing are pure integer math —
+# real media compute, no codec. Only container parsing (PNG/JPEG/MP4)
+# remains behind the real_decode probe above.
+
+IMG_W, IMG_H = 32, 24  # RGB888 bitmap dimensions
+VID_W, VID_H = 16, 12  # gray frame dimensions
+
+
+def synthesize_rgb(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic raw RGB888 bitmap per document, row-major RGBRGB…
+    bytes — what a ``binaryFile`` scan of .raw/.ppm data yields after
+    header strip. Channel values are integer formulas of (doc_id, x, y)
+    so the oracle regenerates every pixel closed-form."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y, x = np.mgrid[0:IMG_H, 0:IMG_W]
+        payloads = []
+
+        def render(doc_id: int) -> bytes:
+            r = (doc_id * 7 + x * 3 + y * 5) % 256
+            g = (doc_id * 11 + x + 2 * y) % 256
+            b = (doc_id + x * y) % 256
+            return np.stack([r, g, b], axis=-1).astype(np.uint8).tobytes()
+
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [render(int(i)) for i in ids],
+                    "width": pd.Series([IMG_W] * len(ids), dtype="int32"),
+                    "height": pd.Series([IMG_H] * len(ids), dtype="int32"),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        batches, schema="doc_id bigint, payload binary, width int, height int"
+    )
+
+
+def image_stats(images: DataFrame) -> DataFrame:
+    """Per-image integer statistics off the raw bitmap: channel sums,
+    bright-pixel count on the BT.601 integer luma grid
+    (299 r + 587 g + 114 b, x1000 scale), and the luma sum of a 2x
+    nearest-neighbor downsample (out(i,j) = in(2i, 2j) — the resize
+    kernel real thumbnailers use for the fast path). All outputs are
+    exact integers; one narrow Arrow stage."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                "doc_id": pdf["doc_id"],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+                "n_bright": [], "ds_luma_sum": [],
+            }
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                px = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                px = px.reshape(int(h), int(w), 3)
+                r, g, b = px[..., 0], px[..., 1], px[..., 2]
+                luma = 299 * r + 587 * g + 114 * b
+                rows["sum_r"].append(int(r.sum()))
+                rows["sum_g"].append(int(g.sum()))
+                rows["sum_b"].append(int(b.sum()))
+                rows["n_bright"].append(int((luma > 128_000).sum()))
+                rows["ds_luma_sum"].append(int(luma[::2, ::2].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    "sum_r": pd.Series(rows["sum_r"], dtype="int64"),
+                    "sum_g": pd.Series(rows["sum_g"], dtype="int64"),
+                    "sum_b": pd.Series(rows["sum_b"], dtype="int64"),
+                    "n_bright": pd.Series(rows["n_bright"], dtype="int64"),
+                    "ds_luma_sum": pd.Series(rows["ds_luma_sum"], dtype="int64"),
+                }
+            )
+
+    return images.mapInPandas(
+        batches,
+        schema="doc_id bigint, sum_r bigint, sum_g bigint, sum_b bigint, "
+        "n_bright bigint, ds_luma_sum bigint",
+    )
+
+
+def synthesize_video(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic gray frame stack per document (4 + doc_id % 4
+    frames of VID_W x VID_H bytes, concatenated) — the raw-frame layout
+    a demuxed stream hands a sampler."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y, x = np.mgrid[0:VID_H, 0:VID_W]
+
+        def render(doc_id: int, n_frames: int) -> bytes:
+            frames = [
+                ((doc_id * 7 + x * 3 + y * 5 + f * 17) % 256).astype(np.uint8)
+                for f in range(n_frames)
+            ]
+            return np.stack(frames).tobytes()
+
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            nf = (4 + ids % 4).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        render(int(i), int(n)) for i, n in zip(ids, nf)
+                    ],
+                    "n_frames": nf.astype("int32"),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        batches, schema="doc_id bigint, payload binary, n_frames int"
+    )
+
+
+def video_motion_stats(videos: DataFrame) -> DataFrame:
+    """Frame-differencing motion profile off the raw frame stack:
+    per adjacent frame pair, the sum of absolute pixel deltas — the
+    scene-change / static-clip detector run before sampling frames for
+    vision-language training. Integer outputs, one narrow Arrow stage."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": pdf["doc_id"], "total_motion": [],
+                   "max_pair_motion": [], "first_frame_sum": [],
+                   "last_frame_sum": []}
+            for payload, nf in zip(pdf["payload"], pdf["n_frames"]):
+                fr = (
+                    np.frombuffer(bytes(payload), dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(int(nf), VID_H * VID_W)
+                )
+                diffs = np.abs(fr[1:] - fr[:-1]).sum(axis=1)
+                out["total_motion"].append(int(diffs.sum()))
+                out["max_pair_motion"].append(int(diffs.max()))
+                out["first_frame_sum"].append(int(fr[0].sum()))
+                out["last_frame_sum"].append(int(fr[-1].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "total_motion": pd.Series(out["total_motion"], dtype="int64"),
+                    "max_pair_motion": pd.Series(out["max_pair_motion"], dtype="int64"),
+                    "first_frame_sum": pd.Series(out["first_frame_sum"], dtype="int64"),
+                    "last_frame_sum": pd.Series(out["last_frame_sum"], dtype="int64"),
+                }
+            )
+
+    return videos.mapInPandas(
+        batches,
+        schema="doc_id bigint, total_motion bigint, max_pair_motion bigint, "
+        "first_frame_sum bigint, last_frame_sum bigint",
+    )

@@ -2540,6 +2540,93 @@ FROM pf GROUP BY doc_id
 """
 
 
+def image_luma_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image statistics through the raw-bitmap (codec-free) image
+    path: synthesize_rgb materializes a true RGB888 binary column,
+    image_stats decodes it with np.frombuffer and emits exact-integer
+    channel sums, BT.601 bright-pixel counts, and the luma sum of a 2x
+    nearest-neighbor downsample — decode + feature-extract + resize as
+    REAL compute; only container parsing (PNG/JPEG) stays behind the
+    real_decode probe. Two narrow Arrow stages, zero shuffles; the
+    oracle regenerates every pixel closed-form."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.image_stats(MM.synthesize_rgb(docs))
+
+
+IMAGE_LUMA_ORACLE = f"""
+WITH px AS (
+  SELECT d.doc_id, x.x AS x, y.y AS y,
+         (d.doc_id * 7 + x.x * 3 + y.y * 5) % 256 AS r,
+         (d.doc_id * 11 + x.x + 2 * y.y) % 256 AS g,
+         (d.doc_id + x.x * y.y) % 256 AS b
+  FROM documents d,
+       generate_series(0, {MM.IMG_W - 1}) AS x(x),
+       generate_series(0, {MM.IMG_H - 1}) AS y(y)
+), l AS (
+  SELECT doc_id, x, y, r, g, b, 299 * r + 587 * g + 114 * b AS luma FROM px
+)
+SELECT doc_id,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b,
+       CAST(sum(CASE WHEN luma > 128000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bright,
+       CAST(sum(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN luma ELSE 0 END)
+            AS BIGINT) AS ds_luma_sum
+FROM l GROUP BY doc_id
+"""
+
+
+def video_motion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-motion profile through the raw-frame (codec-free) video
+    path: synthesize_video stacks 4-7 gray frames per doc into one
+    binary payload, video_motion_stats frame-differences them into
+    exact-integer absolute-delta sums — the static-clip/scene-change
+    screen run before frame sampling for vision-language corpora.
+    Same closed-form-oracle contract as the audio/image legs."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    prof = MM.video_motion_stats(MM.synthesize_video(docs))
+    return prof.withColumn(
+        "n_frames", (4 + F.col("doc_id") % 4).cast("int")
+    )
+
+
+VIDEO_MOTION_ORACLE = f"""
+WITH v AS (
+  SELECT doc_id, 4 + doc_id % 4 AS nf FROM documents
+), fr AS (
+  SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS f FROM v
+), px AS (
+  SELECT fr.doc_id, fr.nf, fr.f,
+         (fr.doc_id * 7 + x.x * 3 + y.y * 5 + fr.f * 17) % 256 AS val,
+         (fr.doc_id * 7 + x.x * 3 + y.y * 5 + (fr.f - 1) * 17) % 256 AS prev
+  FROM fr,
+       generate_series(0, {MM.VID_W - 1}) AS x(x),
+       generate_series(0, {MM.VID_H - 1}) AS y(y)
+), pair AS (
+  SELECT doc_id, f, sum(abs(val - prev)) AS pair_motion
+  FROM px WHERE f >= 1 GROUP BY doc_id, f
+), frames AS (
+  SELECT doc_id,
+         sum(CASE WHEN f = 0 THEN val ELSE 0 END) AS first_frame_sum,
+         sum(CASE WHEN f = nf - 1 THEN val ELSE 0 END) AS last_frame_sum
+  FROM px GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(sum(p.pair_motion) AS BIGINT) AS total_motion,
+       CAST(max(p.pair_motion) AS BIGINT) AS max_pair_motion,
+       CAST(max(fs.first_frame_sum) AS BIGINT) AS first_frame_sum,
+       CAST(max(fs.last_frame_sum) AS BIGINT) AS last_frame_sum,
+       CAST(max(fs2.nf) AS INT) AS n_frames
+FROM pair p
+JOIN frames fs ON p.doc_id = fs.doc_id
+JOIN v fs2 ON p.doc_id = fs2.doc_id
+GROUP BY p.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_fingerprint_docs": dedup_fingerprint_docs,
@@ -2600,6 +2687,8 @@ QUERIES = {
     "mixture_temperature_weights": mixture_temperature_weights,
     "embedding_standardize_profile": embedding_standardize_profile,
     "audio_energy_profile": audio_energy_profile,
+    "image_luma_profile": image_luma_profile,
+    "video_motion_profile": video_motion_profile,
     "dedup_lsh_recall_eval": dedup_lsh_recall_eval,
     "props_extract_udtf": props_extract_udtf,
     "dedup_threshold_sweep": dedup_threshold_sweep,
@@ -2668,6 +2757,8 @@ ORACLE = {
     "mixture_temperature_weights": MIXTURE_TEMPERATURE_ORACLE,
     "embedding_standardize_profile": EMBEDDING_STANDARDIZE_ORACLE,
     "audio_energy_profile": AUDIO_ENERGY_ORACLE,
+    "image_luma_profile": IMAGE_LUMA_ORACLE,
+    "video_motion_profile": VIDEO_MOTION_ORACLE,
     "dedup_lsh_recall_eval": LSH_RECALL_EVAL_ORACLE.replace(
         "{MINHASH}", _minhash_oracle()
     ),

@@ -126,3 +126,49 @@ def test_audio_frames_mute_pattern(spark):
     for i in (0, 2, 3):
         assert by_idx[i]["peak"] > 2500
         assert by_idx[i]["sumsq"] > 0
+
+
+def test_rgb_payload_round_trips(spark):
+    """The RGB payload must be a genuine row-major RGB888 bitmap:
+    decoding it reproduces the channel formulas pixel-exactly."""
+    import numpy as np
+
+    from nyc_taxi_data_pipeline_elt_spark.operators import multimodal as MM
+
+    row = MM.synthesize_rgb(
+        spark.createDataFrame([(9,)], "doc_id bigint")
+    ).collect()[0]
+    px = np.frombuffer(bytes(row["payload"]), dtype=np.uint8).reshape(
+        MM.IMG_H, MM.IMG_W, 3
+    )
+    y, x = 5, 17
+    assert px[y, x, 0] == (9 * 7 + x * 3 + y * 5) % 256
+    assert px[y, x, 1] == (9 * 11 + x + 2 * y) % 256
+    assert px[y, x, 2] == (9 + x * y) % 256
+
+
+def test_video_motion_known_answer(spark):
+    """A constant-delta frame stack has a closed-form motion profile:
+    each pixel steps by 17 (mod 256), so every pair's motion is
+    sum(|delta|) with wraparound pixels contributing 256-17... computed
+    directly against numpy as the independent reference."""
+    import numpy as np
+
+    from nyc_taxi_data_pipeline_elt_spark.operators import multimodal as MM
+
+    doc_id = 6  # 6 % 4 == 2 -> 6 frames
+    row = MM.video_motion_stats(
+        MM.synthesize_video(spark.createDataFrame([(doc_id,)], "doc_id bigint"))
+    ).collect()[0]
+    y, x = np.mgrid[0:MM.VID_H, 0:MM.VID_W]
+    frames = np.stack(
+        [
+            (doc_id * 7 + x * 3 + y * 5 + f * 17) % 256
+            for f in range(4 + doc_id % 4)
+        ]
+    ).astype(np.int64)
+    diffs = np.abs(frames[1:] - frames[:-1]).sum(axis=(1, 2))
+    assert row["total_motion"] == int(diffs.sum())
+    assert row["max_pair_motion"] == int(diffs.max())
+    assert row["first_frame_sum"] == int(frames[0].sum())
+    assert row["last_frame_sum"] == int(frames[-1].sum())
