@@ -1,15 +1,24 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal column plumbing + codec-free media compute.
 
 Treats image/audio/video as ``binary`` columns with a typed metadata
 struct alongside — the storage pattern for multimodal training corpora
 (payload stays opaque to the engine; metadata is queryable/prunable).
 
-The *decode* step (image decode, resample, frame extraction) needs codec
-libraries that are not in this container, so it is STUBBED: a clearly
-marked ``NotImplementedError`` for real decoding, plus a deterministic
-fake decoder so the Spark-side plumbing — schema, Arrow batch shape,
-``mapInPandas`` signature, partition behavior — is real and tested.
-Swapping the fake for PIL/torchaudio is a one-function change.
+Two tiers of media compute live here:
+
+1. **REAL, codec-free** — raw formats are just bytes on a grid, so the
+   math runs for real in this container: int16 PCM framing/energy
+   (``synthesize_pcm`` / ``audio_frame_stats``), RGB888 bitmap stats +
+   nearest-neighbor resize (``synthesize_rgb`` / ``image_stats``), gray
+   frame-stack motion differencing (``synthesize_video`` /
+   ``video_motion_stats``). Python boundaries emit only integers, so
+   every statistic is engine-exact and oracle-checkable.
+2. **STUBBED container parsing** — PNG/JPEG/MP4 decoding needs codec
+   libraries absent here, so ``real_decode`` sits behind a feature
+   probe with a clearly marked ``NotImplementedError`` plus a
+   deterministic fake, keeping the Spark-side plumbing — schema, Arrow
+   batch shape, ``mapInPandas`` signature, partition behavior — real
+   and tested. Swapping in PIL/av/torchaudio is a one-function change.
 """
 
 from __future__ import annotations

@@ -2627,6 +2627,51 @@ GROUP BY p.doc_id
 """
 
 
+def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration: per-source quantile rank of the
+    quality score (percent_rank within source) — the normalization that
+    makes 'top 30% of every source' a meaningful curation rule when raw
+    score distributions differ per source (they do: each source's crawl
+    and boilerplate profile shifts the score mass). Emits per-doc raw
+    quality, in-source quantile, and the keep verdict at the 0.7
+    quantile cutoff, plus a tie-stable in-source rank.
+
+    Plan: ONE window partitioned by source — a keyed shuffle that scales
+    with the source count and balances like any hash partition (a
+    single-source corpus would degenerate; real corpora have hundreds).
+    percent_rank needs no second pass; the tiebreak (quality DESC,
+    doc_id) pins cross-engine determinism."""
+    tune(spark)
+    stats = text_stats(spark, sf_dir).select("doc_id", "quality")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = docs.join(stats, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").asc(), F.col("doc_id").asc()
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.round(F.percent_rank().over(w), 6).alias("q_in_source"),
+        (F.percent_rank().over(w) >= 0.7).alias("keep_top30"),
+        F.row_number().over(w).cast("long").alias("rk_in_source"),
+    )
+
+
+QUALITY_QNORM_ORACLE = f"""
+WITH stats AS ({{TEXT_STATS_ORACLE}}), scored AS (
+  SELECT d.doc_id, d.source, s.quality
+  FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+)
+SELECT doc_id, source, quality,
+       round(percent_rank() OVER w, 6) AS q_in_source,
+       percent_rank() OVER w >= 0.7 AS keep_top30,
+       CAST(row_number() OVER w AS BIGINT) AS rk_in_source
+FROM scored
+WINDOW w AS (PARTITION BY source ORDER BY quality ASC, doc_id ASC)
+""".format(TEXT_STATS_ORACLE=TEXT_STATS_ORACLE)
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_fingerprint_docs": dedup_fingerprint_docs,
@@ -2689,6 +2734,7 @@ QUERIES = {
     "audio_energy_profile": audio_energy_profile,
     "image_luma_profile": image_luma_profile,
     "video_motion_profile": video_motion_profile,
+    "quality_quantile_normalize": quality_quantile_normalize,
     "dedup_lsh_recall_eval": dedup_lsh_recall_eval,
     "props_extract_udtf": props_extract_udtf,
     "dedup_threshold_sweep": dedup_threshold_sweep,
@@ -2759,6 +2805,7 @@ ORACLE = {
     "audio_energy_profile": AUDIO_ENERGY_ORACLE,
     "image_luma_profile": IMAGE_LUMA_ORACLE,
     "video_motion_profile": VIDEO_MOTION_ORACLE,
+    "quality_quantile_normalize": QUALITY_QNORM_ORACLE,
     "dedup_lsh_recall_eval": LSH_RECALL_EVAL_ORACLE.replace(
         "{MINHASH}", _minhash_oracle()
     ),
