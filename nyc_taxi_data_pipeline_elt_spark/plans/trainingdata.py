@@ -2672,6 +2672,54 @@ WINDOW w AS (PARTITION BY source ORDER BY quality ASC, doc_id ASC)
 """.format(TEXT_STATS_ORACLE=TEXT_STATS_ORACLE)
 
 
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First merge decision of BPE tokenizer training: corpus-weighted
+    adjacent character-pair counts, top 15 by count (the pair a trainer
+    would merge first). Uses the vocab-first trick every real BPE
+    trainer uses at scale: aggregate the corpus to (word, count) ONCE —
+    the only full-data shuffle — then explode pairs over the (tiny)
+    vocabulary and weight by word count; pair volume scales with vocab
+    size, not corpus size. Deterministic tiebreak (count DESC, pair)
+    makes the top-k engine-exact."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(X.whitespace_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = (
+        vocab.filter(F.length("w") >= 2)
+        .select(
+            "w",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(F.expr("substring(w, i, 2)").alias("pair"), "n")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(15)
+    )
+
+
+BPE_PAIR_ORACLE = """
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+), v AS (
+  SELECT w, count(*) AS n FROM w GROUP BY w
+), ex AS (
+  SELECT w, n, unnest(generate_series(1, length(w) - 1)) AS i
+  FROM v WHERE length(w) >= 2
+)
+SELECT substr(w, i, 2) AS pair, CAST(sum(n) AS BIGINT) AS cnt
+FROM ex GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT 15
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_fingerprint_docs": dedup_fingerprint_docs,
@@ -2735,6 +2783,7 @@ QUERIES = {
     "image_luma_profile": image_luma_profile,
     "video_motion_profile": video_motion_profile,
     "quality_quantile_normalize": quality_quantile_normalize,
+    "bpe_pair_counts": bpe_pair_counts,
     "dedup_lsh_recall_eval": dedup_lsh_recall_eval,
     "props_extract_udtf": props_extract_udtf,
     "dedup_threshold_sweep": dedup_threshold_sweep,
@@ -2806,6 +2855,7 @@ ORACLE = {
     "image_luma_profile": IMAGE_LUMA_ORACLE,
     "video_motion_profile": VIDEO_MOTION_ORACLE,
     "quality_quantile_normalize": QUALITY_QNORM_ORACLE,
+    "bpe_pair_counts": BPE_PAIR_ORACLE,
     "dedup_lsh_recall_eval": LSH_RECALL_EVAL_ORACLE.replace(
         "{MINHASH}", _minhash_oracle()
     ),
