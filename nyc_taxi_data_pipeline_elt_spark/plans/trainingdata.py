@@ -2720,6 +2720,112 @@ ORDER BY cnt DESC, pair LIMIT 15
 """
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between sources — the "which feeds
+    duplicate each other" report that decides crawl budgets: for every
+    ordered source pair (a < b), how many distinct key-collision
+    fingerprints (operators/text.py:fingerprint) appear in both.
+
+    Plan: corpus -> distinct (fingerprint, source) — one shuffle keyed
+    on the fingerprint — then a self-equi-join ON THE FINGERPRINT
+    (quadratic only in the per-fingerprint source list, bounded by
+    #sources) and a hash agg to the #sources^2-row matrix. Never an
+    all-pairs doc join."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        X.fingerprint("text").alias("fp"), "source"
+    ).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_fp"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+SOURCE_OVERLAP_ORACLE = """
+WITH fp AS (
+  SELECT DISTINCT
+         md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS fp,
+         source
+  FROM documents
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fp
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY src_a, src_b
+"""
+
+
+def source_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty attribution: processing sources in
+    lexicographic order, how many distinct 3-gram shingles does each
+    source introduce that no earlier source contains — the statistic
+    behind "does adding this feed buy new content or re-crawl the
+    web". Each distinct shingle is attributed to its MIN source (one
+    shuffle keyed on the shingle, min is order-insensitive), then a
+    hash agg counts introductions per source; cum_novel is the running
+    union size over the O(#sources) result frame."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    first = (
+        D.shingle_rows(docs, n=3)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("s")
+        .agg(F.min("source").alias("first_source"))
+    )
+    per_src = first.groupBy("first_source").agg(
+        F.count("*").cast("long").alias("n_novel")
+    )
+    # O(#sources) rows: a metadata-sized frame, so the running union is
+    # deliberately a single partition — pmod(n_novel, 1) is 0 for every
+    # row but not foldable, which silences the WindowExec no-partition
+    # warning without changing the partition count (indexing.py trick)
+    w = (
+        Window.partitionBy(F.pmod(F.col("n_novel"), F.lit(1)))
+        .orderBy("first_source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_src.select(
+        F.col("first_source").alias("source"),
+        "n_novel",
+        F.sum("n_novel").over(w).cast("long").alias("cum_novel"),
+    ).orderBy("source")
+
+
+SOURCE_NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+), first AS (
+  SELECT s, min(source) AS first_source FROM sh GROUP BY s
+), per_src AS (
+  SELECT first_source AS source, CAST(count(*) AS BIGINT) AS n_novel
+  FROM first GROUP BY first_source
+)
+SELECT source, n_novel,
+       CAST(sum(n_novel) OVER (ORDER BY source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_novel
+FROM per_src ORDER BY source
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_fingerprint_docs": dedup_fingerprint_docs,
@@ -2784,6 +2890,8 @@ QUERIES = {
     "video_motion_profile": video_motion_profile,
     "quality_quantile_normalize": quality_quantile_normalize,
     "bpe_pair_counts": bpe_pair_counts,
+    "source_overlap_matrix": source_overlap_matrix,
+    "source_novelty_curve": source_novelty_curve,
     "dedup_lsh_recall_eval": dedup_lsh_recall_eval,
     "props_extract_udtf": props_extract_udtf,
     "dedup_threshold_sweep": dedup_threshold_sweep,
@@ -2856,6 +2964,8 @@ ORACLE = {
     "video_motion_profile": VIDEO_MOTION_ORACLE,
     "quality_quantile_normalize": QUALITY_QNORM_ORACLE,
     "bpe_pair_counts": BPE_PAIR_ORACLE,
+    "source_overlap_matrix": SOURCE_OVERLAP_ORACLE,
+    "source_novelty_curve": SOURCE_NOVELTY_ORACLE,
     "dedup_lsh_recall_eval": LSH_RECALL_EVAL_ORACLE.replace(
         "{MINHASH}", _minhash_oracle()
     ),
