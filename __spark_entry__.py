@@ -19,6 +19,19 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+# Python workers (pandas_udf / UDTF / mapInPandas) unpickle functions by
+# importing their defining module; local-mode workers inherit the JVM
+# process env, so exporting PYTHONPATH before the session starts makes
+# the package importable regardless of the harness's cwd.
+import os as _os  # noqa: E402
+
+if _REPO not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _REPO + _os.pathsep + _os.environ["PYTHONPATH"]
+        if _os.environ.get("PYTHONPATH")
+        else _REPO
+    )
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -78,34 +91,36 @@ _PRIORITY_WINDOW = [
     "join_cardinality_estimate",  # KMV sketch join-size estimation
     "image_luma_profile",  # raw-bitmap decode/feature/resize, codec-free
     "video_motion_profile",  # raw-frame differencing motion screen
+    # --- mid-r5 additions that would otherwise repeat the late-r4 gap
+    # (registered after earlier window text was written; first rows now)
+    "bpe_pair_counts",
+    "source_overlap_matrix",
+    "source_novelty_curve",
+    "quality_quantile_normalize",
+    "balanced_shard_packing",  # LPT/snake token-balanced shards
+    "dedup_lsh_band_plan",  # DECIMAL-exact S-curve index planning
+    "doc_stratified_split",  # Hamilton largest-remainder apportionment
     # --- queries whose plan CHANGED this round (re-verification) -------
     "order_price_deciles",  # global window -> range-partition + offsets
     "similar_part_names",  # collision-aware PassJoin/quadratic dispatch
     # --- one verified representative per operator class ----------------
-    # (displaced to make room for the four new queries:
-    # q2_hourly_avg_value, large_volume_orders, min_cost_supplier_per_part,
-    # dedup_minhash_lsh — all r1-r4 driver-hash-verified, classes keep
-    # in-window representatives)
+    # (displaced to make room for the seven entries above —
+    # dq_expectations_orders, sql_consumption_report,
+    # salted_orders_per_segment, streaming_stateful_user_counts,
+    # late_shipment_priorities, nation_reach_bfs, winnow_fingerprint_docs
+    # join q2_hourly_avg_value, large_volume_orders,
+    # min_cost_supplier_per_part, dedup_minhash_lsh as displaced
+    # r1-r4 driver-hash-verified entries; every class keeps at least one
+    # in-window or cross-round-verified representative)
     # reference surface (SURVEY §2.1-2.6, §7.2)
     "q1_monthly_revenue",
-    "dq_expectations_orders",
-    "sql_consumption_report",
-    # joins (§2.7): as-of + salted-skew
+    # joins (§2.7): as-of
     "lineitem_asof_prior_order",
-    "salted_orders_per_segment",
     # window functions (§2.8)
     "top3_lineitems_per_supplier",
-    # structured streaming (§2.9): custom source, watermark, stateful
-    # (streaming_late_data_tumbling / dedup_containment_pairs r4-verified,
-    # displaced by skew_diagnosis_orders + join_cardinality_estimate; both
-    # classes keep several in-window entries)
+    # structured streaming (§2.9): custom source (more streaming entries
+    # are in the first-timer block above)
     "streaming_snapshot_source_counts",
-    "streaming_stateful_user_counts",
-    # TPC-H subquery battery
-    "late_shipment_priorities",
-    # modern SQL + Arrow surface
-    "nation_reach_bfs",
-    "winnow_fingerprint_docs",
     # graph
     "pagerank_dangling",
     # ETL: CDC + snapshot table format

@@ -761,3 +761,95 @@ SELECT {id_col},
 FROM ranked
 GROUP BY {id_col}
 """
+
+
+# --- LSH band planning -------------------------------------------------------
+
+
+def lsh_band_plan(
+    pairs: DataFrame,
+    threshold: float = 0.5,
+    jaccard_col: str = "jaccard",
+) -> DataFrame:
+    """Design-time band/row planning for a MinHash-LSH index: for every
+    (bands b, rows-per-band r) split of an 8-hash signature, the expected
+    candidate yield under the S-curve ``P(candidate | s) = 1-(1-s^r)^b``
+    evaluated against THIS corpus's observed pair-similarity mass
+    (``pairs`` = the inverted-index candidates with exact Jaccard, e.g.
+    ``ngram_jaccard_pairs(threshold=0.0)``). The complement of
+    ``dedup_threshold_sweep``: that tunes the verify cutoff, this picks
+    the index shape that reaches it — expected true candidates (pairs at
+    or above ``threshold`` the index would surface) vs expected false
+    candidates (band collisions the verify stage then pays to reject).
+
+    Engine-exact by construction: similarity is floored to the 1/100
+    grid from the pair's rounded Jaccard (floor of identical doubles —
+    no half-way rounding ambiguity), and the S-curve is evaluated in
+    DECIMAL arithmetic (integer-exponent powers as explicit product
+    chains, scale <= 16), so the per-config sums are exact decimal
+    sums with no FP summation order anywhere. Expected counts are
+    reported as ``floor(sum * 10000)`` — exact integers, one final
+    1-row aggregate over the pair frame, then a 4-row stack.
+    """
+    s100 = F.floor(F.col(jaccard_col) * 100).cast("long")
+    sd = (
+        F.col("__s100").cast("decimal(6,0)")
+        * F.lit("0.01").cast("decimal(3,2)")
+    ).cast("decimal(3,2)")
+
+    def chain_sq(col, scale, times):
+        # x^(2^times) as repeated squaring. Each product is cast back
+        # down to the tightest type holding a value in [0, 1] (scale
+        # doubles per squaring: 2 -> 4 -> 8 -> 16) — the raw product
+        # types would blow past DECIMAL(38) by the third squaring, and
+        # Spark's overflow rule then TRUNCATES scale (DuckDB's differs),
+        # so tight casts are what keep both engines on exact arithmetic.
+        out = col
+        for _ in range(times):
+            scale *= 2
+            out = (out * out).cast(f"decimal({scale + 1},{scale})")
+        return out
+
+    def one_minus(col, scale):
+        return (F.lit("1").cast("decimal(2,0)") - col).cast(
+            f"decimal({scale + 1},{scale})"
+        )
+
+    # signature of 8 minhashes split as (b bands) x (r rows/band)
+    p_b8_r1 = one_minus(chain_sq(one_minus(sd, 2), 2, 3), 16)  # 1-(1-s)^8
+    p_b4_r2 = one_minus(chain_sq(one_minus(chain_sq(sd, 2, 1), 4), 4, 2), 16)
+    p_b2_r4 = one_minus(chain_sq(one_minus(chain_sq(sd, 2, 2), 8), 8, 1), 16)
+    p_b1_r8 = chain_sq(sd, 2, 3)  # s^8
+
+    is_true = F.col(jaccard_col) >= threshold
+    zero = F.lit("0").cast("decimal(20,16)")
+
+    def split_sums(p, tag):
+        p16 = p.cast("decimal(20,16)")
+        return [
+            F.sum(F.when(is_true, p16).otherwise(zero)).alias(f"t_{tag}"),
+            F.sum(F.when(~is_true, p16).otherwise(zero)).alias(f"f_{tag}"),
+        ]
+
+    agg = pairs.withColumn("__s100", s100).agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(is_true.cast("long")).alias("n_true_pairs"),
+        *split_sums(p_b8_r1, "b8"),
+        *split_sums(p_b4_r2, "b4"),
+        *split_sums(p_b2_r4, "b2"),
+        *split_sums(p_b1_r8, "b1"),
+    )
+
+    def x10k(name):
+        return f"cast(floor(coalesce({name}, 0) * 10000) as bigint)"
+
+    return agg.selectExpr(
+        "n_candidates",
+        "n_true_pairs",
+        f"""stack(4,
+          8, 1, {x10k('t_b8')}, {x10k('f_b8')},
+          4, 2, {x10k('t_b4')}, {x10k('f_b4')},
+          2, 4, {x10k('t_b2')}, {x10k('f_b2')},
+          1, 8, {x10k('t_b1')}, {x10k('f_b1')}
+        ) as (bands, rows_per_band, exp_true_x10k, exp_false_x10k)""",
+    )

@@ -127,3 +127,39 @@ def with_global_index(
         .drop("__pid", "__local", "pid", "offset")
     )
     return out
+
+
+def snake_pack_shards(
+    df: DataFrame,
+    n_shards: int,
+    weight_col: str,
+    key_col: str,
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Balanced shard packing — assign rows to ``n_shards`` shards so the
+    per-shard ``weight_col`` totals are near-equal (the LPT/boustrophedon
+    greedy: sort by weight descending, deal ranks out in a snake —
+    0..k-1 then k-1..0 — so every shard receives one row per round and
+    heavy/light rows alternate sides). The training-shard sizing step:
+    hash sharding (``assign_shards``) balances COUNTS, this balances
+    token budgets, which is what makes per-shard training steps uniform.
+
+    Deterministic (ties broken on ``key_col``) and distributed exactly
+    like :func:`with_global_index` — the descending-weight global rank is
+    a range exchange plus a broadcast offset join, never a single-task
+    window. The snake mapping is pure per-row arithmetic on the rank.
+    """
+    ranked = with_global_index(
+        df.withColumn("__wneg", -F.col(weight_col)),
+        [
+            "__wneg",
+            key_col,
+        ],
+        index_name="__rank",
+    )
+    rnd = F.expr(f"__rank div {n_shards}")  # integer division on longs
+    pos = F.col("__rank") % n_shards
+    shard = F.when(rnd % 2 == 0, pos).otherwise(n_shards - 1 - pos)
+    return ranked.withColumn(shard_col, shard.cast("int")).drop(
+        "__wneg", "__rank"
+    )

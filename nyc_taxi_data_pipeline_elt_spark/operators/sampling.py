@@ -161,3 +161,92 @@ def bottom_k_sample(
         .orderBy(u_col, key_col)
         .limit(k)
     )
+
+
+def stratified_split_hamilton(
+    df,
+    strata_col: str,
+    key_col: str,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    salt: str = "strat-",
+):
+    """Stratified train/val/test split with EXACT proportional allocation
+    (Hamilton / largest-remainder apportionment, the census-seat method).
+
+    ``doc_sample_split`` draws each row's split independently, so a small
+    stratum's realized val share can be far from 10%. Here the val and
+    test budgets are fixed corpus-wide (``floor(n_total * pct / 100)``)
+    and apportioned to strata by largest remainder: every stratum gets
+    ``floor(n_s * V / n_total)`` seats, and the leftover seats go to the
+    largest fractional remainders (ties: stratum ascending). Within a
+    stratum, membership is the bottom ranks of the salted md5 uniform —
+    deterministic and layout-independent like every sampler here.
+
+    All apportionment arithmetic is integer (remainders compared as
+    ``n_s*V - base_s*n_total``), so the allocation is engine-exact. The
+    plan: one O(#strata) count aggregate, two single-partition windows
+    over that metadata frame (pmod partition key, see
+    ``operators/indexing.py``), the allocation broadcast back, and ONE
+    per-stratum rank window over the data — no global sort.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(strata_col).alias("s")).agg(
+        F.count("*").alias("n_s")
+    )
+    tot = counts.agg(F.sum("n_s").alias("n_total"))
+    c = counts.crossJoin(F.broadcast(tot))
+
+    meta_w = Window.partitionBy(F.pmod(F.col("n_s"), F.lit(1)))
+
+    def _alloc(pct: int, name: str):
+        # `div` is integer division on longs — no double quotient whose
+        # rounding could cross an integer boundary at extreme counts.
+        v = F.expr(f"n_total * {pct} div 100")
+        base = F.expr(f"(n_s * (n_total * {pct} div 100)) div n_total")
+        rem = F.col("n_s") * v - base * F.col("n_total")
+        alloc = c.select(
+            "s",
+            "n_s",
+            "n_total",
+            v.alias("__v"),
+            base.alias(f"__base_{name}"),
+            rem.alias("__rem"),
+        )
+        leftover = F.col("__v") - F.sum(f"__base_{name}").over(meta_w)
+        rk = F.row_number().over(
+            meta_w.orderBy(F.col("__rem").desc(), F.col("s"))
+        )
+        return alloc.select(
+            "s",
+            "n_s",
+            "n_total",
+            (
+                F.col(f"__base_{name}")
+                + (rk <= leftover).cast("long")
+            ).alias(f"alloc_{name}"),
+        )
+
+    a_val = _alloc(val_pct, "val")
+    a_test = _alloc(test_pct, "test").select("s", "alloc_test")
+    alloc = a_val.join(a_test, "s").select("s", "alloc_val", "alloc_test")
+
+    w = Window.partitionBy(strata_col).orderBy("__u", key_col)
+    return (
+        df.withColumn("__u", hash_uniform(key_col, salt))
+        .join(
+            F.broadcast(alloc), F.col(strata_col) == F.col("s")
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "split",
+            F.when(F.col("__rn") <= F.col("alloc_val"), F.lit("val"))
+            .when(
+                F.col("__rn") <= F.col("alloc_val") + F.col("alloc_test"),
+                F.lit("test"),
+            )
+            .otherwise(F.lit("train")),
+        )
+        .drop("__u", "__rn", "s", "alloc_val", "alloc_test")
+    )

@@ -2973,3 +2973,231 @@ ORACLE = {
     "dedup_threshold_sweep": THRESHOLD_SWEEP_ORACLE,
     "embedding_norm_profile": NORM_PROFILE_ORACLE,
 }
+
+
+# --- balanced shard packing / LSH band planning / Hamilton split (r5) --------
+
+
+def balanced_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced training shards: LPT/snake greedy packing
+    (operators/indexing.py:snake_pack_shards) — global weight-descending
+    rank via range partition + broadcast offsets, then pure per-row snake
+    arithmetic. Reported per shard so the balance is visible; hash
+    sharding (`shard_assignment`) balances counts, this balances the
+    token budget that actually sizes a training step."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.indexing import (
+        snake_pack_shards,
+    )
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    packed = snake_pack_shards(sized, 8, "n_tokens", "doc_id")
+    return packed.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.max("n_tokens").cast("long").alias("max_doc_tokens"),
+    )
+
+
+BALANCED_SHARD_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), r AS (
+  SELECT n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+  FROM w
+), a AS (
+  SELECT n_tokens,
+         CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END AS shard_id
+  FROM r
+)
+SELECT CAST(shard_id AS INT) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens
+FROM a
+GROUP BY shard_id
+"""
+
+
+def dedup_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index design-time band/row planning (operators/dedup.py:
+    lsh_band_plan): expected true/false candidate yield of every (b, r)
+    split of an 8-hash MinHash signature under the S-curve
+    1-(1-s^r)^b, evaluated against this corpus's observed candidate-pair
+    Jaccard mass. Complements `dedup_threshold_sweep` (verify cutoff)
+    and `dedup_lsh_recall_eval` (measured recall of the deployed index):
+    this predicts the yield of the shapes NOT deployed, from one pass.
+    DECIMAL-exact S-curve on the floored 1/100 similarity grid; expected
+    counts reported as exact floor(sum*1e4) integers."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.0)
+    return D.lsh_band_plan(pairs, threshold=0.5)
+
+
+_BAND_PLAN_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toks WHERE len(t) >= 3
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+j AS (
+  SELECT round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jac
+  FROM common
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+)
+"""
+
+BAND_PLAN_ORACLE = (
+    _BAND_PLAN_PAIRS
+    + """,
+d AS (
+  SELECT jac >= 0.5 AS is_true,
+         CAST(CAST(CAST(floor(jac * 100) AS BIGINT) AS DECIMAL(6,0))
+              * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(3,2)) AS sd
+  FROM j
+), chains AS (
+  SELECT is_true, sd,
+         CAST(1 - sd AS DECIMAL(3,2)) AS u1,
+         CAST(sd * sd AS DECIMAL(5,4)) AS s2
+  FROM d
+), chains2 AS (
+  SELECT is_true, sd, s2,
+         CAST(u1 * u1 AS DECIMAL(5,4)) AS u2,
+         CAST(1 - s2 AS DECIMAL(5,4)) AS v1,
+         CAST(s2 * s2 AS DECIMAL(9,8)) AS s4
+  FROM chains
+), chains3 AS (
+  SELECT is_true,
+         CAST(u2 * u2 AS DECIMAL(9,8)) AS u4,
+         CAST(v1 * v1 AS DECIMAL(9,8)) AS v2,
+         CAST(1 - s4 AS DECIMAL(9,8)) AS w1,
+         CAST(s4 * s4 AS DECIMAL(17,16)) AS s8
+  FROM chains2
+), p AS (
+  SELECT is_true,
+         CAST(1 - CAST(u4 * u4 AS DECIMAL(17,16)) AS DECIMAL(17,16)) AS p_b8,
+         CAST(1 - CAST(v2 * v2 AS DECIMAL(17,16)) AS DECIMAL(17,16)) AS p_b4,
+         CAST(1 - CAST(w1 * w1 AS DECIMAL(17,16)) AS DECIMAL(17,16)) AS p_b2,
+         s8 AS p_b1
+  FROM chains3
+), agg AS (
+  SELECT count(*) AS n_candidates,
+         CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs,
+         sum(CASE WHEN is_true THEN p_b8 ELSE CAST(0 AS DECIMAL(17,16)) END) AS t_b8,
+         sum(CASE WHEN NOT is_true THEN p_b8 ELSE CAST(0 AS DECIMAL(17,16)) END) AS f_b8,
+         sum(CASE WHEN is_true THEN p_b4 ELSE CAST(0 AS DECIMAL(17,16)) END) AS t_b4,
+         sum(CASE WHEN NOT is_true THEN p_b4 ELSE CAST(0 AS DECIMAL(17,16)) END) AS f_b4,
+         sum(CASE WHEN is_true THEN p_b2 ELSE CAST(0 AS DECIMAL(17,16)) END) AS t_b2,
+         sum(CASE WHEN NOT is_true THEN p_b2 ELSE CAST(0 AS DECIMAL(17,16)) END) AS f_b2,
+         sum(CASE WHEN is_true THEN p_b1 ELSE CAST(0 AS DECIMAL(17,16)) END) AS t_b1,
+         sum(CASE WHEN NOT is_true THEN p_b1 ELSE CAST(0 AS DECIMAL(17,16)) END) AS f_b1
+  FROM p
+), cfg AS (
+  SELECT 8 AS bands, 1 AS rows_per_band, t_b8 AS t, f_b8 AS f, n_candidates, n_true_pairs FROM agg
+  UNION ALL
+  SELECT 4, 2, t_b4, f_b4, n_candidates, n_true_pairs FROM agg
+  UNION ALL
+  SELECT 2, 4, t_b2, f_b2, n_candidates, n_true_pairs FROM agg
+  UNION ALL
+  SELECT 1, 8, t_b1, f_b1, n_candidates, n_true_pairs FROM agg
+)
+SELECT n_candidates, n_true_pairs,
+       CAST(bands AS INT) AS bands,
+       CAST(rows_per_band AS INT) AS rows_per_band,
+       CAST(floor(coalesce(t, 0) * 10000) AS BIGINT) AS exp_true_x10k,
+       CAST(floor(coalesce(f, 0) * 10000) AS BIGINT) AS exp_false_x10k
+FROM cfg
+"""
+)
+
+
+def doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder stratified split
+    (operators/sampling.py:stratified_split_hamilton): corpus-wide val
+    (10%) and test (5%) budgets apportioned exactly across sources, so
+    every stratum's realized share is within one document of
+    proportional — unlike the per-row independent draws of
+    `doc_sample_split`. Integer apportionment arithmetic end-to-end."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return M.stratified_split_hamilton(
+        docs.select("doc_id", "source"),
+        strata_col="source",
+        key_col="doc_id",
+        val_pct=10,
+        test_pct=5,
+    ).select("doc_id", "source", "split")
+
+
+STRATIFIED_SPLIT_ORACLE = """
+WITH c AS (
+  SELECT source AS s, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+), t AS (
+  SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM c
+), a AS (
+  SELECT s, n_s, n_total,
+         (n_total * 10) // 100 AS v_val,
+         (n_total * 5) // 100 AS v_test
+  FROM c, t
+), r AS (
+  SELECT s, v_val, v_test,
+         (n_s * v_val) // n_total AS base_val,
+         n_s * v_val - ((n_s * v_val) // n_total) * n_total AS rem_val,
+         (n_s * v_test) // n_total AS base_test,
+         n_s * v_test - ((n_s * v_test) // n_total) * n_total AS rem_test
+  FROM a
+), al AS (
+  SELECT s,
+         base_val + CASE WHEN row_number() OVER (ORDER BY rem_val DESC, s)
+                          <= v_val - sum(base_val) OVER () THEN 1 ELSE 0 END AS alloc_val,
+         base_test + CASE WHEN row_number() OVER (ORDER BY rem_test DESC, s)
+                           <= v_test - sum(base_test) OVER () THEN 1 ELSE 0 END AS alloc_test
+  FROM r
+), d AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY
+           ('0x' || substr(md5('strat-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             / 4294967296.0,
+           doc_id) AS rn
+  FROM documents
+)
+SELECT d.doc_id, d.source,
+       CASE WHEN rn <= alloc_val THEN 'val'
+            WHEN rn <= alloc_val + alloc_test THEN 'test'
+            ELSE 'train' END AS split
+FROM d JOIN al ON d.source = al.s
+"""
+
+
+QUERIES.update(
+    {
+        "balanced_shard_packing": balanced_shard_packing,
+        "dedup_lsh_band_plan": dedup_lsh_band_plan,
+        "doc_stratified_split": doc_stratified_split,
+    }
+)
+ORACLE.update(
+    {
+        "balanced_shard_packing": BALANCED_SHARD_ORACLE,
+        "dedup_lsh_band_plan": BAND_PLAN_ORACLE,
+        "doc_stratified_split": STRATIFIED_SPLIT_ORACLE,
+    }
+)

@@ -1,0 +1,124 @@
+"""Closed-form tests for snake shard packing, Hamilton stratified
+allocation, and the LSH band-plan S-curve arithmetic."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_pipeline_elt_spark.operators.dedup import lsh_band_plan
+from nyc_taxi_data_pipeline_elt_spark.operators.indexing import snake_pack_shards
+from nyc_taxi_data_pipeline_elt_spark.operators.sampling import (
+    stratified_split_hamilton,
+)
+
+
+def test_snake_pack_known_assignment(spark):
+    # weights 8,7,6,5,4,3,2,1 over 2 shards: ranks 0..7, snake rounds
+    # (0,1),(1,0),(0,1),(1,0) -> shard0 gets 8,5,4,1=18; shard1 gets
+    # 7,6,3,2=18 — the classic boustrophedon perfect split.
+    rows = [(i, 8 - i) for i in range(8)]  # (key, weight)
+    df = spark.createDataFrame(rows, ["k", "w"])
+    out = snake_pack_shards(df, 2, "w", "k")
+    totals = {
+        r["shard_id"]: r["tot"]
+        for r in out.groupBy("shard_id").agg(F.sum("w").alias("tot")).collect()
+    }
+    assert totals == {0: 18, 1: 18}
+
+
+def test_snake_pack_balance_bound(spark):
+    # Arbitrary weights: snake totals must sit within max(weight) of the
+    # ideal equal share (greedy round-based bound), and every row is
+    # assigned exactly one shard.
+    rows = [(i, (i * 37) % 101 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    out = snake_pack_shards(df, 8, "w", "k").cache()
+    assert out.count() == 200
+    totals = [
+        r["tot"]
+        for r in out.groupBy("shard_id").agg(F.sum("w").alias("tot")).collect()
+    ]
+    assert len(totals) == 8
+    ideal = sum(r[1] for r in rows) / 8
+    maxw = max(r[1] for r in rows)
+    assert all(abs(t - ideal) <= maxw for t in totals)
+    out.unpersist()
+
+
+def test_hamilton_allocation_exact_budgets(spark):
+    # Skewed strata; realized val/test counts must hit the corpus-wide
+    # budgets exactly and each stratum must be within 1 of proportional.
+    rows = [(i, "s%d" % (0 if i < 70 else 1 if i < 90 else 2)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = stratified_split_hamilton(
+        df, strata_col="source", key_col="doc_id", val_pct=10, test_pct=5
+    ).cache()
+    n = {r["split"]: r["c"] for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert n.get("val", 0) == 10 and n.get("test", 0) == 5
+    per = {
+        (r["source"], r["split"]): r["c"]
+        for r in out.groupBy("source", "split").agg(F.count("*").alias("c")).collect()
+    }
+    sizes = {"s0": 70, "s1": 20, "s2": 10}
+    for s, ns in sizes.items():
+        got_val = per.get((s, "val"), 0)
+        assert abs(got_val - ns * 10 / 100) <= 1, (s, got_val)
+    # determinism: rerun assigns identically
+    again = stratified_split_hamilton(
+        df, strata_col="source", key_col="doc_id", val_pct=10, test_pct=5
+    )
+    assert out.exceptAll(again).count() == 0
+    out.unpersist()
+
+
+def test_band_plan_matches_closed_form(spark):
+    # Synthetic pair frame with known similarities; expected counts must
+    # equal the closed-form S-curve sums on the floored 1/100 grid.
+    sims = [0.05, 0.12, 0.33, 0.49, 0.5, 0.77, 1.0]
+    df = spark.createDataFrame(
+        [(i, i + 1000, s) for i, s in enumerate(sims)],
+        ["doc_a", "doc_b", "jaccard"],
+    )
+    out = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in lsh_band_plan(df, threshold=0.5).collect()
+    }
+    assert set(out) == {(8, 1), (4, 2), (2, 4), (1, 8)}
+    for (b, r), row in out.items():
+        t = f = 0.0
+        for s in sims:
+            g = math.floor(s * 100) / 100.0
+            p = 1 - (1 - g**r) ** b
+            if s >= 0.5:
+                t += p
+            else:
+                f += p
+        assert row["exp_true_x10k"] == math.floor(round(t * 10000, 6))
+        assert row["exp_false_x10k"] == math.floor(round(f * 10000, 6))
+        assert row["n_true_pairs"] == sum(1 for s in sims if s >= 0.5)
+        assert row["n_candidates"] == len(sims)
+
+
+def test_band_plan_scurve_tradeoff(spark):
+    # More rows per band -> sharper curve -> strictly fewer expected
+    # false candidates; fewer rows -> more expected true candidates.
+    sims = [i / 100 for i in range(1, 100, 2)]
+    df = spark.createDataFrame(
+        [(i, i + 10_000, s) for i, s in enumerate(sims)],
+        ["doc_a", "doc_b", "jaccard"],
+    )
+    rows = {r["rows_per_band"]: r for r in lsh_band_plan(df).collect()}
+    assert (
+        rows[1]["exp_false_x10k"]
+        > rows[2]["exp_false_x10k"]
+        > rows[4]["exp_false_x10k"]
+        > rows[8]["exp_false_x10k"]
+    )
+    assert (
+        rows[1]["exp_true_x10k"]
+        >= rows[2]["exp_true_x10k"]
+        >= rows[4]["exp_true_x10k"]
+        >= rows[8]["exp_true_x10k"]
+    )
