@@ -100,6 +100,8 @@ _PRIORITY_WINDOW = [
     "balanced_shard_packing",  # LPT/snake token-balanced shards
     "dedup_lsh_band_plan",  # DECIMAL-exact S-curve index planning
     "doc_stratified_split",  # Hamilton largest-remainder apportionment
+    "ab_test_event_value",  # Welch t from exact integer-cent moments
+    "events_anomaly_screen",  # leave-one-out rolling z-score flags
     # --- queries whose plan CHANGED this round (re-verification) -------
     "order_price_deciles",  # global window -> range-partition + offsets
     "similar_part_names",  # collision-aware PassJoin/quadratic dispatch
@@ -114,16 +116,15 @@ _PRIORITY_WINDOW = [
     # in-window or cross-round-verified representative)
     # reference surface (SURVEY §2.1-2.6, §7.2)
     "q1_monthly_revenue",
-    # joins (§2.7): as-of
-    "lineitem_asof_prior_order",
     # window functions (§2.8)
     "top3_lineitems_per_supplier",
     # structured streaming (§2.9): custom source (more streaming entries
     # are in the first-timer block above)
     "streaming_snapshot_source_counts",
-    # graph
-    "pagerank_dangling",
     # ETL: CDC + snapshot table format
+    # (lineitem_asof_prior_order and pagerank_dangling — both r1-r4
+    # driver-hash-verified — displaced by the two stats operators above;
+    # the graph class keeps nation_cheapest_route in-window)
     "cdc_orders_merge",
     # (snapshot_table_roundtrip / customer_order_distribution r4-verified,
     # displaced by image_luma_profile + video_motion_profile)

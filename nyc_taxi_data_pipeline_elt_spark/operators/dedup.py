@@ -788,10 +788,24 @@ def lsh_band_plan(
     DECIMAL arithmetic (integer-exponent powers as explicit product
     chains, scale <= 16), so the per-config sums are exact decimal
     sums with no FP summation order anywhere. Expected counts are
-    reported as ``floor(sum * 10000)`` — exact integers, one final
-    1-row aggregate over the pair frame, then a 4-row stack.
+    reported as ``floor(sum * 10000)`` — exact integers.
+
+    Plan shape: the PAIR-scale work is only ``floor(jaccard*100)`` + one
+    map-side-combined count into the <=202-row (similarity-bucket,
+    truth) histogram; the decimal squaring chains then run on the
+    histogram rows and expected counts are ``count x p`` products summed
+    over it. The expensive arithmetic is O(grid), not O(pairs), at any
+    corpus size.
     """
     s100 = F.floor(F.col(jaccard_col) * 100).cast("long")
+    is_true_row = F.col(jaccard_col) >= threshold
+    hist = (
+        pairs.select(
+            s100.alias("__s100"), is_true_row.alias("__is_true")
+        )
+        .groupBy("__s100", "__is_true")
+        .agg(F.count("*").alias("n"))
+    )
     sd = (
         F.col("__s100").cast("decimal(6,0)")
         * F.lit("0.01").cast("decimal(3,2)")
@@ -821,19 +835,22 @@ def lsh_band_plan(
     p_b2_r4 = one_minus(chain_sq(one_minus(chain_sq(sd, 2, 2), 8), 8, 1), 16)
     p_b1_r8 = chain_sq(sd, 2, 3)  # s^8
 
-    is_true = F.col(jaccard_col) >= threshold
-    zero = F.lit("0").cast("decimal(20,16)")
+    is_true = F.col("__is_true")
+    zero = F.lit("0").cast("decimal(38,16)")
 
     def split_sums(p, tag):
-        p16 = p.cast("decimal(20,16)")
+        # count x p: decimal(20,0) x decimal(17,16) -> exact (37,16)
+        np = (F.col("n").cast("decimal(20,0)") * p.cast("decimal(17,16)")).cast(
+            "decimal(38,16)"
+        )
         return [
-            F.sum(F.when(is_true, p16).otherwise(zero)).alias(f"t_{tag}"),
-            F.sum(F.when(~is_true, p16).otherwise(zero)).alias(f"f_{tag}"),
+            F.sum(F.when(is_true, np).otherwise(zero)).alias(f"t_{tag}"),
+            F.sum(F.when(~is_true, np).otherwise(zero)).alias(f"f_{tag}"),
         ]
 
-    agg = pairs.withColumn("__s100", s100).agg(
-        F.count("*").alias("n_candidates"),
-        F.sum(is_true.cast("long")).alias("n_true_pairs"),
+    agg = hist.agg(
+        F.sum("n").alias("n_candidates"),
+        F.sum(F.when(is_true, F.col("n")).otherwise(0)).alias("n_true_pairs"),
         *split_sums(p_b8_r1, "b8"),
         *split_sums(p_b4_r2, "b4"),
         *split_sums(p_b2_r4, "b2"),

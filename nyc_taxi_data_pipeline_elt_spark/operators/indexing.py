@@ -5,20 +5,90 @@ DataFrame spelling — ``row_number() OVER (ORDER BY key)`` with no
 partitioning — collapses the whole table into ONE task and is the
 canonical 100 TB fail. The scalable pattern is three cheap steps:
 
-1. range-partition by the sort key (one exchange, same as any sort);
-2. count rows per partition (tiny aggregate on spark_partition_id);
+1. range-partition by the sort key + sort within partitions (one
+   exchange plus a partition-local sort, same total work as any
+   distributed sort);
+2. count rows per partition (tiny aggregate);
 3. broadcast the per-partition cumulative offsets back and add them to
-   a per-partition ``row_number`` (which needs NO cross-partition data).
+   each row's position WITHIN its partition.
 
-Total cost: one range exchange + one O(partitions) side job — versus the
-single-task global window. ``monotonically_increasing_id`` is NOT a
-substitute: its values are layout-dependent and non-contiguous.
+Step 3's local position historically came from ``row_number() OVER
+(PARTITION BY spark_partition_id())`` — logically partition-local, but
+Catalyst cannot prove the data is already clustered by its own partition
+id, so it inserts a SECOND full-data hash exchange (visible as
+``Exchange hashpartitioning(_w0, ...)`` in the physical plan) just to
+satisfy the window's distribution requirement. The local position is
+instead read off ``monotonically_increasing_id()``, whose bit layout is
+a documented API contract (partition id in the upper 31 bits, a
+consecutive 0-based record counter in the lower 33): after
+``sortWithinPartitions`` the low 33 bits ARE the local rank, computed in
+a narrow JVM projection with no exchange at all. Total cost: ONE range
+exchange + a local sort + an O(partitions) side job.
+
+``monotonically_increasing_id`` remains unfit as a GLOBAL id (values are
+layout-dependent and non-contiguous across partitions) — it is only the
+per-partition counter here; layout independence is restored by the
+deterministic range partitioning + offset arithmetic, and is pinned by
+``tests/test_properties.py`` / the oracle parity suite.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# monotonically_increasing_id(): upper 31 bits = partition id, lower 33
+# bits = 0-based consecutive record number within the partition (API-
+# documented layout).
+_MID_RECORD_BITS = 33
+_MID_RECORD_MASK = (1 << _MID_RECORD_BITS) - 1
+
+
+def _ranged_with_local(
+    df: DataFrame, order_cols: list[str], partitions: int
+) -> tuple[DataFrame, DataFrame]:
+    """Range-partition ``df`` by ``order_cols``, sort within partitions,
+    and attach ``__pid`` / ``__local`` (0-based rank within partition) —
+    all from the ``monotonically_increasing_id`` bit layout, so the only
+    exchange in the whole construction is the range partitioning itself.
+
+    Returns ``(body, counts)``: the persisted body frame and its per-
+    ``__pid`` row counts (the O(partitions) metadata frame callers turn
+    into offsets; returning it lets them reuse the same counts for
+    n-row scalars without a second scan). Callers own ``body.unpersist()``.
+    """
+    cols = [F.col(c) for c in order_cols]
+    body = (
+        df.repartitionByRange(partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.expr(f"shiftright(__mid, {_MID_RECORD_BITS})"))
+        .withColumn("__local", F.expr(f"__mid & {_MID_RECORD_MASK}"))
+        .drop("__mid")
+        .persist()
+    )
+    counts = body.groupBy("__pid").agg(F.count("*").alias("count"))
+    return body, counts
+
+
+def offsets_from_counts(
+    counts: DataFrame, value_col: str = "count", offset_name: str = "offset"
+) -> DataFrame:
+    """Exclusive prefix sums of the per-partition ``value_col`` — the
+    broadcastable O(partitions) offset frame. pmod(__pid, 1) is 0 for
+    every row but NOT foldable (a lit(0) partition key gets constant-
+    folded away, restoring the empty partition spec): keeps the intended
+    O(partitions)-row single partition while silencing the WindowExec
+    no-partition warning."""
+    w = (
+        Window.partitionBy(F.pmod(F.col("__pid"), F.lit(1)))
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return counts.select(
+        F.col("__pid").alias("__opid"),
+        F.coalesce(F.sum(value_col).over(w), F.lit(0)).alias(offset_name),
+    )
 
 
 def pack_sequences(
@@ -36,48 +106,70 @@ def pack_sequences(
     (cumulative-binning contract: offsets are exact, a document whose
     span crosses a boundary continues into the next sequence).
 
-    Distributed exactly like :func:`with_global_index`: the global
-    running token total is a per-partition cumulative sum plus a
-    broadcast per-partition offset — one range exchange and an
-    O(partitions) side job, never a single-task global window.
+    Distributed like :func:`with_global_index` — one range exchange, a
+    partition-local sort, an O(partitions) broadcast side job. Unlike
+    the rank (which falls out of the mid bit layout), the per-partition
+    EXCLUSIVE PREFIX SUM of weights is a running aggregate, and the
+    window spelling (``sum OVER (PARTITION BY partition-id)``) pays the
+    second full-data exchange the module docstring describes. The local
+    cumulative sum is instead one narrow Arrow ``mapInPandas`` stage —
+    a per-partition running total carried across record batches; no
+    shuffle, integer weights stay exact in int64, double weights
+    accumulate left-to-right exactly like the running-sum window would.
     """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     spark = df.sparkSession
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 8)
-    ranged = df.repartitionByRange(partitions, F.col(order_col)).persist()
+    cols = [F.col(order_col)]
+    body = (
+        df.repartitionByRange(partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn(
+            "__pid",
+            F.expr(
+                f"shiftright(monotonically_increasing_id(), {_MID_RECORD_BITS})"
+            ),
+        )
+    )
+    integral = df.schema[weight_col].dataType.simpleString() in (
+        "tinyint",
+        "smallint",
+        "int",
+        "bigint",
+    )
+    out_field = StructField(
+        "__local_before", LongType() if integral else DoubleType(), False
+    )
+    schema = StructType(body.schema.fields + [out_field])
+    wname = weight_col
 
-    pid = F.spark_partition_id()
-    sums = ranged.groupBy(pid.alias("pid")).agg(
-        F.sum(weight_col).alias("toks")
-    )
-    # pmod(pid, 1) is 0 for every row but NOT foldable (a lit(0)
-    # partition key gets constant-folded away, restoring the empty
-    # partition spec): keeps the intended O(partitions)-row single
-    # partition while silencing the WindowExec no-partition warning
-    w = (
-        Window.partitionBy(F.pmod(F.col("pid"), F.lit(1)))
-        .orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = sums.select(
-        "pid", F.coalesce(F.sum("toks").over(w), F.lit(0)).alias("part_offset")
-    )
-    local_before = F.coalesce(
-        F.sum(weight_col).over(
-            Window.partitionBy(pid)
-            .orderBy(order_col)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        ),
-        F.lit(0),
-    )
+    def _running(batches):
+        run = 0
+        for pdf in batches:
+            w = pdf[wname].to_numpy()
+            cs = w.cumsum()
+            pdf = pdf.copy()
+            pdf["__local_before"] = cs - w + run
+            run = run + (int(cs[-1]) if integral else float(cs[-1])) if len(w) else run
+            yield pdf
+
+    body = body.mapInPandas(_running, schema=schema).persist()
+
+    sums = body.groupBy("__pid").agg(F.sum(weight_col).alias("toks"))
+    offsets = offsets_from_counts(sums, "toks", "part_offset")
     cum = F.col("part_offset") + F.col("__local_before")
     return (
-        ranged.withColumn("__pid", pid)
-        .withColumn("__local_before", local_before)
-        .join(F.broadcast(offsets), F.col("__pid") == F.col("pid"))
+        body.join(F.broadcast(offsets), F.col("__pid") == F.col("__opid"))
         .withColumn("seq_id", F.floor(cum / F.lit(capacity)).cast("long"))
         .withColumn("seq_offset", (cum % F.lit(capacity)).cast("long"))
-        .drop("__pid", "__local_before", "pid", "part_offset")
+        .drop("__pid", "__local_before", "__opid", "part_offset")
     )
 
 
@@ -91,42 +183,20 @@ def with_global_index(
     ``order_col`` order (``order_col`` — a column name or a list of
     names ordered lexicographically — must be unique as a whole; it is
     the total order that makes the index reproducible across
-    layouts/reruns)."""
+    layouts/reruns). One range exchange, zero other data shuffles: the
+    local rank is the mid-derived ``__local`` (module docstring), and
+    the partition offsets arrive by broadcast."""
     spark = df.sparkSession
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 8)
-    ranged = df.repartitionByRange(
-        partitions, *[F.col(c) for c in order_cols]
-    ).persist()
-
-    pid = F.spark_partition_id()
-    # per-partition counts -> cumulative start offset of each partition
-    counts = ranged.groupBy(pid.alias("pid")).count()
-    # pmod(pid, 1) is 0 for every row but NOT foldable (a lit(0)
-    # partition key gets constant-folded away, restoring the empty
-    # partition spec): keeps the intended O(partitions)-row single
-    # partition while silencing the WindowExec no-partition warning
-    w = (
-        Window.partitionBy(F.pmod(F.col("pid"), F.lit(1)))
-        .orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    body, counts = _ranged_with_local(df, order_cols, partitions)
+    offsets = offsets_from_counts(counts)
+    return (
+        body.join(F.broadcast(offsets), F.col("__pid") == F.col("__opid"))
+        .withColumn(index_name, F.col("offset") + F.col("__local"))
+        .drop("__pid", "__local", "__opid", "offset")
     )
-    offsets = counts.select(
-        "pid", F.coalesce(F.sum("count").over(w), F.lit(0)).alias("offset")
-    )
-
-    local_rank: Column = F.row_number().over(
-        Window.partitionBy(pid).orderBy(*order_cols)
-    )
-    out = (
-        ranged.withColumn("__pid", pid)
-        .withColumn("__local", local_rank)
-        .join(F.broadcast(offsets), F.col("__pid") == F.col("pid"))
-        .withColumn(index_name, F.col("offset") + F.col("__local") - 1)
-        .drop("__pid", "__local", "pid", "offset")
-    )
-    return out
 
 
 def snake_pack_shards(

@@ -192,8 +192,13 @@ def stratified_split_hamilton(
     """
     from pyspark.sql import Window
 
-    counts = df.groupBy(F.col(strata_col).alias("s")).agg(
-        F.count("*").alias("n_s")
+    # O(#strata) rows, but its lineage is a full-corpus aggregate — and
+    # FOUR consumers reference it (val/test allocation branches x
+    # counts/total). Persisting pins the corpus scan to once.
+    counts = (
+        df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count("*").alias("n_s"))
+        .persist()
     )
     tot = counts.agg(F.sum("n_s").alias("n_total"))
     c = counts.crossJoin(F.broadcast(tot))

@@ -675,37 +675,30 @@ def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape) — no collect, no global window; the only
     SinglePartition exchange is the O(partitions) offset side job, and
     n itself is summed from the SAME per-partition counts frame the
-    offsets come from, so the data is scanned exactly once (inlining
-    indexing.py:with_global_index rather than calling it buys exactly
-    that shared-counts reuse)."""
+    offsets come from, so the data is scanned exactly once. The local
+    rank comes from the monotonically_increasing_id bit layout
+    (operators/indexing.py module docstring) — a narrow projection, so
+    the range exchange is the plan's ONLY full-data shuffle."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.indexing import (
+        _ranged_with_local,
+        offsets_from_counts,
+    )
+
     tune(spark)
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select("o_orderkey", "o_totalprice")
 
     parts = max(spark.sparkContext.defaultParallelism, 8)
-    ranged = base.repartitionByRange(
-        parts, F.col("o_totalprice"), F.col("o_orderkey")
-    ).persist()
-    pid = F.spark_partition_id()
-    counts = ranged.groupBy(pid.alias("pid")).count().persist()
-    w_off = (
-        Window.partitionBy(F.pmod(F.col("pid"), F.lit(1)))
-        .orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    body, counts = _ranged_with_local(
+        base, ["o_totalprice", "o_orderkey"], parts
     )
-    offsets = counts.select(
-        "pid", F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("offset")
-    )
+    counts = counts.persist()
+    offsets = offsets_from_counts(counts)
     n_df = counts.agg(F.sum("count").alias("__n"))  # O(partitions) rows
-    local_rank = F.row_number().over(
-        Window.partitionBy(pid).orderBy("o_totalprice", "o_orderkey")
-    )
     idx = (
-        ranged.withColumn("__pid", pid)
-        .withColumn("__local", local_rank)
-        .join(F.broadcast(offsets), F.col("__pid") == F.col("pid"))
-        .withColumn("__idx", F.col("offset") + F.col("__local") - 1)
-        .drop("__pid", "__local", "pid", "offset")
+        body.join(F.broadcast(offsets), F.col("__pid") == F.col("__opid"))
+        .withColumn("__idx", F.col("offset") + F.col("__local"))
+        .drop("__pid", "__local", "__opid", "offset")
     )
     rank = F.col("__idx") + 1  # row_number, 1-based, unique total order
     k = 10
@@ -2144,3 +2137,176 @@ ORACLE = {
     "nation_wealth_coverage": NATION_WEALTH_ORACLE,
     "customer_year_overlap": CUSTOMER_OVERLAP_ORACLE,
 }
+
+
+# --- experiment readout + time-series anomaly screen (r5) --------------------
+# Both compute inferential statistics from EXACT integer-cent sums, with
+# the scalar double formulas held in shared SQL strings used verbatim by
+# the Spark plan and the DuckDB oracle — identical expression trees over
+# identical inputs, so +,-,*,/,sqrt (all IEEE correctly rounded) produce
+# bit-identical doubles and the outputs are emitted RAW, unrounded (the
+# embedding_random_projection convention).
+
+_CENTS = "CAST(round(value * 100) AS BIGINT)"
+
+# Welch's t on dollars, from integer cent sums (s=sum, q=sum of squares,
+# n=count per arm). Fixture sums sit far below 2^53 so the BIGINT->DOUBLE
+# casts are exact; at extreme scale the q sums would move to DECIMAL.
+_AB_MEAN = "CAST({s} AS DOUBLE) / {n} / 100.0"
+_AB_VAR = (
+    "(CAST({q} AS DOUBLE) - CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE) / {n})"
+    " / ({n} - 1) / 10000.0"
+)
+_AB_SE2 = f"(({_AB_VAR.format(s='s_a', q='q_a', n='n_a')}) / n_a + ({_AB_VAR.format(s='s_b', q='q_b', n='n_b')}) / n_b)"
+_AB_EXPRS = [
+    "n_a",
+    "n_b",
+    f"{_AB_MEAN.format(s='s_a', n='n_a')} AS mean_a",
+    f"{_AB_MEAN.format(s='s_b', n='n_b')} AS mean_b",
+    f"{_AB_VAR.format(s='s_a', q='q_a', n='n_a')} AS var_a",
+    f"{_AB_VAR.format(s='s_b', q='q_b', n='n_b')} AS var_b",
+    f"(({_AB_MEAN.format(s='s_a', n='n_a')}) - ({_AB_MEAN.format(s='s_b', n='n_b')}))"
+    f" / sqrt({_AB_SE2}) AS t_stat",
+    f"({_AB_SE2}) * ({_AB_SE2}) / "
+    f"((({_AB_VAR.format(s='s_a', q='q_a', n='n_a')}) / n_a) * (({_AB_VAR.format(s='s_a', q='q_a', n='n_a')}) / n_a) / (n_a - 1)"
+    f" + (({_AB_VAR.format(s='s_b', q='q_b', n='n_b')}) / n_b) * (({_AB_VAR.format(s='s_b', q='q_b', n='n_b')}) / n_b) / (n_b - 1))"
+    " AS welch_df",
+]
+
+
+def ab_test_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: Welch's unequal-variance t-test on purchase
+    value between two deterministic user arms (user_id parity stands in
+    for the assignment column a real experiment logs). The heavy part is
+    ONE map-side-combined aggregate over the event scan — six
+    conditional integer sums — and the t/df formulas run on the 1-row
+    result; nothing about the plan changes at any event volume. The
+    moments are exact integers (values are cents), so the statistics are
+    engine-bit-identical."""
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    arm = F.expr("CAST(user_id % 2 AS INT)")
+    c = F.expr(_CENTS)
+    agg = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(arm.alias("v"), c.alias("c"))
+        .agg(
+            F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).alias("n_b"),
+            F.sum(F.when(F.col("v") == 0, F.col("c")).otherwise(0)).alias("s_a"),
+            F.sum(F.when(F.col("v") == 1, F.col("c")).otherwise(0)).alias("s_b"),
+            F.sum(
+                F.when(F.col("v") == 0, F.col("c") * F.col("c")).otherwise(0)
+            ).alias("q_a"),
+            F.sum(
+                F.when(F.col("v") == 1, F.col("c") * F.col("c")).otherwise(0)
+            ).alias("q_b"),
+        )
+    )
+    return agg.selectExpr(*_AB_EXPRS)
+
+
+AB_TEST_ORACLE = f"""
+WITH p AS (
+  SELECT CAST(user_id % 2 AS INT) AS v, {_CENTS} AS c
+  FROM events WHERE event_type = 'purchase'
+), agg AS (
+  SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN v = 0 THEN c ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(sum(CASE WHEN v = 1 THEN c ELSE 0 END) AS BIGINT) AS s_b,
+         CAST(sum(CASE WHEN v = 0 THEN c * c ELSE 0 END) AS BIGINT) AS q_a,
+         CAST(sum(CASE WHEN v = 1 THEN c * c ELSE 0 END) AS BIGINT) AS q_b
+  FROM p
+)
+SELECT {", ".join(_AB_EXPRS)} FROM agg
+"""
+
+# Leave-one-out rolling z-score: baseline = the 7 preceding days
+# (current day excluded, so a spike cannot mask itself).
+_ZN = "CAST(rs AS DOUBLE) / rn"
+_ZVAR = (
+    "(CAST(rq AS DOUBLE) - CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE) / rn)"
+    " / (rn - 1)"
+)
+_Z_EXPR = (
+    f"CASE WHEN rn >= 3 AND ({_ZVAR}) > 0 THEN "
+    f"(CAST(c AS DOUBLE) - ({_ZN})) / sqrt({_ZVAR}) END"
+)
+
+
+def events_anomaly_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly screen over per-type daily revenue: each
+    day is scored against its own trailing 7-day window (leave-one-out,
+    >= 3 prior days required) and flagged above 2 sigma — the
+    pipeline-observability pass that catches a feed going quiet or a
+    double-ingest doubling a day. Daily totals are exact integer cents;
+    the rolling sums are window aggregates partitioned per series, so
+    every series scores in parallel and the frame never leaves its
+    partition. z is emitted raw from bit-identical double arithmetic."""
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.expr(_CENTS).alias("c0"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c0").alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    scored = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.count("c").over(w).alias("rn"),
+        F.sum("c").over(w).alias("rs"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("rq"),
+    )
+    return scored.selectExpr(
+        "event_type",
+        "day",
+        "c AS total_cents",
+        f"{_Z_EXPR} AS z",
+        f"coalesce(({_Z_EXPR}) > 2.0, false) AS is_spike",
+    )
+
+
+ANOMALY_SCREEN_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(sum({_CENTS}) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, day, c,
+         CAST(count(c) OVER w AS BIGINT) AS rn,
+         CAST(sum(c) OVER w AS BIGINT) AS rs,
+         CAST(sum(c * c) OVER w AS BIGINT) AS rq
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, c AS total_cents,
+       {_Z_EXPR} AS z,
+       coalesce(({_Z_EXPR}) > 2.0, false) AS is_spike
+FROM scored
+"""
+
+
+QUERIES.update(
+    {
+        "ab_test_event_value": ab_test_event_value,
+        "events_anomaly_screen": events_anomaly_screen,
+    }
+)
+ORACLE.update(
+    {
+        "ab_test_event_value": AB_TEST_ORACLE,
+        "events_anomaly_screen": ANOMALY_SCREEN_ORACLE,
+    }
+)

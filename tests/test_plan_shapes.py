@@ -389,3 +389,44 @@ def test_join_cardinality_sketches_are_topk(spark):
     distinct-key frame."""
     plan = _plan(analytics.join_cardinality_estimate(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_snake_pack_no_global_data_window(spark):
+    """The global weight rank must come from the range-partition + mid
+    bit-layout + broadcast-offset pattern: a range exchange, NO window
+    at all over the data (the partition-id window spelling costs a
+    hidden second full-data exchange), and no single-partition window."""
+    plan = _plan(trainingdata.balanced_shard_packing(spark, SF_DIR))
+    assert "Exchange rangepartitioning" in plan
+    assert "row_number()" not in plan
+    assert "monotonically_increasing_id" in plan
+
+
+def test_ab_test_single_aggregate_no_shuffle_of_rows(spark):
+    """Welch readout = one partial+final aggregate pair over the scan;
+    no join, no window, no sort anywhere in the plan."""
+    plan = _plan(analytics.ab_test_event_value(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Sort" not in plan
+    # map-side combine: partial_sum must appear before the final agg
+    assert "partial_sum" in plan
+
+
+def test_anomaly_screen_window_is_per_series(spark):
+    """The rolling window must partition by event_type — a no-partition
+    WindowExec over the daily frame would serialize all series."""
+    plan = _plan(analytics.events_anomaly_screen(spark, SF_DIR))
+    assert "Exchange hashpartitioning(event_type" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_stratified_split_broadcasts_allocation(spark):
+    """The O(#strata) allocation frame must broadcast onto the doc scan
+    (no shuffle join of data against metadata), and the corpus-count
+    lineage feeding all four allocation consumers must be cached — one
+    InMemoryRelation, not four corpus aggregates."""
+    plan = _plan(trainingdata.doc_stratified_split(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" not in plan
