@@ -102,6 +102,8 @@ _PRIORITY_WINDOW = [
     "doc_stratified_split",  # Hamilton largest-remainder apportionment
     "ab_test_event_value",  # Welch t from exact integer-cent moments
     "events_anomaly_screen",  # leave-one-out rolling z-score flags
+    "orders_grouping_sets",  # explicit GROUPING SETS + grouping() flags
+    "quality_drift_psi",  # fixed-bin PSI drift between corpus slices
     # --- queries whose plan CHANGED this round (re-verification) -------
     "order_price_deciles",  # global window -> range-partition + offsets
     "similar_part_names",  # collision-aware PassJoin/quadratic dispatch
@@ -116,16 +118,15 @@ _PRIORITY_WINDOW = [
     # in-window or cross-round-verified representative)
     # reference surface (SURVEY §2.1-2.6, §7.2)
     "q1_monthly_revenue",
-    # window functions (§2.8)
-    "top3_lineitems_per_supplier",
     # structured streaming (§2.9): custom source (more streaming entries
     # are in the first-timer block above)
+    # (lineitem_asof_prior_order, pagerank_dangling,
+    # top3_lineitems_per_supplier, cdc_orders_merge — all r1-r4
+    # driver-hash-verified — displaced by the four stats/SQL-surface
+    # operators above; window-fn and graph classes keep
+    # funnel_conversion/cohort_retention and nation_cheapest_route
+    # in-window)
     "streaming_snapshot_source_counts",
-    # ETL: CDC + snapshot table format
-    # (lineitem_asof_prior_order and pagerank_dangling — both r1-r4
-    # driver-hash-verified — displaced by the two stats operators above;
-    # the graph class keeps nation_cheapest_route in-window)
-    "cdc_orders_merge",
     # (snapshot_table_roundtrip / customer_order_distribution r4-verified,
     # displaced by image_luma_profile + video_motion_profile)
     # dedup / ANN production paths (semdedup_prune / embedding_kmeans

@@ -2310,3 +2310,159 @@ ORACLE.update(
         "events_anomaly_screen": ANOMALY_SCREEN_ORACLE,
     }
 )
+
+
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping() indicators — the §2.4 surface
+    rollup/cube cannot express: an explicit, non-hierarchical set of
+    aggregation levels ((priority), (status), ()) in ONE pass (Spark
+    plans an Expand + single hash aggregate — the data is scanned once
+    regardless of how many sets are requested). Revenue summed in exact
+    integer cents; grouping() flags disambiguate aggregate NULLs from
+    (absent here) data NULLs. Identical statement runs on both engines."""
+    tune(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(_GROUPING_SETS_SQL.format(table="orders_gs"))
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM {table}
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+GROUPING_SETS_ORACLE = _GROUPING_SETS_SQL.format(table="orders")
+
+
+def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor between two corpus
+    slices (even- vs odd-numbered sources standing in for
+    yesterday's/today's crawl): quality scores binned on the fixed
+    [0,1] decile grid, per-bin shares smoothed (+0.5/bin) so empty bins
+    stay finite, contribution = (p_cur - p_ref) * ln(p_cur/p_ref).
+
+    Exactness: bins come from floor() on the 6dp-rounded score
+    (identical doubles both engines), shares from exact integer counts;
+    each bin's contribution is snapped to the 1e-6 grid as an INTEGER
+    (micro-PSI), so the cross-bin total is an order-independent integer
+    sum — the ln convention of the LM-scoring family. Plan: one
+    map-side-combined (bin x slice) count aggregate over the scan, then
+    all arithmetic on the 10-row grid; the running total rides on the
+    pmod metadata window."""
+    tune(spark)
+    from nyc_taxi_data_pipeline_elt_spark.plans.trainingdata import text_stats
+
+    stats = text_stats(spark, sf_dir).select("doc_id", "quality")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = docs.join(stats, "doc_id")
+    bin_ = F.expr("least(CAST(floor(quality * 10) AS INT), 9)")
+    is_cur = F.expr("CAST(substring(source, 4) AS INT) % 2 = 1")
+    hist = (
+        scored.select(bin_.alias("bin"), is_cur.alias("cur"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(~F.col("cur"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("cur"), 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    # densify to all 10 bins so smoothing sees empty ones
+    grid = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    full = (
+        grid.join(hist, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = full.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    contrib = (
+        "CAST(round(((n_cur + 0.5) / (t_cur + 5.0) - (n_ref + 0.5) / (t_ref + 5.0))"
+        " * ln(((n_cur + 0.5) / (t_cur + 5.0)) / ((n_ref + 0.5) / (t_ref + 5.0)))"
+        " * 1000000) AS BIGINT)"
+    )
+    binned = full.crossJoin(F.broadcast(tot)).selectExpr(
+        "bin", "n_ref", "n_cur", f"{contrib} AS psi_x1e6"
+    )
+    w = (
+        Window.partitionBy(F.pmod(F.col("bin"), F.lit(1)))
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return binned.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        "psi_x1e6",
+        F.sum("psi_x1e6").over(w).alias("psi_total_x1e6"),
+    )
+
+
+PSI_ORACLE = """
+WITH q AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         greatest(len(toks), 1) AS n_tok,
+         len(list_filter(toks, t -> t IN ({sw}))) AS sw_hits,
+         length(trim(text)) * 1.0 / greatest(len(toks), 1) AS mean_wlen,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+           / greatest(length(text), 1) AS sym_ratio
+  FROM q
+), sc AS (
+  SELECT doc_id,
+         round(least(sw_hits * 3.0 / n_tok, 1.0) * 0.4
+               + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.3 END) * 0.3
+               + (1.0 - least(sym_ratio * 5.0, 1.0)) * 0.3, 6) AS quality
+  FROM m
+), j AS (
+  SELECT least(CAST(floor(sc.quality * 10) AS INT), 9) AS bin,
+         CAST(substr(d.source, 4) AS INT) % 2 = 1 AS cur
+  FROM sc JOIN documents d USING (doc_id)
+), hist AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM j GROUP BY bin
+), filled AS (
+  SELECT g.bin, coalesce(h.n_ref, 0) AS n_ref, coalesce(h.n_cur, 0) AS n_cur
+  FROM (SELECT CAST(unnest(range(10)) AS INT) AS bin) g
+  LEFT JOIN hist h USING (bin)
+), tot AS (
+  SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+         CAST(sum(n_cur) AS BIGINT) AS t_cur
+  FROM filled
+), binned AS (
+  SELECT bin, n_ref, n_cur,
+         CAST(round(((n_cur + 0.5) / (t_cur + 5.0) - (n_ref + 0.5) / (t_ref + 5.0))
+           * ln(((n_cur + 0.5) / (t_cur + 5.0)) / ((n_ref + 0.5) / (t_ref + 5.0)))
+           * 1000000) AS BIGINT) AS psi_x1e6
+  FROM filled, tot
+)
+SELECT bin, n_ref, n_cur, psi_x1e6,
+       CAST(sum(psi_x1e6) OVER () AS BIGINT) AS psi_total_x1e6
+FROM binned
+""".format(sw=", ".join(f"'{w}'" for w in __import__("nyc_taxi_data_pipeline_elt_spark.operators.text", fromlist=["LANG_STOPWORDS"]).LANG_STOPWORDS["en"]))
+
+
+QUERIES.update(
+    {
+        "orders_grouping_sets": orders_grouping_sets,
+        "quality_drift_psi": quality_drift_psi,
+    }
+)
+ORACLE.update(
+    {
+        "orders_grouping_sets": GROUPING_SETS_ORACLE,
+        "quality_drift_psi": PSI_ORACLE,
+    }
+)
