@@ -189,6 +189,14 @@ def stratified_split_hamilton(
     over that metadata frame (pmod partition key, see
     ``operators/indexing.py``), the allocation broadcast back, and ONE
     per-stratum rank window over the data — no global sort.
+
+    Caveat: val and test are apportioned independently, so a stratum
+    smaller than its combined allocation (possible only when
+    ``n_s < 2`` at the default rates, since each allocation is within
+    one of proportional) assigns its rows to val first and leaves the
+    test budget short by the difference — the deterministic analogue of
+    an unsatisfiable quota, surfaced by count checks downstream rather
+    than silently rebalanced across strata.
     """
     from pyspark.sql import Window
 
