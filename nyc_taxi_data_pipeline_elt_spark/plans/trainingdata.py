@@ -840,7 +840,6 @@ LIMIT 200
 
 
 # --- Python UDTF (table function) ------------------------------------------------
-@F.udtf(returnType="bigram: string, n: int")
 class BigramCounts:
     """Python UDTF (PySpark 4 table-function surface): per-document
     bigram histogram, one input row -> many output rows via LATERAL.
@@ -943,7 +942,13 @@ FROM events GROUP BY event_type
 
 def bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    spark.udtf.register("bigram_counts", BigramCounts)
+    # wrap at CALL time, after tune(): the @udtf decorator snapshots the
+    # Arrow-execution choice when it runs, and at module import there is
+    # no session yet — decorating here picks up pythonUDTF.arrow.enabled
+    # so the plan gets ArrowEvalPythonUDTF (pinned in test_plan_shapes)
+    spark.udtf.register(
+        "bigram_counts", F.udtf(BigramCounts, returnType="bigram: string, n: int")
+    )
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
     return spark.sql(
         "SELECT doc_id, b.bigram, b.n "

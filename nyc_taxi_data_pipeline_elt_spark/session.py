@@ -34,6 +34,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.sources.partitionColumnTypeInference.enabled": "true",
     # Arrow for any toPandas()/pandas_udf boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deliberately NOT set: spark.sql.execution.pythonUDTF.arrow.enabled.
+    # Measured on this build (sf0.1, warm): the polymorphic analyze()
+    # UDTF runs ~5x SLOWER under ArrowEvalPythonUDTF (~9.8s vs ~1.9s)
+    # and the simple generator UDTF is a wash — UDTF eval is row-wise by
+    # API contract either way, so Arrow only changes the transfer
+    # encoding and its per-batch conversion overhead dominates at these
+    # output shapes. Unlike pandas_udf, there is no vectorized eval to
+    # unlock.
     # Python Data Source filter pushdown (sources/snapshot_datasource.py
     # implements pushFilters; reading through it requires the flag).
     "spark.sql.python.filterPushdown.enabled": "true",

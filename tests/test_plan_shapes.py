@@ -430,3 +430,14 @@ def test_stratified_split_broadcasts_allocation(spark):
     assert "BroadcastHashJoin" in plan
     assert "InMemoryTableScan" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_udtfs_row_path_is_deliberate(spark):
+    """UDTFs intentionally run the row path: Arrow UDTF transfer was
+    MEASURED ~5x slower for the polymorphic analyze() UDTF on this build
+    (session.py RUNTIME_CONFS comment) — eval is row-wise by API
+    contract either way. This pin documents the decision; flipping the
+    conf should be a measured choice, not an accident."""
+    for fn in (trainingdata.props_extract_udtf, trainingdata.bigrams_udtf):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "BatchEvalPythonUDTF" in plan
