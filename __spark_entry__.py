@@ -104,6 +104,7 @@ _PRIORITY_WINDOW = [
     "events_anomaly_screen",  # leave-one-out rolling z-score flags
     "orders_grouping_sets",  # explicit GROUPING SETS + grouping() flags
     "quality_drift_psi",  # fixed-bin PSI drift between corpus slices
+    "customer_entity_leaders",  # ER: blocking + editdist dispatch + star
     # --- queries whose plan CHANGED this round (re-verification) -------
     "order_price_deciles",  # global window -> range-partition + offsets
     "similar_part_names",  # collision-aware PassJoin/quadratic dispatch
@@ -116,17 +117,15 @@ _PRIORITY_WINDOW = [
     # min_cost_supplier_per_part, dedup_minhash_lsh as displaced
     # r1-r4 driver-hash-verified entries; every class keeps at least one
     # in-window or cross-round-verified representative)
-    # reference surface (SURVEY §2.1-2.6, §7.2)
+    # reference surface (SURVEY §2.1-2.6, §7.2); the one remaining
+    # representative slot — every other slot is a first-time or
+    # changed-plan verification. Displaced, all r1-r4
+    # driver-hash-verified: lineitem_asof_prior_order, pagerank_dangling,
+    # top3_lineitems_per_supplier, cdc_orders_merge,
+    # streaming_snapshot_source_counts (streaming keeps five first-timer
+    # entries in-window; window-fn/graph classes keep
+    # funnel_conversion/cohort_retention and nation_cheapest_route).
     "q1_monthly_revenue",
-    # structured streaming (§2.9): custom source (more streaming entries
-    # are in the first-timer block above)
-    # (lineitem_asof_prior_order, pagerank_dangling,
-    # top3_lineitems_per_supplier, cdc_orders_merge — all r1-r4
-    # driver-hash-verified — displaced by the four stats/SQL-surface
-    # operators above; window-fn and graph classes keep
-    # funnel_conversion/cohort_retention and nation_cheapest_route
-    # in-window)
-    "streaming_snapshot_source_counts",
     # (snapshot_table_roundtrip / customer_order_distribution r4-verified,
     # displaced by image_luma_profile + video_motion_profile)
     # dedup / ANN production paths (semdedup_prune / embedding_kmeans

@@ -2466,3 +2466,81 @@ ORACLE.update(
         "quality_drift_psi": PSI_ORACLE,
     }
 )
+
+
+def customer_entity_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: blocking -> bounded-edit-distance
+    matching -> deterministic leader clustering — the MDM/record-linkage
+    workload over the customer table.
+
+    Blocking on (nation, market segment) bounds the pair scan to
+    block-quadratic (the corpus-linear guarantee every ER pipeline
+    needs), and the pair build routes through the SAME collision-aware
+    dispatcher as `similar_part_names`
+    (operators/editdist.py:levenshtein_join_auto): PassJoin where
+    segments prune, salted early-exit-levenshtein quadratic where the
+    vocabulary is too dense for them — per block, by measured collision
+    rate. Each record then joins the greedy-star leader rule: entity =
+    min customer key in its closed match neighborhood. One-hop leader
+    assignment is the deterministic canopy/star clustering of ER
+    literature — transitive closure, when wanted, is
+    `operators/dedup.py:connected_components` over the same pair frame.
+    Plan: block-keyed shuffles only (pair build, neighbor min) and a
+    final left join; no all-pairs, no iteration."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.editdist import (
+        levenshtein_join_auto,
+    )
+
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    blocked = cust.select(
+        "c_custkey",
+        "c_name",
+        F.concat_ws("|", "c_nationkey", "c_mktsegment").alias("blk"),
+    )
+    pairs = levenshtein_join_auto(
+        blocked, key_col="c_custkey", name_col="c_name", block_col="blk", tau=1
+    ).select(F.col("key_a").alias("k_a"), F.col("key_b").alias("k_b"))
+    sym = pairs.select(
+        F.col("k_a").alias("k"), F.col("k_b").alias("other")
+    ).union(pairs.select(F.col("k_b").alias("k"), F.col("k_a").alias("other")))
+    nbr_min = sym.groupBy("k").agg(F.min("other").alias("min_nbr"))
+    return (
+        cust.join(nbr_min, cust.c_custkey == nbr_min.k, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.least(
+                F.col("c_custkey"), F.coalesce("min_nbr", F.col("c_custkey"))
+            ).alias("entity_rep"),
+        )
+    )
+
+
+ENTITY_LEADERS_ORACLE = """
+WITH pairs AS (
+  SELECT a.c_custkey AS k_a, b.c_custkey AS k_b
+  FROM customer a
+  JOIN customer b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+  WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+    AND levenshtein(a.c_name, b.c_name) <= 1
+), sym AS (
+  SELECT k_a AS k, k_b AS other FROM pairs
+  UNION ALL
+  SELECT k_b AS k, k_a AS other FROM pairs
+), nbr AS (
+  SELECT k, min(other) AS min_nbr FROM sym GROUP BY k
+)
+SELECT c.c_custkey, c.c_name,
+       least(c.c_custkey, coalesce(n.min_nbr, c.c_custkey)) AS entity_rep
+FROM customer c LEFT JOIN nbr n ON c.c_custkey = n.k
+"""
+
+
+QUERIES.update({"customer_entity_leaders": customer_entity_leaders})
+ORACLE.update({"customer_entity_leaders": ENTITY_LEADERS_ORACLE})

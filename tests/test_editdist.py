@@ -224,3 +224,21 @@ def test_auto_dispatch_empty_input(spark):
     empty = spark.createDataFrame([], "blk string, k int, n string")
     assert dispatch_stats(empty, "n", "blk").count() == 0
     assert levenshtein_join_auto(empty, "k", "n", "blk").count() == 0
+
+
+def test_entity_leaders_star_rule(spark):
+    """Greedy-star leader clustering over the dispatcher's pair frame:
+    names within distance 1 inside a block share the min key; distinct
+    names and cross-block twins stay singletons."""
+    from nyc_taxi_data_pipeline_elt_spark.plans.analytics import (
+        customer_entity_leaders,
+    )
+
+    out = {
+        r["c_custkey"]: r["entity_rep"]
+        for r in customer_entity_leaders(spark, "/root/testdata/sf0.001").collect()
+    }
+    # every leader is <= its member and is itself a known key
+    assert all(rep <= k and rep in out for k, rep in out.items())
+    # at least one non-trivial cluster exists on the fixture
+    assert any(rep != k for k, rep in out.items())
