@@ -2544,3 +2544,161 @@ FROM customer c LEFT JOIN nbr n ON c.c_custkey = n.k
 
 QUERIES.update({"customer_entity_leaders": customer_entity_leaders})
 ORACLE.update({"customer_entity_leaders": ENTITY_LEADERS_ORACLE})
+
+
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (moving-average STL-lite) of
+    daily revenue: trend = centered 7-day moving sum, seasonality = mean
+    detrended value per weekday, residual = the rest. The
+    forecasting-prep pass that separates weekday rhythm from drift.
+
+    Exactness: everything stays in the x7 integer domain — detrended
+    ``7*total - trend_sum7`` is an exact BIGINT, so the per-weekday mean
+    is an integer-sum / count division and residuals are derived from
+    identical doubles. Trend is NULL on the 3 edge days of each end
+    (incomplete window), excluded from the seasonal means. Plan: the
+    data-scale work is one daily aggregate; every window/group after it
+    runs on the O(days) frame (pmod single-partition spec, the metadata
+    convention from operators/indexing.py)."""
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.expr(_CENTS).alias("c0"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c0").alias("total_cents"))
+    )
+    w7 = (
+        Window.partitionBy(F.pmod(F.dayofmonth("day"), F.lit(1)))
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    with_trend = daily.select(
+        "day",
+        "total_cents",
+        F.when(
+            F.count("total_cents").over(w7) == 7,
+            F.sum("total_cents").over(w7),
+        ).alias("trend_sum7"),
+        # Spark dayofweek: 1=Sunday..7=Saturday (oracle adds 1 to DuckDB's)
+        F.dayofweek("day").alias("weekday"),
+    ).withColumn(
+        "detrended_x7",
+        F.expr("7 * total_cents - trend_sum7").cast("long"),
+    )
+    wd = Window.partitionBy("weekday")
+    seasoned = with_trend.select(
+        "day",
+        "total_cents",
+        "trend_sum7",
+        "weekday",
+        "detrended_x7",
+        (
+            F.sum("detrended_x7").over(wd).cast("double")
+            / F.count("detrended_x7").over(wd)
+        ).alias("seasonal_x7"),
+    )
+    return seasoned.selectExpr(
+        "day",
+        "total_cents",
+        "trend_sum7",
+        "weekday",
+        "detrended_x7",
+        "seasonal_x7",
+        "CAST(detrended_x7 AS DOUBLE) - seasonal_x7 AS residual_x7",
+    )
+
+
+SEASONAL_ORACLE = f"""
+WITH daily AS (
+  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(sum({_CENTS}) AS BIGINT) AS total_cents
+  FROM events GROUP BY 1
+), t AS (
+  SELECT day, total_cents,
+         CASE WHEN count(total_cents) OVER w = 7
+              THEN CAST(sum(total_cents) OVER w AS BIGINT) END AS trend_sum7,
+         CAST(dayofweek(day) + 1 AS INT) AS weekday
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), d AS (
+  SELECT day, total_cents, trend_sum7, weekday,
+         CAST(7 * total_cents - trend_sum7 AS BIGINT) AS detrended_x7
+  FROM t
+)
+SELECT day, total_cents, trend_sum7, weekday, detrended_x7,
+       CAST(sum(detrended_x7) OVER (PARTITION BY weekday) AS DOUBLE)
+         / count(detrended_x7) OVER (PARTITION BY weekday) AS seasonal_x7,
+       CAST(detrended_x7 AS DOUBLE)
+         - CAST(sum(detrended_x7) OVER (PARTITION BY weekday) AS DOUBLE)
+           / count(detrended_x7) OVER (PARTITION BY weekday) AS residual_x7
+FROM d
+"""
+
+
+def boilerplate_prefix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-boilerplate detector: the most repeated 5-token document
+    PREFIXES and SUFFIXES across the corpus (shared headers/footers are
+    the canonical crawl-template signal; span dedup removes them, this
+    REPORTS them first so the removal threshold is an informed choice).
+    Row-local slicing + one hash aggregate per end; repeated grams with
+    >= 3 documents survive, with the smallest doc id as the example."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    base = docs.select(
+        "doc_id", toks.alias("t")
+    ).filter(F.size("t") >= 5)
+
+    def ends(expr, kind):
+        return (
+            base.select(
+                "doc_id", F.concat_ws(" ", expr).alias("gram")
+            )
+            .groupBy("gram")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.min("doc_id").alias("example_doc"),
+            )
+            .filter(F.col("n_docs") >= 3)
+            .select(F.lit(kind).alias("kind"), "gram", "n_docs", "example_doc")
+        )
+
+    return ends(F.slice(F.col("t"), 1, 5), "prefix").unionAll(
+        ends(F.slice(F.col("t"), -5, 5), "suffix")
+    )
+
+
+BOILERPLATE_ORACLE = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+), ok AS (
+  SELECT * FROM base WHERE len(t) >= 5
+), pre AS (
+  SELECT 'prefix' AS kind, array_to_string(t[1:5], ' ') AS gram,
+         count(*) AS n_docs, CAST(min(doc_id) AS BIGINT) AS example_doc
+  FROM ok GROUP BY 2 HAVING count(*) >= 3
+), suf AS (
+  SELECT 'suffix' AS kind, array_to_string(t[-5:], ' ') AS gram,
+         count(*) AS n_docs, CAST(min(doc_id) AS BIGINT) AS example_doc
+  FROM ok GROUP BY 2 HAVING count(*) >= 3
+)
+SELECT * FROM pre UNION ALL SELECT * FROM suf
+"""
+
+
+QUERIES.update(
+    {
+        "events_seasonal_decompose": events_seasonal_decompose,
+        "boilerplate_prefix_report": boilerplate_prefix_report,
+    }
+)
+ORACLE.update(
+    {
+        "events_seasonal_decompose": SEASONAL_ORACLE,
+        "boilerplate_prefix_report": BOILERPLATE_ORACLE,
+    }
+)
