@@ -122,3 +122,75 @@ def test_band_plan_scurve_tradeoff(spark):
         >= rows[4]["exp_true_x10k"]
         >= rows[8]["exp_true_x10k"]
     )
+
+
+def test_mid_local_rank_equals_window_rank(spark):
+    """The monotonically_increasing_id bit-layout local rank (the
+    exchange-free core of with_global_index) must equal the
+    row_number-over-partition-id spelling on a multi-partition frame —
+    the guard for the documented API contract the fast path relies on."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_pipeline_elt_spark.operators.indexing import (
+        _ranged_with_local,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 7919 % 4999).alias("k"), F.col("id").alias("v")
+    )
+    body, _ = _ranged_with_local(df, ["k", "v"], 8)
+    ref = F.row_number().over(
+        Window.partitionBy(F.spark_partition_id()).orderBy("k", "v")
+    )
+    cmp = body.withColumn("__ref", ref - 1).filter(
+        F.col("__local") != F.col("__ref")
+    )
+    assert cmp.count() == 0
+    # and the derived global index is a contiguous permutation of 0..n-1
+    from nyc_taxi_data_pipeline_elt_spark.operators.indexing import (
+        with_global_index,
+    )
+
+    idx = with_global_index(df, ["k", "v"], index_name="gid")
+    got = sorted(r["gid"] for r in idx.select("gid").collect())
+    assert got == list(range(5000))
+    body.unpersist()
+
+
+def test_hamilton_matches_python_reference(spark):
+    """Allocation must equal a straightforward Python largest-remainder
+    implementation on a skewed stratum profile."""
+    from pyspark.sql import functions as F
+
+    sizes = {"a": 137, "b": 41, "c": 7, "d": 3, "e": 812}
+    rows = []
+    i = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, s))
+            i += 1
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = stratified_split_hamilton(
+        df, strata_col="source", key_col="doc_id", val_pct=10, test_pct=5
+    )
+    got = {
+        (r["source"], r["split"]): r["c"]
+        for r in out.groupBy("source", "split").agg(F.count("*").alias("c")).collect()
+    }
+
+    def hamilton(pct):
+        n_total = sum(sizes.values())
+        v = n_total * pct // 100
+        base = {s: n * v // n_total for s, n in sizes.items()}
+        rem = {s: sizes[s] * v - base[s] * n_total for s in sizes}
+        leftover = v - sum(base.values())
+        for s in sorted(sizes, key=lambda s: (-rem[s], s))[:leftover]:
+            base[s] += 1
+        return base
+
+    val, test = hamilton(10), hamilton(5)
+    for s in sizes:
+        assert got.get((s, "val"), 0) == val[s], (s, "val")
+        assert got.get((s, "test"), 0) == test[s], (s, "test")
+        assert got.get((s, "train"), 0) == sizes[s] - val[s] - test[s]
