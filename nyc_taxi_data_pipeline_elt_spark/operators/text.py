@@ -220,3 +220,53 @@ def redact_pii(text: Column | str) -> Column:
     for _, pat, tag in PII_PATTERNS:
         c = F.regexp_replace(c, pat, tag)
     return c
+
+
+def heavy_hitters(tokens, col: str, k: int):
+    """Exact frequent-items (heavy hitters) at corpus scale: every value
+    of ``col`` whose frequency exceeds n/k, WITHOUT a full-vocabulary
+    shuffle — the candidate + verify decomposition of the classic
+    streaming-sketch problem.
+
+    Phase 1 (candidates): each partition emits the values that are
+    locally heavy (count > local_n/k, vectorized pandas value_counts).
+    Any globally heavy value is locally heavy in >= 1 partition
+    (pigeonhole: if f(x) > n/k then f_p(x) > n_p/k for some p), so the
+    candidate union provably contains every true heavy hitter —
+    candidates are partitioning-dependent, but phase 2 makes the OUTPUT
+    layout-independent. Per-partition state is the partition's distinct
+    vocabulary; for genuinely unbounded per-partition vocab, swap the
+    value_counts for a Misra-Gries/space-saving summary of size O(k) —
+    same guarantee, bounded memory, sequential update.
+
+    Phase 2 (verify): exact counts of the (small) candidate set only —
+    a broadcast semi-join filter on the token stream feeding one
+    map-side-combined aggregate — kept where ``count * k > n`` (integer
+    arithmetic, engine-exact). Shuffle volume is O(candidates x
+    partitions), not O(vocabulary x partitions).
+
+    Returns ``(col, cnt)`` for the exact heavy-hitter set.
+    """
+    import pandas as pd
+
+    spark = tokens.sparkSession
+    n_total = tokens.count()
+
+    def local_heavy(batches):
+        acc: dict = {}
+        local_n = 0
+        for pdf in batches:
+            local_n += len(pdf)
+            vc = pdf[col].value_counts()
+            for t, c in vc.items():
+                acc[t] = acc.get(t, 0) + int(c)
+        heavy = [t for t, c in acc.items() if c * k > local_n]
+        yield pd.DataFrame({col: pd.Series(heavy, dtype="object")})
+
+    cands = tokens.mapInPandas(local_heavy, schema=f"{col} string")
+    return (
+        tokens.join(F.broadcast(cands.distinct()), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * k > F.lit(n_total))
+    )

@@ -3206,3 +3206,36 @@ ORACLE.update(
         "doc_stratified_split": STRATIFIED_SPLIT_ORACLE,
     }
 )
+
+
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items report: every token with frequency > n/80 via the
+    candidate + verify heavy-hitters decomposition
+    (operators/text.py:heavy_hitters) — per-partition local-heavy
+    candidates, then exact verification counts of the candidate set
+    only; the full token vocabulary is never shuffled. The fourth
+    classic sketch class alongside KMV (distinct), HLL
+    (approx_distinct_stats) and the quantile sketch gate; like KMV, the
+    OUTPUT is exact and layout-independent, so it hash-checks."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    )
+    return X.heavy_hitters(toks, "token", k=80)
+
+
+HEAVY_HITTERS_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+), n AS (SELECT count(*) AS n_total FROM toks)
+SELECT token, count(*) AS cnt
+FROM toks, n
+GROUP BY token, n_total
+HAVING count(*) * 80 > n_total
+"""
+
+
+QUERIES.update({"heavy_hitter_tokens": heavy_hitter_tokens})
+ORACLE.update({"heavy_hitter_tokens": HEAVY_HITTERS_ORACLE})

@@ -194,3 +194,26 @@ def test_hamilton_matches_python_reference(spark):
         assert got.get((s, "val"), 0) == val[s], (s, "val")
         assert got.get((s, "test"), 0) == test[s], (s, "test")
         assert got.get((s, "train"), 0) == sizes[s] - val[s] - test[s]
+
+
+def test_heavy_hitters_exact_under_adversarial_layout(spark):
+    """The candidate+verify decomposition must return EXACTLY the items
+    with freq > n/k regardless of partitioning — including a layout that
+    splits a heavy item across many partitions."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_pipeline_elt_spark.operators.text import heavy_hitters
+
+    # 1000 rows: 'hot' x 300, 'warm' x 100, 200 distinct cold singletons
+    # + filler; k=5 -> threshold 200: only 'hot' qualifies.
+    rows = (
+        [("hot",)] * 300
+        + [("warm",)] * 100
+        + [(f"cold{i}",) for i in range(200)]
+        + [("filler",)] * 400
+    )
+    df = spark.createDataFrame(rows, ["token"]).repartition(16)  # scatter
+    out = {r["token"]: r["cnt"] for r in heavy_hitters(df, "token", 5).collect()}
+    assert out == {"hot": 300, "filler": 400}
+    # k=2 -> threshold 500: nothing qualifies
+    assert heavy_hitters(df, "token", 2).count() == 0
