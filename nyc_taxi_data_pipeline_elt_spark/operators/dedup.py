@@ -849,7 +849,9 @@ def lsh_band_plan(
         ]
 
     agg = hist.agg(
-        F.sum("n").alias("n_candidates"),
+        # coalesce: an empty pair frame must report 0 candidates like the
+        # oracle's count(*), not SUM's NULL
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_candidates"),
         F.sum(F.when(is_true, F.col("n")).otherwise(0)).alias("n_true_pairs"),
         *split_sums(p_b8_r1, "b8"),
         *split_sums(p_b4_r2, "b4"),

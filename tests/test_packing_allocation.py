@@ -217,3 +217,14 @@ def test_heavy_hitters_exact_under_adversarial_layout(spark):
     assert out == {"hot": 300, "filler": 400}
     # k=2 -> threshold 500: nothing qualifies
     assert heavy_hitters(df, "token", 2).count() == 0
+
+
+def test_band_plan_empty_pair_frame(spark):
+    """Zero candidate pairs must report n_candidates=0 (matching the
+    oracle's count(*)), with all expected yields 0."""
+    df = spark.createDataFrame([], "doc_a long, doc_b long, jaccard double")
+    rows = lsh_band_plan(df).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_candidates"] == 0
+        assert r["exp_true_x10k"] == 0 and r["exp_false_x10k"] == 0
