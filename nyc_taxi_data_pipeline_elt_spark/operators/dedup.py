@@ -849,10 +849,13 @@ def lsh_band_plan(
         ]
 
     agg = hist.agg(
-        # coalesce: an empty pair frame must report 0 candidates like the
-        # oracle's count(*), not SUM's NULL
+        # coalesce BOTH counts: an empty pair frame must report 0
+        # candidates AND 0 true pairs like the oracle's count(*), not
+        # SUM's NULL (an internally inconsistent 0/NULL row otherwise)
         F.coalesce(F.sum("n"), F.lit(0)).alias("n_candidates"),
-        F.sum(F.when(is_true, F.col("n")).otherwise(0)).alias("n_true_pairs"),
+        F.coalesce(
+            F.sum(F.when(is_true, F.col("n")).otherwise(0)), F.lit(0)
+        ).alias("n_true_pairs"),
         *split_sums(p_b8_r1, "b8"),
         *split_sums(p_b4_r2, "b4"),
         *split_sums(p_b2_r4, "b2"),

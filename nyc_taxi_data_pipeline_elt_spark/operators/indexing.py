@@ -151,12 +151,19 @@ def pack_sequences(
     wname = weight_col
 
     def _running(batches):
+        import numpy as np
+
         run = 0
         for pdf in batches:
             w = pdf[wname].to_numpy()
             cs = w.cumsum()
             pdf = pdf.copy()
-            pdf["__local_before"] = cs - w + run
+            # Exclusive prefix by SHIFTING the cumsum, not by cs - w:
+            # in floating point cs[i] - w[i] != cs[i-1], so only the
+            # shifted form is the left-to-right running sum for double
+            # weights too (for integral weights they coincide).
+            excl = np.concatenate(([0], cs[:-1])) if len(w) else cs
+            pdf["__local_before"] = excl + run
             run = run + (int(cs[-1]) if integral else float(cs[-1])) if len(w) else run
             yield pdf
 

@@ -242,14 +242,23 @@ def stratified_split_hamilton(
         )
 
     a_val = _alloc(val_pct, "val")
-    a_test = _alloc(test_pct, "test").select("s", "alloc_test")
-    alloc = a_val.join(a_test, "s").select("s", "alloc_val", "alloc_test")
+    a_test = _alloc(test_pct, "test").select(
+        F.col("s").alias("s2"), "alloc_test"
+    )
+    # Null-safe equality throughout: a NULL stratum is a real stratum —
+    # groupBy counted it and Hamilton allocated it seats, so the
+    # broadcast join back to the data (and the val/test allocation
+    # merge) must match it, not silently drop its rows and
+    # under-deliver the corpus-wide val/test budgets.
+    alloc = a_val.join(a_test, F.col("s").eqNullSafe(F.col("s2"))).select(
+        "s", "alloc_val", "alloc_test"
+    )
 
     w = Window.partitionBy(strata_col).orderBy("__u", key_col)
     return (
         df.withColumn("__u", hash_uniform(key_col, salt))
         .join(
-            F.broadcast(alloc), F.col(strata_col) == F.col("s")
+            F.broadcast(alloc), F.col(strata_col).eqNullSafe(F.col("s"))
         )
         .withColumn("__rn", F.row_number().over(w))
         .withColumn(

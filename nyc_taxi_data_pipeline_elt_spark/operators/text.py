@@ -228,45 +228,62 @@ def heavy_hitters(tokens, col: str, k: int):
     shuffle — the candidate + verify decomposition of the classic
     streaming-sketch problem.
 
-    Phase 1 (candidates): each partition emits the values that are
-    locally heavy (count > local_n/k, vectorized pandas value_counts).
-    Any globally heavy value is locally heavy in >= 1 partition
+    Phase 1 (candidates): each partition maintains a MISRA-GRIES summary
+    of m = k counters (merged batch-at-a-time: add the Arrow batch's
+    value_counts, then if more than m counters survive subtract the
+    (m+1)-th largest count from all and drop the non-positive — the
+    mergeable-summaries form, Agarwal et al. 2012). Total decrement over
+    a partition is <= n_p/(m+1), so any value with f_p(x) > n_p/k >=
+    n_p/(k+1) still holds a positive counter at partition end and is
+    emitted. Any globally heavy value is locally heavy in >= 1 partition
     (pigeonhole: if f(x) > n/k then f_p(x) > n_p/k for some p), so the
     candidate union provably contains every true heavy hitter —
     candidates are partitioning-dependent, but phase 2 makes the OUTPUT
-    layout-independent. Per-partition state is the partition's distinct
-    vocabulary; for genuinely unbounded per-partition vocab, swap the
-    value_counts for a Misra-Gries/space-saving summary of size O(k) —
-    same guarantee, bounded memory, sequential update.
+    layout-independent. Per-partition state is O(k + arrow_batch), never
+    the partition's distinct vocabulary, and each partition emits AT
+    MOST k candidates — the candidate set (and the phase-2 shuffle) is
+    bounded by k x partitions under EVERY layout, including
+    many-small-partitions where "locally heavy" filters degrade to the
+    full vocabulary.
 
     Phase 2 (verify): exact counts of the (small) candidate set only —
     a broadcast semi-join filter on the token stream feeding one
     map-side-combined aggregate — kept where ``count * k > n`` (integer
-    arithmetic, engine-exact). Shuffle volume is O(candidates x
-    partitions), not O(vocabulary x partitions).
+    arithmetic, engine-exact). Shuffle volume is O(k x partitions), not
+    O(vocabulary x partitions).
 
     Returns ``(col, cnt)`` for the exact heavy-hitter set.
     """
-    import pandas as pd
-
-    spark = tokens.sparkSession
     n_total = tokens.count()
-
-    def local_heavy(batches):
-        acc: dict = {}
-        local_n = 0
-        for pdf in batches:
-            local_n += len(pdf)
-            vc = pdf[col].value_counts()
-            for t, c in vc.items():
-                acc[t] = acc.get(t, 0) + int(c)
-        heavy = [t for t, c in acc.items() if c * k > local_n]
-        yield pd.DataFrame({col: pd.Series(heavy, dtype="object")})
-
-    cands = tokens.mapInPandas(local_heavy, schema=f"{col} string")
+    cands = mg_candidates(tokens, col, k)
     return (
         tokens.join(F.broadcast(cands.distinct()), col, "left_semi")
         .groupBy(col)
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") * k > F.lit(n_total))
     )
+
+
+def mg_candidates(tokens, col: str, k: int):
+    """Phase 1 of ``heavy_hitters``: per-partition Misra-Gries summaries
+    of m = k counters; emits the <= k summary keys per partition as the
+    provable candidate superset (see ``heavy_hitters``). Exposed so the
+    candidate bound — |candidates| <= k x partitions under any layout —
+    is directly testable."""
+    import pandas as pd
+
+    m = k  # counters; MG error <= n_p/(m+1) < n_p/k keeps heavies alive
+
+    def local_heavy(batches):
+        acc: dict = {}
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            for t, c in vc.items():
+                acc[t] = acc.get(t, 0) + int(c)
+            if len(acc) > m:
+                # (m+1)-th largest count; at most m values exceed it
+                thresh = sorted(acc.values(), reverse=True)[m]
+                acc = {t: c - thresh for t, c in acc.items() if c > thresh}
+        yield pd.DataFrame({col: pd.Series(list(acc.keys()), dtype="object")})
+
+    return tokens.mapInPandas(local_heavy, schema=f"{col} string")

@@ -944,8 +944,11 @@ def bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     # wrap at CALL time, after tune(): the @udtf decorator snapshots the
     # Arrow-execution choice when it runs, and at module import there is
-    # no session yet — decorating here picks up pythonUDTF.arrow.enabled
-    # so the plan gets ArrowEvalPythonUDTF (pinned in test_plan_shapes)
+    # no session yet — decorating here keeps that decision a
+    # session-conf choice. session.py deliberately leaves
+    # pythonUDTF.arrow.enabled UNSET (row path, BatchEvalPythonUDTF —
+    # measured ~5x faster for these analyze() UDTFs; numbers in
+    # session.py), and test_udtfs_row_path_is_deliberate pins it.
     spark.udtf.register(
         "bigram_counts", F.udtf(BigramCounts, returnType="bigram: string, n: int")
     )
@@ -3105,7 +3108,7 @@ d AS (
   FROM chains3
 ), agg AS (
   SELECT count(*) AS n_candidates,
-         CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs,
+         CAST(coalesce(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true_pairs,
          sum(CASE WHEN is_true THEN p_b8 ELSE CAST(0 AS DECIMAL(17,16)) END) AS t_b8,
          sum(CASE WHEN NOT is_true THEN p_b8 ELSE CAST(0 AS DECIMAL(17,16)) END) AS f_b8,
          sum(CASE WHEN is_true THEN p_b4 ELSE CAST(0 AS DECIMAL(17,16)) END) AS t_b4,
@@ -3188,7 +3191,7 @@ SELECT d.doc_id, d.source,
        CASE WHEN rn <= alloc_val THEN 'val'
             WHEN rn <= alloc_val + alloc_test THEN 'test'
             ELSE 'train' END AS split
-FROM d JOIN al ON d.source = al.s
+FROM d JOIN al ON d.source IS NOT DISTINCT FROM al.s
 """
 
 

@@ -196,6 +196,31 @@ def test_hamilton_matches_python_reference(spark):
         assert got.get((s, "train"), 0) == sizes[s] - val[s] - test[s]
 
 
+def test_hamilton_null_stratum_not_dropped(spark):
+    """A NULL stratum is a real stratum: it is counted, allocated seats,
+    and its rows must appear in the output with val/test delivered —
+    the null-safe broadcast join is what keeps the corpus-wide budgets
+    honest (a plain equi-join would silently drop every NULL-strata
+    row while still reserving their seats)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, "a") for i in range(60)] + [(i + 60, None) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_split_hamilton(
+        df, strata_col="source", key_col="doc_id", val_pct=10, test_pct=10
+    )
+    assert out.count() == 100  # nothing dropped
+    got = {
+        (r["source"], r["split"]): r["c"]
+        for r in out.groupBy("source", "split")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    # V = 10 for each split; Hamilton: a -> 6, NULL -> 4.
+    assert got.get(("a", "val"), 0) == 6 and got.get((None, "val"), 0) == 4
+    assert got.get(("a", "test"), 0) == 6 and got.get((None, "test"), 0) == 4
+
+
 def test_heavy_hitters_exact_under_adversarial_layout(spark):
     """The candidate+verify decomposition must return EXACTLY the items
     with freq > n/k regardless of partitioning — including a layout that
@@ -219,6 +244,28 @@ def test_heavy_hitters_exact_under_adversarial_layout(spark):
     assert heavy_hitters(df, "token", 2).count() == 0
 
 
+def test_heavy_hitters_bounded_candidates_high_vocab(spark):
+    """The Misra-Gries phase 1 must cap candidates at k per partition
+    even when per-partition distinct count >> k — the layout where a
+    'locally heavy' filter degrades to emitting the whole vocabulary
+    (every singleton in a small partition is locally heavy). Output must
+    stay exact regardless."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.text import (
+        heavy_hitters,
+        mg_candidates,
+    )
+
+    # 20k distinct singletons + one heavy item, scattered over MANY
+    # partitions so each partition holds ~330 distinct values with k=8.
+    rows = [(f"v{i}",) for i in range(20_000)] + [("hot",)] * 6_000
+    df = spark.createDataFrame(rows, ["token"]).repartition(64)
+    k = 8
+    n_cands = mg_candidates(df, "token", k).count()
+    assert n_cands <= k * 64, n_cands  # O(k x partitions), not O(vocab)
+    out = {r["token"]: r["cnt"] for r in heavy_hitters(df, "token", k).collect()}
+    assert out == {"hot": 6_000}  # threshold 26000/8 = 3250
+
+
 def test_band_plan_empty_pair_frame(spark):
     """Zero candidate pairs must report n_candidates=0 (matching the
     oracle's count(*)), with all expected yields 0."""
@@ -227,4 +274,5 @@ def test_band_plan_empty_pair_frame(spark):
     assert len(rows) == 4
     for r in rows:
         assert r["n_candidates"] == 0
+        assert r["n_true_pairs"] == 0
         assert r["exp_true_x10k"] == 0 and r["exp_false_x10k"] == 0
