@@ -30,6 +30,8 @@ import warnings
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .confscope import loop_session, rebind
+
 MINHASH_K = 12  # signature length
 LSH_BANDS = 4  # 4 bands x 3 rows: candidate threshold ~ (1/4)^(1/3) ~ 0.63
 LSH_ROWS = MINHASH_K // LSH_BANDS
@@ -296,6 +298,13 @@ def minhash_lsh_pairs(
     either way).
     """
     banded = minhash_band_rows(docs, id_col=id_col, text_col=text_col)
+    # BOTH sides of the band self-join read the band rows: persist them
+    # so the corpus is shingled + signed ONCE per action, not once per
+    # join side (same reasoning as the capped branch below, measured
+    # there at ~1.6x; the bench's cache reset between heavy queries
+    # reclaims it, and every consumer of this frame — pair listing,
+    # clustering, canonical-doc selection — shares the saving).
+    banded = banded.persist()
     left = banded.alias("a")
     right = banded.alias("b")
 
@@ -311,12 +320,9 @@ def minhash_lsh_pairs(
         )
         return pairs.distinct()
 
-    # The capped plan reads the band rows FOUR times (sizes agg + both
-    # sides of the small-bucket self-join + the star branch): persist
-    # them once instead of re-shingling/re-signing the corpus per read
-    # (measured ~1.6x on the registered query; the bench's cache reset
-    # between heavy queries reclaims it).
-    banded = banded.persist()
+    # The capped plan reads the (already persisted) band rows FOUR
+    # times: sizes agg + both sides of the small-bucket self-join + the
+    # star branch all hit the one cached copy.
     # bucket sizes + hub: one extra hash-agg on the same (band) keys the
     # join shuffles on — O(#buckets) rows, co-partitioned with the join
     sizes = banded.groupBy("band_idx", "band_key").agg(
@@ -600,22 +606,30 @@ def connected_components(
     n_pairs = p0.count()
     spark = pairs.sparkSession
     global_sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    global_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     loop_sp = max(4, min(global_sp, -(-(4 * n_pairs) // 2_000_000)))
 
     prev_cached: DataFrame | None = None
     converged = False
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
-        # Static planning for the loop: its shuffles are already sized
-        # from the measured edge volume, so AQE can only add per-stage
-        # materialize-and-replan latency — measured 3x slower on the
-        # whole clustering call with AQE on. (The expensive upstream
-        # pair pipeline materialized above, under AQE, where skew
-        # handling matters.)
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # The loop runs on a conf-isolated CLONE session (see
+    # operators/confscope.py): pre-sized shuffles + static planning (AQE
+    # replan latency measured 3x slower on tiny loop stages) are loop
+    # confs only — a concurrent query planned on the caller's session
+    # mid-loop keeps its default shuffle width and AQE. The expensive
+    # upstream pair pipeline materialized above on the caller's session,
+    # under AQE, where skew handling matters; the shared CacheManager
+    # serves it to the clone without recompute.
+    with loop_session(
+        spark,
+        {
+            "spark.sql.shuffle.partitions": loop_sp,
+            "spark.sql.adaptive.enabled": "false",
+        },
+    ) as ls:
+        ledges = rebind(edges, ls, "cc_edges")
         # round 0: label(v) = min(closed neighborhood ids), no join
-        stepped = edges.groupBy("src").agg(F.min("dst").alias("component")).persist()
+        stepped = (
+            ledges.groupBy("src").agg(F.min("dst").alias("component")).persist()
+        )
         n_changed = stepped.filter(F.col("component") != F.col("src")).count()
         labels = stepped.select(F.col("src").alias("node"), "component")
         prev_cached = stepped
@@ -624,7 +638,7 @@ def connected_components(
             if converged:
                 break
             stepped = (
-                edges.join(labels, edges.dst == labels.node)
+                ledges.join(labels, ledges.dst == labels.node)
                 .groupBy("src")
                 .agg(
                     F.min("component").alias("component"),
@@ -641,9 +655,8 @@ def connected_components(
             prev_cached.unpersist()
             prev_cached = stepped
             converged = n_changed == 0
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(global_sp))
-        spark.conf.set("spark.sql.adaptive.enabled", global_aqe)
+        # hand the final (cached) labels back to the caller's session
+        labels = rebind(labels, spark, "cc_labels")
     edges.unpersist()
     p0.unpersist()
     if not converged:
