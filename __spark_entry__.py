@@ -43,105 +43,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records correctness rows for the FIRST 50 entries of
-# ``queries()`` insertion order. Round-5 rotation (COVERAGE.md ledger):
-# the 20 queries that after r4 still lack any driver row (added late in
-# r4, after that round's window was frozen) enter at the head — this
-# closes the "every registered oracle-checkable query has at least one
-# driver-recorded hash-match" gap. The remaining 30 slots keep one
-# verified representative per operator class; order_price_deciles and
-# similar_part_names are in because their PLANS change this round
-# (departitioned global window; collision-aware edit-distance dispatch)
-# and need re-verification under the new plans. Everything displaced is
-# r1-r4 driver-hash-verified and remains registered, benchmarked, and
-# locally parity-tested.
+# ``queries()`` insertion order. Round-7 rotation (COVERAGE.md ledger;
+# VERDICT r6 task #1): slots 1-3 are the two-round-old ledger "MUST" —
+# the three queries registered after the r5 window froze and never
+# driver-verified (heavy_hitter_tokens additionally re-planned in r6 to
+# Misra-Gries). Slot 4 is approx_distinct_stats, redefined THIS round
+# from a rows-only HLL sketch row to an oracle-checkable bound check
+# (VERDICT r6 task #4). Slots 5-10 are the six queries whose PLANS
+# changed in r6 (band-row persist, clone-session loops, Misra-Gries,
+# NULL-stratum Hamilton) that r6 failed to re-verify. Slots 11-22 are
+# queries whose code paths change THIS round: simsearch_ivf_topk gains
+# multi-probe (task #6); the graph loops gain try/finally unpersist
+# (ADVICE); every streaming oracle replays through run_to_memory, which
+# moves onto a conf-isolated loop_session (task #8) — the eight oldest
+# streaming rows (r3/r4) plus the bench-weak snapshot-source query
+# re-verify under the new replay path. Slots 23-50 are the 28 stalest
+# rows in the ledger (last green r1/r2). Everything displaced is
+# r1-r6 driver-hash-verified and remains registered, benchmarked, and
+# locally parity-tested; tests/test_window_coverage.py now FAILS the
+# suite if any registered oracle-checkable query has neither a driver
+# row in any CORRECTNESS_r*.json nor a slot in this window.
 _PRIORITY_WINDOW = [
-    # --- the 20 queries getting their FIRST driver row (r5 rotation) ---
-    "funnel_conversion",
-    "cohort_retention",
-    "order_price_histogram",
-    "approx_distinct_stats",  # rows-only by design (HLL sketch)
-    "embedding_neardup_pairs",
-    "bigram_lm_scores",
-    "vocab_coverage",
-    "doc_char_entropy",
-    "corpus_datasheet",
-    "kmv_distinct_tokens",
-    "classifier_score_docs",
-    "curate_corpus_pipeline",
-    "dedup_lsh_recall_eval",
-    "props_extract_udtf",
-    "dedup_threshold_sweep",
-    "embedding_norm_profile",
-    "streaming_funnel_stages",
-    "streaming_click_purchase_left_join",
-    "nation_cheapest_route",
-    "sql_scripting_threshold_scan",
-    # --- operators NEW in r5 (first driver verification) ---------------
-    "semantic_decontaminate",  # embedding-space benchmark scrub
-    "percentile_sketch_eval",  # approx_percentile rank-error gate
-    "streaming_user_totals_tws",  # Spark 4 transformWithState (probed)
-    "streaming_dedup_within_watermark",  # state-bounded streaming dedup
-    "dedup_minhash_lsh_capped",  # hot-bucket star-edge cap, oracle-checked
-    "curriculum_budget_selection",  # quality curriculum under token budget
-    "pii_redact_docs",  # typed-tag PII scrub, map-only codegen chain
-    "mixture_temperature_weights",  # mT5-style temperature source mixing
-    "embedding_standardize_profile",  # per-dim moments + 3-sigma screen
-    "winsorized_order_stats",  # robust agg clipped at exact p01/p99
-    "skew_diagnosis_orders",  # join-key skew profile + salt sizing
-    "join_cardinality_estimate",  # KMV sketch join-size estimation
-    "image_luma_profile",  # raw-bitmap decode/feature/resize, codec-free
-    "video_motion_profile",  # raw-frame differencing motion screen
-    # --- mid-r5 additions that would otherwise repeat the late-r4 gap
-    # (registered after earlier window text was written; first rows now)
-    "bpe_pair_counts",
-    "source_overlap_matrix",
-    "source_novelty_curve",
-    "quality_quantile_normalize",
-    "balanced_shard_packing",  # LPT/snake token-balanced shards
-    "dedup_lsh_band_plan",  # DECIMAL-exact S-curve index planning
-    "doc_stratified_split",  # Hamilton largest-remainder apportionment
-    "ab_test_event_value",  # Welch t from exact integer-cent moments
-    "events_anomaly_screen",  # leave-one-out rolling z-score flags
-    "orders_grouping_sets",  # explicit GROUPING SETS + grouping() flags
-    "quality_drift_psi",  # fixed-bin PSI drift between corpus slices
-    "customer_entity_leaders",  # ER: blocking + editdist dispatch + star
-    # --- queries whose plan CHANGED this round (re-verification) -------
-    "order_price_deciles",  # global window -> range-partition + offsets
-    "similar_part_names",  # collision-aware PassJoin/quadratic dispatch
-    # --- one verified representative per operator class ----------------
-    # (displaced to make room for the seven entries above —
-    # dq_expectations_orders, sql_consumption_report,
-    # salted_orders_per_segment, streaming_stateful_user_counts,
-    # late_shipment_priorities, nation_reach_bfs, winnow_fingerprint_docs
-    # join q2_hourly_avg_value, large_volume_orders,
-    # min_cost_supplier_per_part, dedup_minhash_lsh as displaced
-    # r1-r4 driver-hash-verified entries; every class keeps at least one
-    # in-window or cross-round-verified representative)
-    # reference surface (SURVEY §2.1-2.6, §7.2); the one remaining
-    # representative slot — every other slot is a first-time or
-    # changed-plan verification. Displaced, all r1-r4
-    # driver-hash-verified: lineitem_asof_prior_order, pagerank_dangling,
-    # top3_lineitems_per_supplier, cdc_orders_merge,
-    # streaming_snapshot_source_counts (streaming keeps five first-timer
-    # entries in-window; window-fn/graph classes keep
-    # funnel_conversion/cohort_retention and nation_cheapest_route).
-    "q1_monthly_revenue",
-    # (snapshot_table_roundtrip / customer_order_distribution r4-verified,
-    # displaced by image_luma_profile + video_motion_profile)
-    # dedup / ANN production paths (semdedup_prune / embedding_kmeans
-    # r4-verified, displaced by the four new-in-r5 operators above;
-    # embedding class keeps neardup_pairs + norm_profile +
-    # standardize_profile in-window)
-    # text analysis (text_stats / quality_filter_docs r4-verified,
-    # displaced; class keeps bigram_lm_scores, vocab_coverage,
-    # doc_char_entropy, pii_redact_docs in-window)
-    # sampling / packing: curriculum_budget_selection composes the same
-    # pack_sequences + with_global_index machinery (pack_training_sequences
-    # r4-verified, displaced)
-    # multimodal: the codec-free REAL audio path (binary PCM column ->
-    # integer frame stats -> engine-side RMS/silence) takes the class
-    # slot from multimodal_meta (r4-verified)
-    "audio_energy_profile",
+    # --- never driver-verified (ledger MUST, COVERAGE.md) --------------
+    "boilerplate_prefix_report",
+    "events_seasonal_decompose",
+    "heavy_hitter_tokens",
+    # --- redefined this round: rows-only sketch -> oracle bound check --
+    "approx_distinct_stats",
+    # --- plans changed in r6, never re-verified (VERDICT r6) -----------
+    "dedup_minhash_lsh",
+    "dedup_canonical_docs",
+    "dedup_clusters",
+    "triangles_neardup",
+    "pagerank_nation_trade",
+    "doc_stratified_split",
+    # --- code paths changing THIS round (r7) ---------------------------
+    "simsearch_ivf_topk",  # nprobe>1 multi-probe (VERDICT task #6)
+    "pagerank_dangling",  # graph loop unpersist-in-finally (ADVICE)
+    "nation_reach_bfs",  # graph loop unpersist-in-finally (ADVICE)
+    "streaming_snapshot_source_counts",  # bench-weak + new replay path
+    "streaming_late_data_tumbling",
+    "streaming_stateful_user_counts",
+    "streaming_click_purchase_join",
+    "streaming_tumbling_counts",
+    "streaming_sliding_totals",
+    "streaming_session_counts",
+    "streaming_segment_counts",
+    "streaming_dedup_slots",
+    # --- stalest ledger rows (last green r1/r2) ------------------------
+    "dedup_ngram_jaccard",
+    "biggest_order_per_customer",
+    "click_attribution",
+    "copurchase_part_pairs",
+    "cube_order_stats",
+    "customer_max_order_subquery",
+    "customers_with_big_order",
+    "customers_without_open_orders",
+    "dedup_exact_docs",
+    "dedup_fingerprint_docs",
+    "distinct_customers_per_priority",
+    "events_gap_fill",
+    "events_json_stats",
+    "events_variant_stats",
+    "events_xml_stats",
+    "forecast_revenue",
+    "grouping_sets_sales",
+    "nation_trade_volume",
+    "order_date_features",
+    "order_price_percentiles",
+    "order_rank_positions",
+    "orders_pivot_status",
+    "price_quantity_stats",
+    "pricing_summary",
+    "priority_by_linestatus",
+    "promo_revenue_share",
+    "repeat_high_value_customers",
+    "resample_events_daily",
 ]
 
 _PLAN_MODULES = (
