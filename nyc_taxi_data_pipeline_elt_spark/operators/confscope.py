@@ -71,14 +71,21 @@ def loop_session(spark: SparkSession, confs: dict):
     clone = spark.newSession()
     # newSession() starts from the SparkConf captured at context build
     # time, not the caller's runtime values — copy the runtime-set confs
-    # (SET lists exactly those) so tune()-applied settings like the
-    # parquet nanos handling hold inside the loop too. Static/readonly
-    # entries refuse runtime set; skip them.
+    # (SET lists exactly those KEYS) so tune()-applied settings like the
+    # parquet nanos handling hold inside the loop too. Values come from
+    # conf.get, NOT the SET output: SET redacts secret-like keys
+    # (spark.redaction.regex matches secret/password/token/access.key),
+    # and copying its output verbatim would overwrite such a conf with
+    # the literal placeholder on the clone. Static/readonly entries
+    # refuse runtime set; skip them.
     for row in spark.sql("SET").collect():
         if row["value"] is None or row["value"] == "<undefined>":
             continue
         try:
-            clone.conf.set(row["key"], row["value"])
+            value = spark.conf.get(row["key"], row["value"])
+            if value is None or "(redacted)" in value:
+                continue
+            clone.conf.set(row["key"], value)
         except Exception:
             pass
     for k, v in confs.items():

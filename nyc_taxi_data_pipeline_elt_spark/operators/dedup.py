@@ -296,13 +296,23 @@ def minhash_lsh_pairs(
     at this bucket size already implies near-identity. Default ``None``
     keeps the exact all-pairs contract (small buckets are unaffected
     either way).
+
+    **Cache ownership**: the returned frame carries the persisted
+    band-row cache as its ``band_cache`` attribute — the cache is
+    O(corpus x bands) and somebody must release it. The contract:
+    whoever MATERIALIZES the pairs owns the release.
+    :func:`connected_components` (the main consumer) materializes the
+    pair list into its own cache and releases the band rows itself; any
+    other caller that materializes should call
+    :func:`release_band_cache` afterwards. Callers that return the
+    frame lazily (the bench/driver queries) pass ownership downstream
+    with the attribute.
     """
     banded = minhash_band_rows(docs, id_col=id_col, text_col=text_col)
     # BOTH sides of the band self-join read the band rows: persist them
     # so the corpus is shingled + signed ONCE per action, not once per
     # join side (same reasoning as the capped branch below, measured
-    # there at ~1.6x; the bench's cache reset between heavy queries
-    # reclaims it, and every consumer of this frame — pair listing,
+    # there at ~1.6x; every consumer of this frame — pair listing,
     # clustering, canonical-doc selection — shares the saving).
     banded = banded.persist()
     left = banded.alias("a")
@@ -318,7 +328,9 @@ def minhash_lsh_pairs(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
         )
-        return pairs.distinct()
+        pairs = pairs.distinct()
+        pairs.band_cache = banded
+        return pairs
 
     # The capped plan reads the (already persisted) band rows FOUR
     # times: sizes agg + both sides of the small-bucket self-join + the
@@ -346,7 +358,20 @@ def minhash_lsh_pairs(
         F.least(F.col("__hub"), F.col(id_col)).alias("doc_a"),
         F.greatest(F.col("__hub"), F.col(id_col)).alias("doc_b"),
     )
-    return small_pairs.unionByName(star_pairs).distinct()
+    pairs = small_pairs.unionByName(star_pairs).distinct()
+    pairs.band_cache = banded
+    return pairs
+
+
+def release_band_cache(pairs: DataFrame) -> None:
+    """Release the band-row cache riding on a :func:`minhash_lsh_pairs`
+    result (no-op for frames without one). Call once the pairs — or
+    everything derived from them — are materialized; the ownership rule
+    is documented on :func:`minhash_lsh_pairs`."""
+    cache = getattr(pairs, "band_cache", None)
+    if cache is not None:
+        cache.unpersist()
+        pairs.band_cache = None
 
 
 def _common_shingle_counts(
@@ -603,7 +628,31 @@ def connected_components(
     # partition, floor of 4 so no single-core join (measured pitfall),
     # ceiling of the session setting so a billion-edge graph still fans
     # out.
+    try:
+        return _connected_components_loop(
+            pairs, p0, edges, max_iterations
+        )
+    finally:
+        # unpersist in a finally so an exception mid-loop (e.g. a
+        # cancelled job) can't leak the edge-sized cache entries — same
+        # contract as bounded_sssp (operators/graph.py).
+        edges.unpersist()
+        p0.unpersist()
+
+
+def _connected_components_loop(
+    pairs: DataFrame,
+    p0: DataFrame,
+    edges: DataFrame,
+    max_iterations: int,
+) -> DataFrame:
     n_pairs = p0.count()
+    # p0 is now cached: the band-row cache that accelerated the pair
+    # build (minhash_lsh_pairs ownership contract) is dead weight from
+    # here on — release it so a long-lived session doesn't pin one
+    # O(corpus x bands) cache block per clustering call. No-op when the
+    # pairs came from any other generator.
+    release_band_cache(pairs)
     spark = pairs.sparkSession
     global_sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     loop_sp = max(4, min(global_sp, -(-(4 * n_pairs) // 2_000_000)))
@@ -657,8 +706,6 @@ def connected_components(
             converged = n_changed == 0
         # hand the final (cached) labels back to the caller's session
         labels = rebind(labels, spark, "cc_labels")
-    edges.unpersist()
-    p0.unpersist()
     if not converged:
         # labels are still split across long paths: silently returning
         # them would mislabel components on graphs with diameter >

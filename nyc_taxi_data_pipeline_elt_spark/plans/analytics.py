@@ -973,20 +973,54 @@ SELECT o_orderpriority, 'n_partial', n_partial FROM wide
 """
 
 
-# --- approximate aggregates (rows-only: engine-specific sketches) ---------------
+# --- sketch-quality eval: HyperLogLog++ error bound ------------------------------
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct counts + approximate percentiles — the
-    sketches you actually run at 100 TB (bounded memory, one pass). No
-    oracle by construction: sketch estimates are engine-specific; the
-    exact twins (`distinct_customers_per_priority`,
-    `order_price_percentiles`) are the verified reference points."""
+    """HyperLogLog++ distinct counts — the sketch you actually run at
+    100 TB (bounded memory, one pass, mergeable) — promoted from a
+    rows-only row to an oracle-checked acceptance gate, the analog of
+    ``percentile_sketch_eval`` for ``approx_count_distinct``: the sketch
+    estimate itself is engine-specific and never leaves the plan;
+    instead the query emits the EXACT distinct counts plus a
+    within-3·rsd verdict per column (HLL++ at rsd=0.05 has ~rsd
+    standard error, so 3·rsd is a deterministic-given-the-data bound
+    with overwhelming margin; Spark's HLL hash is fixed, so the verdict
+    is stable across runs). A sketch regression flips a boolean and the
+    driver hash. The exact twins run in the same single agg — Spark
+    plans the two distinct aggregates via one Expand over one scan.
+    The approx-percentile counterpart is covered by
+    ``percentile_sketch_eval``; the KMV counterpart by
+    ``kmv_distinct_tokens``."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    rsd = 0.05
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd).alias("ap_parts"),
+        F.approx_count_distinct("l_orderkey", rsd).alias("ap_orders"),
     )
+    bound = F.lit(3 * rsd)
+    return agg.select(
+        F.col("exact_parts"),
+        F.col("exact_orders"),
+        (
+            F.abs(F.col("ap_parts") - F.col("exact_parts"))
+            <= bound * F.col("exact_parts")
+        ).alias("parts_within_3rsd"),
+        (
+            F.abs(F.col("ap_orders") - F.col("exact_orders"))
+            <= bound * F.col("exact_orders")
+        ).alias("orders_within_3rsd"),
+    )
+
+
+APPROX_DISTINCT_ORACLE = """
+SELECT count(DISTINCT l_partkey) AS exact_parts,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS parts_within_3rsd,
+       TRUE AS orders_within_3rsd
+FROM lineitem
+"""
 
 
 # --- JSON scalar extraction ---------------------------------------------------
@@ -2097,6 +2131,7 @@ ORACLE = {
     "lineitem_asof_prior_order": ASOF_ORACLE,
     "order_price_percentiles": PERCENTILE_ORACLE,
     "percentile_sketch_eval": PERCENTILE_SKETCH_EVAL_ORACLE,
+    "approx_distinct_stats": APPROX_DISTINCT_ORACLE,
     "salted_orders_per_segment": SALTED_JOIN_ORACLE,
     "forecast_revenue": Q6_ORACLE,
     "priority_by_linestatus": Q12_ORACLE,

@@ -333,22 +333,41 @@ def run_to_memory(
     df: DataFrame, name: str, mode: str = "complete"
 ) -> DataFrame:
     """Replay the stream to completion into an in-memory table and return
-    the materialized result (test/oracle path)."""
+    the materialized result (test/oracle path).
+
+    The state-store partition sizing (``STREAM_STATE_PARTITIONS``) is a
+    SQL conf, and SQL confs are session-global — so the replay runs on
+    a conf-isolated clone session (operators/confscope.py), the same
+    mechanism the iterative graph loops use: the streaming frame hops
+    onto the clone through a global temp view, the query starts with
+    the clone's conf, and the memory-sink result hops back the same
+    way. A concurrent query planned on the caller's session mid-replay
+    keeps its default shuffle width — no set/restore window at all.
+    """
+    from nyc_taxi_data_pipeline_elt_spark.operators.confscope import (
+        loop_session,
+        rebind,
+    )
+
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
-    try:
+    with loop_session(
+        spark,
+        {"spark.sql.shuffle.partitions": str(STREAM_STATE_PARTITIONS)},
+    ) as ls:
+        sdf = rebind(df, ls, f"{name}__in")
         q = (
-            df.writeStream.format("memory")
+            sdf.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+        # the memory sink's table lives in the CLONE's temp catalog;
+        # hand the caller a frame on their own session (the returned
+        # plan holds the sink's rows via the view, and the df keeps the
+        # clone's session state alive as long as it is referenced)
+        return rebind(ls.table(name), spark, f"{name}__out")
 
 
 def stateful_funnel(events: DataFrame) -> DataFrame:

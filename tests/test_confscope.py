@@ -124,3 +124,21 @@ def test_concurrent_frame_sees_default_confs_mid_loop(spark):
     assert seen_confs == {(default_sp, "true")}, seen_confs
     assert widths == {default_sp}, widths
     assert len(result["labels"]) == 40
+
+
+def test_loop_session_does_not_copy_redacted_conf_values(spark):
+    """SET redacts secret-like keys (spark.redaction.regex matches
+    'password' etc.); loop_session must copy the REAL runtime value to
+    the clone, never the '*(redacted)' placeholder (ADVICE r6)."""
+    key = "spark.ntx.test.password"
+    spark.conf.set(key, "hunter2")
+    try:
+        # precondition: SET really does redact this key — if Spark ever
+        # stops redacting, the guard below is vacuous and this keeps us
+        # honest
+        [row] = [r for r in spark.sql("SET").collect() if r["key"] == key]
+        assert "(redacted)" in row["value"], row["value"]
+        with loop_session(spark, {}) as ls:
+            assert ls.conf.get(key) == "hunter2"
+    finally:
+        spark.conf.unset(key)

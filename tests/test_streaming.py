@@ -199,3 +199,53 @@ def test_tws_dispatch_matches_batch_aggregate(spark):
         .collect()
     }
     assert got == want
+
+
+def test_replay_conf_is_invisible_to_caller_session(spark):
+    """run_to_memory sizes state-store partitions on a clone session
+    (VERDICT r6 task #8): the caller's shuffle width must never flip to
+    STREAM_STATE_PARTITIONS, even mid-replay."""
+    import threading
+    import time
+
+    default_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    assert default_sp != str(W.STREAM_STATE_PARTITIONS), (
+        "fixture session must differ from the stream knob for this "
+        "test to discriminate"
+    )
+    result = {}
+
+    def replay():
+        events = W.stream_events(spark, SF_DIR)
+        result["n"] = W.run_to_memory(
+            W.tumbling_counts(events), "conf_probe_tumbling"
+        ).count()
+
+    t = threading.Thread(target=replay)
+    seen = set()
+    t.start()
+    while t.is_alive():
+        seen.add(spark.conf.get("spark.sql.shuffle.partitions"))
+        time.sleep(0.005)
+    t.join()
+    assert seen == {default_sp}, seen
+    assert result["n"] > 0
+
+
+def test_no_conf_set_outside_tune_and_confscope():
+    """The package-wide guard the r6 verdict asked for: session-global
+    conf mutation is confined to session.tune() and the confscope clone
+    machinery — everything else must scope confs via loop_session."""
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / (
+        "nyc_taxi_data_pipeline_elt_spark"
+    )
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        if py.name in ("session.py", "confscope.py"):
+            continue
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if ".conf.set(" in line:
+                offenders.append(f"{py.name}:{i}: {line.strip()}")
+    assert not offenders, offenders
