@@ -57,8 +57,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (ADVICE); every streaming oracle replays through run_to_memory, which
 # moves onto a conf-isolated loop_session (task #8) — the eight oldest
 # streaming rows (r3/r4) plus the bench-weak snapshot-source query
-# re-verify under the new replay path. Slots 23-50 are the 28 stalest
-# rows in the ledger (last green r1/r2). Everything displaced is
+# re-verify under the new replay path. The remaining slots are the 27
+# stalest rows in the ledger (last green r1/r2). Everything displaced is
 # r1-r6 driver-hash-verified and remains registered, benchmarked, and
 # locally parity-tested; tests/test_window_coverage.py now FAILS the
 # suite if any registered oracle-checkable query has neither a driver
@@ -78,7 +78,9 @@ _PRIORITY_WINDOW = [
     "pagerank_nation_trade",
     "doc_stratified_split",
     # --- code paths changing THIS round (r7) ---------------------------
-    "simsearch_ivf_topk",  # nprobe>1 multi-probe (VERDICT task #6)
+    "simsearch_ivf_topk",  # isin-probe refactor (VERDICT task #6)
+    "simsearch_ivf_multiprobe",  # NEW: nprobe=2 (VERDICT task #6)
+    "simsearch_ivf_kmeans",  # NEW: k-means coarse quantizer (task #6)
     "pagerank_dangling",  # graph loop unpersist-in-finally (ADVICE)
     "nation_reach_bfs",  # graph loop unpersist-in-finally (ADVICE)
     "streaming_snapshot_source_counts",  # bench-weak + new replay path
@@ -117,8 +119,6 @@ _PRIORITY_WINDOW = [
     "pricing_summary",
     "priority_by_linestatus",
     "promo_revenue_share",
-    "repeat_high_value_customers",
-    "resample_events_daily",
 ]
 
 _PLAN_MODULES = (

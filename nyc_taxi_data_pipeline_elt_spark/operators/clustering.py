@@ -251,6 +251,103 @@ def kmeans_oracle_ctes(k: int = 4, n_iter: int = 1) -> str:
     return "WITH " + ",\n".join(parts)
 
 
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """IVF top-k with a GEOMETRY-ALIGNED coarse quantizer: spherical
+    k-means buckets instead of a metadata column (``ivf_topk`` over the
+    ``label`` column measures recall ~= fraction-of-corpus-scanned —
+    labels are orthogonal to embedding geometry, so probing 2 of 10
+    label buckets recovers ~2/10 of the true neighbors; k-means buckets
+    put near neighbors in the same or adjacent cells, which is the
+    whole point of IVF — tests/test_recall_floors.py pins the gap).
+
+    Index build = :func:`kmeans` (norms once, Arrow assignment, one
+    hash-agg Lloyd update; driver holds only the k x dim centroid
+    matrix). Probe = rank centroids by cosine-to-query DRIVER-side
+    (metadata-sized, mirroring the oracle's ``ORDER BY cos DESC, cid``
+    with the same floor-round and left-to-right float association as
+    :func:`assign_clusters`), then brute-force only the ``nprobe``
+    probed cells. In this one-shot evaluation the assignment is
+    computed inline, so the probe filter prunes compute, not I/O; the
+    production layout materializes the assignment partitioned/bucketed
+    by cell, where ``cluster IN (<probes>)`` becomes partition pruning
+    at the scan — the serving shape at 100 TB."""
+    assigned, cents = kmeans(
+        embeddings,
+        k=n_clusters,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    )
+    qrow = (
+        assigned.filter(F.col(id_col) == query_vec_id)
+        .select("v", "vnorm")
+        .first()
+    )
+    qv, qnorm = list(qrow["v"]), float(qrow["vnorm"])
+    scored = []
+    for cid, c in cents:
+        cn = _py_normalize(c)
+        cos = math.floor(_py_dot(qv, cn) / qnorm * 1e6 + 0.5) / 1e6
+        scored.append((cid, cos))
+    probes = [cid for cid, _ in sorted(scored, key=lambda t: (-t[1], t[0]))][
+        :nprobe
+    ]
+    qvec = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        assigned.filter(F.col("cluster").isin(probes))
+        .filter(F.col(id_col) != query_vec_id)
+        .select(
+            F.col(id_col),
+            F.round(
+                dot(F.col("v"), qvec, dim) / (F.col("vnorm") * F.lit(qnorm)),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_kmeans_oracle_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    n_iter: int = 1,
+) -> str:
+    """DuckDB twin of :func:`ivf_kmeans_topk`: the shared k-means CTE
+    chain, the identical probe ranking (round-6 cosine of the
+    unit-normalized post-update centroids against the query, ties by
+    cid), and the identical in-cell cosine. Requires ``n_iter >= 1``
+    (the probe reads the ``c{n_iter}`` centroid CTE)."""
+    assert n_iter >= 1
+    unit = "list_transform(c, x -> x / sqrt(list_dot_product(c, c)))"
+    return f"""{kmeans_oracle_ctes(k=n_clusters, n_iter=n_iter)},
+q AS (SELECT v AS qvec, vnorm AS qnorm FROM e WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT cid FROM c{n_iter}, q
+  ORDER BY round(list_dot_product(qvec, {unit}) / qnorm, 6) DESC, cid
+  LIMIT {nprobe}
+)
+SELECT vec_id, round(list_dot_product(v, qvec) / (vnorm * qnorm), 6) AS cos_sim
+FROM b{n_iter} JOIN probe USING (cid), q
+WHERE vec_id <> {query_vec_id}
+ORDER BY cos_sim DESC, vec_id
+LIMIT {k}
+"""
+
+
 def semdedup_prune(
     assigned: DataFrame,
     threshold: float = 0.3,

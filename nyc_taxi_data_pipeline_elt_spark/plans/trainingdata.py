@@ -514,7 +514,40 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, query_vec_id=0, k=10)
 
 
-IVF_ORACLE = f"""
+def simsearch_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2 — the production recall knob (VERDICT r6 #6):
+    the r6 recall eval showed nprobe=1 is the weak probe; scanning the
+    two nearest-centroid buckets is still a pushed-down IN-list scan
+    (operators/similarity.py:ivf_topk), and the probed set is a strict
+    superset of nprobe=1's, so recall is structurally monotone
+    (tests/test_recall_floors.py pins the floor)."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, query_vec_id=0, k=10, nprobe=2)
+
+
+def simsearch_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a k-means coarse quantizer, nprobe=2 — the
+    geometry-aligned index (operators/clustering.py:ivf_kmeans_topk).
+    The label-bucket variants above document the metadata-partition
+    ceiling (recall ~= scanned fraction); this is the real ANN index
+    shape: near neighbors share cells, so probing 2 of 8 cells recovers
+    most of the exact top-10 (floor pinned in
+    tests/test_recall_floors.py)."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return C.ivf_kmeans_topk(
+        emb, query_vec_id=0, k=10, n_clusters=8, nprobe=2
+    )
+
+
+IVF_KMEANS_ORACLE = C.ivf_kmeans_oracle_sql(
+    query_vec_id=0, k=10, n_clusters=8, nprobe=2
+)
+
+
+def _ivf_oracle(nprobe: int) -> str:
+    return f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 pos AS (
   SELECT label, i, avg(v[i + 1]) AS mval
@@ -526,7 +559,7 @@ pos AS (
 best AS (
   SELECT label FROM centroids, q
   ORDER BY {_COS.format(a="centroid", b="qvec")} DESC, label
-  LIMIT 1
+  LIMIT {nprobe}
 )
 SELECT vec_id, round({_COS.format(a="v", b="qvec")}, 6) AS cos_sim
 FROM e JOIN best USING (label), q
@@ -534,6 +567,10 @@ WHERE vec_id <> 0
 ORDER BY cos_sim DESC, vec_id
 LIMIT 10
 """
+
+
+IVF_ORACLE = _ivf_oracle(1)
+IVF_MULTIPROBE_ORACLE = _ivf_oracle(2)
 
 
 # --- text analysis -------------------------------------------------------------
@@ -2845,6 +2882,8 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_neardup_blocked": embedding_neardup_blocked,
     "simsearch_ivf_topk": simsearch_ivf_topk,
+    "simsearch_ivf_multiprobe": simsearch_ivf_multiprobe,
+    "simsearch_ivf_kmeans": simsearch_ivf_kmeans,
     "simsearch_lsh_topk": simsearch_lsh_topk,
     "simsearch_lsh_multiprobe": simsearch_lsh_multiprobe,
     "knn_join_embeddings": knn_join_embeddings,
@@ -2917,6 +2956,8 @@ ORACLE = {
     "embedding_neardup_pairs": NEARDUP_ORACLE,
     "embedding_neardup_blocked": NEARDUP_BLOCKED_ORACLE,
     "simsearch_ivf_topk": IVF_ORACLE,
+    "simsearch_ivf_multiprobe": IVF_MULTIPROBE_ORACLE,
+    "simsearch_ivf_kmeans": IVF_KMEANS_ORACLE,
     "simsearch_lsh_topk": LSH_TOPK_ORACLE,
     "simsearch_lsh_multiprobe": LSH_MULTIPROBE_ORACLE,
     "knn_join_embeddings": KNN_JOIN_ORACLE,
