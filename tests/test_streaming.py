@@ -249,3 +249,79 @@ def test_no_conf_set_outside_tune_and_confscope():
             if ".conf.set(" in line:
                 offenders.append(f"{py.name}:{i}: {line.strip()}")
     assert not offenders, offenders
+
+
+def _n_data_batches(progresses) -> int:
+    return sum(1 for p in progresses if p["numInputRows"] > 0)
+
+
+def test_funnel_batch_count_independence(spark):
+    """stateful_funnel's FINAL per-user flags must not depend on how
+    many micro-batches deliver the bounded input (VERDICT r6 task #7):
+    a 3-file chronological replay under maxFilesPerTrigger=1 yields one
+    row per (user, batch-with-that-user); the per-user max of each flag
+    (flags are monotone) must equal the single-batch replay's rows."""
+    cutoff = F.lit("2024-01-04").cast("timestamp")
+    single = W.run_to_memory(
+        W.stateful_funnel(
+            W.stream_events(spark, SF_DIR).filter(F.col("ts") < cutoff)
+        ),
+        "funnel_single",
+        mode="append",
+    )
+    probe = []
+    multi = W.run_to_memory(
+        W.stateful_funnel(
+            W.stream_events_multifile(spark, SF_DIR, n_files=3).filter(
+                F.col("ts") < cutoff
+            )
+        ),
+        "funnel_multi",
+        mode="append",
+        batch_probe=probe,
+    )
+    assert _n_data_batches(probe) >= 2, "replay did not split into batches"
+    final_multi = sorted(
+        tuple(r)
+        for r in multi.groupBy("user_id")
+        .agg(
+            F.max("s1").alias("s1"),
+            F.max("s2").alias("s2"),
+            F.max("s3").alias("s3"),
+        )
+        .collect()
+    )
+    final_single = sorted(tuple(r) for r in single.collect())
+    assert final_multi == final_single
+
+
+def test_dedup_within_watermark_batch_count_independence(spark):
+    """dropDuplicatesWithinWatermark must collapse the doubled replay
+    identically whether the redelivery arrives in one batch or across
+    a chronological multi-batch feed (duplicates land inside their
+    original's watermark window by construction)."""
+    single = W.run_to_memory(
+        W.dedup_within_watermark(
+            W.stream_events(spark, SF_DIR).unionByName(
+                W.stream_events(spark, SF_DIR)
+            )
+        ),
+        "dedup_wm_single",
+        mode="append",
+    )
+    probe = []
+    multi = W.run_to_memory(
+        W.dedup_within_watermark(
+            W.stream_events_multifile(spark, SF_DIR, n_files=3).unionByName(
+                W.stream_events_multifile(spark, SF_DIR, n_files=3)
+            )
+        ),
+        "dedup_wm_multi",
+        mode="append",
+        batch_probe=probe,
+    )
+    assert _n_data_batches(probe) >= 2, "replay did not split into batches"
+    cols = sorted(multi.columns)
+    assert sorted(map(tuple, multi.select(*cols).collect())) == sorted(
+        map(tuple, single.select(*cols).collect())
+    )
