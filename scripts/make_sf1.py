@@ -1,0 +1,105 @@
+"""Synthesize an sf1 decade (10x sf0.1) for the SCALING.md measurement
+(VERDICT r6 task #5) — only the three tables the five heaviest operator
+families touch: documents, embeddings, customer.
+
+The replication model is "10x corpus at the SAME local density" — the
+honest scaling model for these workloads (a bigger crawl has more
+near-dup clusters, not 10x-denser ones):
+
+- documents: 10 replicas; replica 0 is the original corpus verbatim,
+  replica r suffixes every whitespace token with "~r" — intra-replica
+  shingle/n-gram structure (planted near-dups, boilerplate, bucket
+  sizes) is preserved EXACTLY, cross-replica shingle overlap is zero,
+  so candidate-pair volume grows linearly with the corpus. All
+  JVM-side (split -> transform -> array_join), one map stage.
+- embeddings: 10 replicas; replica r multiplies the vector by a
+  deterministic per-(replica, dim) +-1 mask (xxhash64 parity). Sign
+  flips are an isometry, so intra-replica geometry (near-dup pairs,
+  cluster structure) is exact, while cross-replica cosines are
+  decorrelated — near-dup volume again grows linearly.
+- customer: 10 replicas; block keys (c_nationkey, c_mktsegment) get a
+  per-replica nation offset so ER block COUNT grows 10x at constant
+  block size (the corpus-linear ER model; the same-keys densified
+  variant is measured separately in SCALING.md's notes). Names keep
+  their collision structure inside each replica.
+
+Ids are offset by replica * 10^9 so every id stays unique and joins
+never cross replicas by accident. Output: /root/repo/.scaling_sf1/.
+Deterministic — no Date.now/random anywhere.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_pipeline_elt_spark.session import get_spark, tune
+from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
+
+SRC = "/root/testdata/sf0.1"
+OUT = str(Path(__file__).resolve().parent.parent / ".scaling_sf1")
+R = 10
+OFF = 1_000_000_000
+
+
+def main() -> None:
+    spark = get_spark("make-sf1", cpus=32)
+    tune(spark)
+    reps = spark.range(R).select(F.col("id").cast("int").alias("r"))
+
+    docs = load_table(spark, SRC, "documents")
+    d = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("r").cast("long") * OFF).alias("doc_id"),
+        F.when(F.col("r") == 0, F.col("text"))
+        .otherwise(
+            F.array_join(
+                F.transform(
+                    F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda t: F.concat(t, F.lit("~"), F.col("r")),
+                ),
+                " ",
+            )
+        )
+        .alias("text"),
+        "lang",
+        "source",
+    )
+    d = d.withColumn("n_chars", F.length("text"))
+    d.repartition(32).write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
+
+    emb = load_table(spark, SRC, "embeddings")
+    e = emb.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") + F.col("r").cast("long") * OFF).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(
+                (F.col("r") == 0)
+                | (F.pmod(F.xxhash64(F.col("r"), i), F.lit(2)) == 0),
+                x,
+            ).otherwise(-x),
+        ).alias("embedding"),
+        "label",
+    )
+    e.repartition(8).write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
+
+    cust = load_table(spark, SRC, "customer")
+    c = cust.crossJoin(F.broadcast(reps)).select(
+        (F.col("c_custkey") + F.col("r").cast("long") * OFF).alias("c_custkey"),
+        "c_name",
+        (F.col("c_nationkey") + F.col("r") * 25).alias("c_nationkey"),
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    c.repartition(8).write.mode("overwrite").parquet(f"{OUT}/customer.parquet")
+
+    for t in ("documents", "embeddings", "customer"):
+        n = spark.read.parquet(f"{OUT}/{t}.parquet").count()
+        print(t, n)
+
+
+if __name__ == "__main__":
+    main()
