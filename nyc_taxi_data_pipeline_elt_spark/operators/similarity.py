@@ -26,6 +26,8 @@ and DuckDB must accumulate in the same precision for the hash to match.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -333,6 +335,15 @@ WHERE round({cos}, 6) >= {threshold} OR isnan({cos})
 """
 
 
+def auto_band_planes(n_vectors: int, target_bucket: int) -> int:
+    """LSH/IVF index-sizing rule: planes per band so that expected
+    bucket population ``n / 2^planes`` lands at ``target_bucket`` —
+    the knob that keeps the per-bucket slab kernel's pair volume
+    corpus-LINEAR across decades (fixed knob = quadratic; measured 28x
+    vs ~1.9x for the sf0.1 -> sf1 decade, SCALING.md)."""
+    return max(1, math.ceil(math.log2(max(2.0, n_vectors / target_bucket))))
+
+
 def knn_join_blocked(
     embeddings: DataFrame,
     k: int = 3,
@@ -340,6 +351,7 @@ def knn_join_blocked(
     band_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate kNN *join*: top-k cosine neighbors for EVERY vector,
     candidates blocked by the same banded sign-LSH as
@@ -353,7 +365,22 @@ def knn_join_blocked(
     Never all-pairs, no driver collect, no corpus broadcast. Neighbors
     outside every shared bucket are missed (recall follows the banding
     formula); both engines derive the identical approximation.
+
+    **Index sizing is the scale contract.** The bucket count per band
+    is FIXED at ``2^band_planes``, so the slab kernel's pair volume is
+    ``n_bands * 2^band_planes * (n / 2^band_planes)^2`` — quadratic in
+    the corpus at a fixed knob (measured: 28x wall for the 10x
+    sf0.1 -> sf1 decade at ``band_planes=4``; see SCALING.md). Like any
+    LSH/IVF index, the knob must track the corpus:
+    ``band_planes ~ log2(n / target_bucket)`` keeps bucket populations
+    — and therefore per-decade growth — constant (re-measured at sf1
+    with ``band_planes=7``: ~linear). Pass ``target_bucket`` to apply
+    that rule from a corpus count (one cheap pass at index-build time);
+    the oracle-checked registered query pins explicit knobs instead so
+    its SQL twin embeds the identical plane literals.
     """
+    if target_bucket is not None:
+        band_planes = auto_band_planes(embeddings.count(), target_bucket)
     import numpy as np
     import pandas as pd
 

@@ -103,3 +103,44 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def make_dense(spark=None) -> None:
+    """Densified variants: SAME keys, 10x population — the c^2-output
+    stress regime (boilerplate flood / ER block saturation) that the
+    hot-bucket caps and the collision-aware editdist dispatcher exist
+    for. documents_dense: replica tokens NOT decorrelated (texts repeat
+    verbatim, so every band bucket and shingle posting grows 10x);
+    customer_dense: nation keys NOT offset (every ER block grows 10x).
+    Written beside the linear-model tables with a _dense suffix."""
+    spark = spark or get_spark("make-sf1-dense", cpus=32)
+    tune(spark)
+    reps = spark.range(R).select(F.col("id").cast("int").alias("r"))
+
+    docs = load_table(spark, SRC, "documents")
+    d = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("r").cast("long") * OFF).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    d.repartition(32).write.mode("overwrite").parquet(
+        f"{OUT}/documents_dense.parquet"
+    )
+
+    cust = load_table(spark, SRC, "customer")
+    c = cust.crossJoin(F.broadcast(reps)).select(
+        (F.col("c_custkey") + F.col("r").cast("long") * OFF).alias(
+            "c_custkey"
+        ),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    c.repartition(8).write.mode("overwrite").parquet(
+        f"{OUT}/customer_dense.parquet"
+    )
+    for t in ("documents_dense", "customer_dense"):
+        print(t, spark.read.parquet(f"{OUT}/{t}.parquet").count())

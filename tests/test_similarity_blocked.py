@@ -81,3 +81,33 @@ def test_blocked_construction_runs_no_jobs(spark):
     S.neardup_pairs_blocked(emb)  # no action triggered
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
+
+
+def test_auto_band_planes_sizing_rule():
+    """Index sizing (SCALING.md sf1 decade): bucket population must stay
+    ~target across corpus decades, so planes grow by ~log2(10) ~= 3.3
+    per decade; fixed-knob growth is the measured 28x/decade offender."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.similarity import (
+        auto_band_planes,
+    )
+
+    assert auto_band_planes(2_000, 150) == 4  # sf0.1's historical knob
+    assert auto_band_planes(20_000, 150) == 8  # the re-sized sf1 knob
+    assert auto_band_planes(200_000, 150) == 11
+    assert auto_band_planes(50, 150) == 1  # tiny corpora stay 2-bucket
+    # expected population stays within [target/2, target] by construction
+    for n in (10**4, 10**5, 10**6, 10**7):
+        p = auto_band_planes(n, 150)
+        assert 75 <= n / (1 << p) <= 150
+
+
+def test_knn_join_auto_sizing_end_to_end(spark):
+    from nyc_taxi_data_pipeline_elt_spark.operators.similarity import (
+        knn_join_blocked,
+    )
+    from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = knn_join_blocked(emb, k=3, target_bucket=50)
+    rows = out.groupBy("vec_id").count().collect()
+    assert rows and all(r["count"] <= 3 for r in rows)
