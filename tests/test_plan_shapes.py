@@ -441,3 +441,38 @@ def test_udtfs_row_path_is_deliberate(spark):
     for fn in (trainingdata.props_extract_udtf, trainingdata.bigrams_udtf):
         plan = _plan(fn(spark, SF_DIR))
         assert "BatchEvalPythonUDTF" in plan
+
+
+def test_ivf_multiprobe_in_list_reaches_scan(spark):
+    """nprobe=2 bucket pruning must push the IN-list into the scan —
+    IN pushes down exactly like equality, which is what keeps the
+    multi-probe read partition-prunable at 100 TB."""
+    plan = _plan(trainingdata.simsearch_ivf_multiprobe(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "In(label," in plan or "EqualTo(label," in plan
+
+
+def test_ivf_kmeans_probe_is_cell_filtered_topk(spark):
+    """k-means IVF: the in-cell rescoring must be a filter over the
+    narrow Arrow assignment stage feeding a TakeOrderedAndProject —
+    no join, no cartesian, no window over the corpus."""
+    plan = _plan(trainingdata.simsearch_ivf_kmeans(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan  # the assignment stage
+
+
+def test_knn_join_auto_sizing_keeps_plan_shape(spark):
+    """auto_band_planes changes the KNOB, never the shape: the re-sized
+    index must keep the two-exchange blocked plan (band-key shuffle +
+    one id repartition), exactly like the fixed-knob plan."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.similarity import (
+        knn_join_blocked,
+    )
+    from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = _plan(knn_join_blocked(emb, k=3, target_bucket=50))
+    assert "BroadcastExchange" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
