@@ -7,11 +7,20 @@ honest scaling model for these workloads (a bigger crawl has more
 near-dup clusters, not 10x-denser ones):
 
 - documents: 10 replicas; replica 0 is the original corpus verbatim,
-  replica r suffixes every whitespace token with "~r" — intra-replica
-  shingle/n-gram structure (planted near-dups, boilerplate, bucket
-  sizes) is preserved EXACTLY, cross-replica shingle overlap is zero,
-  so candidate-pair volume grows linearly with the corpus. All
-  JVM-side (split -> transform -> array_join), one map stage.
+  replica r applies a letter-ROTATION cipher (shift r) to every token
+  that is not an English stopword. The cipher is length-preserving and
+  injective, so intra-replica shingle/n-gram structure (planted
+  near-dups, boilerplate, bucket sizes, repetition profiles) is
+  preserved EXACTLY while cross-replica shingle overlap collapses to
+  the rare stopword-only n-grams — candidate-pair volume grows
+  linearly with the corpus. Stopwords are kept verbatim and token
+  lengths never change, so the Gopher/C4 quality gates (word count,
+  mean word length, stopword presence, top-token repetition) score
+  replicas identically to the original — quality-gated pipelines
+  (curate_corpus_pipeline) see the same survivor fraction at sf1 as at
+  sf0.1, which a plain token-suffix transform destroyed (it stripped
+  every stopword match). All JVM-side (split -> transform with literal
+  alphabets -> array_join), one map stage per replica, 10-way union.
 - embeddings: 10 replicas; replica r multiplies the vector by a
   deterministic per-(replica, dim) +-1 mask (xxhash64 parity). Sign
   flips are an isometry, so intra-replica geometry (near-dup pairs,
@@ -51,23 +60,41 @@ def main() -> None:
     tune(spark)
     reps = spark.range(R).select(F.col("id").cast("int").alias("r"))
 
+    import string
+
+    from nyc_taxi_data_pipeline_elt_spark.operators import text as X
+
+    ab, up = string.ascii_lowercase, string.ascii_uppercase
+    stop = X.LANG_STOPWORDS["en"]
     docs = load_table(spark, SRC, "documents")
-    d = docs.crossJoin(F.broadcast(reps)).select(
-        (F.col("doc_id") + F.col("r").cast("long") * OFF).alias("doc_id"),
-        F.when(F.col("r") == 0, F.col("text"))
-        .otherwise(
-            F.array_join(
+    parts = []
+    for r in range(R):
+        if r == 0:
+            t = F.col("text")
+        else:
+            rot = ab[r:] + ab[:r] + up[r:] + up[:r]
+            t = F.array_join(
                 F.transform(
                     F.split(F.trim(F.col("text")), r"\s+"),
-                    lambda t: F.concat(t, F.lit("~"), F.col("r")),
+                    lambda tok: F.when(F.lower(tok).isin(stop), tok).otherwise(
+                        F.translate(tok, ab + up, rot)
+                    ),
                 ),
                 " ",
             )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r).cast("long") * OFF).alias(
+                    "doc_id"
+                ),
+                t.alias("text"),
+                "lang",
+                "source",
+            )
         )
-        .alias("text"),
-        "lang",
-        "source",
-    )
+    d = parts[0]
+    for p in parts[1:]:
+        d = d.unionByName(p)
     d = d.withColumn("n_chars", F.length("text"))
     d.repartition(32).write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
 
