@@ -184,6 +184,7 @@ def neardup_pairs_blocked(
     band_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int | None = None,
 ) -> DataFrame:
     """LSH-blocked near-dup pairs — the *production* path that
     :func:`neardup_pairs` (driver collect + full-corpus broadcast, the
@@ -213,11 +214,19 @@ def neardup_pairs_blocked(
     so the result is oracle-checkable and always a subset of the exact
     pairs. At 100 TB: raise ``band_planes`` so per-bucket groups fit an
     Arrow batch; bucket sizes stay balanced because the hyperplanes are
-    data-independent.
+    data-independent. Like :func:`knn_join_blocked`, a FROZEN knob is
+    quadratic per corpus decade (the slab kernel is c^2 per bucket at
+    fixed bucket count — the measured 28x/decade kNN offender in
+    SCALING.md); pass ``target_bucket`` to size ``band_planes`` from
+    the corpus count via :func:`auto_band_planes`. The oracle-checked
+    registered query pins explicit knobs so its SQL twin embeds the
+    identical plane literals.
     """
     import numpy as np
     import pandas as pd
 
+    if target_bucket is not None:
+        band_planes = auto_band_planes(embeddings.count(), target_bucket)
     planes = _hyperplanes(n_bands * band_planes)
     id_type = dict(embeddings.dtypes)[id_col]
     base = embeddings.select(

@@ -111,3 +111,16 @@ def test_knn_join_auto_sizing_end_to_end(spark):
     out = knn_join_blocked(emb, k=3, target_bucket=50)
     rows = out.groupBy("vec_id").count().collect()
     assert rows and all(r["count"] <= 3 for r in rows)
+
+
+def test_neardup_blocked_auto_sizing_end_to_end(spark):
+    from nyc_taxi_data_pipeline_elt_spark.operators.similarity import (
+        neardup_pairs_blocked,
+    )
+    from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = neardup_pairs_blocked(emb, threshold=0.35, target_bucket=50)
+    rows = out.collect()
+    assert rows
+    assert all(r["id_a"] < r["id_b"] for r in rows)
