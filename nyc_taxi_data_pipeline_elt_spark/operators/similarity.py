@@ -609,6 +609,15 @@ def lsh_topk(
     of the files. Recall depends on n_planes: more planes = smaller
     buckets = faster and less complete (multi-probe — flipping low-margin
     bits — is the standard extension).
+
+    Size ``n_planes`` to the corpus, not by habit: the probed bucket
+    holds ~``n / 2^n_planes`` vectors, and a top-``k`` probe needs that
+    comfortably above ``k`` (``n_planes <=
+    auto_band_planes(n, several*k)``) or the bucket physically cannot
+    contain k candidates — the measured failure mode in
+    examples/ann_index_tour.py, where 64 buckets over a 500-vector
+    corpus leave ~8 candidates per probe. Same knob contract as the
+    banded families (SCALING.md).
     """
     planes = _hyperplanes(n_planes)
     id_field = embeddings.schema[id_col].dataType.simpleString()

@@ -2452,7 +2452,12 @@ def embedding_standardize_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     shuffle join, never a collect) and count the 3-sigma exceedances.
     Float-sum order varies with partitioning, so moments are rounded to
     4dp and the outlier rule uses a wide margin (3 sigma) — integer
-    verdicts stay stable across engines."""
+    verdicts stay stable across engines. The rounded mean is
+    additionally canonicalized with ``+ 0.0`` on BOTH engines: a
+    zero-mean dimension can round to IEEE negative zero, and the two
+    engines disagree on the sign (DuckDB's round preserves -0.0,
+    Spark's drops it) — caught by the r7 third-scale differential at
+    sf0.1, invisible at the driver's sf0.01."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     pos = emb.select(
@@ -2475,7 +2480,7 @@ def embedding_standardize_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             "dim",
             "n",
-            F.round("mu", 4).alias("mu"),
+            (F.round("mu", 4) + F.lit(0.0)).alias("mu"),
             F.round("sigma", 4).alias("sigma"),
             F.round("max_abs", 4).alias("max_abs"),
             F.coalesce("n_outlier3s", F.lit(0)).cast("long").alias("n_outlier3s"),
@@ -2499,7 +2504,7 @@ WITH pos AS (
   WHERE abs(p.x - a.mu) > 3 * a.sigma
   GROUP BY p.dim
 )
-SELECT a.dim, a.n, round(a.mu, 4) AS mu, round(a.sigma, 4) AS sigma,
+SELECT a.dim, a.n, round(a.mu, 4) + 0.0 AS mu, round(a.sigma, 4) AS sigma,
        round(a.max_abs, 4) AS max_abs,
        CAST(coalesce(z.n_outlier3s, 0) AS BIGINT) AS n_outlier3s
 FROM agg a LEFT JOIN z ON a.dim = z.dim
