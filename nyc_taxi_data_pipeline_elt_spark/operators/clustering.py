@@ -340,7 +340,7 @@ probe AS (
   ORDER BY round(list_dot_product(qvec, {unit}) / qnorm, 6) DESC, cid
   LIMIT {nprobe}
 )
-SELECT vec_id, round(list_dot_product(v, qvec) / (vnorm * qnorm), 6) AS cos_sim
+SELECT vec_id, round(list_dot_product(v, qvec) / (vnorm * qnorm), 6) + 0.0 AS cos_sim
 FROM b{n_iter} JOIN probe USING (cid), q
 WHERE vec_id <> {query_vec_id}
 ORDER BY cos_sim DESC, vec_id

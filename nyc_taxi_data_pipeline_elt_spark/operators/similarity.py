@@ -513,7 +513,7 @@ cand AS (
 {union}
 ),
 scored AS (
-  SELECT c.va AS vec_id, c.vb AS neighbor_id, round({cos}, 6) AS cos_sim
+  SELECT c.va AS vec_id, c.vb AS neighbor_id, round({cos}, 6) + 0.0 AS cos_sim
   FROM cand c
   JOIN e ea ON ea.vec_id = c.va
   JOIN e eb ON eb.vec_id = c.vb
@@ -721,7 +721,7 @@ WITH e AS (
   FROM embeddings
 ),
 q AS (SELECT v AS qvec, bucket AS qbucket FROM e WHERE vec_id = {query_vec_id})
-SELECT vec_id, round({cos}, 6) AS cos_sim
+SELECT vec_id, round({cos}, 6) + 0.0 AS cos_sim
 FROM e, q
 WHERE {probe} AND vec_id <> {query_vec_id}
 ORDER BY cos_sim DESC, vec_id

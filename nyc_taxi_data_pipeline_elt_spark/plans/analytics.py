@@ -747,8 +747,8 @@ def price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STATS_ORACLE = """
 SELECT l_returnflag,
-       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-       round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+       round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 2) + 0.0 AS qty_price_covar,
        round(stddev_samp(l_extendedprice), 2) AS price_stddev,
        round(var_samp(l_discount), 6) AS disc_var
 FROM lineitem

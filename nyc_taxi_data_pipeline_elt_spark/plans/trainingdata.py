@@ -386,7 +386,7 @@ def simsearch_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMSEARCH_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT v AS qvec FROM e WHERE vec_id = 0)
-SELECT vec_id, round({_COS.format(a="v", b="qvec")}, 6) AS cos_sim
+SELECT vec_id, round({_COS.format(a="v", b="qvec")}, 6) + 0.0 AS cos_sim
 FROM e, q
 WHERE vec_id <> 0
 ORDER BY cos_sim DESC, vec_id
@@ -561,7 +561,7 @@ best AS (
   ORDER BY {_COS.format(a="centroid", b="qvec")} DESC, label
   LIMIT {nprobe}
 )
-SELECT vec_id, round({_COS.format(a="v", b="qvec")}, 6) AS cos_sim
+SELECT vec_id, round({_COS.format(a="v", b="qvec")}, 6) + 0.0 AS cos_sim
 FROM e JOIN best USING (label), q
 WHERE vec_id <> 0
 ORDER BY cos_sim DESC, vec_id
@@ -1626,7 +1626,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMEANS_ORACLE = f"""{C.kmeans_oracle_ctes(k=4, n_iter=1)}
 SELECT CAST(cid AS INTEGER) AS cluster, count(*) AS n_vecs,
-       round(avg(cos), 4) AS avg_cos
+       round(avg(cos), 4) + 0.0 AS avg_cos
 FROM b1 GROUP BY cid
 """
 
