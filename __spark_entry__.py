@@ -3,8 +3,10 @@
 ``entry(spark)`` smoke-runs the flagship query at sf0.001; ``queries()``
 maps every implemented operator (SURVEY.md §2 + extensions) to a callable
 ``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` pairs each with ANSI SQL
-for the DuckDB differential check. Queries whose key is missing from
-``oracle_sql()`` (custom stateful streaming etc.) get a rows-only check.
+for the DuckDB differential check. As of r7 every registered query has an
+oracle twin — engine-specific sketches are registered as exact-twin +
+within-error-bound gates instead of raw estimates, so the rows-only class
+is empty.
 """
 
 from __future__ import annotations
