@@ -94,6 +94,7 @@ _PRIORITY_WINDOW = [
     "streaming_session_counts",
     "streaming_segment_counts",
     "streaming_dedup_slots",
+    "snapshot_zorder_pruned_scan",  # NEW r7: OPTIMIZE ZORDER + pruned scan
     # --- stalest ledger rows (last green r1/r2) ------------------------
     "dedup_ngram_jaccard",
     "biggest_order_per_customer",

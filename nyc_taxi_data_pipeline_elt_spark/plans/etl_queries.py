@@ -230,11 +230,81 @@ GROUP BY o_orderstatus
 """
 
 
+def snapshot_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER drive (Delta's layout command over the snapshot
+    table format; the reference's Delta tables at
+    src/process_data_glue.py:186-190 inherit it from the lakehouse):
+    orders land hash-scattered in two append commits — a layout whose
+    per-file (custkey, price) envelopes span the whole domain, so
+    manifest-stats skipping prunes nothing — then
+    ``SnapshotTable.optimize(zorder_by=["o_custkey", "o_totalprice"])``
+    rewrites the table along the Z-curve, and the scan goes through the
+    ``snapshot_table`` Python Data Source with a 2-D box predicate whose
+    pushed conjuncts now prune whole files from manifest metadata alone
+    (effectiveness pinned in tests/test_snapshots.py::
+    test_optimize_zorder_tightens_envelopes_and_prunes_2d; this query
+    proves LOSSLESSNESS — no row lost to a skipped file). The custkey
+    box is derived by exact integer arithmetic on max(o_custkey) so the
+    slice tracks scale factor identically on both engines."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import SnapshotTable
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_custkey")).first()[0]  # O(1) driver scalar
+    lo_ck, hi_ck = (mx * 2) // 5, (mx * 3) // 5
+    root = Path(tempfile.gettempdir()) / "ntx_snapshot_zorder" / Path(sf_dir).name
+    shutil.rmtree(root, ignore_errors=True)
+    table = SnapshotTable(str(root))
+    table.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    table.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    table.optimize(
+        spark, zorder_by=["o_custkey", "o_totalprice"], target_files=8
+    )
+    spark.dataSource.register(SnapshotDataSource)
+    scan = spark.read.format("snapshot_table").load(str(table.root))
+    return (
+        scan.filter(
+            (F.col("o_custkey") >= lo_ck)
+            & (F.col("o_custkey") <= hi_ck)
+            & (F.col("o_totalprice") >= 100000.0)
+            & (F.col("o_totalprice") <= 200000.0)
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+    )
+
+
+SNAPSHOT_ZORDER_ORACLE = """
+WITH b AS (
+  SELECT (max(o_custkey) * 2) // 5 AS lo, (max(o_custkey) * 3) // 5 AS hi
+  FROM orders
+)
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+FROM orders, b
+WHERE o_custkey BETWEEN b.lo AND b.hi
+  AND o_totalprice >= 100000.0 AND o_totalprice <= 200000.0
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "scd2_user_event_type": scd2_user_event_type,
     "cdc_orders_merge": cdc_orders_merge,
     "snapshot_table_roundtrip": snapshot_table_roundtrip,
     "snapshot_change_feed": snapshot_change_feed,
+    "snapshot_zorder_pruned_scan": snapshot_zorder_pruned_scan,
 }
 
 ORACLE = {
@@ -242,4 +312,5 @@ ORACLE = {
     "cdc_orders_merge": CDC_ORACLE,
     "snapshot_table_roundtrip": SNAPSHOT_ROUNDTRIP_ORACLE,
     "snapshot_change_feed": SNAPSHOT_CDF_ORACLE,
+    "snapshot_zorder_pruned_scan": SNAPSHOT_ZORDER_ORACLE,
 }

@@ -66,6 +66,11 @@ class CommitConflict(RuntimeError):
     """Another writer committed the same snapshot version first."""
 
 
+class ConstraintViolation(ValueError):
+    """A write contained rows failing a table CHECK constraint; nothing
+    was committed (the half-written files were deleted)."""
+
+
 @dataclass(frozen=True)
 class Snapshot:
     version: int
@@ -82,6 +87,9 @@ class Snapshot:
     # None = legacy manifest written before the set existed (fall back to
     # a history scan); () = genuinely no batch commits yet.
     batch_ids: tuple | None = ()
+    # CHECK constraints: {name: sql_expr}; carried forward on every
+    # commit and enforced on every data-adding write (Delta CHECK).
+    constraints: dict = None  # type: ignore[assignment]
 
 
 class SnapshotTable:
@@ -118,6 +126,7 @@ class SnapshotTable:
             batch_ids=(
                 tuple(raw["batch_ids"]) if "batch_ids" in raw else None
             ),
+            constraints=raw.get("constraints", {}),
         )
 
     def history(self) -> list[Snapshot]:
@@ -132,10 +141,19 @@ class SnapshotTable:
         op: str,
         batch_id: int | None = None,
         stats: dict | None = None,
+        constraints: dict | None = None,
     ) -> Snapshot:
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
         parent = self.current_version()
         version = 0 if parent is None else parent + 1
+        # constraints ride every manifest (like batch_ids): None means
+        # "inherit the parent's", a dict is an explicit replacement
+        if constraints is None:
+            constraints = (
+                dict(self.snapshot(parent).constraints or {})
+                if parent is not None
+                else {}
+            )
         # every commit carries the cumulative batch-id set forward, so a
         # replayed foreachBatch is detected from the current manifest alone;
         # a legacy parent (no recorded set) is reconstructed from history once
@@ -160,6 +178,7 @@ class SnapshotTable:
             "ts": time.time(),
             "stats": stats or {},
             "batch_ids": seen,
+            "constraints": constraints,
         }
         try:
             # O_EXCL create: the optimistic-concurrency gate. Two racing
@@ -179,18 +198,59 @@ class SnapshotTable:
         return self.snapshot(version)
 
     # ---------------- write path ----------------
-    def _write_data(self, df: DataFrame) -> list[str]:
+    def _write_data(self, df: DataFrame, enforce: bool = True) -> list[str]:
         """Land ``df`` as immutable parquet under a fresh uuid dir and
         return the written files, relative to the table root. The write
         itself is a normal distributed parquet write — only the manifest
-        bookkeeping is driver-side, and it is O(files), not O(rows)."""
+        bookkeeping is driver-side, and it is O(files), not O(rows).
+
+        CHECK constraints are enforced here, write-then-verify: scanning
+        the just-written columnar files once is cheaper than recomputing
+        an arbitrary upstream plan a second time, and on violation the
+        uncommitted files are deleted so nothing leaks (readers never saw
+        them — visibility starts at commit). ``enforce=False`` is for
+        compact/optimize, whose rows already passed at their original
+        write."""
         sub = self.data_dir / uuid.uuid4().hex
         df.write.mode("error").parquet(str(sub))
-        return [
+        written = [
             str(p.relative_to(self.root))
             for p in sub.rglob("*.parquet")
             if not p.name.startswith((".", "_"))
         ]
+        if enforce and written:
+            cur = self.current_version()
+            cons = (
+                dict(self.snapshot(cur).constraints or {})
+                if cur is not None
+                else {}
+            )
+            if cons:
+                self._verify_constraints(df.sparkSession, written, cons, sub)
+        return written
+
+    def _verify_constraints(
+        self,
+        spark: SparkSession,
+        rel_files: list[str],
+        constraints: dict,
+        cleanup_dir: Path,
+    ) -> None:
+        """One existence-check scan over just-written files: a row
+        violates when any CHECK expression IS FALSE (SQL semantics —
+        NULL passes, as in Delta/ANSI CHECK). Violation deletes the
+        uncommitted files and raises :class:`ConstraintViolation`."""
+        scan = spark.read.parquet(*[str(self.root / f) for f in rel_files])
+        predicate = " OR ".join(
+            f"(({expr}) IS FALSE)" for expr in constraints.values()
+        )
+        bad = scan.filter(predicate).limit(1).collect()
+        if bad:
+            shutil.rmtree(cleanup_dir, ignore_errors=True)
+            raise ConstraintViolation(
+                f"{self.root}: write violates CHECK constraint(s) "
+                f"{sorted(constraints)}; offending row: {bad[0].asDict()}"
+            )
 
     def _collect_stats(self, rel_files: list[str]) -> dict:
         """Per-file column min/max for just-written files — the Iceberg
@@ -465,8 +525,137 @@ class SnapshotTable:
         directory swap, no visibility gap: this is what
         ``writers.compact_parquet`` documents it cannot give)."""
         df = self.read(spark).repartition(target_files)
-        new = self._write_data(df)
+        new = self._write_data(df, enforce=False)
         return self._commit(new, "compact", stats=self._collect_stats(new))
+
+    def optimize(
+        self,
+        spark: SparkSession,
+        zorder_by: list[str],
+        target_files: int = 8,
+    ) -> Snapshot:
+        """OPTIMIZE ZORDER BY (Delta's layout command; the reference's
+        Delta tables at src/process_data_glue.py:186-190 get it from the
+        lakehouse): rewrite the current snapshot into ``target_files``
+        files clustered along the Z-curve over ``zorder_by``, so the
+        per-file min/max envelopes `_collect_stats` records at commit
+        time become tight in EVERY clustered dimension at once — which is
+        what turns the manifest-stats file skipping the readers already
+        do (``snapshot_datasource._file_may_match``, ``replace_where``,
+        ``merge``) from a no-op on scattered layouts into real
+        multi-column pruning. Data-neutral like ``compact``: the change
+        feed and the streaming source skip it; time travel to older
+        snapshots is untouched.
+
+        Plan shape: one tiny global min/max aggregate per clustered
+        column (a 1-row collect — O(columns), never O(rows)), a pure
+        bit-arithmetic key column (:func:`operators.indexing.zorder_key`,
+        whole-stage codegen), then exactly ONE range exchange — the
+        mandatory clustering shuffle — and a partition-local sort. Linear
+        in the data at any scale; use ``compact`` when no clustered
+        read pattern is worth that shuffle."""
+        from nyc_taxi_data_pipeline_elt_spark.operators.indexing import (
+            zorder_key,
+        )
+
+        if not zorder_by:
+            raise ValueError(
+                "optimize: zorder_by must name >=1 column; use compact() "
+                "for a plain file-count rewrite"
+            )
+        df = self.read(spark)
+        # global per-column bounds: one aggregate row, driver-side O(cols)
+        row = df.agg(
+            *[F_min(c).alias(f"lo{i}") for i, c in enumerate(zorder_by)],
+            *[F_max(c).alias(f"hi{i}") for i, c in enumerate(zorder_by)],
+        ).first()
+        bounds = [
+            (
+                0.0 if row[f"lo{i}"] is None else float(row[f"lo{i}"]),
+                0.0 if row[f"hi{i}"] is None else float(row[f"hi{i}"]),
+            )
+            for i in range(len(zorder_by))
+        ]
+        clustered = (
+            df.withColumn("__zkey", zorder_key(zorder_by, bounds))
+            .repartitionByRange(target_files, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+        new = self._write_data(clustered, enforce=False)
+        return self._commit(new, "optimize", stats=self._collect_stats(new))
+
+    def restore(self, version: int) -> Snapshot:
+        """Delta ``RESTORE TABLE ... VERSION AS OF``: commit snapshot
+        ``version``'s file list as the NEW current version — a
+        history-preserving rollback (readers that time-travel still see
+        every intermediate state; the bad commits stay auditable).
+        Metadata-only: no data moves, O(files) manifest write. The
+        restored files re-enter the live set, so a later ``vacuum``
+        keeps them. Logical content changes, so the change feed treats a
+        restore like an overwrite (raises; consumers re-read the full
+        snapshot). The CURRENT constraint set is carried, not the
+        restored version's — rollback is for data, not for governance."""
+        snap = self.snapshot(version)
+        return self._commit(
+            list(snap.files), "restore", stats=dict(snap.stats or {})
+        )
+
+    def add_check_constraint(
+        self, spark: SparkSession, name: str, expr: str
+    ) -> Snapshot:
+        """Delta ``ALTER TABLE ADD CONSTRAINT ... CHECK``: register a SQL
+        boolean expression every row must satisfy (NULL passes — ANSI
+        CHECK semantics). Existing data is validated first with one
+        existence-check scan, exactly as Delta does; afterwards every
+        data-adding write (append / commit_batch / overwrite / merge /
+        replace_where) enforces it at write time and a violating write
+        commits NOTHING. The constraint set rides in the manifest, so it
+        is versioned, atomic, and survives restores."""
+        cur = self.current_version()
+        cons = (
+            dict(self.snapshot(cur).constraints or {})
+            if cur is not None
+            else {}
+        )
+        if name in cons:
+            raise ValueError(f"{self.root}: constraint {name!r} exists")
+        files: list[str] = []
+        stats: dict = {}
+        if cur is not None:
+            snap = self.snapshot(cur)
+            files, stats = list(snap.files), dict(snap.stats or {})
+            if files:
+                scan = spark.read.parquet(
+                    *[str(self.root / f) for f in files]
+                )
+                bad = scan.filter(f"({expr}) IS FALSE").limit(1).collect()
+                if bad:
+                    raise ConstraintViolation(
+                        f"{self.root}: existing rows violate {name!r} "
+                        f"({expr}); offending row: {bad[0].asDict()}"
+                    )
+        cons[name] = expr
+        return self._commit(
+            files, "add_constraint", stats=stats, constraints=cons
+        )
+
+    def drop_constraint(self, name: str) -> Snapshot:
+        """Remove a CHECK constraint (metadata-only commit)."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"{self.root}: no committed snapshot")
+        snap = self.snapshot(cur)
+        cons = dict(snap.constraints or {})
+        if name not in cons:
+            raise ValueError(f"{self.root}: no constraint {name!r}")
+        del cons[name]
+        return self._commit(
+            list(snap.files),
+            "drop_constraint",
+            stats=dict(snap.stats or {}),
+            constraints=cons,
+        )
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files referenced by no kept snapshot and manifests
@@ -549,14 +738,21 @@ class SnapshotTable:
     def added_files(self, since_version: int, until_version: int) -> list[str]:
         """Relative paths of data files ADDED by append snapshots in
         ``(since_version, until_version]`` — the manifest-diff core of
-        the change feed, O(files) metadata. ``compact`` snapshots
-        rewrite rows without changing them and are skipped; any other
-        non-append op invalidates append-only lineage and raises (the
-        same contract as Delta CDF without update/delete vectors)."""
+        the change feed, O(files) metadata. ``compact``/``optimize``
+        snapshots rewrite rows without changing them and
+        ``add_constraint``/``drop_constraint`` are metadata-only — all
+        four are skipped; any other non-append op (overwrite, restore)
+        invalidates append-only lineage and raises (the same contract as
+        Delta CDF without update/delete vectors)."""
         added: list[str] = []
         for v in range(since_version + 1, until_version + 1):
             s = self.snapshot(v)
-            if s.op == "compact":
+            if s.op in (
+                "compact",
+                "optimize",
+                "add_constraint",
+                "drop_constraint",
+            ):
                 continue
             if s.op != "append":
                 raise ValueError(
@@ -586,10 +782,10 @@ class SnapshotTable:
         file-set difference — an O(files) metadata operation, no row
         diffing at any scale.
 
-        ``compact`` snapshots rewrite files without changing rows and are
-        skipped; an ``overwrite`` in the range invalidates append-only
-        lineage and raises (same contract as Delta's CDF without
-        update/delete vectors)."""
+        ``compact``/``optimize`` snapshots rewrite files without changing
+        rows and are skipped; an ``overwrite`` in the range invalidates
+        append-only lineage and raises (same contract as Delta's CDF
+        without update/delete vectors)."""
         until = self.current_version() if until_version is None else until_version
         if until is None:
             raise FileNotFoundError(f"{self.root}: no committed snapshot")

@@ -476,3 +476,30 @@ def test_knn_join_auto_sizing_keeps_plan_shape(spark):
     plan = _plan(knn_join_blocked(emb, k=3, target_bucket=50))
     assert "BroadcastExchange" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_zorder_rewrite_is_single_range_exchange(spark, tmp_path):
+    """OPTIMIZE ZORDER's clustering plan: the z-key is pure bit
+    arithmetic inside codegen and the rewrite pays exactly ONE exchange
+    — the range partition on the key — plus a partition-local sort
+    (never a global sort). The key column itself must not survive into
+    the written schema."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_pipeline_elt_spark.operators.indexing import zorder_key
+
+    df = spark.range(1000).selectExpr(
+        "id % 37 AS x", "id % 101 AS y", "id"
+    )
+    clustered = (
+        df.withColumn("__zkey", zorder_key(["x", "y"], [(0, 36), (0, 100)]))
+        .repartitionByRange(4, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+    plan = _plan(clustered)
+    assert plan.count("Exchange rangepartitioning") == 1
+    assert plan.count("Exchange") == 1, plan
+    # partition-local sort only: Sort node present with global=false
+    assert "Sort [__zkey" in plan and "false, 0" in plan
+    assert clustered.columns == ["x", "y", "id"]

@@ -443,3 +443,137 @@ def test_commit_batch_replay_check_is_manifest_local(spark, table):
     assert table.snapshot().batch_ids == (0,)
     assert table.commit_batch(_df(spark, 0, 5), batch_id=0) is None
     assert table.read(spark).count() == 10
+
+
+def _xy(spark, n=4096, files=4):
+    """n rows of two INDEPENDENT uniform dims, hash-scattered across
+    ``files`` files so every file's (x, y) envelope spans ~the whole
+    domain — the layout on which per-file min/max skipping prunes
+    nothing."""
+    return (
+        spark.range(n)
+        .selectExpr(
+            "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 4), 16, 10) "
+            "  AS BIGINT) % 1024 AS x",
+            "CAST(conv(substr(md5(CAST(id AS STRING)), 5, 4), 16, 10) "
+            "  AS BIGINT) % 1024 AS y",
+            "id",
+        )
+        .repartition(files)
+    )
+
+
+def test_optimize_zorder_keeps_rows_and_is_feed_neutral(spark, table):
+    table.append(_df(spark, 0, 20))      # v0
+    table.append(_df(spark, 20, 30))     # v1
+    snap = table.optimize(spark, zorder_by=["id"], target_files=2)
+    assert snap.op == "optimize"
+    got = sorted(r.id for r in table.read(spark).collect())
+    assert got == list(range(30))
+    # pre-optimize snapshots still read (no directory swap)
+    assert table.read(spark, version=0).count() == 20
+    # the change feed skips the rewrite, exactly like compact
+    table.append(_df(spark, 30, 33))     # v3
+    delta = table.read_changes(spark, since_version=1)
+    assert sorted(r.id for r in delta.collect()) == [30, 31, 32]
+    with pytest.raises(ValueError, match=">=1 column"):
+        table.optimize(spark, zorder_by=[])
+
+
+def test_optimize_zorder_tightens_envelopes_and_prunes_2d(spark, table):
+    """The point of z-ordering: on a scattered layout a 2-D box predicate
+    prunes NOTHING (every file's envelope covers the box); after OPTIMIZE
+    ZORDER BY (x, y) the same box through the snapshot_table datasource
+    plans strictly fewer input partitions, with identical results."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    table.append(_xy(spark, n=4096, files=4))
+    box = "x >= 256 AND x < 512 AND y >= 256 AND y < 512"
+    pre = spark.read.format("snapshot_table").load(str(table.root)).filter(box)
+    pre_rows = sorted(r.id for r in pre.collect())
+    pre_files = pre.rdd.getNumPartitions()
+    assert pre_files == 4, "scattered layout must defeat skipping"
+
+    table.optimize(spark, zorder_by=["x", "y"], target_files=4)
+    post = spark.read.format("snapshot_table").load(str(table.root)).filter(box)
+    post_rows = sorted(r.id for r in post.collect())
+    post_files = post.rdd.getNumPartitions()
+    assert post_rows == pre_rows
+    assert post_files < pre_files, (
+        f"z-order should prune the quarter-domain box: {post_files} files"
+    )
+
+
+def test_optimize_zorder_nulls_and_degenerate_bounds(spark, table):
+    """NULLs cluster in cell 0 and a constant column degenerates to a
+    single cell — neither loses rows nor breaks the rewrite."""
+    df = spark.createDataFrame(
+        [(None, 1, 0), (5, 1, 1), (None, 1, 2), (9, 1, 3)],
+        "x int, y int, id int",
+    )
+    table.append(df)
+    table.optimize(spark, zorder_by=["x", "y"], target_files=2)
+    got = table.read(spark)
+    assert got.count() == 4
+    assert got.filter("x IS NULL").count() == 2
+
+
+def test_restore_rolls_back_and_preserves_history(spark, table):
+    table.append(_df(spark, 0, 10))       # v0
+    table.overwrite(_df(spark, 100, 103))  # v1: the "bad" commit
+    snap = table.restore(0)                # v2
+    assert snap.op == "restore"
+    assert sorted(r.id for r in table.read(spark).collect()) == list(range(10))
+    # history-preserving: the bad commit still time-travels
+    assert table.read(spark, version=1).count() == 3
+    # the feed treats restore like overwrite: lineage broken
+    with pytest.raises(ValueError, match="non-append"):
+        table.read_changes(spark, since_version=0)
+    # restored files are live again: vacuum (which also retires old
+    # manifests) keeps them and the current read is intact
+    table.vacuum(keep_versions=1)
+    assert table.read(spark).count() == 10
+
+
+def test_check_constraint_blocks_bad_writes_atomically(spark, table):
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        ConstraintViolation,
+    )
+
+    table.append(_df(spark, 0, 10))
+    table.add_check_constraint(spark, "v_nonneg", "v >= 0")
+    assert table.snapshot().constraints == {"v_nonneg": "v >= 0"}
+    before = table.current_version()
+    bad = spark.createDataFrame([(50, -1)], "id long, v long")
+    with pytest.raises(ConstraintViolation, match="v_nonneg"):
+        table.append(bad)
+    # nothing committed, and the half-written files are gone
+    assert table.current_version() == before
+    assert table.vacuum(keep_versions=1) == []
+    assert table.read(spark).count() == 10
+    # good writes pass; NULL passes (ANSI CHECK: only FALSE violates)
+    table.append(spark.createDataFrame([(50, None)], "id long, v long"))
+    assert table.read(spark).count() == 11
+    # constraints ride the manifest: carried across compact + restore
+    table.compact(spark, target_files=1)
+    assert table.snapshot().constraints == {"v_nonneg": "v >= 0"}
+    # metadata-only commits are invisible to the change feed
+    v_pre = table.current_version()
+    table.drop_constraint("v_nonneg")
+    assert table.snapshot().constraints == {}
+    assert table.read_changes(spark, since_version=v_pre).count() == 0
+
+
+def test_add_constraint_validates_existing_rows(spark, table):
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        ConstraintViolation,
+    )
+
+    table.append(spark.createDataFrame([(1, -5)], "id long, v long"))
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        table.add_check_constraint(spark, "v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="no constraint"):
+        table.drop_constraint("v_nonneg")
