@@ -969,3 +969,248 @@ def reference_scrub(
         kernel,
         schema=f"{id_col} {id_type}, {ref_id_col} bigint, max_cos double",
     )
+
+
+# --- product quantization (IVF-PQ's compression half) -----------------------
+def _pq_subvectors(e: DataFrame, m: int, subdim: int, id_col: str) -> DataFrame:
+    """Long form (id, s, sv): one row per (vector, subspace) — the shape
+    that keeps every downstream expression tree small (a literal-unrolled
+    argmax over m x k codewords measured 40+ s of Catalyst analysis; the
+    join form plans in milliseconds)."""
+    return e.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("v", s * subdim + 1, subdim).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("t"),
+    ).select(id_col, "t.s", "t.sv")
+
+
+def _pq_assign(
+    sub: DataFrame, book_df: DataFrame, subdim: int, id_col: str
+) -> DataFrame:
+    """Nearest codeword per (vector, subspace): broadcast the m x k
+    codebook, score every pair with the inner-product form of L2 argmin
+    — ``round(sv . c - 0.5 * c . c, 6)``, one rounded 6-dp grid shared
+    with the DuckDB oracle — and take the argmax with lowest-cid ties as
+    ONE combinable aggregate (``min`` over a (-score, cid, ...) struct:
+    partial aggregation applies, so the shuffle carries one candidate
+    per (vector, subspace) per map task, never the k-fanout)."""
+    sc = F.round(
+        dot(F.col("sv"), F.col("c"), subdim)
+        - 0.5 * dot(F.col("c"), F.col("c"), subdim),
+        6,
+    )
+    return (
+        sub.join(F.broadcast(book_df), "s")
+        .select(
+            id_col,
+            "s",
+            "sv",
+            F.struct(
+                (-sc).alias("neg"), F.col("cid").alias("cid"), F.col("c")
+            ).alias("cand"),
+        )
+        .groupBy(id_col, "s")
+        .agg(F.min("cand").alias("w"), F.first("sv").alias("sv"))
+        .select(id_col, "s", "sv", "w.cid", "w.c")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    m: int = 16,
+    codebook_k: int = 16,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Product-quantization ANN (Jegou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011 — the compression half of
+    FAISS's IVF-PQ): the space splits into ``m`` orthogonal subspaces,
+    each gets an independent ``codebook_k``-word L2 codebook (Lloyd,
+    deterministic lowest-id seeds), and every corpus vector is ENCODED
+    as its per-subspace nearest codeword — ``m * log2(codebook_k)`` bits
+    (64 at the defaults) instead of ``dim * 64`` (4096): the memory move
+    that lets a 100 TB corpus' index live in RAM. Search is asymmetric
+    distance computation (ADC): the query stays exact and scores each
+    row's RECONSTRUCTION (concatenated codewords) by rounded cosine,
+    top-k with id tiebreak (reconstructions collide across rows by
+    design — only ``codebook_k ** m`` codes exist — so the tiebreak
+    does real work).
+
+    Scale shape: the codebook (m x k x subdim driver floats — index
+    METADATA, like the IVF centroid matrix) is always on the broadcast
+    side; corpus-side work is one explode to (row, subspace) long form,
+    per Lloyd round one argmax aggregate + one grouped-mean aggregate
+    (shuffle payloads: one candidate per (row, subspace), then
+    m x k x subdim partial means), one encode argmax, one per-row
+    reassembly and one global top-k. Every aggregate is combinable
+    (map-side partials), no UDF anywhere, and the job count is
+    independent of ``m``. Deterministic on a shared 6-dp grid, so the
+    DuckDB oracle (:func:`pq_oracle_sql`) replays training, encoding
+    and ADC exactly."""
+    subdim = dim // m
+    spark = embeddings.sparkSession
+    e = embeddings.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    )
+    q = [
+        float(x)
+        for x in e.filter(F.col(id_col) == query_vec_id).first()["v"]
+    ]
+    sub = _pq_subvectors(e, m, subdim, id_col).persist()
+    # one seed collect serves every subspace: the codebook_k lowest-id
+    # rows, sliced driver-side (subvectors share their row's id)
+    seed_rows = [
+        list(r["v"])
+        for r in e.orderBy(id_col).limit(codebook_k).select("v").collect()
+    ]
+    books: list[list[list[float]]] = [
+        [row[s * subdim : (s + 1) * subdim] for row in seed_rows]
+        for s in range(m)
+    ]
+
+    def _book_df(bs):
+        return spark.createDataFrame(
+            [(s, cid, c) for s in range(m) for cid, c in enumerate(bs[s])],
+            f"s int, cid int, c array<double>",
+        )
+
+    for _ in range(n_iter):
+        rows = (
+            _pq_assign(sub, _book_df(books), subdim, id_col)
+            .select("s", "cid", F.posexplode("sv"))
+            .groupBy("s", "cid", "pos")
+            .agg(F.round(F.avg("col"), 6).alias("mv"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], list[float]] = {}
+        for r in rows:
+            acc.setdefault(
+                (int(r["s"]), int(r["cid"])), [0.0] * subdim
+            )[int(r["pos"])] = float(r["mv"])
+        books = [
+            [acc.get((s, cid), books[s][cid]) for cid in range(codebook_k)]
+            for s in range(m)
+        ]
+    # encode with the trained codebooks, reassemble the reconstruction
+    # in subspace order, ADC-score against the exact query, top-k
+    enc = _pq_assign(sub, _book_df(books), subdim, id_col)
+    rec = (
+        enc.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "c"))),
+                    lambda t: t["c"],
+                )
+            ).alias("r")
+        )
+    )
+    qvec = F.array(*[F.lit(x) for x in q])
+    out = (
+        rec.filter(F.col(id_col) != query_vec_id)
+        .select(
+            id_col,
+            F.round(
+                dot(qvec, F.col("r"), dim)
+                / (
+                    F.sqrt(dot(qvec, qvec, dim))
+                    * F.sqrt(dot(F.col("r"), F.col("r"), dim))
+                ),
+                6,
+            ).alias("approx_cos"),
+        )
+        .orderBy(F.col("approx_cos").desc(), id_col)
+        .limit(k)
+    )
+    sub.unpersist()
+    return out
+
+
+def pq_oracle_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    m: int = 16,
+    codebook_k: int = 16,
+    n_iter: int = 1,
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB CTE chain replaying :func:`pq_topk` exactly: same seed
+    rule, same inner-product-form L2 assignment on the 6-dp grid with
+    lowest-cid ties, same plain-mean update, same ADC cosine. Mirrors
+    the :func:`clustering.kmeans_oracle_ctes` convention."""
+    subdim = dim // m
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        f"q AS (SELECT v FROM e WHERE vec_id = {query_vec_id})",
+    ]
+    score = "round(list_dot_product(sv, c) - 0.5 * list_dot_product(c, c), 6)"
+    for s in range(m):
+        lo, hi = s * subdim + 1, (s + 1) * subdim
+        parts.append(f"s{s} AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM e)")
+        prev = f"k{s}_seed"
+        parts.append(
+            f"{prev} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1"
+            f" AS cid, sv AS c FROM (SELECT vec_id, sv FROM s{s}"
+            f" ORDER BY vec_id LIMIT {codebook_k}) t)"
+        )
+        for it in range(n_iter):
+            parts.append(
+                f"k{s}_a{it} AS (SELECT vec_id, sv, cid, {score} AS sc"
+                f" FROM s{s} CROSS JOIN {prev})"
+            )
+            parts.append(
+                f"k{s}_b{it} AS (SELECT vec_id, sv, cid FROM (SELECT *,"
+                " row_number() OVER (PARTITION BY vec_id"
+                f" ORDER BY sc DESC, cid) AS rn FROM k{s}_a{it}) t"
+                " WHERE rn = 1)"
+            )
+            prev = f"k{s}_c{it}"
+            parts.append(
+                f"{prev} AS (SELECT cid, list(mv ORDER BY dim) AS c FROM"
+                " (SELECT cid, dim, round(avg(val), 6) AS mv FROM"
+                " (SELECT cid, unnest(sv) AS val,"
+                f" generate_subscripts(sv, 1) AS dim FROM k{s}_b{it}) u"
+                " GROUP BY cid, dim) g GROUP BY cid)"
+            )
+        parts.append(
+            f"k{s}_enc0 AS (SELECT vec_id, cid, c, {score} AS sc"
+            f" FROM s{s} CROSS JOIN {prev})"
+        )
+        parts.append(
+            f"k{s}_enc AS (SELECT vec_id, c AS cw{s} FROM (SELECT *,"
+            " row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY sc DESC, cid) AS rn FROM k{s}_enc0) t WHERE rn = 1)"
+        )
+    cat = " || ".join(f"cw{s}" for s in range(m))
+    joins = "k0_enc" + "".join(
+        f" JOIN k{s}_enc USING (vec_id)" for s in range(1, m)
+    )
+    parts.append(f"rec AS (SELECT vec_id, {cat} AS r FROM {joins})")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id,
+       round(list_dot_product(q.v, r) /
+             (sqrt(list_dot_product(q.v, q.v)) *
+              sqrt(list_dot_product(r, r))), 6) AS approx_cos
+FROM rec, q
+WHERE vec_id != {query_vec_id}
+ORDER BY approx_cos DESC, vec_id
+LIMIT {k}
+"""
+    )

@@ -541,6 +541,27 @@ def simsearch_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simsearch_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py:pq_topk —
+    Jegou et al. 2011, the compression half of FAISS IVF-PQ): sixteen
+    independent 16-word L2 codebooks over the sixteen 4-dim subspaces,
+    every vector encoded to its nearest-codeword tuple — 64 bits per
+    vector instead of 64 doubles, the memory move that lets a 100 TB
+    corpus' index live in RAM — then asymmetric-distance top-10
+    against the exact query. The job count is independent of the
+    subspace count (one seed collect, one exploded aggregate trains
+    all 16 codebooks, one map-only encode+ADC scan). Training,
+    encoding and ADC are deterministic on a shared 6-dp grid, so the
+    DuckDB oracle replays them exactly; the approximation floor vs
+    exact brute force is pinned in tests/test_recall_floors.py."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_topk(emb, query_vec_id=0, k=10, m=16, codebook_k=16)
+
+
+PQ_TOPK_ORACLE = S.pq_oracle_sql(query_vec_id=0, k=10, m=16, codebook_k=16)
+
+
 IVF_KMEANS_ORACLE = C.ivf_kmeans_oracle_sql(
     query_vec_id=0, k=10, n_clusters=8, nprobe=2
 )
@@ -2887,6 +2908,7 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_neardup_blocked": embedding_neardup_blocked,
     "simsearch_ivf_topk": simsearch_ivf_topk,
+    "simsearch_pq_topk": simsearch_pq_topk,
     "simsearch_ivf_multiprobe": simsearch_ivf_multiprobe,
     "simsearch_ivf_kmeans": simsearch_ivf_kmeans,
     "simsearch_lsh_topk": simsearch_lsh_topk,
@@ -2961,6 +2983,7 @@ ORACLE = {
     "embedding_neardup_pairs": NEARDUP_ORACLE,
     "embedding_neardup_blocked": NEARDUP_BLOCKED_ORACLE,
     "simsearch_ivf_topk": IVF_ORACLE,
+    "simsearch_pq_topk": PQ_TOPK_ORACLE,
     "simsearch_ivf_multiprobe": IVF_MULTIPROBE_ORACLE,
     "simsearch_ivf_kmeans": IVF_KMEANS_ORACLE,
     "simsearch_lsh_topk": LSH_TOPK_ORACLE,
