@@ -171,3 +171,32 @@ def make_dense(spark=None) -> None:
     )
     for t in ("documents_dense", "customer_dense"):
         print(t, spark.read.parquet(f"{OUT}/{t}.parquet").count())
+
+
+def make_orders(spark=None) -> None:
+    """sf1 orders for the snapshot-maintenance (OPTIMIZE ZORDER) decade:
+    10 replicas, orderkeys offset by replica * 10^9 and custkeys by
+    replica * 150000 — the linear corpus model (10x the customers at the
+    same per-customer order density), so the zorder grid spans a 10x key
+    range while the 2-D box predicate keeps selecting the same
+    FRACTION of the domain. Written beside the other sf1 tables."""
+    spark = spark or get_spark("make-sf1-orders", cpus=32)
+    tune(spark)
+    reps = spark.range(R).select(F.col("id").cast("int").alias("r"))
+    orders = load_table(spark, SRC, "orders")
+    o = orders.crossJoin(F.broadcast(reps)).select(
+        (F.col("o_orderkey") + F.col("r").cast("long") * OFF).alias(
+            "o_orderkey"
+        ),
+        (F.col("o_custkey") + F.col("r").cast("long") * 150_000).alias(
+            "o_custkey"
+        ),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    o.repartition(16).write.mode("overwrite").parquet(
+        f"{OUT}/orders.parquet"
+    )
+    print("orders", spark.read.parquet(f"{OUT}/orders.parquet").count())
