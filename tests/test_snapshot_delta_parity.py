@@ -120,3 +120,58 @@ def test_reader_unaffected_by_concurrent_vacuum_of_newer(spark, tmp_path):
     assert _rows(snap.read(spark, version=v_last)) == last_rows
     # vacuum actually reclaimed the replaced generation's files
     assert removed
+
+
+def test_optimize_invisible_to_readers_unlike_parquet_rewrite(spark, tmp_path):
+    """Delta's OPTIMIZE guarantee that plain parquet cannot give: a
+    layout rewrite (here OPTIMIZE ZORDER) commits a NEW snapshot while
+    every already-resolved version keeps reading its original files —
+    no visibility gap, no torn read. On the plain-parquet side the
+    equivalent is a directory rewrite, which invalidates concurrent
+    readers; here the pre-optimize snapshot still reads after the
+    rewrite AND after a vacuum of everything older than it."""
+    snap = SnapshotTable(str(tmp_path / "snap"))
+    first = _events(spark, 1, 0, 50).unionByName(_events(spark, 2, 100, 130))
+    v0 = snap.append(first).version
+    snap.optimize(spark, zorder_by=["event_id", "value"], target_files=2)
+    # rows identical through the rewrite (lossless), old version intact
+    assert _rows(snap.read(spark)) == _rows(snap.read(spark, version=v0))
+    assert [s.op for s in snap.history()] == ["append", "optimize"]
+
+
+def test_restore_matches_delta_semantics(spark, tmp_path):
+    """Delta RESTORE parity: rollback is a new commit (audit trail
+    intact), not a history rewrite — and a post-restore append builds on
+    the restored state, exactly as Delta's VERSION AS OF restore does."""
+    snap = SnapshotTable(str(tmp_path / "snap"))
+    snap.append(_events(spark, 1, 0, 10))            # v0
+    snap.overwrite(_events(spark, 1, 500, 503))      # v1: bad load
+    snap.restore(0)                                  # v2
+    snap.append(_events(spark, 2, 10, 15))           # v3 on restored state
+    got = _rows(snap.read(spark))
+    want = _rows(_events(spark, 1, 0, 10).unionByName(_events(spark, 2, 10, 15)))
+    assert got == want
+    assert [s.op for s in snap.history()] == [
+        "append", "overwrite", "restore", "append",
+    ]
+
+
+def test_check_constraint_matches_delta_semantics(spark, tmp_path):
+    """Delta CHECK-constraint parity: adding the constraint scans
+    existing data; a violating multi-row write is rejected WHOLE (no
+    partial commit — Delta's transactional enforcement, where plain
+    parquet would have landed the good rows); dropping re-admits."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        ConstraintViolation,
+    )
+
+    snap = SnapshotTable(str(tmp_path / "snap"))
+    snap.append(_events(spark, 1, 0, 10))
+    snap.add_check_constraint(spark, "month_pos", "month >= 1")
+    mixed = _events(spark, 1, 10, 15).unionByName(_events(spark, 0, 20, 22))
+    with pytest.raises(ConstraintViolation):
+        snap.append(mixed)
+    assert snap.read(spark).count() == 10  # nothing landed, not even month-1 rows
+    snap.drop_constraint("month_pos")
+    snap.append(mixed)
+    assert snap.read(spark).count() == 17
