@@ -84,6 +84,8 @@ _PRIORITY_WINDOW = [
     "simsearch_ivf_multiprobe",  # NEW: nprobe=2 (VERDICT task #6)
     "simsearch_ivf_kmeans",  # NEW: k-means coarse quantizer (task #6)
     "simsearch_pq_topk",  # NEW r7: product quantization + ADC
+    "dsir_importance_select",  # NEW r7: DSIR targeted selection
+    "simsearch_pq_rerank",  # NEW r7: ADC shortlist + exact re-rank
     "pagerank_dangling",  # graph loop unpersist-in-finally (ADVICE)
     "nation_reach_bfs",  # graph loop unpersist-in-finally (ADVICE)
     "streaming_snapshot_source_counts",  # bench-weak + new replay path

@@ -1214,3 +1214,99 @@ ORDER BY approx_cos DESC, vec_id
 LIMIT {k}
 """
     )
+
+
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    shortlist: int = 50,
+    m: int = 16,
+    codebook_k: int = 16,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """The deployed PQ serving shape: ADC over the compressed codes
+    produces a ``shortlist``-sized candidate set (cheap — the index is
+    64-bit codes), then ONLY those candidates are re-scored with the
+    exact vectors and the true top-k returned. This is how FAISS-style
+    systems spend their memory/recall budget: the full-precision
+    vectors are touched for ``shortlist`` rows, not the corpus. Recall
+    is bounded by shortlist membership only — the re-rank ordering is
+    exact (floor pinned in tests/test_recall_floors.py, measured well
+    above pure-ADC top-k).
+
+    Scale shape: everything in :func:`pq_topk` plus one k-row broadcast
+    semi-join (the shortlist ids) against the corpus and a ``shortlist``-
+    row exact rescore — O(shortlist * dim) extra work total."""
+    cand = pq_topk(
+        embeddings,
+        query_vec_id=query_vec_id,
+        k=shortlist,
+        m=m,
+        codebook_k=codebook_k,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    ).select(id_col)
+    e = embeddings.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    )
+    q = [
+        float(x)
+        for x in e.filter(F.col(id_col) == query_vec_id).first()["v"]
+    ]
+    qvec = F.array(*[F.lit(x) for x in q])
+    return (
+        e.join(F.broadcast(cand), id_col)
+        .select(
+            id_col,
+            F.round(
+                dot(qvec, F.col("v"), dim)
+                / (
+                    F.sqrt(dot(qvec, qvec, dim))
+                    * F.sqrt(dot(F.col("v"), F.col("v"), dim))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), id_col)
+        .limit(k)
+    )
+
+
+def pq_rerank_oracle_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    shortlist: int = 50,
+    m: int = 16,
+    codebook_k: int = 16,
+    n_iter: int = 1,
+    dim: int = EMBED_DIM,
+) -> str:
+    """Oracle for :func:`pq_rerank_topk`: the full PQ statement as a
+    shortlist CTE, then the exact rounded-cosine rescore of exactly
+    those ids."""
+    inner = pq_oracle_sql(
+        query_vec_id=query_vec_id,
+        k=shortlist,
+        m=m,
+        codebook_k=codebook_k,
+        n_iter=n_iter,
+        dim=dim,
+    )
+    return f"""
+WITH pq AS ({inner}),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (SELECT v FROM ev WHERE vec_id = {query_vec_id})
+SELECT ev.vec_id,
+       round(list_dot_product(qv.v, ev.v) /
+             (sqrt(list_dot_product(qv.v, qv.v)) *
+              sqrt(list_dot_product(ev.v, ev.v))), 6) AS cos_sim
+FROM ev JOIN pq USING (vec_id), qv
+ORDER BY cos_sim DESC, ev.vec_id
+LIMIT {k}
+"""

@@ -559,6 +559,22 @@ def simsearch_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(emb, query_vec_id=0, k=10, m=16, codebook_k=16)
 
 
+def simsearch_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC shortlist + exact re-rank (operators/similarity.py:
+    pq_rerank_topk) — the deployed PQ serving shape: the 64-bit codes
+    produce a 50-candidate shortlist, the full-precision vectors are
+    touched for those 50 rows only, and the returned top-10 ordering is
+    exact within the shortlist. Recall vs brute force is bounded only
+    by shortlist membership (floor pinned in
+    tests/test_recall_floors.py, measured well above pure-ADC)."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_rerank_topk(emb, query_vec_id=0, k=10, shortlist=50)
+
+
+PQ_RERANK_ORACLE = S.pq_rerank_oracle_sql(query_vec_id=0, k=10, shortlist=50)
+
+
 PQ_TOPK_ORACLE = S.pq_oracle_sql(query_vec_id=0, k=10, m=16, codebook_k=16)
 
 
@@ -1185,6 +1201,93 @@ def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("logp"), 6).alias("logprob_sum"),
         )
     )
+
+
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style targeted data selection (Xie et al., "Data Selection
+    for Language Models via Importance Resampling", NeurIPS 2023): rank
+    the corpus by the log likelihood RATIO between a target-domain
+    n-gram LM and the background-corpus LM, then keep the top slice —
+    the standard cheap recipe for steering a 100 TB crawl toward a
+    domain without training a classifier. Target here: the ``en``
+    documents; background: the full corpus; unigram LMs with add-one
+    smoothing over the shared corpus vocabulary.
+
+    Same engine shape as unigram_lm_scores: two vocabulary aggregates
+    (the target one is a filtered twin), the three scalars (target
+    mass, corpus mass, vocab size) ride a 1-row broadcast, per-token
+    ``round(ln(p_t) - ln(p_c), 6)`` pins every contribution to the 1e-6
+    grid so the per-doc sum is layout-independent, and the top-25 is a
+    k-row global sort. One shuffle per aggregate, broadcast joins only
+    — nothing quadratic, vocab is the only driver-size object."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+    )
+    corpus = toks.groupBy("token").agg(F.count("*").alias("n_c"))
+    target = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_t"))
+    )
+    vocab = corpus.join(target, "token", "left").select(
+        "token", "n_c", F.coalesce("n_t", F.lit(0)).alias("n_t")
+    )
+    scalars = vocab.agg(
+        F.sum("n_c").alias("mass_c"),
+        F.sum("n_t").alias("mass_t"),
+        F.count("*").alias("v"),
+    )
+    contrib = vocab.crossJoin(F.broadcast(scalars)).select(
+        "token",
+        F.round(
+            F.log((F.col("n_t") + 1) / (F.col("mass_t") + F.col("v")))
+            - F.log((F.col("n_c") + 1) / (F.col("mass_c") + F.col("v"))),
+            6,
+        ).alias("ratio"),
+    )
+    return (
+        toks.join(F.broadcast(contrib), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("ratio"), 6).alias("dsir_weight"),
+        )
+        .orderBy(F.col("dsir_weight").desc(), "doc_id")
+        .limit(25)
+    )
+
+
+DSIR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+), corpus AS (
+  SELECT token, count(*) AS n_c FROM toks GROUP BY token
+), target AS (
+  SELECT token, count(*) AS n_t FROM toks WHERE lang = 'en' GROUP BY token
+), vocab AS (
+  SELECT c.token, c.n_c, coalesce(t.n_t, 0) AS n_t
+  FROM corpus c LEFT JOIN target t USING (token)
+), scalars AS (
+  SELECT sum(n_c) AS mass_c, sum(n_t) AS mass_t, count(*) AS v FROM vocab
+), contrib AS (
+  SELECT token,
+         round(ln((n_t + 1) * 1.0 / (mass_t + v))
+               - ln((n_c + 1) * 1.0 / (mass_c + v)), 6) AS ratio
+  FROM vocab, scalars
+)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(sum(c.ratio), 6) AS dsir_weight
+FROM toks t JOIN contrib c USING (token)
+GROUP BY t.doc_id
+ORDER BY dsir_weight DESC, t.doc_id
+LIMIT 25
+"""
 
 
 UNIGRAM_LM_ORACLE = """
@@ -2909,6 +3012,7 @@ QUERIES = {
     "embedding_neardup_blocked": embedding_neardup_blocked,
     "simsearch_ivf_topk": simsearch_ivf_topk,
     "simsearch_pq_topk": simsearch_pq_topk,
+    "simsearch_pq_rerank": simsearch_pq_rerank,
     "simsearch_ivf_multiprobe": simsearch_ivf_multiprobe,
     "simsearch_ivf_kmeans": simsearch_ivf_kmeans,
     "simsearch_lsh_topk": simsearch_lsh_topk,
@@ -2931,6 +3035,7 @@ QUERIES = {
     "doc_mixture_sample": doc_mixture_sample,
     "bigrams_udtf": bigrams_udtf,
     "unigram_lm_scores": unigram_lm_scores,
+    "dsir_importance_select": dsir_importance_select,
     "embedding_quantize": embedding_quantize,
     "doc_quota_sample": doc_quota_sample,
     "doc_global_index": doc_global_index,
@@ -2984,6 +3089,7 @@ ORACLE = {
     "embedding_neardup_blocked": NEARDUP_BLOCKED_ORACLE,
     "simsearch_ivf_topk": IVF_ORACLE,
     "simsearch_pq_topk": PQ_TOPK_ORACLE,
+    "simsearch_pq_rerank": PQ_RERANK_ORACLE,
     "simsearch_ivf_multiprobe": IVF_MULTIPROBE_ORACLE,
     "simsearch_ivf_kmeans": IVF_KMEANS_ORACLE,
     "simsearch_lsh_topk": LSH_TOPK_ORACLE,
@@ -3006,6 +3112,7 @@ ORACLE = {
     "doc_mixture_sample": MIXTURE_SAMPLE_ORACLE,
     "bigrams_udtf": BIGRAMS_ORACLE,
     "unigram_lm_scores": UNIGRAM_LM_ORACLE,
+    "dsir_importance_select": DSIR_ORACLE,
     "embedding_quantize": QUANTIZE_ORACLE,
     "doc_quota_sample": QUOTA_SAMPLE_ORACLE,
     "doc_global_index": GLOBAL_INDEX_ORACLE,

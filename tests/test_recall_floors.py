@@ -110,3 +110,28 @@ def test_pq_recall_floor(spark):
         }
         got = len(exact & pq) / 10
         assert got >= floor, f"{sf_dir}: PQ recall@10 collapsed to {got}"
+
+
+def test_pq_rerank_recall_floor(spark):
+    """The deployed PQ shape — ADC shortlist (50) + exact re-rank — must
+    recover most of the exact top-10 (measured 1.0 at sf0.001, 0.9 at
+    sf0.01 vs 0.6/0.3 for pure-ADC top-10): recall is bounded only by
+    shortlist membership, which is the quantitative case for the
+    re-rank stage."""
+    from nyc_taxi_data_pipeline_elt_spark.operators import similarity as S
+    from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
+
+    for sf_dir in (SF_SMALL, SF_MED):
+        emb = load_table(spark, sf_dir, "embeddings")
+        exact = {
+            r.vec_id
+            for r in S.brute_force_topk(emb, query_vec_id=0, k=10).collect()
+        }
+        rr = {
+            r.vec_id
+            for r in S.pq_rerank_topk(
+                emb, query_vec_id=0, k=10, shortlist=50
+            ).collect()
+        }
+        got = len(exact & rr) / 10
+        assert got >= 0.7, f"{sf_dir}: PQ re-rank recall@10 fell to {got}"
