@@ -972,56 +972,32 @@ def reference_scrub(
 
 
 # --- product quantization (IVF-PQ's compression half) -----------------------
-def _pq_subvectors(e: DataFrame, m: int, subdim: int, id_col: str) -> DataFrame:
-    """Long form (id, s, sv): one row per (vector, subspace) — the shape
-    that keeps every downstream expression tree small (a literal-unrolled
-    argmax over m x k codewords measured 40+ s of Catalyst analysis; the
-    join form plans in milliseconds)."""
-    return e.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice("v", s * subdim + 1, subdim).alias("sv"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("t"),
-    ).select(id_col, "t.s", "t.sv")
+def _pq_codes(V, books, subdim: int):
+    """Per-subspace nearest-codeword codes for a slab ``V`` (n x dim
+    float64): for each subspace the scores are the inner-product form of
+    L2 argmin, ``round(sv . c - 0.5 * c . c, 6)``, computed with the
+    module's slab conventions — accumulation loops DIMENSION-BY-DIMENSION
+    so every (row, codeword) sum keeps the left-to-right association of
+    DuckDB's ``list_dot_product``, and ``floor(x*1e6 + 0.5)/1e6``
+    reproduces DuckDB ``round(x, 6)`` exactly (see
+    :func:`neardup_pairs`). ``np.argmax`` returns the FIRST max, which
+    IS the lowest-cid tiebreak. Returns an (n, m) int array."""
+    import numpy as np
 
-
-def _pq_assign(
-    sub: DataFrame, book_df: DataFrame, subdim: int, id_col: str
-) -> DataFrame:
-    """Nearest codeword per (vector, subspace): broadcast the m x k
-    codebook, score every pair with the inner-product form of L2 argmin
-    — ``round(sv . c - 0.5 * c . c, 6)``, one rounded 6-dp grid shared
-    with the DuckDB oracle — and take the argmax with lowest-cid ties as
-    ONE combinable aggregate (``min`` over a (-score, cid, ...) struct:
-    partial aggregation applies, so the shuffle carries one candidate
-    per (vector, subspace) per map task, never the k-fanout)."""
-    sc = F.round(
-        dot(F.col("sv"), F.col("c"), subdim)
-        - 0.5 * dot(F.col("c"), F.col("c"), subdim),
-        6,
-    )
-    return (
-        sub.join(F.broadcast(book_df), "s")
-        .select(
-            id_col,
-            "s",
-            "sv",
-            F.struct(
-                (-sc).alias("neg"), F.col("cid").alias("cid"), F.col("c")
-            ).alias("cand"),
-        )
-        .groupBy(id_col, "s")
-        .agg(F.min("cand").alias("w"), F.first("sv").alias("sv"))
-        .select(id_col, "s", "sv", "w.cid", "w.c")
-    )
+    m = len(books)
+    codes = np.empty((V.shape[0], m), dtype=np.int64)
+    for s in range(m):
+        Vs = V[:, s * subdim : (s + 1) * subdim]
+        C = np.asarray(books[s], dtype=np.float64)  # k x subdim
+        cc = np.zeros(C.shape[0], dtype=np.float64)
+        S = Vs[:, 0:1] * C[:, 0][None, :]
+        cc = cc + C[:, 0] * C[:, 0]
+        for i in range(1, subdim):
+            S = S + Vs[:, i : i + 1] * C[:, i][None, :]
+            cc = cc + C[:, i] * C[:, i]
+        r = np.floor((S - 0.5 * cc[None, :]) * 1e6 + 0.5) / 1e6
+        codes[:, s] = np.argmax(r, axis=1)
+    return codes
 
 
 def pq_topk(
@@ -1049,50 +1025,80 @@ def pq_topk(
     design — only ``codebook_k ** m`` codes exist — so the tiebreak
     does real work).
 
-    Scale shape: the codebook (m x k x subdim driver floats — index
-    METADATA, like the IVF centroid matrix) is always on the broadcast
-    side; corpus-side work is one explode to (row, subspace) long form,
-    per Lloyd round one argmax aggregate + one grouped-mean aggregate
-    (shuffle payloads: one candidate per (row, subspace), then
-    m x k x subdim partial means), one encode argmax, one per-row
-    reassembly and one global top-k. Every aggregate is combinable
-    (map-side partials), no UDF anywhere, and the job count is
-    independent of ``m``. Deterministic on a shared 6-dp grid, so the
-    DuckDB oracle (:func:`pq_oracle_sql`) replays training, encoding
-    and ADC exactly."""
+    Engine shape: encode-and-score is the module's vectorized-slab hot
+    path (:func:`neardup_pairs` precedent — three pure-DataFrame
+    formulations were measured first: per-codeword unrolled expressions
+    cost 40+ s of Catalyst ANALYSIS at m=k=16; a broadcast-join +
+    min(struct) argmax re-paid a broadcast build and an argmax shuffle
+    per action; ``transform``-lambda scoring runs interpreted,
+    CodegenFallback, ~2x slower still). The codebook is m x k x subdim
+    driver floats — index METADATA riding the task closure; each task
+    encodes its slab in numpy with the documented bit-parity
+    conventions (dimension-ordered accumulation == list_dot_product
+    association; ``floor(x*1e6+0.5)/1e6`` == DuckDB ``round(x, 6)``;
+    ``np.argmax`` first-max == lowest-cid ties). Per Lloyd round the
+    kernel emits per-(subspace, codeword) PARTIAL sums, so the only
+    shuffle is m x k x (subdim + 1) doubles per task — map-side
+    combined by construction; the final pass is one map stage feeding a
+    global TopK. Job count independent of ``m``. Deterministic on the
+    shared 6-dp grid: the DuckDB oracle (:func:`pq_oracle_sql`) replays
+    training, encoding and ADC exactly (differentially verified at
+    sf0.001/0.01/0.1)."""
+    import numpy as np
+    import pandas as pd
+
     subdim = dim // m
-    spark = embeddings.sparkSession
     e = embeddings.select(
-        F.col(id_col), as_double(vec_col).alias("v")
-    )
-    q = [
-        float(x)
-        for x in e.filter(F.col(id_col) == query_vec_id).first()["v"]
-    ]
-    sub = _pq_subvectors(e, m, subdim, id_col).persist()
+        F.col(id_col).alias("id"), as_double(vec_col).alias("v")
+    ).persist()
+    id_type = dict(embeddings.dtypes)[id_col]
+    q = [float(x) for x in e.filter(F.col("id") == query_vec_id).first()["v"]]
     # one seed collect serves every subspace: the codebook_k lowest-id
-    # rows, sliced driver-side (subvectors share their row's id)
+    # rows (a TopK plan, never a full sort), sliced driver-side
     seed_rows = [
         list(r["v"])
-        for r in e.orderBy(id_col).limit(codebook_k).select("v").collect()
+        for r in e.orderBy("id").limit(codebook_k).select("v").collect()
     ]
     books: list[list[list[float]]] = [
         [row[s * subdim : (s + 1) * subdim] for row in seed_rows]
         for s in range(m)
     ]
 
-    def _book_df(bs):
-        return spark.createDataFrame(
-            [(s, cid, c) for s in range(m) for cid, c in enumerate(bs[s])],
-            f"s int, cid int, c array<double>",
-        )
-
     for _ in range(n_iter):
+        bks = [list(map(list, b)) for b in books]
+
+        def partials(batches, _bks=bks):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                )
+                codes = _pq_codes(V, _bks, subdim)
+                out = []
+                for s in range(m):
+                    Vs = V[:, s * subdim : (s + 1) * subdim]
+                    for cid in np.unique(codes[:, s]):
+                        mask = codes[:, s] == cid
+                        sums = Vs[mask].sum(axis=0)
+                        for pos in range(subdim):
+                            out.append(
+                                (s, int(cid), pos, sums[pos], int(mask.sum()))
+                            )
+                yield pd.DataFrame(
+                    out, columns=["s", "cid", "pos", "sm", "cnt"]
+                )
+
         rows = (
-            _pq_assign(sub, _book_df(books), subdim, id_col)
-            .select("s", "cid", F.posexplode("sv"))
+            e.mapInPandas(
+                partials,
+                schema="s int, cid int, pos int, sm double, cnt long",
+            )
             .groupBy("s", "cid", "pos")
-            .agg(F.round(F.avg("col"), 6).alias("mv"))
+            # the rounded mean is computed ENGINE-side (Spark round is
+            # BigDecimal HALF_UP == DuckDB round half-away-from-zero for
+            # every non-boundary double), never Python banker's rounding
+            .agg(F.round(F.sum("sm") / F.sum("cnt"), 6).alias("mv"))
             .collect()
         )
         acc: dict[tuple[int, int], list[float]] = {}
@@ -1104,116 +1110,45 @@ def pq_topk(
             [acc.get((s, cid), books[s][cid]) for cid in range(codebook_k)]
             for s in range(m)
         ]
-    # encode with the trained codebooks, reassemble the reconstruction
-    # in subspace order, ADC-score against the exact query, top-k
-    enc = _pq_assign(sub, _book_df(books), subdim, id_col)
-    rec = (
-        enc.groupBy(id_col)
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("s", "c"))),
-                    lambda t: t["c"],
-                )
-            ).alias("r")
-        )
-    )
-    qvec = F.array(*[F.lit(x) for x in q])
+
+    # encode + reconstruct + ADC in one slab pass; global TopK after
+    bks = [list(map(list, b)) for b in books]
+    qv = np.asarray(q, dtype=np.float64)
+    qq = 0.0
+    for x in q:  # left-to-right, matching list_dot_product(q, q)
+        qq += x * x
+
+    def adc(batches, _bks=bks):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            codes = _pq_codes(V, _bks, subdim)
+            n = V.shape[0]
+            R = np.empty((n, dim), dtype=np.float64)
+            for s in range(m):
+                C = np.asarray(_bks[s], dtype=np.float64)
+                R[:, s * subdim : (s + 1) * subdim] = C[codes[:, s]]
+            num = R[:, 0] * qv[0]
+            rr = R[:, 0] * R[:, 0]
+            for i in range(1, dim):  # dimension-ordered: flat l-to-r sums
+                num = num + R[:, i] * qv[i]
+                rr = rr + R[:, i] * R[:, i]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = num / (np.sqrt(qq) * np.sqrt(rr))
+                r = np.floor(cos * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame({"id": pdf["id"], "approx_cos": r})
+
     out = (
-        rec.filter(F.col(id_col) != query_vec_id)
-        .select(
-            id_col,
-            F.round(
-                dot(qvec, F.col("r"), dim)
-                / (
-                    F.sqrt(dot(qvec, qvec, dim))
-                    * F.sqrt(dot(F.col("r"), F.col("r"), dim))
-                ),
-                6,
-            ).alias("approx_cos"),
-        )
-        .orderBy(F.col("approx_cos").desc(), id_col)
+        e.filter(F.col("id") != query_vec_id)
+        .mapInPandas(adc, schema=f"id {id_type}, approx_cos double")
+        .orderBy(F.col("approx_cos").desc(), "id")
         .limit(k)
+        .select(F.col("id").alias(id_col), "approx_cos")
     )
-    sub.unpersist()
+    e.unpersist()
     return out
 
-
-def pq_oracle_sql(
-    query_vec_id: int = 0,
-    k: int = 10,
-    m: int = 16,
-    codebook_k: int = 16,
-    n_iter: int = 1,
-    dim: int = EMBED_DIM,
-) -> str:
-    """DuckDB CTE chain replaying :func:`pq_topk` exactly: same seed
-    rule, same inner-product-form L2 assignment on the 6-dp grid with
-    lowest-cid ties, same plain-mean update, same ADC cosine. Mirrors
-    the :func:`clustering.kmeans_oracle_ctes` convention."""
-    subdim = dim // m
-    parts = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
-        " FROM embeddings)",
-        f"q AS (SELECT v FROM e WHERE vec_id = {query_vec_id})",
-    ]
-    score = "round(list_dot_product(sv, c) - 0.5 * list_dot_product(c, c), 6)"
-    for s in range(m):
-        lo, hi = s * subdim + 1, (s + 1) * subdim
-        parts.append(f"s{s} AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM e)")
-        prev = f"k{s}_seed"
-        parts.append(
-            f"{prev} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1"
-            f" AS cid, sv AS c FROM (SELECT vec_id, sv FROM s{s}"
-            f" ORDER BY vec_id LIMIT {codebook_k}) t)"
-        )
-        for it in range(n_iter):
-            parts.append(
-                f"k{s}_a{it} AS (SELECT vec_id, sv, cid, {score} AS sc"
-                f" FROM s{s} CROSS JOIN {prev})"
-            )
-            parts.append(
-                f"k{s}_b{it} AS (SELECT vec_id, sv, cid FROM (SELECT *,"
-                " row_number() OVER (PARTITION BY vec_id"
-                f" ORDER BY sc DESC, cid) AS rn FROM k{s}_a{it}) t"
-                " WHERE rn = 1)"
-            )
-            prev = f"k{s}_c{it}"
-            parts.append(
-                f"{prev} AS (SELECT cid, list(mv ORDER BY dim) AS c FROM"
-                " (SELECT cid, dim, round(avg(val), 6) AS mv FROM"
-                " (SELECT cid, unnest(sv) AS val,"
-                f" generate_subscripts(sv, 1) AS dim FROM k{s}_b{it}) u"
-                " GROUP BY cid, dim) g GROUP BY cid)"
-            )
-        parts.append(
-            f"k{s}_enc0 AS (SELECT vec_id, cid, c, {score} AS sc"
-            f" FROM s{s} CROSS JOIN {prev})"
-        )
-        parts.append(
-            f"k{s}_enc AS (SELECT vec_id, c AS cw{s} FROM (SELECT *,"
-            " row_number() OVER (PARTITION BY vec_id"
-            f" ORDER BY sc DESC, cid) AS rn FROM k{s}_enc0) t WHERE rn = 1)"
-        )
-    cat = " || ".join(f"cw{s}" for s in range(m))
-    joins = "k0_enc" + "".join(
-        f" JOIN k{s}_enc USING (vec_id)" for s in range(1, m)
-    )
-    parts.append(f"rec AS (SELECT vec_id, {cat} AS r FROM {joins})")
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"""
-SELECT vec_id,
-       round(list_dot_product(q.v, r) /
-             (sqrt(list_dot_product(q.v, q.v)) *
-              sqrt(list_dot_product(r, r))), 6) AS approx_cos
-FROM rec, q
-WHERE vec_id != {query_vec_id}
-ORDER BY approx_cos DESC, vec_id
-LIMIT {k}
-"""
-    )
 
 
 def pq_rerank_topk(
@@ -1310,3 +1245,80 @@ FROM ev JOIN pq USING (vec_id), qv
 ORDER BY cos_sim DESC, ev.vec_id
 LIMIT {k}
 """
+
+
+def pq_oracle_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    m: int = 16,
+    codebook_k: int = 16,
+    n_iter: int = 1,
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB CTE chain replaying :func:`pq_topk` exactly: same seed
+    rule, same inner-product-form L2 assignment on the 6-dp grid with
+    lowest-cid ties, same plain-mean update, same ADC cosine. Mirrors
+    the :func:`clustering.kmeans_oracle_ctes` convention."""
+    subdim = dim // m
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        f"q AS (SELECT v FROM e WHERE vec_id = {query_vec_id})",
+    ]
+    score = "round(list_dot_product(sv, c) - 0.5 * list_dot_product(c, c), 6)"
+    for s in range(m):
+        lo, hi = s * subdim + 1, (s + 1) * subdim
+        parts.append(f"s{s} AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM e)")
+        prev = f"k{s}_seed"
+        parts.append(
+            f"{prev} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1"
+            f" AS cid, sv AS c FROM (SELECT vec_id, sv FROM s{s}"
+            f" ORDER BY vec_id LIMIT {codebook_k}) t)"
+        )
+        for it in range(n_iter):
+            parts.append(
+                f"k{s}_a{it} AS (SELECT vec_id, sv, cid, {score} AS sc"
+                f" FROM s{s} CROSS JOIN {prev})"
+            )
+            parts.append(
+                f"k{s}_b{it} AS (SELECT vec_id, sv, cid FROM (SELECT *,"
+                " row_number() OVER (PARTITION BY vec_id"
+                f" ORDER BY sc DESC, cid) AS rn FROM k{s}_a{it}) t"
+                " WHERE rn = 1)"
+            )
+            prev = f"k{s}_c{it}"
+            parts.append(
+                f"{prev} AS (SELECT cid, list(mv ORDER BY dim) AS c FROM"
+                " (SELECT cid, dim, round(avg(val), 6) AS mv FROM"
+                " (SELECT cid, unnest(sv) AS val,"
+                f" generate_subscripts(sv, 1) AS dim FROM k{s}_b{it}) u"
+                " GROUP BY cid, dim) g GROUP BY cid)"
+            )
+        parts.append(
+            f"k{s}_enc0 AS (SELECT vec_id, cid, c, {score} AS sc"
+            f" FROM s{s} CROSS JOIN {prev})"
+        )
+        parts.append(
+            f"k{s}_enc AS (SELECT vec_id, c AS cw{s} FROM (SELECT *,"
+            " row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY sc DESC, cid) AS rn FROM k{s}_enc0) t WHERE rn = 1)"
+        )
+    cat = " || ".join(f"cw{s}" for s in range(m))
+    joins = "k0_enc" + "".join(
+        f" JOIN k{s}_enc USING (vec_id)" for s in range(1, m)
+    )
+    parts.append(f"rec AS (SELECT vec_id, {cat} AS r FROM {joins})")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id,
+       round(list_dot_product(q.v, r) /
+             (sqrt(list_dot_product(q.v, q.v)) *
+              sqrt(list_dot_product(r, r))), 6) AS approx_cos
+FROM rec, q
+WHERE vec_id != {query_vec_id}
+ORDER BY approx_cos DESC, vec_id
+LIMIT {k}
+"""
+    )
