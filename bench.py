@@ -104,6 +104,30 @@ def run_one_pass(sf_dir: str) -> dict[str, float]:
         spark.range(1024).repartition(32).mapInPandas(
             lambda batches: batches, "id long"
         ).write.format("noop").mode("overwrite").save()
+        # snapshot-table + Python Data Source machinery is likewise a
+        # per-JVM one-time cost (parquet WRITE codegen, commit path,
+        # datasource schema/pushdown/Arrow serving): a 64-row
+        # append/optimize/pruned-scan here keeps it out of the first
+        # snapshot-family query's number
+        import shutil as _sh
+        import tempfile as _tf
+
+        from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (  # noqa: E501
+            SnapshotDataSource,
+        )
+        from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+            SnapshotTable,
+        )
+
+        _wroot = _tf.mkdtemp(prefix="ntxbench-warm-")
+        _wt = SnapshotTable(_wroot + "/warm")
+        _wt.append(spark.range(64).selectExpr("id", "id*2 AS v").repartition(2))
+        _wt.optimize(spark, zorder_by=["id"], target_files=2)
+        spark.dataSource.register(SnapshotDataSource)
+        spark.read.format("snapshot_table").load(str(_wt.root)).filter(
+            "id >= 32"
+        ).write.format("noop").mode("overwrite").save()
+        _sh.rmtree(_wroot, ignore_errors=True)
     except Exception:
         pass
 

@@ -234,9 +234,11 @@ def snapshot_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE ZORDER drive (Delta's layout command over the snapshot
     table format; the reference's Delta tables at
     src/process_data_glue.py:186-190 inherit it from the lakehouse):
-    orders land hash-scattered in two append commits — a layout whose
-    per-file (custkey, price) envelopes span the whole domain, so
-    manifest-stats skipping prunes nothing — then
+    orders land hash-scattered across eight files in one append commit —
+    a layout whose per-file (custkey, price) envelopes span the whole
+    domain, so manifest-stats skipping prunes nothing (multi-commit
+    lineage is snapshot_table_roundtrip's and the change feed's job) —
+    then
     ``SnapshotTable.optimize(zorder_by=["o_custkey", "o_totalprice"])``
     rewrites the table along the Z-curve, and the scan goes through the
     ``snapshot_table`` Python Data Source with a 2-D box predicate whose
@@ -262,8 +264,7 @@ def snapshot_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = Path(tempfile.gettempdir()) / "ntx_snapshot_zorder" / Path(sf_dir).name
     shutil.rmtree(root, ignore_errors=True)
     table = SnapshotTable(str(root))
-    table.append(orders.filter(F.col("o_orderkey") % 2 == 0))
-    table.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    table.append(orders.repartition(8))
     table.optimize(
         spark, zorder_by=["o_custkey", "o_totalprice"], target_files=8
     )
