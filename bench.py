@@ -120,14 +120,18 @@ def run_one_pass(sf_dir: str) -> dict[str, float]:
         )
 
         _wroot = _tf.mkdtemp(prefix="ntxbench-warm-")
-        _wt = SnapshotTable(_wroot + "/warm")
-        _wt.append(spark.range(64).selectExpr("id", "id*2 AS v").repartition(2))
-        _wt.optimize(spark, zorder_by=["id"], target_files=2)
-        spark.dataSource.register(SnapshotDataSource)
-        spark.read.format("snapshot_table").load(str(_wt.root)).filter(
-            "id >= 32"
-        ).write.format("noop").mode("overwrite").save()
-        _sh.rmtree(_wroot, ignore_errors=True)
+        try:
+            _wt = SnapshotTable(_wroot + "/warm")
+            _wt.append(
+                spark.range(64).selectExpr("id", "id*2 AS v").repartition(2)
+            )
+            _wt.optimize(spark, zorder_by=["id"], target_files=2)
+            spark.dataSource.register(SnapshotDataSource)
+            spark.read.format("snapshot_table").load(str(_wt.root)).filter(
+                "id >= 32"
+            ).write.format("noop").mode("overwrite").save()
+        finally:
+            _sh.rmtree(_wroot, ignore_errors=True)
     except Exception:
         pass
 

@@ -1010,6 +1010,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = EMBED_DIM,
+    query_vec: list | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jegou et al., "Product Quantization for
     Nearest Neighbor Search", TPAMI 2011 — the compression half of
@@ -1052,13 +1053,25 @@ def pq_topk(
         F.col(id_col).alias("id"), as_double(vec_col).alias("v")
     ).persist()
     id_type = dict(embeddings.dtypes)[id_col]
-    q = [float(x) for x in e.filter(F.col("id") == query_vec_id).first()["v"]]
+    # ``query_vec`` lets a caller that already fetched the query row
+    # (pq_rerank_topk) skip a redundant full-scan first() job
+    q = (
+        [float(x) for x in query_vec]
+        if query_vec is not None
+        else [
+            float(x)
+            for x in e.filter(F.col("id") == query_vec_id).first()["v"]
+        ]
+    )
     # one seed collect serves every subspace: the codebook_k lowest-id
-    # rows (a TopK plan, never a full sort), sliced driver-side
+    # rows (a TopK plan, never a full sort), sliced driver-side. A
+    # corpus smaller than codebook_k trains a smaller codebook (the
+    # oracle's LIMIT degrades identically).
     seed_rows = [
         list(r["v"])
         for r in e.orderBy("id").limit(codebook_k).select("v").collect()
     ]
+    codebook_k = min(codebook_k, len(seed_rows))
     books: list[list[list[float]]] = [
         [row[s * subdim : (s + 1) * subdim] for row in seed_rows]
         for s in range(m)
@@ -1176,6 +1189,13 @@ def pq_rerank_topk(
     Scale shape: everything in :func:`pq_topk` plus one k-row broadcast
     semi-join (the shortlist ids) against the corpus and a ``shortlist``-
     row exact rescore — O(shortlist * dim) extra work total."""
+    e = embeddings.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    )
+    q = [
+        float(x)
+        for x in e.filter(F.col(id_col) == query_vec_id).first()["v"]
+    ]
     cand = pq_topk(
         embeddings,
         query_vec_id=query_vec_id,
@@ -1186,14 +1206,8 @@ def pq_rerank_topk(
         id_col=id_col,
         vec_col=vec_col,
         dim=dim,
+        query_vec=q,  # no second full-scan first() job
     ).select(id_col)
-    e = embeddings.select(
-        F.col(id_col), as_double(vec_col).alias("v")
-    )
-    q = [
-        float(x)
-        for x in e.filter(F.col(id_col) == query_vec_id).first()["v"]
-    ]
     qvec = F.array(*[F.lit(x) for x in q])
     return (
         e.join(F.broadcast(cand), id_col)
@@ -1286,13 +1300,20 @@ def pq_oracle_sql(
                 f" ORDER BY sc DESC, cid) AS rn FROM k{s}_a{it}) t"
                 " WHERE rn = 1)"
             )
-            prev = f"k{s}_c{it}"
-            parts.append(
-                f"{prev} AS (SELECT cid, list(mv ORDER BY dim) AS c FROM"
+            upd = (
+                "SELECT cid, list(mv ORDER BY dim) AS gc FROM"
                 " (SELECT cid, dim, round(avg(val), 6) AS mv FROM"
                 " (SELECT cid, unnest(sv) AS val,"
                 f" generate_subscripts(sv, 1) AS dim FROM k{s}_b{it}) u"
-                " GROUP BY cid, dim) g GROUP BY cid)"
+                " GROUP BY cid, dim) g GROUP BY cid"
+            )
+            old = prev
+            prev = f"k{s}_c{it}"
+            parts.append(
+                # a cluster that lost all members keeps its previous
+                # codeword (same carry as the engine's acc.get fallback)
+                f"{prev} AS (SELECT sd.cid, coalesce(g.gc, sd.c) AS c"
+                f" FROM {old} sd LEFT JOIN ({upd}) g USING (cid))"
             )
         parts.append(
             f"k{s}_enc0 AS (SELECT vec_id, cid, c, {score} AS sc"

@@ -142,6 +142,7 @@ class SnapshotTable:
         batch_id: int | None = None,
         stats: dict | None = None,
         constraints: dict | None = None,
+        batch_ids_override: list | None = None,
     ) -> Snapshot:
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
         parent = self.current_version()
@@ -158,7 +159,9 @@ class SnapshotTable:
         # replayed foreachBatch is detected from the current manifest alone;
         # a legacy parent (no recorded set) is reconstructed from history once
         seen: list = []
-        if parent is not None:
+        if batch_ids_override is not None:
+            seen = list(batch_ids_override)
+        elif parent is not None:
             parent_ids = self.snapshot(parent).batch_ids
             if parent_ids is None:
                 seen = [
@@ -360,6 +363,9 @@ class SnapshotTable:
             (keep_files if excluded else touched).append(f)
         new_stats = {f: stats[f] for f in keep_files if f in stats}
         out_files = list(keep_files)
+        # the REPLACEMENT lands first, CHECK-enforced: if it violates,
+        # nothing else has been written yet (no orphaned remainder dir)
+        new = self._write_data(df)
         if touched:
             match = None
             for c, vals in predicate.items():
@@ -372,10 +378,13 @@ class SnapshotTable:
             remainder = spark.read.parquet(
                 *[str(self.root / f) for f in touched]
             ).filter(~F_coalesce(match, F_lit(False)))
-            rem_files = self._write_data(remainder)
+            # remainder rows are verbatim copies of already-committed
+            # rows: they passed their CHECK at the original write, so
+            # re-verifying would double the rewrite's read I/O for
+            # nothing (same contract as compact/optimize)
+            rem_files = self._write_data(remainder, enforce=False)
             out_files += rem_files
             new_stats.update(self._collect_stats(rem_files))
-        new = self._write_data(df)
         out_files += new
         new_stats.update(self._collect_stats(new))
         return self._commit(out_files, "replace", stats=new_stats)
@@ -585,7 +594,9 @@ class SnapshotTable:
         new = self._write_data(clustered, enforce=False)
         return self._commit(new, "optimize", stats=self._collect_stats(new))
 
-    def restore(self, version: int) -> Snapshot:
+    def restore(
+        self, version: int, spark: SparkSession | None = None
+    ) -> Snapshot:
         """Delta ``RESTORE TABLE ... VERSION AS OF``: commit snapshot
         ``version``'s file list as the NEW current version — a
         history-preserving rollback (readers that time-travel still see
@@ -594,11 +605,62 @@ class SnapshotTable:
         restored files re-enter the live set, so a later ``vacuum``
         keeps them. Logical content changes, so the change feed treats a
         restore like an overwrite (raises; consumers re-read the full
-        snapshot). The CURRENT constraint set is carried, not the
-        restored version's — rollback is for data, not for governance."""
+        snapshot).
+
+        Two invariants a naive file-list rollback would break:
+
+        - The CURRENT constraint set is carried (rollback is for data,
+          not governance) — and because the restored rows may PREDATE a
+          constraint, they are re-validated against it: pass ``spark``
+          whenever constraints are active (required — otherwise the
+          table invariant "no committed file holds a violating row"
+          would silently break, and the violation would later surface
+          misattributed to an innocent rewrite).
+        - The cumulative ``batch_ids`` replay set is RESET to the
+          restored version's set, not the parent's: a ``foreachBatch``
+          batch whose rows the rollback just removed must be re-landable
+          — carrying the parent's set would make ``commit_batch``
+          silently skip its replay (permanent data loss for that
+          batch)."""
         snap = self.snapshot(version)
+        cur = self.current_version()
+        cons = (
+            dict(self.snapshot(cur).constraints or {})
+            if cur is not None
+            else {}
+        )
+        if cons and snap.files:
+            if spark is None:
+                raise ValueError(
+                    f"{self.root}: restore with active CHECK constraints "
+                    f"{sorted(cons)} requires spark to re-validate the "
+                    "restored rows"
+                )
+            predicate = " OR ".join(
+                f"(({expr}) IS FALSE)" for expr in cons.values()
+            )
+            scan = spark.read.parquet(
+                *[str(self.root / f) for f in snap.files]
+            )
+            bad = scan.filter(predicate).limit(1).collect()
+            if bad:
+                raise ConstraintViolation(
+                    f"{self.root}: restoring v{version} would violate "
+                    f"CHECK constraint(s) {sorted(cons)}; offending row: "
+                    f"{bad[0].asDict()}"
+                )
+        ids = snap.batch_ids
+        if ids is None:  # legacy manifest: reconstruct from history
+            ids = tuple(
+                s.batch_id
+                for s in self.history()
+                if s.version <= version and s.batch_id is not None
+            )
         return self._commit(
-            list(snap.files), "restore", stats=dict(snap.stats or {})
+            list(snap.files),
+            "restore",
+            stats=dict(snap.stats or {}),
+            batch_ids_override=list(ids),
         )
 
     def add_check_constraint(

@@ -135,3 +135,15 @@ def test_pq_rerank_recall_floor(spark):
         }
         got = len(exact & rr) / 10
         assert got >= 0.7, f"{sf_dir}: PQ re-rank recall@10 fell to {got}"
+
+
+def test_pq_small_corpus_trains_smaller_codebook(spark):
+    """A corpus smaller than codebook_k must train an n-word codebook
+    (clamped), not crash — and still return a valid top-k."""
+    from nyc_taxi_data_pipeline_elt_spark.operators import similarity as S
+    from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings").filter("vec_id < 8")
+    out = S.pq_topk(emb, query_vec_id=0, k=5, m=4, codebook_k=16).collect()
+    assert len(out) == 5
+    assert all(r.vec_id != 0 for r in out)

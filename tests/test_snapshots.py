@@ -577,3 +577,58 @@ def test_add_constraint_validates_existing_rows(spark, table):
         table.add_check_constraint(spark, "v_nonneg", "v >= 0")
     with pytest.raises(ValueError, match="no constraint"):
         table.drop_constraint("v_nonneg")
+
+
+def test_restore_validates_active_constraints(spark, table):
+    """A restore must not resurrect rows that violate a constraint added
+    AFTER the restored version (the invariant is 'no committed file
+    holds a violating row', and add_check_constraint only scanned the
+    then-current files)."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        ConstraintViolation,
+    )
+
+    table.append(spark.createDataFrame([(1, -5)], "id long, v long"))  # v0
+    table.overwrite(spark.createDataFrame([(2, 7)], "id long, v long"))  # v1
+    table.add_check_constraint(spark, "v_nonneg", "v >= 0")  # v2: scans v1
+    with pytest.raises(ValueError, match="requires spark"):
+        table.restore(0)
+    with pytest.raises(ConstraintViolation, match="restoring v0"):
+        table.restore(0, spark)
+    # a clean version restores fine, constraints carried
+    table.restore(1, spark)
+    assert table.snapshot().constraints == {"v_nonneg": "v >= 0"}
+
+
+def test_restore_resets_batch_replay_set(spark, table):
+    """Rolling back past a foreachBatch commit must make that batch
+    re-landable: the cumulative batch_ids set is reset to the restored
+    version's, so the replay is NOT skipped (data loss otherwise)."""
+    table.append(_df(spark, 0, 5))                      # v0
+    table.commit_batch(_df(spark, 5, 8), batch_id=1)    # v1
+    table.restore(0)                                    # v2: batch 1 rolled back
+    assert table.read(spark).count() == 5
+    snap = table.commit_batch(_df(spark, 5, 8), batch_id=1)  # replay re-lands
+    assert snap is not None
+    assert sorted(r.id for r in table.read(spark).collect()) == list(range(8))
+    # and a batch kept by the restore still dedupes
+    assert table.commit_batch(_df(spark, 5, 8), batch_id=1) is None
+
+
+def test_failed_replace_where_leaves_no_orphan_files(spark, table):
+    """A replace_where whose REPLACEMENT violates a CHECK constraint
+    must abort before writing the remainder: nothing new on disk beyond
+    the committed snapshot (no uuid-dir litter awaiting vacuum)."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        ConstraintViolation,
+    )
+
+    table.append(spark.createDataFrame([(1, 3, 10)], "id long, part long, v long"))
+    table.add_check_constraint(spark, "v_nonneg", "v >= 0")
+    before = {str(p) for p in table.data_dir.rglob("*.parquet")}
+    bad = spark.createDataFrame([(9, 3, -1)], "id long, part long, v long")
+    with pytest.raises(ConstraintViolation):
+        table.replace_where(spark, bad, column="part", values=[3])
+    after = {str(p) for p in table.data_dir.rglob("*.parquet")}
+    assert after == before
+    assert table.read(spark).count() == 1
