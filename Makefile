@@ -23,17 +23,13 @@ df = e.entry(get_spark('smoke')); print(df.count(), 'rows'); df.show(5)"
 # Reproduce the SCALING.md sf1 decade: synthesize the 10x corpus
 # (constant local density; quality-gate-preserving cipher) and probe
 # the heavy families at both scales (min-of-2 warm, fresh JVM per SF).
+SCALING_QUERIES := dedup_spans_corpus dedup_containment_pairs \
+  dedup_ngram_jaccard dedup_minhash_lsh dedup_minhash_lsh_capped \
+  embedding_neardup_blocked knn_join_embeddings customer_entity_leaders \
+  dedup_canonical_docs dedup_clusters heavy_hitter_tokens \
+  boilerplate_prefix_report curate_corpus_pipeline
+
 scaling-sf1:
 	python scripts/make_sf1.py
-	python scripts/scaling_probe.py /root/testdata/sf0.1 \
-	  dedup_spans_corpus dedup_containment_pairs dedup_ngram_jaccard \
-	  dedup_minhash_lsh dedup_minhash_lsh_capped embedding_neardup_blocked \
-	  knn_join_embeddings customer_entity_leaders dedup_canonical_docs \
-	  dedup_clusters heavy_hitter_tokens boilerplate_prefix_report \
-	  curate_corpus_pipeline
-	python scripts/scaling_probe.py .scaling_sf1 \
-	  dedup_spans_corpus dedup_containment_pairs dedup_ngram_jaccard \
-	  dedup_minhash_lsh dedup_minhash_lsh_capped embedding_neardup_blocked \
-	  knn_join_embeddings customer_entity_leaders dedup_canonical_docs \
-	  dedup_clusters heavy_hitter_tokens boilerplate_prefix_report \
-	  curate_corpus_pipeline
+	python scripts/scaling_probe.py /root/testdata/sf0.1 $(SCALING_QUERIES)
+	python scripts/scaling_probe.py .scaling_sf1 $(SCALING_QUERIES)

@@ -172,10 +172,10 @@ def update_centroids(
     pass-through scalar column), rounded to the shared 6-decimal grid.
     Long-format aggregation: map-side partials reduce the shuffle to
     k x dim doubles per executor; k x dim result rows to the driver.
-    A cluster that lost all members keeps its previous centroid
-    (documented divergence from the oracle, which cannot see the carry —
-    with cosine assignment and k << n this does not occur on real
-    corpora)."""
+    A cluster that lost all members keeps its previous centroid; the
+    oracle applies the identical carry (LEFT JOIN + coalesce against the
+    previous codebook CTE), so engine and oracle agree cid-for-cid even
+    on the empty-cluster edge."""
     rows = (
         assigned.select(
             "cluster", "vnorm", F.posexplode("v").alias("dim", "val")
@@ -240,12 +240,20 @@ def kmeans_oracle_ctes(k: int = 4, n_iter: int = 1) -> str:
             f" AS rn FROM a{it}) t WHERE rn = 1)"
         )
         if it < n_iter:
-            parts.append(
-                f"c{it + 1} AS (SELECT cid, list(m ORDER BY dim) AS c FROM"
+            upd = (
+                "SELECT cid, list(m ORDER BY dim) AS gc FROM"
                 " (SELECT cid, dim, round(avg(val / vnorm), 6) AS m FROM"
                 " (SELECT cid, vnorm, unnest(v) AS val,"
                 f" generate_subscripts(v, 1) AS dim FROM b{it}) u"
-                " GROUP BY cid, dim) g GROUP BY cid)"
+                " GROUP BY cid, dim) g GROUP BY cid"
+            )
+            parts.append(
+                # a cluster that lost every member keeps its previous
+                # centroid — the same carry rule as update_centroids, so
+                # the oracle's codebook (and anything ranking it, e.g.
+                # the IVF probe) matches the engine's cid-for-cid
+                f"c{it + 1} AS (SELECT sd.cid, coalesce(g.gc, sd.c) AS c"
+                f" FROM {prev} sd LEFT JOIN ({upd}) g USING (cid))"
             )
             prev = f"c{it + 1}"
     return "WITH " + ",\n".join(parts)
@@ -289,11 +297,20 @@ def ivf_kmeans_topk(
         vec_col=vec_col,
         dim=dim,
     )
+    # the query row comes from the pre-assignment norms frame: fetching
+    # it from `assigned` would run the Arrow assignment kernel over the
+    # whole corpus a second time just to read two columns (with_norms'
+    # v/vnorm expressions are identical, so the values are too)
     qrow = (
-        assigned.filter(F.col(id_col) == query_vec_id)
+        with_norms(embeddings, id_col=id_col, vec_col=vec_col, dim=dim)
+        .filter(F.col(id_col) == query_vec_id)
         .select("v", "vnorm")
         .first()
     )
+    if qrow is None:
+        raise ValueError(
+            f"ivf_kmeans_topk: {id_col}={query_vec_id!r} not in the corpus"
+        )
     qv, qnorm = list(qrow["v"]), float(qrow["vnorm"])
     scored = []
     for cid, c in cents:

@@ -635,7 +635,13 @@ def connected_components(
     finally:
         # unpersist in a finally so an exception mid-loop (e.g. a
         # cancelled job) can't leak the edge-sized cache entries — same
-        # contract as bounded_sssp (operators/graph.py).
+        # contract as bounded_sssp (operators/graph.py). The band-row
+        # release is normally done inside the loop right after p0
+        # materializes, but a cancel DURING p0.count() (the expensive
+        # upstream pipeline, the likeliest cancellation point) would
+        # skip it — release here too (idempotent), since the
+        # O(corpus x bands) band cache is the largest entry of all.
+        release_band_cache(pairs)
         edges.unpersist()
         p0.unpersist()
 
@@ -667,45 +673,60 @@ def _connected_components_loop(
     # upstream pair pipeline materialized above on the caller's session,
     # under AQE, where skew handling matters; the shared CacheManager
     # serves it to the clone without recompute.
-    with loop_session(
-        spark,
-        {
-            "spark.sql.shuffle.partitions": loop_sp,
-            "spark.sql.adaptive.enabled": "false",
-        },
-    ) as ls:
-        ledges = rebind(edges, ls, "cc_edges")
-        # round 0: label(v) = min(closed neighborhood ids), no join
-        stepped = (
-            ledges.groupBy("src").agg(F.min("dst").alias("component")).persist()
-        )
-        n_changed = stepped.filter(F.col("component") != F.col("src")).count()
-        labels = stepped.select(F.col("src").alias("node"), "component")
-        prev_cached = stepped
-        converged = n_changed == 0
-        for _ in range(max_iterations - 1):
-            if converged:
-                break
+    try:
+        with loop_session(
+            spark,
+            {
+                "spark.sql.shuffle.partitions": loop_sp,
+                "spark.sql.adaptive.enabled": "false",
+            },
+        ) as ls:
+            ledges = rebind(edges, ls, "cc_edges")
+            # round 0: label(v) = min(closed neighborhood ids), no join
             stepped = (
-                ledges.join(labels, ledges.dst == labels.node)
-                .groupBy("src")
-                .agg(
-                    F.min("component").alias("component"),
-                    F.min(
-                        F.when(F.col("dst") == F.col("src"), F.col("component"))
-                    ).alias("prev_component"),
-                )
+                ledges.groupBy("src")
+                .agg(F.min("dst").alias("component"))
                 .persist()
             )
             n_changed = stepped.filter(
-                F.col("component") != F.col("prev_component")
+                F.col("component") != F.col("src")
             ).count()
             labels = stepped.select(F.col("src").alias("node"), "component")
-            prev_cached.unpersist()
             prev_cached = stepped
             converged = n_changed == 0
-        # hand the final (cached) labels back to the caller's session
-        labels = rebind(labels, spark, "cc_labels")
+            for _ in range(max_iterations - 1):
+                if converged:
+                    break
+                stepped = (
+                    ledges.join(labels, ledges.dst == labels.node)
+                    .groupBy("src")
+                    .agg(
+                        F.min("component").alias("component"),
+                        F.min(
+                            F.when(
+                                F.col("dst") == F.col("src"),
+                                F.col("component"),
+                            )
+                        ).alias("prev_component"),
+                    )
+                    .persist()
+                )
+                n_changed = stepped.filter(
+                    F.col("component") != F.col("prev_component")
+                ).count()
+                labels = stepped.select(F.col("src").alias("node"), "component")
+                prev_cached.unpersist()
+                prev_cached = stepped
+                converged = n_changed == 0
+            # hand the final (cached) labels back to the caller's session
+            labels = rebind(labels, spark, "cc_labels")
+    except BaseException:
+        # a cancelled/failed round must not pin the current iteration's
+        # cache entry (the SUCCESS path deliberately keeps it: the
+        # returned labels are backed by it)
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        raise
     if not converged:
         # labels are still split across long paths: silently returning
         # them would mislabel components on graphs with diameter >

@@ -779,9 +779,13 @@ def ivf_topk(
     # dot), not a Spark job: compiling a 192-term codegen expression to
     # rank 10 rows costs more than the whole lookup.
     pos = e.select(bucket_col, F.posexplode("v").alias("pos", "val"))
+    # centroid means and the probe ranking both live on the 6-dp grid:
+    # raw means are partial-aggregation-order-dependent doubles, and an
+    # unrounded near-tie at the nprobe boundary could flip the probed
+    # bucket set between engines/layouts (the repo's raw-doubles rule)
     centroids = (
         pos.groupBy(bucket_col, "pos")
-        .agg(F.avg("val").alias("mval"))
+        .agg(F.round(F.avg("val"), 6).alias("mval"))
         .groupBy(bucket_col)
         .agg(
             F.transform(
@@ -797,7 +801,8 @@ def ivf_topk(
             num = num + ci * qi
             nc = nc + ci * ci
             nq = nq + qi * qi
-        return num / (nc * nq) ** 0.5
+        # floor(x*1e6+0.5)/1e6 == DuckDB round(x, 6) (neardup_pairs note)
+        return math.floor(num / (nc * nq) ** 0.5 * 1e6 + 0.5) / 1e6
 
     # nprobe buckets whose centroids maximize cosine (tiebreak: bucket id)
     ranked = sorted(

@@ -587,7 +587,7 @@ def _ivf_oracle(nprobe: int) -> str:
     return f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 pos AS (
-  SELECT label, i, avg(v[i + 1]) AS mval
+  SELECT label, i, round(avg(v[i + 1]), 6) AS mval
   FROM e, unnest(range(64)) AS t(i)
   GROUP BY label, i
 ), centroids AS (
@@ -595,7 +595,7 @@ pos AS (
 ), q AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
 best AS (
   SELECT label FROM centroids, q
-  ORDER BY {_COS.format(a="centroid", b="qvec")} DESC, label
+  ORDER BY round({_COS.format(a="centroid", b="qvec")}, 6) DESC, label
   LIMIT {nprobe}
 )
 SELECT vec_id, round({_COS.format(a="v", b="qvec")}, 6) + 0.0 AS cos_sim

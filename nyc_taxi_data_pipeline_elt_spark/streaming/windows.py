@@ -84,15 +84,24 @@ def _events_stream_dir(sf_dir: str) -> str:
     return _STREAM_DIRS[sf_dir]
 
 
+def _normalize_ts(raw: DataFrame, schema) -> DataFrame:
+    """Shared ts-normalization tail for every event-stream reader: the
+    fixture's TIMESTAMP(NANOS) sniffs as LongType (nanos) and needs
+    timestamp_micros(ts DIV 1000); any other generation casts straight
+    to timestamp. ONE implementation so a new ts encoding cannot make
+    the single-file and multi-file replays silently diverge."""
+    if isinstance(schema["ts"].dataType, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-replay event stream: the deterministic test-double for a Kafka
     source; swap ``.format`` and the schema handling for real feeds."""
     tune(spark)
     schema = _events_raw_schema(sf_dir)
     raw = spark.readStream.schema(schema).parquet(_events_stream_dir(sf_dir))
-    if isinstance(schema["ts"].dataType, T.LongType):
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return _normalize_ts(raw, schema)
 
 
 # One time-split replay dir per (sf_dir, n_files): the fixture sorted by
@@ -140,9 +149,7 @@ def stream_events_multifile(
         .option("maxFilesPerTrigger", 1)
         .parquet(_MULTIFILE_DIRS[key])
     )
-    if isinstance(schema["ts"].dataType, T.LongType):
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return _normalize_ts(raw, schema)
 
 
 def tumbling_counts(events: DataFrame, width: str = "5 minutes") -> DataFrame:
