@@ -71,3 +71,14 @@ def test_priority_window_names_are_registered():
     allq = entry.queries()
     missing = [n for n in entry._PRIORITY_WINDOW if n not in allq]
     assert not missing, f"_PRIORITY_WINDOW names not registered: {missing}"
+
+
+def test_priority_window_fits_driver_slots():
+    """ADVICE r7: the driver records only the first WINDOW_SIZE entries —
+    names beyond slot 50 silently fall outside the window while the
+    rotation comment implies they get re-verified. Forbid overflow."""
+    n = len(entry._PRIORITY_WINDOW)
+    assert n <= WINDOW_SIZE, (
+        f"_PRIORITY_WINDOW has {n} entries but the driver records only "
+        f"the first {WINDOW_SIZE}; trim the list"
+    )
