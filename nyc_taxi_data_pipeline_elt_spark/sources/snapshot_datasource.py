@@ -211,7 +211,8 @@ class _SnapshotReader(DataSourceReader):
     def _file_may_match(self, path: str) -> bool:
         env = self._envelopes(path)
         for col, op, value in self.pushed:
-            if col not in env:
+            # non-envelope manifest entries (e.g. __num_rows__) never prune
+            if col not in env or not isinstance(env[col], (list, tuple)):
                 continue
             lo, hi = env[col]
             if (
