@@ -26,6 +26,7 @@ min-wise hash family since md5 is uniform on the hex-string order.
 from __future__ import annotations
 
 import warnings
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -372,6 +373,23 @@ def release_band_cache(pairs: DataFrame) -> None:
     if cache is not None:
         cache.unpersist()
         pairs.band_cache = None
+
+
+@contextmanager
+def band_cache_scope(pairs: DataFrame):
+    """Type-visible ownership for :func:`minhash_lsh_pairs` consumers
+    (ADVICE r7): ``with band_cache_scope(pairs) as p: p.count()``
+    releases the O(corpus x bands) band cache on exit, success or
+    failure. Capture the scope on the frame minhash_lsh_pairs RETURNED —
+    ``band_cache`` rides as a Python attribute, so any wrapped/
+    transformed frame derived from it no longer carries the handle.
+    Registered lazy queries intentionally pass ownership downstream
+    instead (the bench/driver harness clears caches per query —
+    plans/trainingdata.py:230)."""
+    try:
+        yield pairs
+    finally:
+        release_band_cache(pairs)
 
 
 def _common_shingle_counts(

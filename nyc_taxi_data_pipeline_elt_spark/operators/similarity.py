@@ -1050,24 +1050,51 @@ def pq_topk(
     shared 6-dp grid: the DuckDB oracle (:func:`pq_oracle_sql`) replays
     training, encoding and ADC exactly (differentially verified at
     sf0.001/0.01/0.1)."""
-    import numpy as np
-    import pandas as pd
-
     subdim = dim // m
     e = embeddings.select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("v")
     ).persist()
+    # ADVICE r7: everything from here to the returned plan runs under
+    # try/finally — a failure during query fetch / seeding / Lloyd
+    # training must not leak the corpus-sized cache (the same
+    # exception-path class fixed in pagerank/connected_components).
+    try:
+        return _pq_topk_body(
+            embeddings, e, query_vec_id, k, m, codebook_k, n_iter,
+            id_col, dim, subdim, query_vec,
+        )
+    finally:
+        e.unpersist()
+
+
+def _pq_topk_body(
+    embeddings: DataFrame,
+    e: DataFrame,
+    query_vec_id,
+    k: int,
+    m: int,
+    codebook_k: int,
+    n_iter: int,
+    id_col: str,
+    dim: int,
+    subdim: int,
+    query_vec: list | None,
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     id_type = dict(embeddings.dtypes)[id_col]
     # ``query_vec`` lets a caller that already fetched the query row
     # (pq_rerank_topk) skip a redundant full-scan first() job
-    q = (
-        [float(x) for x in query_vec]
-        if query_vec is not None
-        else [
-            float(x)
-            for x in e.filter(F.col("id") == query_vec_id).first()["v"]
-        ]
-    )
+    if query_vec is not None:
+        q = [float(x) for x in query_vec]
+    else:
+        qrow = e.filter(F.col("id") == query_vec_id).first()
+        if qrow is None:
+            raise ValueError(
+                f"pq_topk: {id_col}={query_vec_id!r} not in the corpus"
+            )
+        q = [float(x) for x in qrow["v"]]
     # one seed collect serves every subspace: the codebook_k lowest-id
     # rows (a TopK plan, never a full sort), sliced driver-side. A
     # corpus smaller than codebook_k trains a smaller codebook (the
@@ -1164,7 +1191,6 @@ def pq_topk(
         .limit(k)
         .select(F.col("id").alias(id_col), "approx_cos")
     )
-    e.unpersist()
     return out
 
 

@@ -1014,6 +1014,16 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ADVICE r7, documented failure mode: the oracle hardcodes TRUE for the
+# within-3rsd verdicts, making this an ACCEPTANCE GATE on Spark's HLL
+# sketch rather than an independent re-derivation of the bound (DuckDB's
+# approx_count_distinct is a different HLL with different hash salt — its
+# estimate says nothing about Spark's). Consequence: in the ~0.3% of
+# (data, hash) combos where a correct HLL legitimately exceeds 3*rsd,
+# the driver reports a hash-mismatch "correctness failure" that is
+# really a sketch-quality signal — read a red row here as "re-check the
+# sketch bound on this fixture", not "engine bug". On every shipped
+# fixture (sf0.001/0.01/0.1) the verdicts are stably TRUE.
 APPROX_DISTINCT_ORACLE = """
 SELECT count(DISTINCT l_partkey) AS exact_parts,
        count(DISTINCT l_orderkey) AS exact_orders,

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import warnings
 
+import pytest
+
 from nyc_taxi_data_pipeline_elt_spark.operators import dedup as D
 from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
 
@@ -75,3 +77,27 @@ def test_canonical_docs_query_leaves_no_band_cache(spark):
     out = dedup_canonical_docs(spark, SF_DIR)
     assert out.count() > 0
     assert _n_persistent(spark) <= before + 1
+
+
+def test_band_cache_scope_releases_on_failure(spark):
+    """ADVICE r7: the context-manager wrapper releases the band cache on
+    the exception path too — type-visible ownership for consumers that
+    materialize outside connected_components."""
+    from nyc_taxi_data_pipeline_elt_spark.operators.dedup import (
+        band_cache_scope,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over dog {i % 2}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, id_col="doc_id", text_col="text")
+    cache = pairs.band_cache
+    assert cache is not None
+    with pytest.raises(RuntimeError, match="boom"):
+        with band_cache_scope(pairs) as p:
+            p.count()
+            raise RuntimeError("boom")
+    assert pairs.band_cache is None
+    assert cache.storageLevel.useMemory is False  # unpersisted

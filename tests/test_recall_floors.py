@@ -147,3 +147,24 @@ def test_pq_small_corpus_trains_smaller_codebook(spark):
     out = S.pq_topk(emb, query_vec_id=0, k=5, m=4, codebook_k=16).collect()
     assert len(out) == 5
     assert all(r.vec_id != 0 for r in out)
+
+
+def test_pq_topk_missing_query_and_no_cache_leak(spark):
+    """ADVICE r7: a missing query id raises a clear ValueError (not a
+    bare TypeError from first()['v']) and the exception path releases
+    the corpus cache (try/finally, same class as pagerank/cc)."""
+    import pytest
+
+    from nyc_taxi_data_pipeline_elt_spark.operators import similarity as S
+    from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    before = {
+        r.toString() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+    with pytest.raises(ValueError, match="not in the corpus"):
+        S.pq_topk(emb, query_vec_id=-999_999)
+    after = {
+        r.toString() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+    assert after <= before, f"pq_topk leaked cache entries: {after - before}"
