@@ -200,3 +200,39 @@ def make_orders(spark=None) -> None:
         f"{OUT}/orders.parquet"
     )
     print("orders", spark.read.parquet(f"{OUT}/orders.parquet").count())
+
+
+def make_events() -> None:
+    """sf1 events for the streaming-replay decade (VERDICT r7 task #5):
+    10 replicas with event_id / user_id offset by replica * 10^9 and ts
+    kept VERBATIM — same wall-clock span and watermark windows, 10x the
+    keyed state (users) and 10x the rows per window, which is the honest
+    "bigger firehose, same cadence" scaling model for a stream. Pure
+    pyarrow (no Spark session) so the TIMESTAMP(NANOS) physical type the
+    fixtures ship — and the footer-sniff path every streaming reader
+    exercises — is preserved bit-exactly; output is a single file like
+    the source fixture, so single-file replay stays one micro-batch and
+    the multifile splitter sees the same layout."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SRC}/events.parquet")
+    parts = []
+    for r in range(R):
+        off = pa.scalar(r * OFF, type=pa.int64())
+        parts.append(
+            t.set_column(
+                t.schema.get_field_index("event_id"),
+                "event_id",
+                pc.add(t.column("event_id"), off),
+            ).set_column(
+                t.schema.get_field_index("user_id"),
+                "user_id",
+                pc.add(t.column("user_id"), off),
+            )
+        )
+    out = pa.concat_tables(parts)
+    Path(OUT).mkdir(exist_ok=True)
+    pq.write_table(out, f"{OUT}/events.parquet")
+    print("events", out.num_rows)
