@@ -121,7 +121,15 @@ def test_pq_rerank_recall_floor(spark):
     from nyc_taxi_data_pipeline_elt_spark.operators import similarity as S
     from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
 
-    for sf_dir in (SF_SMALL, SF_MED):
+    # VERDICT r7 task #6: the sf0.1 floor is 0.8 (measured 0.9 at both
+    # shortlist 50 and 100 on the 50k-vector fixture) — thicker evidence
+    # than the 0.7 small-fixture floors that the shortlist+re-rank shape
+    # holds where pure ADC has already degraded to 0.4.
+    for sf_dir, floor in (
+        (SF_SMALL, 0.7),
+        (SF_MED, 0.7),
+        ("/root/testdata/sf0.1", 0.8),
+    ):
         emb = load_table(spark, sf_dir, "embeddings")
         exact = {
             r.vec_id
@@ -134,7 +142,7 @@ def test_pq_rerank_recall_floor(spark):
             ).collect()
         }
         got = len(exact & rr) / 10
-        assert got >= 0.7, f"{sf_dir}: PQ re-rank recall@10 fell to {got}"
+        assert got >= floor, f"{sf_dir}: PQ re-rank recall@10 fell to {got}"
 
 
 def test_pq_small_corpus_trains_smaller_codebook(spark):
