@@ -37,6 +37,15 @@ round-2-vs-1: multimodal_meta 0.20 s -> 2.49 s with an unchanged plan,
 therefore touches all fixture tables and spins up the Python worker pool
 untimed, so per-query numbers compare plans across rounds instead of
 suite ordering.
+
+**One headline per round** (VERDICT r7 task #7): the round's ONLY
+quotable total is the driver's ``BENCH_r{N}.json`` artifact. Manual
+re-runs of this script are for iterating on a query — do not cite
+their totals in commit messages or ledgers (r7 ended up with three
+different "headline" numbers: 205.5/219.3 in commits vs the driver's
+228.1). When a manual number must be recorded (e.g. an isolated
+regression probe), cite the probe conditions next to it: passes,
+load_avg, sf, and which artifact it challenges.
 """
 
 from __future__ import annotations

@@ -325,19 +325,30 @@ class SnapshotTable:
         return self.snapshot(version)
 
     # ---------------- write path ----------------
-    def _write_data(self, df: DataFrame, enforce: bool = True) -> list[str]:
+    def _write_data(
+        self, df: DataFrame, enforce: bool = True
+    ) -> tuple[list[str], dict]:
         """Land ``df`` as immutable parquet under a fresh uuid dir and
-        return the written files, relative to the table root. The write
-        itself is a normal distributed parquet write — only the manifest
-        bookkeeping is driver-side, and it is O(files), not O(rows).
+        return ``(written_files, their_stats)``, files relative to the
+        table root. The write itself is a normal distributed parquet
+        write — only the manifest bookkeeping is driver-side, and it is
+        O(files), not O(rows).
 
-        CHECK constraints are enforced here, write-then-verify: scanning
-        the just-written columnar files once is cheaper than recomputing
-        an arbitrary upstream plan a second time, and on violation the
-        uncommitted files are deleted so nothing leaks (readers never saw
-        them — visibility starts at commit). ``enforce=False`` is for
-        compact/optimize, whose rows already passed at their original
-        write."""
+        Stats are collected HERE, immediately after the write, so the
+        footers are read exactly once per commit (callers hand the dict
+        straight to ``_commit``) and so CHECK enforcement below can be
+        stats-first: a just-written file whose [min, max] envelope
+        proves every constraint is never row-scanned — an append of
+        in-bounds data verifies from footer metadata alone, no Spark
+        job (the same prover ``restore()`` uses).
+
+        CHECK constraints are enforced write-then-verify: scanning the
+        just-written columnar files once is cheaper than recomputing an
+        arbitrary upstream plan a second time, and on violation the
+        uncommitted files are deleted so nothing leaks (readers never
+        saw them — visibility starts at commit). ``enforce=False`` is
+        for compact/optimize, whose rows already passed at their
+        original write."""
         sub = self.data_dir / uuid.uuid4().hex
         df.write.mode("error").parquet(str(sub))
         written = [
@@ -345,6 +356,7 @@ class SnapshotTable:
             for p in sub.rglob("*.parquet")
             if not p.name.startswith((".", "_"))
         ]
+        stats = self._collect_stats(written, df.sparkSession)
         if enforce and written:
             cur = self.current_version()
             cons = (
@@ -353,8 +365,19 @@ class SnapshotTable:
                 else {}
             )
             if cons:
-                self._verify_constraints(df.sparkSession, written, cons, sub)
-        return written
+                need_scan = [
+                    f
+                    for f in written
+                    if not all(
+                        _check_proven_by_stats(expr, stats.get(f, {}))
+                        for expr in cons.values()
+                    )
+                ]
+                if need_scan:
+                    self._verify_constraints(
+                        df.sparkSession, need_scan, cons, sub
+                    )
+        return written, stats
 
     def _verify_constraints(
         self,
@@ -363,10 +386,12 @@ class SnapshotTable:
         constraints: dict,
         cleanup_dir: Path,
     ) -> None:
-        """One existence-check scan over just-written files: a row
-        violates when any CHECK expression IS FALSE (SQL semantics —
-        NULL passes, as in Delta/ANSI CHECK). Violation deletes the
-        uncommitted files and raises :class:`ConstraintViolation`."""
+        """One existence-check scan over the just-written files whose
+        stats could NOT prove compliance (``_write_data`` pre-prunes the
+        proven ones): a row violates when any CHECK expression IS FALSE
+        (SQL semantics — NULL passes, as in Delta/ANSI CHECK). Violation
+        deletes the uncommitted files and raises
+        :class:`ConstraintViolation`."""
         predicate = " OR ".join(
             f"(({expr}) IS FALSE)" for expr in constraints.values()
         )
@@ -423,7 +448,7 @@ class SnapshotTable:
         return {rel: collected[rel] for rel, _ in pairs if rel in collected}
 
     def append(self, df: DataFrame, batch_id: int | None = None) -> Snapshot:
-        new = self._write_data(df)
+        new, new_stats = self._write_data(df)
         cur = self.current_version()
         base: list[str] = []
         base_stats: dict = {}
@@ -431,16 +456,14 @@ class SnapshotTable:
             snap = self.snapshot(cur)
             base = list(snap.files)
             base_stats = dict(snap.stats or {})
-        base_stats.update(self._collect_stats(new, df.sparkSession))
+        base_stats.update(new_stats)
         return self._commit(
             base + new, "append", batch_id=batch_id, stats=base_stats
         )
 
     def overwrite(self, df: DataFrame) -> Snapshot:
-        new = self._write_data(df)
-        return self._commit(
-            new, "overwrite", stats=self._collect_stats(new, df.sparkSession)
-        )
+        new, new_stats = self._write_data(df)
+        return self._commit(new, "overwrite", stats=new_stats)
 
     def replace_where(
         self,
@@ -502,7 +525,7 @@ class SnapshotTable:
         out_files = list(keep_files)
         # the REPLACEMENT lands first, CHECK-enforced: if it violates,
         # nothing else has been written yet (no orphaned remainder dir)
-        new = self._write_data(df)
+        new, repl_stats = self._write_data(df)
         # ADVICE r7: any failure AFTER this point (remainder read/write
         # error, commit conflict, malformed CHECK inside a later write)
         # would orphan the already-written uuid dirs until vacuum — clean
@@ -525,11 +548,13 @@ class SnapshotTable:
                 # rows: they passed their CHECK at the original write, so
                 # re-verifying would double the rewrite's read I/O for
                 # nothing (same contract as compact/optimize)
-                rem_files = self._write_data(remainder, enforce=False)
+                rem_files, rem_stats = self._write_data(
+                    remainder, enforce=False
+                )
                 out_files += rem_files
-                new_stats.update(self._collect_stats(rem_files, spark))
+                new_stats.update(rem_stats)
             out_files += new
-            new_stats.update(self._collect_stats(new, spark))
+            new_stats.update(repl_stats)
             return self._commit(out_files, "replace", stats=new_stats)
         except BaseException:
             for rel in out_files:
@@ -600,10 +625,8 @@ class SnapshotTable:
         cur = self.current_version()
         if cur is None:
             if when_not_matched == "insert":
-                new = self._write_data(source)
-                return self._commit(
-                    new, "merge", stats=self._collect_stats(new, spark)
-                )
+                new, new_stats_ = self._write_data(source)
+                return self._commit(new, "merge", stats=new_stats_)
             return self._commit([], "merge", stats={})
         snap = self.snapshot(cur)
 
@@ -663,9 +686,9 @@ class SnapshotTable:
                     else out_rows.unionByName(incoming)
                 )
         if out_rows is not None:
-            new = self._write_data(out_rows)
+            new, written_stats = self._write_data(out_rows)
             out_files += new
-            new_stats.update(self._collect_stats(new, spark))
+            new_stats.update(written_stats)
         return self._commit(out_files, "merge", stats=new_stats)
 
     def commit_batch(self, df: DataFrame, batch_id: int) -> Snapshot | None:
@@ -695,10 +718,8 @@ class SnapshotTable:
         directory swap, no visibility gap: this is what
         ``writers.compact_parquet`` documents it cannot give)."""
         df = self.read(spark).repartition(target_files)
-        new = self._write_data(df, enforce=False)
-        return self._commit(
-            new, "compact", stats=self._collect_stats(new, spark)
-        )
+        new, new_stats = self._write_data(df, enforce=False)
+        return self._commit(new, "compact", stats=new_stats)
 
     def optimize(
         self,
@@ -754,10 +775,8 @@ class SnapshotTable:
             .sortWithinPartitions("__zkey")
             .drop("__zkey")
         )
-        new = self._write_data(clustered, enforce=False)
-        return self._commit(
-            new, "optimize", stats=self._collect_stats(new, spark)
-        )
+        new, new_stats = self._write_data(clustered, enforce=False)
+        return self._commit(new, "optimize", stats=new_stats)
 
     def restore(
         self, version: int, spark: SparkSession | None = None
@@ -874,11 +893,20 @@ class SnapshotTable:
         if cur is not None:
             snap = self.snapshot(cur)
             files, stats = list(snap.files), dict(snap.stats or {})
-            if files:
-                scan = spark.read.parquet(
-                    *[str(self.root / f) for f in files]
+            # stats-first, like restore(): validate only the files whose
+            # manifest envelope cannot prove the new constraint — adding
+            # an in-bounds constraint to a 100 TB table is metadata-only
+            need_scan = [
+                f
+                for f in files
+                if not _check_proven_by_stats(expr, stats.get(f, {}))
+            ]
+            if need_scan:
+                bad = _constraint_scan(
+                    spark,
+                    [str(self.root / f) for f in need_scan],
+                    f"({expr}) IS FALSE",
                 )
-                bad = scan.filter(f"({expr}) IS FALSE").limit(1).collect()
                 if bad:
                     raise ConstraintViolation(
                         f"{self.root}: existing rows violate {name!r} "

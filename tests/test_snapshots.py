@@ -124,7 +124,7 @@ def test_streaming_foreachbatch_exactly_once(spark, tmp_path, table):
 def test_uncommitted_writes_invisible_then_vacuumed(spark, table):
     table.append(_df(spark, 0, 10))
     # a crashed writer: data landed, no manifest committed
-    orphan = table._write_data(_df(spark, 99, 120))
+    orphan, _stats = table._write_data(_df(spark, 99, 120))
     assert table.read(spark).count() == 10  # invisible to readers
     removed = table.vacuum(keep_versions=1)
     assert set(orphan) <= set(removed)
@@ -760,3 +760,42 @@ def test_replace_where_nonviolation_failure_cleans_up(spark, table, monkeypatch)
         table.replace_where(spark, good, column="part", values=[3])
     after = {str(p) for p in table.data_dir.rglob("*.parquet")}
     assert after == before, "non-violation failure orphaned files"
+
+
+def test_write_path_constraint_check_is_metadata_only_when_proven(
+    spark, table, monkeypatch
+):
+    """Appending provably in-bounds data to a constrained table must
+    verify from footer stats alone — zero row-scan tasks (the footers
+    were already being read for commit stats; enforcement now reuses
+    them). Same for adding a constraint the manifest envelopes prove."""
+    from nyc_taxi_data_pipeline_elt_spark.sources import snapshots as snapmod
+
+    table.append(spark.createDataFrame([(1, 5)], "id long, v long"))
+    table.add_check_constraint(spark, "v_nonneg", "v >= 0")
+
+    def _boom(spark_, paths, predicate):
+        raise AssertionError(f"row-level scan launched over {paths}")
+
+    monkeypatch.setattr(snapmod, "_constraint_scan", _boom)
+    # append: stats prove v in [6, 9] >= 0 — no scan
+    table.append(spark.createDataFrame([(2, 6), (3, 9)], "id long, v long"))
+    assert table.read(spark).count() == 3
+    # second constraint the existing envelopes prove — no scan either
+    table.add_check_constraint(spark, "v_cap", "v <= 100")
+    assert set(table.snapshot().constraints) == {"v_nonneg", "v_cap"}
+
+
+def test_write_path_constraint_violation_still_caught(spark, table):
+    """Red path after the stats-first refactor: out-of-bounds data is
+    inconclusive-by-stats, row-scanned, rejected, and nothing commits."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        ConstraintViolation,
+    )
+
+    table.append(spark.createDataFrame([(1, 5)], "id long, v long"))
+    table.add_check_constraint(spark, "v_nonneg", "v >= 0")
+    with pytest.raises(ConstraintViolation):
+        table.append(spark.createDataFrame([(2, -3)], "id long, v long"))
+    assert table.read(spark).count() == 1
+    assert table.snapshot().op == "add_constraint"
