@@ -17,7 +17,9 @@ Layout::
 
     table/
       data/<writer-uuid>/part-*.parquet   -- immutable once committed
-      _manifests/v{N:08d}.json            -- snapshot N's file list + lineage
+      _manifests/v{N:08d}.json            -- snapshot N: v0 inline, then
+                                             add/remove DELTAS (Delta log)
+      _manifests/c{N:08d}.json            -- periodic full checkpoints
       _manifests/_current                 -- pointer file: just "N"
 
 Concurrency and atomicity, all via POSIX/object-store primitives:
@@ -35,13 +37,16 @@ Concurrency and atomicity, all via POSIX/object-store primitives:
   ``streaming/incremental.py``, solved structurally).
 
 At 100 TB the design carries over unchanged: manifests list files (no
-directory listing on the read path — one pointer read + one manifest
-read instead of a million-object LIST), pointer swap maps to a
-conditional PUT / metastore CAS, and compaction is a background rewrite
-that commits a new manifest without touching readers. This is a
-deliberately small single-pointer implementation — no column stats
-pruning or multi-table transactions — but the read/commit protocol is
-the real one.
+directory listing on the read path — one pointer read + at most
+``checkpoint_every`` manifest reads instead of a million-object LIST),
+pointer swap maps to a conditional PUT / metastore CAS, and compaction
+is a background rewrite that commits a new manifest without touching
+readers. Metadata cost is Delta-shaped end to end: a commit WRITES
+O(changed files) (delta manifests + amortized checkpoints), per-file
+column stats are collected distributed (one Spark job over footers) and
+drive file skipping on the read path, CHECK enforcement, and
+restore/replace/merge pruning. Deliberately out of scope: multi-table
+transactions.
 """
 
 from __future__ import annotations
@@ -224,6 +229,12 @@ class SnapshotTable:
         self.manifest_dir = self.root / "_manifests"
         self.data_dir = self.root / "data"
 
+    #: Write a full checkpoint (inline file list + stats) every K delta
+    #: commits, so snapshot() resolution walks at most K manifests (the
+    #: Delta log/checkpoint cadence). v0 and legacy manifests are
+    #: inline; everything after is an O(changed files) delta.
+    checkpoint_every = 16
+
     # ---------------- metadata plumbing ----------------
     def _pointer(self) -> Path:
         return self.manifest_dir / "_current"
@@ -234,19 +245,62 @@ class SnapshotTable:
         except (FileNotFoundError, ValueError):
             return None
 
+    def _raw_manifest(self, v: int) -> dict:
+        return json.loads((self.manifest_dir / f"v{v:08d}.json").read_text())
+
+    def _checkpoint_path(self, v: int) -> Path:
+        return self.manifest_dir / f"c{v:08d}.json"
+
+    def _materialize(self, v: int, raw: dict) -> tuple[list, dict]:
+        """Resolve a DELTA manifest to its full (files, stats): walk the
+        parent chain back to the nearest checkpoint or inline manifest
+        (bounded by ``checkpoint_every``), then apply add/remove and
+        stats deltas forward. A carried file keeps its ancestor's stats
+        entry unless a later delta re-recorded it."""
+        cp = self._checkpoint_path(v)
+        if cp.exists():
+            c = json.loads(cp.read_text())
+            return list(c["files"]), dict(c["stats"])
+        chain = [raw]
+        pv = raw["parent"]
+        while True:
+            cp = self._checkpoint_path(pv)
+            if cp.exists():
+                c = json.loads(cp.read_text())
+                files, stats = set(c["files"]), dict(c["stats"])
+                break
+            praw = self._raw_manifest(pv)
+            if "files" in praw:
+                files = set(praw["files"])
+                stats = dict(praw.get("stats", {}))
+                break
+            chain.append(praw)
+            pv = praw["parent"]
+        for d in reversed(chain):
+            for f in d["remove"]:
+                files.discard(f)
+                stats.pop(f, None)
+            files.update(d["add"])
+            stats.update(d["stats_add"])
+        return sorted(files), stats
+
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"{self.root}: no committed snapshot")
-        raw = json.loads((self.manifest_dir / f"v{v:08d}.json").read_text())
+        raw = self._raw_manifest(v)
+        if "files" in raw:  # inline: v0, legacy, or hand-written
+            files, stats = list(raw["files"]), raw.get("stats", {})
+        else:
+            files, stats = self._materialize(v, raw)
         return Snapshot(
             version=raw["version"],
-            files=tuple(raw["files"]),
+            files=tuple(files),
             op=raw["op"],
             parent=raw.get("parent"),
             batch_id=raw.get("batch_id"),
             ts=raw["ts"],
-            stats=raw.get("stats", {}),
+            stats=stats,
             batch_ids=(
                 tuple(raw["batch_ids"]) if "batch_ids" in raw else None
             ),
@@ -271,42 +325,61 @@ class SnapshotTable:
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
         parent = self.current_version()
         version = 0 if parent is None else parent + 1
+        psnap = self.snapshot(parent) if parent is not None else None
         # constraints ride every manifest (like batch_ids): None means
         # "inherit the parent's", a dict is an explicit replacement
         if constraints is None:
-            constraints = (
-                dict(self.snapshot(parent).constraints or {})
-                if parent is not None
-                else {}
-            )
+            constraints = dict(psnap.constraints or {}) if psnap else {}
         # every commit carries the cumulative batch-id set forward, so a
         # replayed foreachBatch is detected from the current manifest alone;
         # a legacy parent (no recorded set) is reconstructed from history once
         seen: list = []
         if batch_ids_override is not None:
             seen = list(batch_ids_override)
-        elif parent is not None:
-            parent_ids = self.snapshot(parent).batch_ids
-            if parent_ids is None:
+        elif psnap is not None:
+            if psnap.batch_ids is None:
                 seen = [
                     s.batch_id for s in self.history() if s.batch_id is not None
                 ]
             else:
-                seen = list(parent_ids)
+                seen = list(psnap.batch_ids)
         if batch_id is not None and batch_id not in seen:
             seen.append(batch_id)
+        files_sorted = sorted(files)
+        stats = stats or {}
         manifest = self.manifest_dir / f"v{version:08d}.json"
         payload = {
             "version": version,
-            "files": sorted(files),
             "op": op,
             "parent": parent,
             "batch_id": batch_id,
             "ts": time.time(),
-            "stats": stats or {},
             "batch_ids": seen,
             "constraints": constraints,
         }
+        if psnap is None:
+            # v0 is always inline — the chain's base case
+            payload["files"] = files_sorted
+            payload["stats"] = stats
+        else:
+            # Delta manifest (the Delta-log move): a commit writes
+            # O(changed files) metadata, not O(table). An append to a
+            # million-file table records its handful of new files; the
+            # periodic checkpoint below amortizes full-list writes to
+            # O(table / checkpoint_every) per commit.
+            pset = set(psnap.files)
+            nset = set(files_sorted)
+            add = sorted(nset - pset)
+            pstats = psnap.stats or {}
+            stats_add = {f: stats[f] for f in add if f in stats}
+            # a carried file whose stats were re-recorded with a new
+            # value must not silently keep the ancestor's entry
+            for f in nset & pset:
+                if f in stats and stats[f] != pstats.get(f):
+                    stats_add[f] = stats[f]
+            payload["add"] = add
+            payload["remove"] = sorted(pset - nset)
+            payload["stats_add"] = stats_add
         try:
             # O_EXCL create: the optimistic-concurrency gate. Two racing
             # writers both target version N+1; exactly one create wins.
@@ -317,6 +390,14 @@ class SnapshotTable:
                 f"{self.root}: snapshot v{version} already committed; "
                 "re-read the table and retry"
             ) from exc
+        if psnap is not None and version % self.checkpoint_every == 0:
+            # checkpoint AFTER the manifest wins the race: derived data,
+            # safe to lose (resolution falls back to the chain walk)
+            try:
+                with open(self._checkpoint_path(version), "x") as f:
+                    json.dump({"files": files_sorted, "stats": stats}, f)
+            except FileExistsError:
+                pass
         # Atomic pointer swap (os.replace = rename(2)); readers see the
         # old manifest or the new one, never a partial state.
         tmp = self.manifest_dir / f"._current.{uuid.uuid4().hex}"
@@ -954,8 +1035,24 @@ class SnapshotTable:
         for d in list(self.data_dir.iterdir()) if self.data_dir.exists() else []:
             if d.is_dir() and not any(d.iterdir()):
                 shutil.rmtree(d, ignore_errors=True)
+        # the oldest KEPT version must resolve without its (about to be
+        # deleted) ancestors: materialize it into a checkpoint first
+        oldest = kept[0]
+        raw = self._raw_manifest(oldest.version)
+        if "files" not in raw and not self._checkpoint_path(
+            oldest.version
+        ).exists():
+            with open(self._checkpoint_path(oldest.version), "x") as f:
+                json.dump(
+                    {
+                        "files": list(oldest.files),
+                        "stats": dict(oldest.stats or {}),
+                    },
+                    f,
+                )
         for s in hist[:-keep_versions]:
             (self.manifest_dir / f"v{s.version:08d}.json").unlink(missing_ok=True)
+            self._checkpoint_path(s.version).unlink(missing_ok=True)
         return removed
 
     # ---------------- read path ----------------

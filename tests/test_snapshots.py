@@ -297,11 +297,12 @@ def test_commit_records_manifest_stats(spark, table):
     assert set(snap.stats) == set(snap.files)
     envs = sorted(s["id"] for s in snap.stats.values())
     assert envs == [[0, 9], [10, 19]]
-    # manifest JSON is the durable carrier
+    # manifest JSON is the durable carrier — since the delta-log change,
+    # a post-v0 append carries its OWN files' stats as stats_add
     raw = json.loads(
         (table.manifest_dir / f"v{snap.version:08d}.json").read_text()
     )
-    assert raw["stats"]
+    assert raw["stats_add"]
 
 
 def test_replace_where_rewrites_only_intersecting_files(spark, table):
@@ -799,3 +800,64 @@ def test_write_path_constraint_violation_still_caught(spark, table):
         table.append(spark.createDataFrame([(2, -3)], "id long, v long"))
     assert table.read(spark).count() == 1
     assert table.snapshot().op == "add_constraint"
+
+
+def test_delta_manifests_record_only_changes(spark, table):
+    """Commits after v0 write O(changed files) metadata, not O(table):
+    an append's manifest lists its own new files only (the Delta-log
+    shape), and none of v0's file names appear in its JSON."""
+    table.append(_df(spark, 0, 10))                 # v0: inline
+    s0 = table.snapshot(0)
+    table.append(_df(spark, 10, 15))                # v1: delta
+    raw1 = table._raw_manifest(1)
+    assert "files" not in raw1 and "stats" not in raw1
+    assert raw1["remove"] == []
+    s1 = table.snapshot(1)
+    assert sorted(raw1["add"]) == sorted(set(s1.files) - set(s0.files))
+    text1 = (table.manifest_dir / "v00000001.json").read_text()
+    assert not any(f in text1 for f in s0.files)
+    # a rewrite op's delta removes the old files and adds the new
+    table.compact(spark, target_files=1)            # v2
+    raw2 = table._raw_manifest(2)
+    assert sorted(raw2["remove"]) == sorted(s1.files)
+    assert table.read(spark).count() == 15
+    # stats materialize identically through the delta chain
+    assert set(table.snapshot(2).stats) == set(raw2["stats_add"])
+
+
+def test_checkpoint_cadence_and_resolution(spark, table):
+    """Every checkpoint_every-th delta commit writes a full checkpoint;
+    resolution uses the nearest one and never walks past it."""
+    table.checkpoint_every = 3
+    for lo in range(0, 21, 3):
+        table.append(_df(spark, lo, lo + 3))        # v0..v6
+    assert table._checkpoint_path(3).exists()
+    assert table._checkpoint_path(6).exists()
+    assert not table._checkpoint_path(5).exists()
+    # v5 resolves via checkpoint 3 + deltas 4, 5
+    assert sorted(r.id for r in table.read(spark, version=5).collect()) == list(
+        range(18)
+    )
+    assert table.read(spark).count() == 21
+    # stats survive the chain: every live file has an envelope
+    snap = table.snapshot()
+    assert set(snap.stats) == set(snap.files)
+
+
+def test_vacuum_checkpoints_oldest_kept_version(spark, table):
+    """Vacuum must leave the oldest kept version resolvable after its
+    ancestor manifests are deleted (checkpoint written on demand)."""
+    for lo in range(0, 12, 3):
+        table.append(_df(spark, lo, lo + 3))        # v0..v3 (deltas v1+)
+    removed = table.vacuum(keep_versions=2)
+    assert removed == []  # appends: nothing unreferenced
+    with pytest.raises(FileNotFoundError):
+        table.snapshot(0)
+    # v2 (oldest kept) resolves from its on-demand checkpoint; v3 chains
+    assert table.read(spark, version=2).count() == 9
+    assert table.read(spark, version=3).count() == 12
+    snap = table.snapshot(3)
+    assert set(snap.stats) == set(snap.files)
+    # and the table keeps working after the prune
+    table.append(_df(spark, 12, 15))
+    assert table.read(spark).count() == 15
