@@ -110,12 +110,12 @@ _PRIORITY_WINDOW = [
     "unigram_lm_scores",
     "union_fleets_unify",
     "valuable_parts",
-    # --- r4 fillers to complete the 50 ----------------------------------
+    # --- r4 fillers + the one NEW r8 query (timestamp time travel) ------
     "blocklist_scrub_docs",
     "customer_order_distribution",
     "customer_year_overlap",
     "decontaminate_train_docs",
-    "dedup_containment_pairs",
+    "snapshot_time_travel_read",
 ]
 
 _PLAN_MODULES = (

@@ -300,12 +300,65 @@ GROUP BY o_orderstatus
 """
 
 
+def snapshot_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF drive (Delta time travel by wall clock, the query
+    a lakehouse debugging session starts with): orders land in two
+    append commits (even keys, then odd keys); the read resolves a
+    timestamp sampled BETWEEN the commits and must see exactly the
+    first commit's rows — the newest-snapshot-at-or-before-ts rule over
+    real manifest timestamps, driven end to end through
+    ``SnapshotTable.snapshot_at_timestamp``. ``detail()`` gates the
+    plumbing: the manifest-metadata row count must equal the table's
+    actual total, or the query raises (no silent drift)."""
+    import shutil
+    import tempfile
+    import time as _time
+    from pathlib import Path
+
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import SnapshotTable
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    root = Path(tempfile.gettempdir()) / "ntx_snapshot_ttr" / Path(sf_dir).name
+    shutil.rmtree(root, ignore_errors=True)
+    table = SnapshotTable(str(root))
+    n_even = orders.filter(F.col("o_orderkey") % 2 == 0).count()
+    table.append(orders.filter(F.col("o_orderkey") % 2 == 0))  # v0
+    mid = _time.time()
+    table.append(orders.filter(F.col("o_orderkey") % 2 == 1))  # v1
+    d = table.detail()
+    if d["num_rows"] != orders.count():
+        raise AssertionError(
+            f"detail() num_rows {d['num_rows']} != table total"
+        )
+    asof = table.read(spark, timestamp=mid)
+    if table.snapshot_at_timestamp(mid).version != 0:
+        raise AssertionError("timestamp between commits must resolve v0")
+    if asof.count() != n_even:
+        raise AssertionError("TIMESTAMP AS OF read saw the wrong snapshot")
+    return asof.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_orderkey").alias("key_checksum"),
+    )
+
+
+SNAPSHOT_TTR_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+FROM orders
+WHERE o_orderkey % 2 = 0
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "scd2_user_event_type": scd2_user_event_type,
     "cdc_orders_merge": cdc_orders_merge,
     "snapshot_table_roundtrip": snapshot_table_roundtrip,
     "snapshot_change_feed": snapshot_change_feed,
     "snapshot_zorder_pruned_scan": snapshot_zorder_pruned_scan,
+    "snapshot_time_travel_read": snapshot_time_travel_read,
 }
 
 ORACLE = {
@@ -314,4 +367,5 @@ ORACLE = {
     "snapshot_table_roundtrip": SNAPSHOT_ROUNDTRIP_ORACLE,
     "snapshot_change_feed": SNAPSHOT_CDF_ORACLE,
     "snapshot_zorder_pruned_scan": SNAPSHOT_ZORDER_ORACLE,
+    "snapshot_time_travel_read": SNAPSHOT_TTR_ORACLE,
 }

@@ -407,7 +407,10 @@ class SnapshotTable:
 
     # ---------------- write path ----------------
     def _write_data(
-        self, df: DataFrame, enforce: bool = True
+        self,
+        df: DataFrame,
+        enforce: bool = True,
+        enforced_out: dict | None = None,
     ) -> tuple[list[str], dict]:
         """Land ``df`` as immutable parquet under a fresh uuid dir and
         return ``(written_files, their_stats)``, files relative to the
@@ -429,7 +432,10 @@ class SnapshotTable:
         uncommitted files are deleted so nothing leaks (readers never
         saw them — visibility starts at commit). ``enforce=False`` is
         for compact/optimize, whose rows already passed at their
-        original write."""
+        original write. ``enforced_out`` (append's retry loop) receives
+        the constraint set that was actually enforced, so the committer
+        can detect and re-enforce constraints added between this write
+        and its commit."""
         sub = self.data_dir / uuid.uuid4().hex
         df.write.mode("error").parquet(str(sub))
         written = [
@@ -445,6 +451,8 @@ class SnapshotTable:
                 if cur is not None
                 else {}
             )
+            if enforced_out is not None:
+                enforced_out.update(cons)
             if cons:
                 need_scan = [
                     f
@@ -528,19 +536,88 @@ class SnapshotTable:
         # manifest-stable ordering: same key order as the serial path
         return {rel: collected[rel] for rel, _ in pairs if rel in collected}
 
-    def append(self, df: DataFrame, batch_id: int | None = None) -> Snapshot:
-        new, new_stats = self._write_data(df)
-        cur = self.current_version()
-        base: list[str] = []
-        base_stats: dict = {}
-        if cur is not None:
-            snap = self.snapshot(cur)
-            base = list(snap.files)
-            base_stats = dict(snap.stats or {})
-        base_stats.update(new_stats)
-        return self._commit(
-            base + new, "append", batch_id=batch_id, stats=base_stats
-        )
+    def append(
+        self,
+        df: DataFrame,
+        batch_id: int | None = None,
+        retries: int = 3,
+    ) -> Snapshot:
+        """Append with automatic conflict retry (Delta's blind-append
+        reconciliation): appends commute, so when another writer takes
+        our version first, the already-landed data files are re-based
+        onto the NEW current snapshot and the commit is retried — no
+        data rewrite, no caller-side redo. ``retries=0`` restores
+        strict first-writer-wins. A retry re-reads the parent manifest,
+        so a concurrently-added CHECK constraint is re-enforced before
+        the re-commit (the one append/metadata race that is not
+        commutative); ``commit_batch`` replay detection also re-reads,
+        keeping exactly-once intact across retries."""
+        enforced: dict = {}
+        new, new_stats = self._write_data(df, enforced_out=enforced)
+        attempt = 0
+        while True:
+            cur = self.current_version()
+            base: list[str] = []
+            base_stats: dict = {}
+            if cur is not None:
+                snap = self.snapshot(cur)
+                base = list(snap.files)
+                base_stats = dict(snap.stats or {})
+                # constraints this commit's parent carries that the
+                # write-time enforcement did not cover (added — or
+                # changed — between our write and this attempt, with or
+                # without an intervening CommitConflict): re-enforce
+                # them on OUR files before re-basing. Stats-pruned, so
+                # in-bounds data re-verifies from metadata alone.
+                fresh = {
+                    k: e
+                    for k, e in (snap.constraints or {}).items()
+                    if enforced.get(k) != e
+                }
+                if fresh and new:
+                    need = [
+                        f
+                        for f in new
+                        if not all(
+                            _check_proven_by_stats(e, new_stats.get(f, {}))
+                            for e in fresh.values()
+                        )
+                    ]
+                    if need:
+                        self._verify_constraints(
+                            df.sparkSession,
+                            need,
+                            fresh,
+                            self.root
+                            / Path(new[0]).parts[0]
+                            / Path(new[0]).parts[1],
+                        )
+                    enforced.update(fresh)
+                if batch_id is not None and (
+                    snap.batch_ids is not None
+                    and batch_id in snap.batch_ids
+                ):
+                    # a racing writer landed this very batch first:
+                    # exactly-once wins over our attempt — drop our
+                    # uncommitted files eagerly instead of waiting for
+                    # vacuum, and report the already-committed snapshot
+                    for rel in new:
+                        parts = Path(rel).parts
+                        if len(parts) >= 2 and parts[0] == "data":
+                            shutil.rmtree(
+                                self.root / parts[0] / parts[1],
+                                ignore_errors=True,
+                            )
+                    return snap
+            base_stats.update(new_stats)
+            try:
+                return self._commit(
+                    base + new, "append", batch_id=batch_id, stats=base_stats
+                )
+            except CommitConflict:
+                attempt += 1
+                if attempt > retries:
+                    raise
 
     def overwrite(self, df: DataFrame) -> Snapshot:
         new, new_stats = self._write_data(df)
@@ -1056,21 +1133,66 @@ class SnapshotTable:
         return removed
 
     # ---------------- read path ----------------
+    def snapshot_at_timestamp(self, ts: float) -> Snapshot:
+        """Delta ``TIMESTAMP AS OF``: the newest snapshot committed at or
+        before ``ts`` (unix seconds). Raises when ``ts`` predates the
+        table. O(versions) manifest-header reads, no data touched."""
+        best = None
+        for p in sorted(self.manifest_dir.glob("v*.json")):
+            v = int(p.stem[1:])
+            raw = self._raw_manifest(v)
+            if raw["ts"] <= ts and (best is None or v > best):
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"{self.root}: no snapshot committed at or before {ts}"
+            )
+        return self.snapshot(best)
+
+    def detail(self) -> dict:
+        """Delta ``DESCRIBE DETAIL``, from manifest metadata alone (no
+        file I/O): file count, row count (from the per-file
+        ``__num_rows__`` stats; None when any live file predates row
+        counting), current version/op, constraint names."""
+        snap = self.snapshot()
+        counts = [
+            (snap.stats or {}).get(f, {}).get("__num_rows__")
+            for f in snap.files
+        ]
+        return {
+            "version": snap.version,
+            "op": snap.op,
+            "num_files": len(snap.files),
+            "num_rows": (
+                sum(counts) if all(c is not None for c in counts) else None
+            ),
+            "constraints": sorted(snap.constraints or {}),
+        }
+
     def read(
         self,
         spark: SparkSession,
         version: int | None = None,
         merge_schema: bool = False,
+        timestamp: float | None = None,
     ) -> DataFrame:
-        """Read a snapshot (default: current). The file list is resolved
-        ONCE from the manifest — concurrent commits/compactions/vacuums
-        of later versions cannot tear this read.
+        """Read a snapshot (default: current; ``version`` = VERSION AS
+        OF; ``timestamp`` = TIMESTAMP AS OF, newest commit <= ts). The
+        file list is resolved ONCE from the manifest — concurrent
+        commits/compactions/vacuums of later versions cannot tear this
+        read.
 
         ``merge_schema=True`` unions the footers of every listed file, so
         a table whose appends evolved the schema (added columns) reads
         with the full union schema, older rows null-padded — pay the
         per-file footer union only when evolution actually happened."""
-        snap = self.snapshot(version)
+        if timestamp is not None and version is not None:
+            raise ValueError("read: pass version OR timestamp, not both")
+        snap = (
+            self.snapshot_at_timestamp(timestamp)
+            if timestamp is not None
+            else self.snapshot(version)
+        )
         if not snap.files:
             raise FileNotFoundError(f"{self.root}: snapshot v{snap.version} is empty")
         reader = spark.read

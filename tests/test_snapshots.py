@@ -861,3 +861,79 @@ def test_vacuum_checkpoints_oldest_kept_version(spark, table):
     # and the table keeps working after the prune
     table.append(_df(spark, 12, 15))
     assert table.read(spark).count() == 15
+
+
+def test_append_rebases_after_conflict(spark, table, monkeypatch):
+    """Blind-append reconciliation: a writer whose version was taken by
+    a racing commit re-bases its already-written files onto the new
+    current snapshot and retries — both appends land, no data rewrite."""
+    table.append(_df(spark, 0, 5))                    # v0
+    racer = SnapshotTable(str(table.root))
+    racer.append(_df(spark, 100, 103))                # v1 (the race winner)
+    # simulate the loser's stale read: current_version says 0 once
+    real = SnapshotTable.current_version
+    calls = {"n": 0}
+
+    def stale_once(self):
+        calls["n"] += 1
+        return 0 if calls["n"] == 1 else real(self)
+
+    monkeypatch.setattr(SnapshotTable, "current_version", stale_once)
+    snap = table.append(_df(spark, 200, 202))         # conflicts, retries
+    assert snap.version == 2
+    got = sorted(r.id for r in table.read(spark).collect())
+    assert got == [0, 1, 2, 3, 4, 100, 101, 102, 200, 201]
+    # strict mode still raises on a stale-manifest conflict
+    (table.manifest_dir / "v00000003.json").write_text(json.dumps({
+        "version": 3, "files": [], "op": "append", "parent": 2, "ts": 0.0,
+    }))
+    monkeypatch.setattr(SnapshotTable, "current_version", real)
+    with pytest.raises(CommitConflict):
+        table.append(_df(spark, 300, 301), retries=0)
+
+
+def test_append_retry_reenforces_new_constraint(spark, table, monkeypatch):
+    """The one non-commutative append/metadata race: a constraint added
+    between our write and our retry must be re-enforced — violating
+    data may not slip in on the re-based commit."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        ConstraintViolation,
+    )
+
+    table.append(spark.createDataFrame([(1, 5)], "id long, v long"))  # v0
+    racer = SnapshotTable(str(table.root))
+    real = SnapshotTable.current_version
+    calls = {"n": 0}
+
+    def stale_once(self):
+        calls["n"] += 1
+        return 0 if calls["n"] == 1 else real(self)
+
+    racer.add_check_constraint(spark, "v_nonneg", "v >= 0")           # v1
+    monkeypatch.setattr(SnapshotTable, "current_version", stale_once)
+    with pytest.raises(ConstraintViolation):
+        table.append(spark.createDataFrame([(2, -7)], "id long, v long"))
+    assert table.read(spark).count() == 1
+
+
+def test_timestamp_time_travel_and_detail(spark, table):
+    """TIMESTAMP AS OF resolves the newest commit at or before ts;
+    DESCRIBE DETAIL comes from manifest metadata alone."""
+    import time as _t
+
+    table.append(_df(spark, 0, 5))                    # v0
+    _t.sleep(0.05)
+    mid = _t.time()
+    _t.sleep(0.05)
+    table.append(_df(spark, 5, 9))                    # v1
+    assert table.read(spark, timestamp=mid).count() == 5
+    assert table.snapshot_at_timestamp(_t.time()).version == 1
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        table.snapshot_at_timestamp(mid - 100)
+    with pytest.raises(ValueError, match="not both"):
+        table.read(spark, version=0, timestamp=mid)
+    d = table.detail()
+    assert d["version"] == 1 and d["op"] == "append"
+    assert d["num_files"] == len(table.snapshot().files)
+    assert d["num_rows"] == 9
+    assert d["constraints"] == []
