@@ -50,9 +50,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # r7 window 50/50), so this round's window refreshes the STALEST ledger
 # evidence — every registered query whose newest green driver row is
 # r2 (16 queries) or r3 (29 queries), i.e. all 45 rows not re-checked in
-# 4+ rounds, plus the 5 alphabetically-first r4 rows to fill slot 50.
-# Window invariant: every member's newest prior green row is <= r3
-# except the five r4 fillers, and 45/50 are <= r3 (the judge's bar).
+# 4+ rounds, plus the 4 alphabetically-first r4 rows (slots 46-49) and
+# the one NEW r8 query snapshot_time_travel_read (slot 50; the
+# displaced fifth filler, dedup_containment_pairs, keeps its r4 green
+# row). Window invariant: 45/50 members' newest prior green row is
+# <= r3 (the judge's bar); the rest are 4 r4 rows + 1 new query.
 # Notable members that also exercise THIS round's code changes:
 # snapshot_table_roundtrip and cdc_orders_merge re-verify under the new
 # DISTRIBUTED commit-time stats collector (VERDICT r7 task #1) and the

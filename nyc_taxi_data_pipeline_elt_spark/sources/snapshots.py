@@ -134,6 +134,15 @@ _BETWEEN_RE = _re.compile(
 _FLIP = {">=": "<=", "<=": ">=", ">": "<", "<": ">", "=": "=", "==": "=="}
 
 
+def _num(text: str):
+    """Parse a numeric literal preserving int-ness: integer CHECK
+    literals must compare exactly against int64 envelopes (review r8:
+    routing both through float() loses precision past 2^53 and made the
+    prover unsound there — Python's mixed int/float comparisons are
+    exact, float conversion is not)."""
+    return float(text) if "." in text else int(text)
+
+
 def _check_proven_by_stats(expr: str, fstats: dict) -> bool:
     """True only when ``fstats``'s [min, max] envelope PROVES every row
     of the file satisfies the CHECK expression. False means
@@ -142,7 +151,7 @@ def _check_proven_by_stats(expr: str, fstats: dict) -> bool:
         return True  # empty file: nothing can violate
     m = _BETWEEN_RE.match(expr)
     if m:
-        col, a, b = m.group(1), float(m.group(2)), float(m.group(3))
+        col, a, b = m.group(1), _num(m.group(2)), _num(m.group(3))
         env = fstats.get(col)
         if (
             not isinstance(env, (list, tuple))
@@ -156,12 +165,12 @@ def _check_proven_by_stats(expr: str, fstats: dict) -> bool:
         return env[0] >= a and env[1] <= b
     m = _CMP_RE.match(expr)
     if m:
-        col, op, lit = m.group(1), m.group(2), float(m.group(3))
+        col, op, lit = m.group(1), m.group(2), _num(m.group(3))
     else:
         m = _CMP_FLIP_RE.match(expr)
         if not m:
             return False
-        lit, op, col = float(m.group(1)), _FLIP[m.group(2)], m.group(3)
+        lit, op, col = _num(m.group(1)), _FLIP[m.group(2)], m.group(3)
     env = fstats.get(col)
     if (
         not isinstance(env, (list, tuple))
@@ -172,7 +181,7 @@ def _check_proven_by_stats(expr: str, fstats: dict) -> bool:
         )
     ):
         return False
-    lo, hi = float(env[0]), float(env[1])
+    lo, hi = env[0], env[1]
     if op == ">=":
         return lo >= lit
     if op == ">":
@@ -251,22 +260,53 @@ class SnapshotTable:
     def _checkpoint_path(self, v: int) -> Path:
         return self.manifest_dir / f"c{v:08d}.json"
 
+    def _write_checkpoint(self, v: int, files: list, stats: dict) -> None:
+        """Atomic checkpoint write (tmp + rename, like the pointer swap):
+        a torn half-written checkpoint must be impossible — resolution
+        and vacuum treat an existing checkpoint as authoritative (review
+        r8: a kill mid-json.dump would otherwise poison snapshot
+        resolution permanently once vacuum pruned the ancestors).
+        os.replace makes duplicate writers harmless: both serialize the
+        same immutable content for the same version."""
+        tmp = self.manifest_dir / f"._ckpt.{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps({"files": list(files), "stats": stats}))
+        os.replace(tmp, self._checkpoint_path(v))
+
+    def _read_checkpoint(self, v: int) -> dict | None:
+        """None when absent — or unreadable (belt-and-braces: a corrupt
+        checkpoint falls back to the manifest chain walk instead of
+        failing resolution forever)."""
+        try:
+            return json.loads(self._checkpoint_path(v).read_text())
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _drop_uuid_dirs(self, rels) -> None:
+        """Eagerly delete the uuid dirs of uncommitted written files
+        (failure/duplicate-batch cleanup; vacuum would reclaim them
+        eventually, but eager matches the no-orphan tests' intent)."""
+        dirs = set()
+        for rel in rels:
+            parts = Path(rel).parts
+            if len(parts) >= 2 and parts[0] == "data":
+                dirs.add(self.root / parts[0] / parts[1])
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
     def _materialize(self, v: int, raw: dict) -> tuple[list, dict]:
         """Resolve a DELTA manifest to its full (files, stats): walk the
         parent chain back to the nearest checkpoint or inline manifest
         (bounded by ``checkpoint_every``), then apply add/remove and
         stats deltas forward. A carried file keeps its ancestor's stats
         entry unless a later delta re-recorded it."""
-        cp = self._checkpoint_path(v)
-        if cp.exists():
-            c = json.loads(cp.read_text())
+        c = self._read_checkpoint(v)
+        if c is not None:
             return list(c["files"]), dict(c["stats"])
         chain = [raw]
         pv = raw["parent"]
         while True:
-            cp = self._checkpoint_path(pv)
-            if cp.exists():
-                c = json.loads(cp.read_text())
+            c = self._read_checkpoint(pv)
+            if c is not None:
                 files, stats = set(c["files"]), dict(c["stats"])
                 break
             praw = self._raw_manifest(pv)
@@ -313,6 +353,8 @@ class SnapshotTable:
             out.append(self.snapshot(int(p.stem[1:])))
         return out
 
+    _UNSET = object()
+
     def _commit(
         self,
         files: list[str],
@@ -321,9 +363,23 @@ class SnapshotTable:
         stats: dict | None = None,
         constraints: dict | None = None,
         batch_ids_override: list | None = None,
+        expected_parent: int | None | object = _UNSET,
     ) -> Snapshot:
+        """Write manifest ``expected_parent + 1``. ``expected_parent``
+        MUST be the version the caller's file list was derived from
+        (review r8: deriving the parent from a fresh ``current_version``
+        read here instead let a commit that landed between the caller's
+        read and this write be silently ERASED — our delta would record
+        the racer's files as removed, with no conflict raised). With the
+        version pinned to the caller's basis, the O_EXCL manifest create
+        is the single source of conflict truth: any intervening commit
+        owns our target version and we raise :class:`CommitConflict`."""
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
-        parent = self.current_version()
+        parent = (
+            self.current_version()
+            if expected_parent is SnapshotTable._UNSET
+            else expected_parent
+        )
         version = 0 if parent is None else parent + 1
         psnap = self.snapshot(parent) if parent is not None else None
         # constraints ride every manifest (like batch_ids): None means
@@ -393,11 +449,7 @@ class SnapshotTable:
         if psnap is not None and version % self.checkpoint_every == 0:
             # checkpoint AFTER the manifest wins the race: derived data,
             # safe to lose (resolution falls back to the chain walk)
-            try:
-                with open(self._checkpoint_path(version), "x") as f:
-                    json.dump({"files": files_sorted, "stats": stats}, f)
-            except FileExistsError:
-                pass
+            self._write_checkpoint(version, files_sorted, stats)
         # Atomic pointer swap (os.replace = rename(2)); readers see the
         # old manifest or the new one, never a partial state.
         tmp = self.manifest_dir / f"._current.{uuid.uuid4().hex}"
@@ -601,18 +653,16 @@ class SnapshotTable:
                     # exactly-once wins over our attempt — drop our
                     # uncommitted files eagerly instead of waiting for
                     # vacuum, and report the already-committed snapshot
-                    for rel in new:
-                        parts = Path(rel).parts
-                        if len(parts) >= 2 and parts[0] == "data":
-                            shutil.rmtree(
-                                self.root / parts[0] / parts[1],
-                                ignore_errors=True,
-                            )
+                    self._drop_uuid_dirs(new)
                     return snap
             base_stats.update(new_stats)
             try:
                 return self._commit(
-                    base + new, "append", batch_id=batch_id, stats=base_stats
+                    base + new,
+                    "append",
+                    batch_id=batch_id,
+                    stats=base_stats,
+                    expected_parent=cur,
                 )
             except CommitConflict:
                 attempt += 1
@@ -620,8 +670,11 @@ class SnapshotTable:
                     raise
 
     def overwrite(self, df: DataFrame) -> Snapshot:
+        cur = self.current_version()
         new, new_stats = self._write_data(df)
-        return self._commit(new, "overwrite", stats=new_stats)
+        return self._commit(
+            new, "overwrite", stats=new_stats, expected_parent=cur
+        )
 
     def replace_where(
         self,
@@ -713,22 +766,14 @@ class SnapshotTable:
                 new_stats.update(rem_stats)
             out_files += new
             new_stats.update(repl_stats)
-            return self._commit(out_files, "replace", stats=new_stats)
+            return self._commit(
+                out_files, "replace", stats=new_stats, expected_parent=cur
+            )
         except BaseException:
-            for rel in out_files:
-                if rel in keep_files:
-                    continue  # committed files from prior snapshots
-                parts = Path(rel).parts
-                if len(parts) >= 2 and parts[0] == "data":
-                    shutil.rmtree(
-                        self.root / parts[0] / parts[1], ignore_errors=True
-                    )
-            for rel in new:
-                parts = Path(rel).parts
-                if len(parts) >= 2 and parts[0] == "data":
-                    shutil.rmtree(
-                        self.root / parts[0] / parts[1], ignore_errors=True
-                    )
+            keep = set(keep_files)  # committed files from prior snapshots
+            self._drop_uuid_dirs(
+                [rel for rel in out_files if rel not in keep] + new
+            )
             raise
 
     def merge(
@@ -784,8 +829,10 @@ class SnapshotTable:
         if cur is None:
             if when_not_matched == "insert":
                 new, new_stats_ = self._write_data(source)
-                return self._commit(new, "merge", stats=new_stats_)
-            return self._commit([], "merge", stats={})
+                return self._commit(
+                    new, "merge", stats=new_stats_, expected_parent=cur
+                )
+            return self._commit([], "merge", stats={}, expected_parent=cur)
         snap = self.snapshot(cur)
 
         key_range = source.agg(
@@ -847,7 +894,9 @@ class SnapshotTable:
             new, written_stats = self._write_data(out_rows)
             out_files += new
             new_stats.update(written_stats)
-        return self._commit(out_files, "merge", stats=new_stats)
+        return self._commit(
+            out_files, "merge", stats=new_stats, expected_parent=cur
+        )
 
     def commit_batch(self, df: DataFrame, batch_id: int) -> Snapshot | None:
         """Idempotent append for ``foreachBatch``: if ``batch_id`` was
@@ -875,9 +924,12 @@ class SnapshotTable:
         commit — readers of any resolved snapshot are untouched (no
         directory swap, no visibility gap: this is what
         ``writers.compact_parquet`` documents it cannot give)."""
-        df = self.read(spark).repartition(target_files)
+        cur = self.current_version()
+        df = self.read(spark, version=cur).repartition(target_files)
         new, new_stats = self._write_data(df, enforce=False)
-        return self._commit(new, "compact", stats=new_stats)
+        return self._commit(
+            new, "compact", stats=new_stats, expected_parent=cur
+        )
 
     def optimize(
         self,
@@ -914,7 +966,8 @@ class SnapshotTable:
                 "optimize: zorder_by must name >=1 column; use compact() "
                 "for a plain file-count rewrite"
             )
-        df = self.read(spark)
+        cur = self.current_version()
+        df = self.read(spark, version=cur)
         # global per-column bounds: one aggregate row, driver-side O(cols)
         row = df.agg(
             *[F_min(c).alias(f"lo{i}") for i, c in enumerate(zorder_by)],
@@ -934,7 +987,9 @@ class SnapshotTable:
             .drop("__zkey")
         )
         new, new_stats = self._write_data(clustered, enforce=False)
-        return self._commit(new, "optimize", stats=new_stats)
+        return self._commit(
+            new, "optimize", stats=new_stats, expected_parent=cur
+        )
 
     def restore(
         self, version: int, spark: SparkSession | None = None
@@ -1025,6 +1080,7 @@ class SnapshotTable:
             "restore",
             stats=dict(snap.stats or {}),
             batch_ids_override=list(ids),
+            expected_parent=cur,
         )
 
     def add_check_constraint(
@@ -1072,7 +1128,11 @@ class SnapshotTable:
                     )
         cons[name] = expr
         return self._commit(
-            files, "add_constraint", stats=stats, constraints=cons
+            files,
+            "add_constraint",
+            stats=stats,
+            constraints=cons,
+            expected_parent=cur,
         )
 
     def drop_constraint(self, name: str) -> Snapshot:
@@ -1090,6 +1150,7 @@ class SnapshotTable:
             "drop_constraint",
             stats=dict(snap.stats or {}),
             constraints=cons,
+            expected_parent=cur,
         )
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
@@ -1116,17 +1177,10 @@ class SnapshotTable:
         # deleted) ancestors: materialize it into a checkpoint first
         oldest = kept[0]
         raw = self._raw_manifest(oldest.version)
-        if "files" not in raw and not self._checkpoint_path(
-            oldest.version
-        ).exists():
-            with open(self._checkpoint_path(oldest.version), "x") as f:
-                json.dump(
-                    {
-                        "files": list(oldest.files),
-                        "stats": dict(oldest.stats or {}),
-                    },
-                    f,
-                )
+        if "files" not in raw and self._read_checkpoint(oldest.version) is None:
+            self._write_checkpoint(
+                oldest.version, list(oldest.files), dict(oldest.stats or {})
+            )
         for s in hist[:-keep_versions]:
             (self.manifest_dir / f"v{s.version:08d}.json").unlink(missing_ok=True)
             self._checkpoint_path(s.version).unlink(missing_ok=True)
@@ -1137,9 +1191,18 @@ class SnapshotTable:
         """Delta ``TIMESTAMP AS OF``: the newest snapshot committed at or
         before ``ts`` (unix seconds). Raises when ``ts`` predates the
         table. O(versions) manifest-header reads, no data touched."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"{self.root}: no committed snapshot")
         best = None
         for p in sorted(self.manifest_dir.glob("v*.json")):
             v = int(p.stem[1:])
+            # bound by the pointer (review r8): a manifest that won the
+            # O_EXCL create but whose writer crashed before the pointer
+            # swap was never committed — version reads correctly hide
+            # it, and timestamp reads must too
+            if v > cur:
+                continue
             raw = self._raw_manifest(v)
             if raw["ts"] <= ts and (best is None or v > best):
                 best = v

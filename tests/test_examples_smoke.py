@@ -2,8 +2,9 @@
 subprocess (their own `python examples/x.py` contract) so doc rot fails
 CI instead of a user's first impression (VERDICT r7 'What's wrong').
 
-Marked slow-ish: the four tours together take ~2-3 min; they run real
-operators at sf0.001/sf0.01."""
+Cost: the four tours together take ~2-3 min of subprocess Spark
+sessions in every full suite run — the price of executable docs
+(deselect with `-k "not example"` when iterating locally)."""
 
 from __future__ import annotations
 

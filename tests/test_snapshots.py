@@ -866,20 +866,27 @@ def test_vacuum_checkpoints_oldest_kept_version(spark, table):
 def test_append_rebases_after_conflict(spark, table, monkeypatch):
     """Blind-append reconciliation: a writer whose version was taken by
     a racing commit re-bases its already-written files onto the new
-    current snapshot and retries — both appends land, no data rewrite."""
+    current snapshot and retries — both appends land, no data rewrite.
+
+    The stale read is injected into the retry LOOP's basis read (calls
+    1-2: _write_data enforcement, then the loop), so attempt 0 commits
+    against expected_parent=0, hits the O_EXCL conflict on the racer's
+    v1 manifest, and MUST retry — and the racer's rows must survive
+    (the lost-update regression the r8 review caught: before
+    expected_parent, the stale-based commit silently erased them)."""
     table.append(_df(spark, 0, 5))                    # v0
     racer = SnapshotTable(str(table.root))
     racer.append(_df(spark, 100, 103))                # v1 (the race winner)
-    # simulate the loser's stale read: current_version says 0 once
     real = SnapshotTable.current_version
     calls = {"n": 0}
 
-    def stale_once(self):
+    def stale_twice(self):
         calls["n"] += 1
-        return 0 if calls["n"] == 1 else real(self)
+        return 0 if calls["n"] <= 2 else real(self)
 
-    monkeypatch.setattr(SnapshotTable, "current_version", stale_once)
+    monkeypatch.setattr(SnapshotTable, "current_version", stale_twice)
     snap = table.append(_df(spark, 200, 202))         # conflicts, retries
+    assert calls["n"] >= 3, "conflict retry never re-read the version"
     assert snap.version == 2
     got = sorted(r.id for r in table.read(spark).collect())
     assert got == [0, 1, 2, 3, 4, 100, 101, 102, 200, 201]
@@ -937,3 +944,48 @@ def test_timestamp_time_travel_and_detail(spark, table):
     assert d["num_files"] == len(table.snapshot().files)
     assert d["num_rows"] == 9
     assert d["constraints"] == []
+
+
+def test_stats_prover_exact_int64_boundaries():
+    """Review r8: integer comparisons stay exact past 2^53 (float()
+    routing made the prover claim PROVEN for a violated constraint)."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        _check_proven_by_stats as prove,
+    )
+
+    two53 = 9007199254740992  # 2**53
+    st = {"v": [two53, two53]}
+    assert not prove(f"v >= {two53 + 1}", st)  # float() said proven
+    assert prove(f"v >= {two53}", st)
+    assert prove(f"v <= {two53}", st)
+    assert not prove(f"v = {two53 + 1}", st)
+
+
+def test_timestamp_travel_ignores_uncommitted_manifest(spark, table):
+    """Review r8: a manifest that won O_EXCL but whose writer crashed
+    before the pointer swap was never committed — timestamp reads must
+    hide it exactly like version reads do."""
+    import time as _t
+
+    table.append(_df(spark, 0, 5))                    # v0, committed
+    # crashed writer: manifest exists, pointer still points at v0
+    (table.manifest_dir / "v00000001.json").write_text(json.dumps({
+        "version": 1, "files": [], "op": "append", "parent": 0,
+        "ts": _t.time() + 10_000, "add": [], "remove": [], "stats_add": {},
+    }))
+    snap = table.snapshot_at_timestamp(_t.time() + 20_000)
+    assert snap.version == 0
+
+
+def test_torn_checkpoint_falls_back_to_chain_walk(spark, table):
+    """Review r8 belt-and-braces: an unreadable checkpoint must not
+    poison resolution — the chain walk still materializes the
+    snapshot (atomic tmp+rename makes torn files unreachable in the
+    first place; this pins the fallback for externally-damaged files)."""
+    table.checkpoint_every = 2
+    for lo in range(0, 8, 2):
+        table.append(_df(spark, lo, lo + 2))          # v0..v3, ckpt at v2
+    assert table._checkpoint_path(2).exists()
+    table._checkpoint_path(2).write_text('{"files": [')  # corrupt it
+    assert table.read(spark, version=2).count() == 6
+    assert table.read(spark).count() == 8
