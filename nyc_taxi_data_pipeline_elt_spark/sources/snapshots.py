@@ -348,9 +348,49 @@ class SnapshotTable:
         )
 
     def history(self) -> list[Snapshot]:
-        out = []
+        """All resolvable snapshots, oldest first. Materializes delta
+        manifests INCREMENTALLY along the walk (one pass over the log,
+        O(total changes)) instead of resolving each version's chain
+        independently (O(versions x chain_length) JSON reads — the
+        quadratic-ish path vacuum would otherwise pay on long logs)."""
+        out: list[Snapshot] = []
+        files: set | None = None
+        stats: dict = {}
         for p in sorted(self.manifest_dir.glob("v*.json")):
-            out.append(self.snapshot(int(p.stem[1:])))
+            v = int(p.stem[1:])
+            raw = self._raw_manifest(v)
+            if "files" in raw:
+                files = set(raw["files"])
+                stats = dict(raw.get("stats", {}))
+            elif files is None:
+                # first kept version after a vacuum: its ancestors are
+                # gone, but vacuum checkpointed it (or it never needed
+                # one) — resolve once, then continue incrementally
+                fl, st = self._materialize(v, raw)
+                files, stats = set(fl), dict(st)
+            else:
+                for f in raw["remove"]:
+                    files.discard(f)
+                    stats.pop(f, None)
+                files.update(raw["add"])
+                stats.update(raw["stats_add"])
+            out.append(
+                Snapshot(
+                    version=raw["version"],
+                    files=tuple(sorted(files)),
+                    op=raw["op"],
+                    parent=raw.get("parent"),
+                    batch_id=raw.get("batch_id"),
+                    ts=raw["ts"],
+                    stats=dict(stats),
+                    batch_ids=(
+                        tuple(raw["batch_ids"])
+                        if "batch_ids" in raw
+                        else None
+                    ),
+                    constraints=raw.get("constraints", {}),
+                )
+            )
         return out
 
     _UNSET = object()

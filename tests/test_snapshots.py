@@ -989,3 +989,42 @@ def test_torn_checkpoint_falls_back_to_chain_walk(spark, table):
     table._checkpoint_path(2).write_text('{"files": [')  # corrupt it
     assert table.read(spark, version=2).count() == 6
     assert table.read(spark).count() == 8
+
+
+def test_overwrite_conflict_detected_not_erased(spark, table, monkeypatch):
+    """expected_parent applies to every commit path: an overwrite whose
+    basis went stale raises CommitConflict instead of landing with a
+    version that silently absorbs the racer's commit."""
+    table.append(_df(spark, 0, 5))                    # v0
+    racer = SnapshotTable(str(table.root))
+    racer.append(_df(spark, 100, 102))                # v1
+    real = SnapshotTable.current_version
+    calls = {"n": 0}
+
+    def stale_always(self):
+        calls["n"] += 1
+        return 0
+
+    monkeypatch.setattr(SnapshotTable, "current_version", stale_always)
+    with pytest.raises(CommitConflict):
+        table.overwrite(_df(spark, 200, 203))
+    monkeypatch.setattr(SnapshotTable, "current_version", real)
+    assert table.read(spark).count() == 7  # both committed writes intact
+
+
+def test_history_matches_per_version_snapshots(spark, table):
+    """The incremental history walk must agree with independent
+    snapshot(v) resolution for every version, across deltas,
+    checkpoints, and a rewrite op."""
+    table.checkpoint_every = 2
+    for lo in range(0, 6, 2):
+        table.append(_df(spark, lo, lo + 2))          # v0..v2
+    table.compact(spark, target_files=1)              # v3
+    table.append(_df(spark, 6, 8))                    # v4
+    hist = table.history()
+    assert [s.version for s in hist] == [0, 1, 2, 3, 4]
+    for s in hist:
+        ref = table.snapshot(s.version)
+        assert s.files == ref.files, s.version
+        assert s.stats == ref.stats, s.version
+        assert s.op == ref.op and s.batch_ids == ref.batch_ids
