@@ -112,6 +112,28 @@ def _stats_partition(rows):
             yield rel, cols
 
 
+def _vacuum_subdir(root: str, subdir: str, live: frozenset) -> list[str]:
+    """Executor body for the distributed vacuum pass: list ONE writer
+    uuid dir, delete its unreferenced parquet files, drop the dir if it
+    ends up empty. Module-level so executors resolve it by import."""
+    import os as _os
+    from pathlib import Path as _Path
+
+    rootp, sub = _Path(root), _Path(subdir)
+    removed = []
+    for p in sorted(sub.rglob("*.parquet")):
+        rel = str(p.relative_to(rootp))
+        if rel not in live:
+            p.unlink()
+            removed.append(rel)
+    try:
+        if not any(sub.iterdir()):
+            _os.rmdir(sub)
+    except OSError:
+        pass
+    return removed
+
+
 # CHECK expressions the manifest stats can PROVE file-wide: a single
 # numeric comparison between one column and one literal (either order).
 # Anything else — strings (writers may truncate binary stats), AND/OR,
@@ -1193,26 +1215,53 @@ class SnapshotTable:
             expected_parent=cur,
         )
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    #: Distribute the vacuum listing/deletion when a session is given
+    #: and the table has more writer uuid dirs than this (same contract
+    #: as ``stats_driver_max``): Delta/Iceberg VACUUM parallelize the
+    #: file listing for exactly this reason — a serial driver rglob over
+    #: a 100 TB table's data tree is the million-object LIST the
+    #: manifest design exists to avoid.
+    vacuum_driver_max = 16
+
+    def vacuum(
+        self, keep_versions: int = 1, spark: SparkSession | None = None
+    ) -> list[str]:
         """Delete data files referenced by no kept snapshot and manifests
         older than the kept window. Run only when no reader holds a
         snapshot older than the window (retention contract, as in
-        Delta/Iceberg VACUUM)."""
+        Delta/Iceberg VACUUM). With ``spark`` and more than
+        ``vacuum_driver_max`` writer dirs, listing + deletion run as one
+        Spark job — one task per uuid dir, the live set shipped once as
+        a broadcast — and the driver only assembles the removed list."""
         hist = self.history()
         if not hist:
             return []
         kept = hist[-keep_versions:]
         live = {f for s in kept for f in s.files}
+        subdirs = sorted(
+            str(d)
+            for d in (
+                self.data_dir.iterdir() if self.data_dir.exists() else []
+            )
+            if d.is_dir()
+        )
         removed: list[str] = []
-        for p in sorted(self.data_dir.rglob("*.parquet")):
-            rel = str(p.relative_to(self.root))
-            if rel not in live:
-                p.unlink()
-                removed.append(rel)
-        # prune now-empty uuid dirs and retired manifests
-        for d in list(self.data_dir.iterdir()) if self.data_dir.exists() else []:
-            if d.is_dir() and not any(d.iterdir()):
-                shutil.rmtree(d, ignore_errors=True)
+        if spark is not None and len(subdirs) > self.vacuum_driver_max:
+            sc = spark.sparkContext
+            bc = sc.broadcast(frozenset(live))
+            root = str(self.root)
+            removed = sorted(
+                sc.parallelize(
+                    subdirs, min(len(subdirs), sc.defaultParallelism)
+                )
+                .flatMap(lambda d: _vacuum_subdir(root, d, bc.value))
+                .collect()
+            )
+            bc.unpersist()
+        else:
+            for sub in subdirs:
+                removed.extend(_vacuum_subdir(str(self.root), sub, live))
+            removed.sort()
         # the oldest KEPT version must resolve without its (about to be
         # deleted) ancestors: materialize it into a checkpoint first
         oldest = kept[0]

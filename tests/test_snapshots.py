@@ -1028,3 +1028,26 @@ def test_history_matches_per_version_snapshots(spark, table):
         assert s.files == ref.files, s.version
         assert s.stats == ref.stats, s.version
         assert s.op == ref.op and s.batch_ids == ref.batch_ids
+
+
+def test_distributed_vacuum_parity(spark, table):
+    """Distributed vacuum (one task per writer uuid dir, broadcast live
+    set) must remove exactly what the serial path would: every
+    unreferenced file gone, every kept snapshot still readable."""
+    table.vacuum_driver_max = 0  # force the distributed path
+    for lo in range(0, 30, 10):
+        table.append(_df(spark, lo, lo + 10))         # v0..v2
+    table.overwrite(_df(spark, 0, 5))                 # v3: orphans v0-v2 files
+    doomed = set(table.snapshot(2).files)
+    removed = table.vacuum(keep_versions=1, spark=spark)
+    assert set(removed) == doomed
+    assert removed == sorted(removed)
+    assert table.read(spark).count() == 5
+    with pytest.raises(FileNotFoundError):
+        table.snapshot(0)
+    # nothing live was touched: files on disk == manifest
+    on_disk = {
+        str(p.relative_to(table.root))
+        for p in table.data_dir.rglob("*.parquet")
+    }
+    assert on_disk == set(table.snapshot().files)
