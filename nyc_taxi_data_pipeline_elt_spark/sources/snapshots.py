@@ -124,7 +124,9 @@ def _vacuum_subdir(root: str, subdir: str, live: frozenset) -> list[str]:
     for p in sorted(sub.rglob("*.parquet")):
         rel = str(p.relative_to(rootp))
         if rel not in live:
-            p.unlink()
+            # missing_ok: a retried/speculative task attempt must be
+            # idempotent — the twin attempt may have deleted it already
+            p.unlink(missing_ok=True)
             removed.append(rel)
     try:
         if not any(sub.iterdir()):
@@ -252,6 +254,25 @@ class Snapshot:
     constraints: dict = None  # type: ignore[assignment]
 
 
+def _make_snapshot(raw: dict, files, stats: dict) -> Snapshot:
+    """The one raw-manifest-to-Snapshot field mapping, shared by
+    ``snapshot()`` and ``history()`` so a new manifest field cannot be
+    threaded into one and silently diverge in the other."""
+    return Snapshot(
+        version=raw["version"],
+        files=tuple(files),
+        op=raw["op"],
+        parent=raw.get("parent"),
+        batch_id=raw.get("batch_id"),
+        ts=raw["ts"],
+        stats=stats,
+        batch_ids=(
+            tuple(raw["batch_ids"]) if "batch_ids" in raw else None
+        ),
+        constraints=raw.get("constraints", {}),
+    )
+
+
 class SnapshotTable:
     """Handle to one snapshot-committed table rooted at ``path``."""
 
@@ -295,13 +316,22 @@ class SnapshotTable:
         os.replace(tmp, self._checkpoint_path(v))
 
     def _read_checkpoint(self, v: int) -> dict | None:
-        """None when absent — or unreadable (belt-and-braces: a corrupt
-        checkpoint falls back to the manifest chain walk instead of
-        failing resolution forever)."""
+        """None when absent — or unreadable or mis-shaped (belt-and-
+        braces: a damaged checkpoint falls back to the manifest chain
+        walk instead of failing resolution forever — review r8: valid-
+        JSON-but-wrong-shape damage would otherwise KeyError every
+        resolution)."""
         try:
-            return json.loads(self._checkpoint_path(v).read_text())
+            c = json.loads(self._checkpoint_path(v).read_text())
         except (FileNotFoundError, json.JSONDecodeError):
             return None
+        if (
+            not isinstance(c, dict)
+            or not isinstance(c.get("files"), list)
+            or not isinstance(c.get("stats"), dict)
+        ):
+            return None
+        return c
 
     def _drop_uuid_dirs(self, rels) -> None:
         """Eagerly delete the uuid dirs of uncommitted written files
@@ -355,19 +385,7 @@ class SnapshotTable:
             files, stats = list(raw["files"]), raw.get("stats", {})
         else:
             files, stats = self._materialize(v, raw)
-        return Snapshot(
-            version=raw["version"],
-            files=tuple(files),
-            op=raw["op"],
-            parent=raw.get("parent"),
-            batch_id=raw.get("batch_id"),
-            ts=raw["ts"],
-            stats=stats,
-            batch_ids=(
-                tuple(raw["batch_ids"]) if "batch_ids" in raw else None
-            ),
-            constraints=raw.get("constraints", {}),
-        )
+        return _make_snapshot(raw, files, stats)
 
     def history(self) -> list[Snapshot]:
         """All resolvable snapshots, oldest first. Materializes delta
@@ -378,8 +396,21 @@ class SnapshotTable:
         out: list[Snapshot] = []
         files: set | None = None
         stats: dict = {}
+        cur = self.current_version()
+        if cur is None:
+            return []
         for p in sorted(self.manifest_dir.glob("v*.json")):
             v = int(p.stem[1:])
+            # bound by the pointer (review r8, same scenario as
+            # snapshot_at_timestamp): a manifest whose writer crashed
+            # before the pointer swap was never committed — treating it
+            # as history would let vacuum adopt the ORPHAN as the kept
+            # version and delete the real current version's data. The
+            # orphan manifest itself is left in place: it is the
+            # crashed writer's conflict tombstone for that version slot
+            # (deleting it mid-commit would break a live writer's swap).
+            if v > cur:
+                continue
             raw = self._raw_manifest(v)
             if "files" in raw:
                 files = set(raw["files"])
@@ -396,23 +427,7 @@ class SnapshotTable:
                     stats.pop(f, None)
                 files.update(raw["add"])
                 stats.update(raw["stats_add"])
-            out.append(
-                Snapshot(
-                    version=raw["version"],
-                    files=tuple(sorted(files)),
-                    op=raw["op"],
-                    parent=raw.get("parent"),
-                    batch_id=raw.get("batch_id"),
-                    ts=raw["ts"],
-                    stats=dict(stats),
-                    batch_ids=(
-                        tuple(raw["batch_ids"])
-                        if "batch_ids" in raw
-                        else None
-                    ),
-                    constraints=raw.get("constraints", {}),
-                )
-            )
+            out.append(_make_snapshot(raw, sorted(files), dict(stats)))
         return out
 
     _UNSET = object()
@@ -734,9 +749,16 @@ class SnapshotTable:
     def overwrite(self, df: DataFrame) -> Snapshot:
         cur = self.current_version()
         new, new_stats = self._write_data(df)
-        return self._commit(
-            new, "overwrite", stats=new_stats, expected_parent=cur
-        )
+        try:
+            return self._commit(
+                new, "overwrite", stats=new_stats, expected_parent=cur
+            )
+        except BaseException:
+            # a lost commit race (or any commit failure) must not strand
+            # the freshly rewritten dataset until vacuum (review r8 —
+            # same contract as replace_where's cleanup)
+            self._drop_uuid_dirs(new)
+            raise
 
     def replace_where(
         self,
@@ -891,9 +913,13 @@ class SnapshotTable:
         if cur is None:
             if when_not_matched == "insert":
                 new, new_stats_ = self._write_data(source)
-                return self._commit(
-                    new, "merge", stats=new_stats_, expected_parent=cur
-                )
+                try:
+                    return self._commit(
+                        new, "merge", stats=new_stats_, expected_parent=cur
+                    )
+                except BaseException:
+                    self._drop_uuid_dirs(new)
+                    raise
             return self._commit([], "merge", stats={}, expected_parent=cur)
         snap = self.snapshot(cur)
 
@@ -952,13 +978,19 @@ class SnapshotTable:
                     if out_rows is None
                     else out_rows.unionByName(incoming)
                 )
+        fresh: list[str] = []
         if out_rows is not None:
             new, written_stats = self._write_data(out_rows)
+            fresh = new
             out_files += new
             new_stats.update(written_stats)
-        return self._commit(
-            out_files, "merge", stats=new_stats, expected_parent=cur
-        )
+        try:
+            return self._commit(
+                out_files, "merge", stats=new_stats, expected_parent=cur
+            )
+        except BaseException:
+            self._drop_uuid_dirs(fresh)  # carried files stay, they are committed
+            raise
 
     def commit_batch(self, df: DataFrame, batch_id: int) -> Snapshot | None:
         """Idempotent append for ``foreachBatch``: if ``batch_id`` was
@@ -989,9 +1021,13 @@ class SnapshotTable:
         cur = self.current_version()
         df = self.read(spark, version=cur).repartition(target_files)
         new, new_stats = self._write_data(df, enforce=False)
-        return self._commit(
-            new, "compact", stats=new_stats, expected_parent=cur
-        )
+        try:
+            return self._commit(
+                new, "compact", stats=new_stats, expected_parent=cur
+            )
+        except BaseException:
+            self._drop_uuid_dirs(new)
+            raise
 
     def optimize(
         self,
@@ -1049,9 +1085,13 @@ class SnapshotTable:
             .drop("__zkey")
         )
         new, new_stats = self._write_data(clustered, enforce=False)
-        return self._commit(
-            new, "optimize", stats=new_stats, expected_parent=cur
-        )
+        try:
+            return self._commit(
+                new, "optimize", stats=new_stats, expected_parent=cur
+            )
+        except BaseException:
+            self._drop_uuid_dirs(new)
+            raise
 
     def restore(
         self, version: int, spark: SparkSession | None = None
@@ -1250,14 +1290,18 @@ class SnapshotTable:
             sc = spark.sparkContext
             bc = sc.broadcast(frozenset(live))
             root = str(self.root)
-            removed = sorted(
-                sc.parallelize(
-                    subdirs, min(len(subdirs), sc.defaultParallelism)
+            try:
+                removed = sorted(
+                    set(  # speculative twin attempts may double-report
+                        sc.parallelize(
+                            subdirs, min(len(subdirs), sc.defaultParallelism)
+                        )
+                        .flatMap(lambda d: _vacuum_subdir(root, d, bc.value))
+                        .collect()
+                    )
                 )
-                .flatMap(lambda d: _vacuum_subdir(root, d, bc.value))
-                .collect()
-            )
-            bc.unpersist()
+            finally:
+                bc.unpersist()
         else:
             for sub in subdirs:
                 removed.extend(_vacuum_subdir(str(self.root), sub, live))

@@ -1005,11 +1005,15 @@ def test_overwrite_conflict_detected_not_erased(spark, table, monkeypatch):
         calls["n"] += 1
         return 0
 
+    before = {str(p) for p in table.data_dir.rglob("*.parquet")}
     monkeypatch.setattr(SnapshotTable, "current_version", stale_always)
     with pytest.raises(CommitConflict):
         table.overwrite(_df(spark, 200, 203))
     monkeypatch.setattr(SnapshotTable, "current_version", real)
     assert table.read(spark).count() == 7  # both committed writes intact
+    # and the lost race stranded nothing on disk (review r8)
+    after = {str(p) for p in table.data_dir.rglob("*.parquet")}
+    assert after == before
 
 
 def test_history_matches_per_version_snapshots(spark, table):
@@ -1051,3 +1055,35 @@ def test_distributed_vacuum_parity(spark, table):
         for p in table.data_dir.rglob("*.parquet")
     }
     assert on_disk == set(table.snapshot().files)
+
+
+def test_vacuum_ignores_uncommitted_orphan_manifest(spark, table):
+    """Review r8: a crashed writer's manifest (won O_EXCL, never swapped
+    the pointer) must not be adopted as the kept version — vacuum would
+    have deleted the real current version's data and bricked the
+    table."""
+    import time as _t
+
+    table.append(_df(spark, 0, 5))                    # v0, committed
+    (table.manifest_dir / "v00000001.json").write_text(json.dumps({
+        "version": 1, "files": [], "op": "overwrite", "parent": 0,
+        "ts": _t.time(), "add": [], "remove": [], "stats_add": {},
+    }))
+    removed = table.vacuum(keep_versions=1)
+    assert removed == []                              # v0's files live
+    assert table.read(spark).count() == 5             # table intact
+    assert [s.version for s in table.history()] == [0]
+    # the orphan stays as that slot's conflict tombstone
+    assert (table.manifest_dir / "v00000001.json").exists()
+
+
+def test_misshaped_checkpoint_falls_back(spark, table):
+    """Valid-JSON-but-wrong-shape checkpoint damage ('{}') must fall
+    back to the chain walk like truncation damage does."""
+    table.checkpoint_every = 2
+    for lo in range(0, 6, 2):
+        table.append(_df(spark, lo, lo + 2))          # v0..v2, ckpt at v2
+    table._checkpoint_path(2).write_text("{}")
+    assert table.read(spark, version=2).count() == 6
+    table._checkpoint_path(2).write_text("null")
+    assert table.read(spark).count() == 6
