@@ -1087,3 +1087,27 @@ def test_misshaped_checkpoint_falls_back(spark, table):
     assert table.read(spark, version=2).count() == 6
     table._checkpoint_path(2).write_text("null")
     assert table.read(spark).count() == 6
+
+
+def test_delta_manifest_size_bounded_at_log_depth(spark, table):
+    """The O(changed files) commit claim, measured: across 30 one-file
+    appends, a late delta manifest must stay the size of ONE file's
+    entry (+ constant framing), not grow with the table — the byte-level
+    regression a re-inlined file list or cumulative stats would cause.
+    batch_ids are exempt (cumulative by design, O(batches))."""
+    table.checkpoint_every = 10
+    for lo in range(0, 30):
+        table.append(_df(spark, lo, lo + 1).coalesce(1))
+    size = lambda v: (table.manifest_dir / f"v{v:08d}.json").stat().st_size
+    early_delta, late_delta = size(1), size(29)
+    assert late_delta < early_delta * 3, (
+        f"late delta manifest grew with table size: v1={early_delta}B "
+        f"v29={late_delta}B"
+    )
+    # and the checkpoints carry the full state instead
+    assert table._checkpoint_path(20).stat().st_size > late_delta
+    assert table.read(spark).count() == 30
+    # resolution at depth walks <= checkpoint_every manifests: spot-check
+    # correctness right before and after a checkpoint boundary
+    assert table.read(spark, version=19).count() == 20
+    assert table.read(spark, version=21).count() == 22
