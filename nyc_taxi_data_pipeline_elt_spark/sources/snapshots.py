@@ -233,6 +233,11 @@ class ConstraintViolation(ValueError):
     was committed (the half-written files were deleted)."""
 
 
+class SchemaMismatch(ValueError):
+    """A strict-mode append's schema differs from the table's; nothing
+    was written (the check is fail-fast, before any data lands)."""
+
+
 @dataclass(frozen=True)
 class Snapshot:
     version: int
@@ -670,6 +675,7 @@ class SnapshotTable:
         df: DataFrame,
         batch_id: int | None = None,
         retries: int = 3,
+        schema_mode: str = "merge",
     ) -> Snapshot:
         """Append with automatic conflict retry (Delta's blind-append
         reconciliation): appends commute, so when another writer takes
@@ -681,6 +687,34 @@ class SnapshotTable:
         the re-commit (the one append/metadata race that is not
         commutative); ``commit_batch`` replay detection also re-reads,
         keeping exactly-once intact across retries."""
+        if schema_mode not in ("merge", "strict"):
+            raise ValueError(
+                f"schema_mode must be merge|strict, got {schema_mode!r}"
+            )
+        if schema_mode == "strict":
+            # Delta's default posture, opt-in here (this table format
+            # shipped evolution-friendly): FAIL FAST — before any data
+            # lands — when the incoming schema is not exactly the
+            # table's. Cheap: one footer-sniff read of the current
+            # snapshot, no data pages.
+            cur0 = self.current_version()
+            if cur0 is not None and self.snapshot(cur0).files:
+                have = {
+                    (f.name, f.dataType.simpleString())
+                    for f in self.read(df.sparkSession, version=cur0)
+                    .schema.fields
+                }
+                want = {
+                    (f.name, f.dataType.simpleString())
+                    for f in df.schema.fields
+                }
+                if have != want:
+                    raise SchemaMismatch(
+                        f"{self.root}: strict append schema mismatch; "
+                        f"table has {sorted(have)}, batch has "
+                        f"{sorted(want)} (use schema_mode='merge' to "
+                        "evolve)"
+                    )
         enforced: dict = {}
         new, new_stats = self._write_data(df, enforced_out=enforced)
         attempt = 0

@@ -1111,3 +1111,30 @@ def test_delta_manifest_size_bounded_at_log_depth(spark, table):
     # correctness right before and after a checkpoint boundary
     assert table.read(spark, version=19).count() == 20
     assert table.read(spark, version=21).count() == 22
+
+
+def test_strict_schema_mode_rejects_drift(spark, table):
+    """schema_mode='strict' (Delta's default posture, opt-in here) fails
+    fast — nothing written — on added columns or changed types; exact
+    matches append fine; 'merge' stays the evolution-friendly default."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        SchemaMismatch,
+    )
+
+    table.append(_df(spark, 0, 5))
+    before = {str(p) for p in table.data_dir.rglob("*.parquet")}
+    extra = spark.range(5, 8).selectExpr(
+        "id", "id * 2 AS v", "CAST(id AS STRING) AS tag"
+    )
+    with pytest.raises(SchemaMismatch, match="strict append"):
+        table.append(extra, schema_mode="strict")
+    retyped = spark.range(5, 8).selectExpr("id", "CAST(id AS INT) AS v")
+    with pytest.raises(SchemaMismatch, match="strict append"):
+        table.append(retyped, schema_mode="strict")
+    assert {str(p) for p in table.data_dir.rglob("*.parquet")} == before
+    table.append(_df(spark, 5, 8), schema_mode="strict")  # exact: fine
+    assert table.read(spark).count() == 8
+    table.append(extra)  # default merge still evolves
+    assert set(table.read(spark, merge_schema=True).columns) == {
+        "id", "v", "tag"
+    }
