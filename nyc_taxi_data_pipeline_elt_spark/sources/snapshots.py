@@ -691,30 +691,16 @@ class SnapshotTable:
             raise ValueError(
                 f"schema_mode must be merge|strict, got {schema_mode!r}"
             )
+        checked_version: int | None = None
         if schema_mode == "strict":
             # Delta's default posture, opt-in here (this table format
             # shipped evolution-friendly): FAIL FAST — before any data
             # lands — when the incoming schema is not exactly the
-            # table's. Cheap: one footer-sniff read of the current
-            # snapshot, no data pages.
+            # table's. Footer-only read, no data pages.
             cur0 = self.current_version()
-            if cur0 is not None and self.snapshot(cur0).files:
-                have = {
-                    (f.name, f.dataType.simpleString())
-                    for f in self.read(df.sparkSession, version=cur0)
-                    .schema.fields
-                }
-                want = {
-                    (f.name, f.dataType.simpleString())
-                    for f in df.schema.fields
-                }
-                if have != want:
-                    raise SchemaMismatch(
-                        f"{self.root}: strict append schema mismatch; "
-                        f"table has {sorted(have)}, batch has "
-                        f"{sorted(want)} (use schema_mode='merge' to "
-                        "evolve)"
-                    )
+            if cur0 is not None:
+                self._strict_schema_check(df, self.snapshot(cur0))
+            checked_version = cur0
         enforced: dict = {}
         new, new_stats = self._write_data(df, enforced_out=enforced)
         attempt = 0
@@ -756,6 +742,17 @@ class SnapshotTable:
                             / Path(new[0]).parts[1],
                         )
                     enforced.update(fresh)
+                if schema_mode == "strict" and cur != checked_version:
+                    # a concurrent schema-evolving append may have moved
+                    # the table between our check and this (re-based)
+                    # attempt — the second non-commutative append/
+                    # metadata race, same treatment as fresh constraints
+                    try:
+                        self._strict_schema_check(df, snap)
+                    except SchemaMismatch:
+                        self._drop_uuid_dirs(new)
+                        raise
+                    checked_version = cur
                 if batch_id is not None and (
                     snap.batch_ids is not None
                     and batch_id in snap.batch_ids
@@ -779,6 +776,32 @@ class SnapshotTable:
                 attempt += 1
                 if attempt > retries:
                     raise
+
+    def _strict_schema_check(self, df: DataFrame, snap: Snapshot) -> None:
+        """Raise :class:`SchemaMismatch` unless ``df``'s (name, type)
+        field set equals snapshot ``snap``'s table schema. The table
+        schema is the mergeSchema UNION over the snapshot's files
+        (review r8: a single-footer sniff on an evolved table picked an
+        arbitrary file's schema, flip-flopping the verdict). Reads
+        footers only, from the already-materialized snapshot (no second
+        manifest-chain resolution)."""
+        if not snap.files:
+            return
+        have = {
+            (f.name, f.dataType.simpleString())
+            for f in df.sparkSession.read.option("mergeSchema", "true")
+            .parquet(*[str(self.root / f) for f in snap.files])
+            .schema.fields
+        }
+        want = {
+            (f.name, f.dataType.simpleString()) for f in df.schema.fields
+        }
+        if have != want:
+            raise SchemaMismatch(
+                f"{self.root}: strict append schema mismatch; table has "
+                f"{sorted(have)}, batch has {sorted(want)} (use "
+                "schema_mode='merge' to evolve)"
+            )
 
     def overwrite(self, df: DataFrame) -> Snapshot:
         cur = self.current_version()
@@ -1026,7 +1049,12 @@ class SnapshotTable:
             self._drop_uuid_dirs(fresh)  # carried files stay, they are committed
             raise
 
-    def commit_batch(self, df: DataFrame, batch_id: int) -> Snapshot | None:
+    def commit_batch(
+        self,
+        df: DataFrame,
+        batch_id: int,
+        schema_mode: str = "merge",
+    ) -> Snapshot | None:
         """Idempotent append for ``foreachBatch``: if ``batch_id`` was
         already committed on this table, do nothing (a retried batch
         re-runs after a partial failure; the data files it half-wrote on
@@ -1045,7 +1073,7 @@ class SnapshotTable:
                     return None
             elif any(s.batch_id == batch_id for s in self.history()):
                 return None
-        return self.append(df, batch_id=batch_id)
+        return self.append(df, batch_id=batch_id, schema_mode=schema_mode)
 
     def compact(self, spark: SparkSession, target_files: int = 8) -> Snapshot:
         """Rewrite the current snapshot into ``target_files`` files and

@@ -1138,3 +1138,57 @@ def test_strict_schema_mode_rejects_drift(spark, table):
     assert set(table.read(spark, merge_schema=True).columns) == {
         "id", "v", "tag"
     }
+
+
+def test_strict_schema_on_evolved_table_is_deterministic(spark, table):
+    """Review r8: the strict check compares against the mergeSchema
+    UNION of the snapshot's files — on an evolved table a single-footer
+    sniff picked an arbitrary file and flip-flopped the verdict."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        SchemaMismatch,
+    )
+
+    table.append(_df(spark, 0, 5))
+    evolved = spark.range(5, 8).selectExpr(
+        "id", "id * 2 AS v", "CAST(id AS STRING) AS tag"
+    )
+    table.append(evolved)  # merge-mode evolution: union is {id, v, tag}
+    for _ in range(3):  # deterministic across repeated checks
+        with pytest.raises(SchemaMismatch):
+            table.append(_df(spark, 8, 9), schema_mode="strict")
+    full = spark.range(8, 10).selectExpr(
+        "id", "id * 2 AS v", "CAST(id AS STRING) AS tag"
+    )
+    table.append(full, schema_mode="strict")  # matches the union: fine
+    assert table.read(spark, merge_schema=True).count() == 10
+
+
+def test_strict_schema_recheck_on_conflict_retry(spark, table, monkeypatch):
+    """Review r8: a concurrent schema-evolving append between a strict
+    writer's check and its (re-based) commit must re-fail the strict
+    guarantee, with the already-written files cleaned up."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        SchemaMismatch,
+    )
+
+    table.append(_df(spark, 0, 5))                    # v0
+    racer = SnapshotTable(str(table.root))
+    racer.append(
+        spark.range(100, 102).selectExpr(
+            "id", "id * 2 AS v", "CAST(id AS STRING) AS tag"
+        )
+    )                                                 # v1: evolves schema
+    real = SnapshotTable.current_version
+    calls = {"n": 0}
+
+    def stale_twice(self):
+        calls["n"] += 1
+        return 0 if calls["n"] <= 2 else real(self)
+
+    monkeypatch.setattr(SnapshotTable, "current_version", stale_twice)
+    before = {str(p) for p in table.data_dir.rglob("*.parquet")}
+    with pytest.raises(SchemaMismatch):
+        table.append(_df(spark, 200, 202), schema_mode="strict")
+    monkeypatch.setattr(SnapshotTable, "current_version", real)
+    assert {str(p) for p in table.data_dir.rglob("*.parquet")} == before
+    assert table.read(spark, merge_schema=True).count() == 7
