@@ -45,79 +45,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records correctness rows for the FIRST 50 entries of
-# ``queries()`` insertion order. Round-8 rotation (VERDICT r7 task #4):
-# the cross-round union is complete (186/186 with >=1 green driver row,
-# r7 window 50/50), so this round's window refreshes the STALEST ledger
-# evidence — every registered query whose newest green driver row is
-# r2 (16 queries) or r3 (29 queries), i.e. all 45 rows not re-checked in
-# 4+ rounds, plus the 4 alphabetically-first r4 rows (slots 46-49) and
-# the one NEW r8 query snapshot_time_travel_read (slot 50; the
-# displaced fifth filler, dedup_containment_pairs, keeps its r4 green
-# row). Window invariant: 45/50 members' newest prior green row is
-# <= r3 (the judge's bar); the rest are 4 r4 rows + 1 new query.
-# Notable members that also exercise THIS round's code changes:
-# snapshot_table_roundtrip and cdc_orders_merge re-verify under the new
-# DISTRIBUTED commit-time stats collector (VERDICT r7 task #1) and the
-# stats-pruned restore validation (task #2). Everything displaced is
-# r4-r7 driver-hash-verified and remains registered, benchmarked, and
-# locally parity-tested; tests/test_window_coverage.py FAILS the suite
-# if any registered query has neither a driver row in any
-# CORRECTNESS_r*.json nor a slot here, and (NEW r8, ADVICE) if this
-# list exceeds the 50 slots the driver actually records.
+# ``queries()`` insertion order. Round-9 rotation (VERDICT r8 task #1,
+# executing COVERAGE.md's "r9 rotation pre-computation", re-derived
+# against the actual CORRECTNESS_r08.json: staleness distribution is
+# 50@r8 / 50@r7 / 48@r6 / 39@r4, zero never-green). This window is the
+# 39 queries whose newest green driver row is r4 — nothing has
+# re-verified them across 4 rounds of refactors (includes
+# knn_join_embeddings, semdedup_prune, snapshot_change_feed,
+# lineitem_asof_prior_order, the whole simsearch LSH family) — plus the
+# 11 alphabetically-first r6 rows, starting the r6 cohort refresh.
+# Window invariant: every member's newest prior green row is <= r6;
+# after this round no registered query's evidence predates r6.
+# Everything displaced is r7/r8 driver-hash-verified and remains
+# registered, benchmarked, and locally parity-tested;
+# tests/test_window_coverage.py FAILS the suite if any registered query
+# has neither a driver row in any CORRECTNESS_r*.json nor a slot here,
+# and if this list exceeds the 50 slots the driver actually records.
+# NEW queries registered this round take a slot by displacing the
+# alphabetically-last r6 filler (note it in COVERAGE.md) — the r8
+# snapshot_time_travel_read pattern.
 _PRIORITY_WINDOW = [
-    # --- stalest: newest green row is r2 (16) ---------------------------
-    "price_quantity_stats",
-    "pricing_summary",
-    "priority_by_linestatus",
-    "promo_revenue_share",
-    "repeat_high_value_customers",
-    "resample_events_daily",
-    "revenue_by_nation",
-    "rolling_weekly_spend",
-    "rollup_pricing",
-    "running_customer_spend",
-    "sessionize_users",
-    "shipping_priority_topk",
-    "status_counts_long",
-    "token_array_features",
-    "user_conversion_cogroup",
-    "user_event_type_map",
-    # --- stalest: newest green row is r3 (29) ---------------------------
-    "big_spender_loners",
-    "bigrams_udtf",
-    "cdc_orders_merge",
-    "chunk_documents",
-    "customer_status_history",
-    "dedup_simhash",
-    "disjunctive_part_revenue",
-    "doc_global_index",
-    "doc_token_stats_arrow",
-    "doc_weighted_sample",
-    "dq_filter_orders",
-    "embedding_neardup_blocked",
-    "embedding_quantize",
-    "lone_fault_suppliers",
-    "nation_market_share",
-    "overstocked_suppliers",
-    "priority_lines_by_flag",
-    "q2_hourly_avg_value",
-    "quantity_profile_by_flag",
-    "salted_orders_per_segment",
-    "scd2_user_event_type",
-    "small_qty_part_revenue",
-    "snapshot_table_roundtrip",
-    "source_extremes_arrow",
-    "tfidf_top_terms",
-    "topk_orders",
-    "unigram_lm_scores",
-    "union_fleets_unify",
-    "valuable_parts",
-    # --- r4 fillers + the one NEW r8 query (timestamp time travel) ------
-    "blocklist_scrub_docs",
-    "customer_order_distribution",
-    "customer_year_overlap",
-    "decontaminate_train_docs",
-    "snapshot_time_travel_read",
+    # --- stalest: newest green row is r4 (39) ---------------------------
+    "dedup_containment_pairs",
+    "dedup_incremental_minhash",
+    "dedup_spans_corpus",
+    "doc_bottomk_sample",
+    "doc_group_split",
+    "doc_mixture_sample",
+    "doc_quota_sample",
+    "doc_repetition_stats",
+    "doc_sample_split",
+    "doc_vowel_stats_pandas_udf",
+    "dq_expectations_orders",
+    "embedding_kmeans",
+    "embedding_random_projection",
+    "knn_join_embeddings",
+    "lang_id_docs",
+    "large_volume_orders",
+    "late_shipment_priorities",
+    "lineitem_asof_prior_order",
+    "min_cost_supplier_per_part",
+    "multimodal_meta",
+    "nation_profit_by_year",
+    "nation_wealth_coverage",
+    "pack_training_sequences",
+    "part_supplier_variety",
+    "quality_filter_docs",
+    "returned_item_losses",
+    "semdedup_prune",
+    "shard_assignment",
+    "simsearch_bruteforce_topk",
+    "simsearch_lsh_multiprobe",
+    "simsearch_lsh_topk",
+    "simsearch_recall_eval",
+    "snapshot_change_feed",
+    "source_quality_udaf",
+    "sql_consumption_report",
+    "text_stats",
+    "top3_lineitems_per_supplier",
+    "top_revenue_suppliers",
+    "winnow_fingerprint_docs",
+    # --- r6 cohort refresh: alphabetically-first 11 r6 rows -------------
+    "ab_test_event_value",
+    "audio_energy_profile",
+    "balanced_shard_packing",
+    "bigram_lm_scores",
+    "bpe_pair_counts",
+    "classifier_score_docs",
+    "cohort_retention",
+    "corpus_datasheet",
+    "curate_corpus_pipeline",
+    "curriculum_budget_selection",
+    "customer_entity_leaders",
 ]
 
 _PLAN_MODULES = (
