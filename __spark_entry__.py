@@ -116,7 +116,10 @@ _PRIORITY_WINDOW = [
     "corpus_datasheet",
     "curate_corpus_pipeline",
     "curriculum_budget_selection",
-    "customer_entity_leaders",
+    # NEW r9 query (SnapshotTable.delete drive) takes slot 50 by
+    # displacing the alphabetically-last r6 filler
+    # (customer_entity_leaders, which keeps its r6 green row)
+    "snapshot_delete_rows",
 ]
 
 _PLAN_MODULES = (

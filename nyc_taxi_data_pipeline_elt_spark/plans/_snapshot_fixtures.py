@@ -1,0 +1,46 @@
+"""Session-cached snapshot-table fixtures for the registered snapshot
+queries (VERDICT r8 "what's wrong" #1 + ADVICE r8): each snapshot query
+used to rebuild its table under a FIXED shared temp path inside the
+timed query body, which (a) charged table CONSTRUCTION to the operation
+being benchmarked, (b) let two concurrent runs on the same scale factor
+clobber each other mid-query, and (c) leaked a temp dir per bench pass.
+
+Two shapes, both mkdtemp-unique (no cross-process collision) and
+rmtree'd at interpreter exit (nothing left after ``bench.py``):
+
+- :func:`cached_fixture` — built ONCE per (name, sf_dir) per process
+  and reused, for queries whose fixture is pure INPUT (the change-feed
+  appends, the z-ordered layout, the streaming replay source): bench
+  passes 2..N time the operation the query names, not setup.
+- :func:`ephemeral_root` — a fresh root per invocation, for queries
+  whose operation IS the table mutation (the commit/compact roundtrip,
+  DELETE): every pass re-runs the real mutation against virgin state.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+_CACHE: dict = {}
+
+
+def cached_fixture(name: str, sf_dir: str, build):
+    """``build(root) -> fixture`` runs once per (name, sf_dir) in this
+    process under a fresh unique ``root`` dir; later calls return the
+    cached fixture object (typically a SnapshotTable handle, or a tuple
+    carrying side values like a mid-commit timestamp)."""
+    key = (name, sf_dir)
+    if key not in _CACHE:
+        root = tempfile.mkdtemp(prefix=f"ntx-{name}-")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _CACHE[key] = build(root)
+    return _CACHE[key]
+
+
+def ephemeral_root(name: str) -> str:
+    """A unique per-invocation scratch root, removed at exit."""
+    root = tempfile.mkdtemp(prefix=f"ntx-{name}-")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
