@@ -312,6 +312,13 @@ class Snapshot:
     # CHECK constraints: {name: sql_expr}; carried forward on every
     # commit and enforced on every data-adding write (Delta CHECK).
     constraints: dict = None  # type: ignore[assignment]
+    # the table schema as ((name, simpleString), ...) recorded at commit
+    # time (Delta keeps the schema in the log for exactly this reason —
+    # ADVICE r8: deriving it from every live file's footer made strict
+    # appends O(live files)). None = unknown: a legacy manifest written
+    # before recording, or a type-promoting evolution the driver-side
+    # union rule defers to the engine (footer-union fallback).
+    schema: tuple | None = None
 
 
 def _make_snapshot(raw: dict, files, stats: dict) -> Snapshot:
@@ -330,6 +337,11 @@ def _make_snapshot(raw: dict, files, stats: dict) -> Snapshot:
             tuple(raw["batch_ids"]) if "batch_ids" in raw else None
         ),
         constraints=raw.get("constraints", {}),
+        schema=(
+            tuple((n, t) for n, t in raw["schema"])
+            if raw.get("schema") is not None
+            else None
+        ),
     )
 
 
@@ -502,6 +514,7 @@ class SnapshotTable:
         batch_ids_override: list | None = None,
         expected_parent: int | None | object = _UNSET,
         extra: dict | None = None,
+        schema: object = _UNSET,
     ) -> Snapshot:
         """Write manifest ``expected_parent + 1``. ``expected_parent``
         MUST be the version the caller's file list was derived from
@@ -513,7 +526,12 @@ class SnapshotTable:
         is the single source of conflict truth: any intervening commit
         owns our target version and we raise :class:`CommitConflict`.
         ``extra`` merges op-specific payload fields into the manifest
-        (e.g. ``delete``'s predicate, which the CDF reader replays)."""
+        (e.g. ``delete``'s predicate, which the CDF reader replays).
+        ``schema`` records the table schema in the manifest: the
+        ``_UNSET`` default inherits the parent's record (rows-preserving
+        commits — compact, delete, constraints); writers that change the
+        row set pass an explicit (name, type)-pair list, or None when
+        the union is driver-unknowable (type promotion)."""
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
         parent = (
             self.current_version()
@@ -553,6 +571,16 @@ class SnapshotTable:
             "batch_ids": seen,
             "constraints": constraints,
         }
+        if schema is SnapshotTable._UNSET:
+            rec = (
+                list(psnap.schema)
+                if psnap is not None and psnap.schema is not None
+                else None
+            )
+        else:
+            rec = schema
+        if rec is not None:
+            payload["schema"] = [[n, t] for n, t in rec]
         if extra:
             payload.update(extra)
         if psnap is None:
@@ -837,6 +865,37 @@ class SnapshotTable:
         # manifest-stable ordering: same key order as the serial path
         return {rel: collected[rel] for rel, _ in pairs if rel in collected}
 
+    @staticmethod
+    def _df_fields(df: DataFrame) -> list:
+        """``df``'s schema as the sorted (name, simpleString) pair list
+        the manifest records."""
+        return sorted(
+            (f.name, f.dataType.simpleString()) for f in df.schema.fields
+        )
+
+    @staticmethod
+    def _evolve_schema(parent_schema, df: DataFrame) -> list | None:
+        """Union the recorded table schema with a written batch's fields
+        — the O(columns) driver-side bookkeeping that keeps the manifest
+        schema current without any file I/O (ADVICE r8). Name-only
+        evolution (added columns) stays recordable; a TYPE change on an
+        existing name needs the engine's mergeSchema promotion rules to
+        resolve, so the record conservatively becomes None (unknown) and
+        readers fall back to the footer union — paying the O(files) cost
+        only on type-evolved tables. An unknown parent stays unknown (a
+        merge-mode append cannot reconstruct the union cheaply; a strict
+        append re-records it, see ``append``)."""
+        if parent_schema is None:
+            return None
+        out = dict(parent_schema)
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if f.name not in out:
+                out[f.name] = t
+            elif out[f.name] != t:
+                return None
+        return sorted(out.items())
+
     def append(
         self,
         df: DataFrame,
@@ -931,6 +990,20 @@ class SnapshotTable:
                     self._drop_uuid_dirs(new)
                     return snap
             base_stats.update(new_stats)
+            if cur is None:
+                sch: list | None = self._df_fields(df)
+            else:
+                sch = self._evolve_schema(snap.schema, df)
+                if (
+                    sch is None
+                    and schema_mode == "strict"
+                    and checked_version == cur
+                ):
+                    # a passed strict check against THIS parent proved
+                    # the table schema equals the batch's — bootstrap
+                    # the record on legacy tables so the NEXT strict
+                    # append is O(1)
+                    sch = self._df_fields(df)
             try:
                 return self._commit(
                     base + new,
@@ -938,6 +1011,7 @@ class SnapshotTable:
                     batch_id=batch_id,
                     stats=base_stats,
                     expected_parent=cur,
+                    schema=sch,
                 )
             except CommitConflict:
                 attempt += 1
@@ -950,20 +1024,22 @@ class SnapshotTable:
 
     def _strict_schema_check(self, df: DataFrame, snap: Snapshot) -> None:
         """Raise :class:`SchemaMismatch` unless ``df``'s (name, type)
-        field set equals snapshot ``snap``'s table schema. The table
-        schema is the mergeSchema UNION over the snapshot's files
-        (review r8: a single-footer sniff on an evolved table picked an
-        arbitrary file's schema, flip-flopping the verdict). Reads
-        footers only, from the already-materialized snapshot (no second
-        manifest-chain resolution)."""
-        if not snap.files:
+        field set equals snapshot ``snap``'s table schema. The schema
+        the MANIFEST recorded at commit time is authoritative when
+        present — an O(1) driver comparison, no file I/O, the Delta
+        posture (ADVICE r8: re-deriving it from every live file's
+        footer made each strict append O(live files)). Only a legacy or
+        type-evolved snapshot (no record) falls back to the mergeSchema
+        UNION over its files (review r8: a single-footer sniff on an
+        evolved table picked an arbitrary file's schema, flip-flopping
+        the verdict); the passing strict append then re-records the
+        schema, so the fallback is paid once per legacy table."""
+        if snap.schema is not None:
+            have = set(snap.schema)
+        elif not snap.files:
             return
-        have = {
-            (f.name, f.dataType.simpleString())
-            for f in df.sparkSession.read.option("mergeSchema", "true")
-            .parquet(*[str(self.root / f) for f in snap.files])
-            .schema.fields
-        }
+        else:
+            have = self._union_schema_from_footers(df.sparkSession, snap)
         want = {
             (f.name, f.dataType.simpleString()) for f in df.schema.fields
         }
@@ -973,6 +1049,19 @@ class SnapshotTable:
                 f"{sorted(have)}, batch has {sorted(want)} (use "
                 "schema_mode='merge' to evolve)"
             )
+
+    def _union_schema_from_footers(
+        self, spark: SparkSession, snap: Snapshot
+    ) -> set:
+        """The O(files) footer-union fallback for snapshots without a
+        recorded schema — a separate method so the O(1)-when-recorded
+        contract is testable (monkeypatch this to raise)."""
+        return {
+            (f.name, f.dataType.simpleString())
+            for f in spark.read.option("mergeSchema", "true")
+            .parquet(*[str(self.root / f) for f in snap.files])
+            .schema.fields
+        }
 
     def _commit_rewrite(
         self,
@@ -986,6 +1075,7 @@ class SnapshotTable:
         added_guard=None,
         recheck: tuple | None = None,
         extra: dict | None = None,
+        evolve_with: DataFrame | None = None,
     ) -> Snapshot:
         """Commit a REWRITE (compact / optimize / replace_where / merge /
         delete) with Delta-style logical conflict reconciliation
@@ -1013,6 +1103,13 @@ class SnapshotTable:
         commit is re-enforced here, stats-pruned first (same contract as
         ``append``'s retry loop). Carried/rewritten rows are committed
         copies and need no re-check.
+
+        ``evolve_with``: a DataFrame whose fields this op ADDED to the
+        table (replace_where's replacement, merge's source) — its
+        (name, type) union with the parent's recorded schema is
+        re-derived against each rebase parent; None (compact /
+        optimize / delete preserve the row shape) inherits the parent's
+        record untouched.
 
         Uuid-dir cleanup on terminal failure stays with the CALLER
         (its try/except wraps this call)."""
@@ -1062,6 +1159,12 @@ class SnapshotTable:
                 out = sorted(new_files)
             out_stats = {f: stats[f] for f in out if f in stats}
             out_stats.update(new_stats)
+            if evolve_with is None:
+                sch: object = SnapshotTable._UNSET
+            elif snap is None:
+                sch = self._df_fields(evolve_with)
+            else:
+                sch = self._evolve_schema(snap.schema, evolve_with)
             try:
                 return self._commit(
                     out,
@@ -1069,6 +1172,7 @@ class SnapshotTable:
                     stats=out_stats,
                     expected_parent=cur,
                     extra=extra,
+                    schema=sch,
                 )
             except CommitConflict:
                 attempt += 1
@@ -1110,7 +1214,11 @@ class SnapshotTable:
         new, new_stats = self._write_data(df)
         try:
             return self._commit(
-                new, "overwrite", stats=new_stats, expected_parent=cur
+                new,
+                "overwrite",
+                stats=new_stats,
+                expected_parent=cur,
+                schema=self._df_fields(df),  # replaces the table outright
             )
         except BaseException:
             # a lost commit race (or any commit failure) must not strand
@@ -1226,6 +1334,7 @@ class SnapshotTable:
                 spark=spark,
                 added_guard=lambda rel, fstats: _pred_excludes(fstats),
                 recheck=(list(new), repl_stats, enforced),
+                evolve_with=df,
             )
         except BaseException:
             self._drop_uuid_dirs(fresh_files)
@@ -1286,7 +1395,11 @@ class SnapshotTable:
                 new, new_stats_ = self._write_data(source)
                 try:
                     return self._commit(
-                        new, "merge", stats=new_stats_, expected_parent=cur
+                        new,
+                        "merge",
+                        stats=new_stats_,
+                        expected_parent=cur,
+                        schema=self._df_fields(source),
                     )
                 except BaseException:
                     self._drop_uuid_dirs(new)
@@ -1375,6 +1488,7 @@ class SnapshotTable:
                 spark=spark,
                 added_guard=lambda rel, fstats: _keys_disjoint(fstats),
                 recheck=(fresh, fresh_stats, enforced),
+                evolve_with=source,
             )
         except BaseException:
             self._drop_uuid_dirs(fresh)  # carried files stay, they are committed
@@ -1685,6 +1799,9 @@ class SnapshotTable:
             stats=dict(snap.stats or {}),
             batch_ids_override=list(ids),
             expected_parent=cur,
+            # the restored FILE SET defines the schema — the restored
+            # version's record, not the rolled-back parent's
+            schema=list(snap.schema) if snap.schema is not None else None,
         )
 
     def add_check_constraint(
@@ -1824,12 +1941,26 @@ class SnapshotTable:
     # ---------------- read path ----------------
     def snapshot_at_timestamp(self, ts: float) -> Snapshot:
         """Delta ``TIMESTAMP AS OF``: the newest snapshot committed at or
-        before ``ts`` (unix seconds). Raises when ``ts`` predates the
-        table. O(versions) manifest-header reads, no data touched."""
+        before ``ts`` (unix seconds). Raises ``FileNotFoundError`` when
+        ``ts`` predates the table and ``ValueError`` when it is after
+        the latest commit (mirroring Delta's after-latest error — a
+        future timestamp silently resolving "latest" makes the read
+        non-reproducible as soon as anyone commits). O(versions)
+        manifest-header reads, no data touched.
+
+        Commit timestamps come from racing writers' clocks, so raw
+        ``ts`` values need not be monotonic across versions (ADVICE r8:
+        clock skew could resolve "newest v with ts <= t" to a version
+        committed AFTER one with a larger ts). Each manifest's EFFECTIVE
+        timestamp is therefore clamped to max(own ts, every ancestor's
+        effective ts) during the ascending scan — Delta's timestamp
+        adjustment — so a skewed commit never time-travels to before its
+        parent."""
         cur = self.current_version()
         if cur is None:
             raise FileNotFoundError(f"{self.root}: no committed snapshot")
         best = None
+        eff = None  # running max = the effective (monotonized) commit ts
         for p in sorted(self.manifest_dir.glob("v*.json")):
             v = int(p.stem[1:])
             # bound by the pointer (review r8): a manifest that won the
@@ -1838,12 +1969,19 @@ class SnapshotTable:
             # it, and timestamp reads must too
             if v > cur:
                 continue
-            raw = self._raw_manifest(v)
-            if raw["ts"] <= ts and (best is None or v > best):
-                best = v
+            raw_ts = float(self._raw_manifest(v)["ts"])
+            eff = raw_ts if eff is None else max(eff, raw_ts)
+            if eff <= ts:
+                best = v if best is None else max(best, v)
         if best is None:
             raise FileNotFoundError(
                 f"{self.root}: no snapshot committed at or before {ts}"
+            )
+        if ts > eff:
+            raise ValueError(
+                f"{self.root}: timestamp {ts} is after the latest commit "
+                f"({eff}); use read()/snapshot() without a timestamp for "
+                "the current version"
             )
         return self.snapshot(best)
 

@@ -947,7 +947,11 @@ def test_timestamp_time_travel_and_detail(spark, table):
     _t.sleep(0.05)
     table.append(_df(spark, 5, 9))                    # v1
     assert table.read(spark, timestamp=mid).count() == 5
-    assert table.snapshot_at_timestamp(_t.time()).version == 1
+    # exactly the latest commit's ts resolves it; AFTER it raises
+    # (Delta's after-latest-commit error, ADVICE r9)
+    assert table.snapshot_at_timestamp(table.snapshot(1).ts).version == 1
+    with pytest.raises(ValueError, match="after the latest commit"):
+        table.snapshot_at_timestamp(_t.time() + 60)
     with pytest.raises(FileNotFoundError, match="at or before"):
         table.snapshot_at_timestamp(mid - 100)
     with pytest.raises(ValueError, match="not both"):
@@ -986,8 +990,12 @@ def test_timestamp_travel_ignores_uncommitted_manifest(spark, table):
         "version": 1, "files": [], "op": "append", "parent": 0,
         "ts": _t.time() + 10_000, "add": [], "remove": [], "stats_add": {},
     }))
-    snap = table.snapshot_at_timestamp(_t.time() + 20_000)
-    assert snap.version == 0
+    # exactly v0's commit ts resolves v0 — the orphan's (future) ts was
+    # not adopted; and the orphan must not count as "the latest commit"
+    # for the after-latest error either
+    assert table.snapshot_at_timestamp(table.snapshot(0).ts).version == 0
+    with pytest.raises(ValueError, match="after the latest commit"):
+        table.snapshot_at_timestamp(_t.time() + 20_000)
 
 
 def test_torn_checkpoint_falls_back_to_chain_walk(spark, table):
@@ -1597,3 +1605,115 @@ def test_threaded_appends_with_concurrent_compaction(spark, table):
     ids = table.snapshot().batch_ids
     want = {t * 100 + b for t in range(N_THREADS) for b in range(N_BATCHES)}
     assert set(ids) == want and len(ids) == len(want), "batch lost/duped"
+
+
+def test_timestamp_travel_monotonizes_clock_skew(spark, table):
+    """ADVICE r9: commit timestamps from skewed writer clocks must not
+    let TIMESTAMP AS OF resolve a LATER version for an EARLIER ts. Each
+    manifest's effective ts is clamped to its ancestors' max (Delta's
+    timestamp adjustment), so a skewed child shares its parent's
+    effective ts and a read at that ts sees the newest of them."""
+    table.append(_df(spark, 0, 5))                    # v0
+    table.append(_df(spark, 5, 8))                    # v1
+    # skew v1's recorded clock 1000s BEFORE v0's
+    m = table.manifest_dir / "v00000001.json"
+    raw = json.loads(m.read_text())
+    t0 = table.snapshot(0).ts
+    raw["ts"] = t0 - 1000.0
+    m.write_text(json.dumps(raw))
+    # at v0's ts the effective timestamps are tied -> newest version
+    assert table.snapshot_at_timestamp(t0).version == 1
+    # nothing resolves before v0's ts (v1's skewed ts must not)
+    with pytest.raises(FileNotFoundError):
+        table.snapshot_at_timestamp(t0 - 500.0)
+
+
+def test_schema_recorded_in_manifest_and_strict_check_is_o1(
+    spark, table, monkeypatch
+):
+    """ADVICE r9: the table schema rides in the manifest, so a strict
+    append compares driver-side against the RECORD — zero footer I/O
+    (the fallback union reader is monkeypatched to prove it's never
+    called) — for both the pass and the mismatch verdicts."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        SchemaMismatch,
+    )
+
+    table.append(_df(spark, 0, 5))
+    assert table.snapshot().schema == (("id", "bigint"), ("v", "bigint"))
+
+    def boom(self, spark_, snap):
+        raise AssertionError("recorded schema must make this O(1)")
+
+    monkeypatch.setattr(
+        SnapshotTable, "_union_schema_from_footers", boom
+    )
+    table.append(_df(spark, 5, 8), schema_mode="strict")      # pass: O(1)
+    with pytest.raises(SchemaMismatch):                       # fail: O(1)
+        table.append(
+            spark.range(2).selectExpr("id", "CAST(id AS STRING) AS v"),
+            schema_mode="strict",
+        )
+    assert table.read(spark).count() == 8
+
+
+def test_schema_record_evolves_names_and_unrecords_type_change(spark, table):
+    """Name-only evolution keeps the record current (union of fields);
+    a TYPE change on an existing column needs engine promotion rules,
+    so the record conservatively becomes unknown (None) and strict
+    checks fall back to the footer union."""
+    table.append(_df(spark, 0, 5))
+    table.append(
+        spark.range(5, 7).selectExpr(
+            "id", "id * 2 AS v", "CAST(id AS STRING) AS tag"
+        )
+    )
+    assert table.snapshot().schema == (
+        ("id", "bigint"),
+        ("tag", "string"),
+        ("v", "bigint"),
+    )
+    table.append(
+        spark.range(7, 8).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    )
+    assert table.snapshot().schema is None  # type-evolved: unknown
+
+
+def test_legacy_manifest_bootstraps_schema_via_strict_append(spark, table):
+    """A table whose manifests predate schema recording (simulated by
+    stripping the field) falls back to the footer union ONCE — the
+    passing strict append re-records the schema, making the next strict
+    append O(1) again."""
+    table.append(_df(spark, 0, 5))
+    for p in table.manifest_dir.glob("v*.json"):
+        raw = json.loads(p.read_text())
+        raw.pop("schema", None)
+        p.write_text(json.dumps(raw))
+    assert table.snapshot().schema is None
+    table.append(_df(spark, 5, 8), schema_mode="strict")  # footer fallback
+    assert table.snapshot().schema == (("id", "bigint"), ("v", "bigint"))
+
+
+def test_schema_record_follows_table_ops(spark, table):
+    """overwrite replaces the record; delete/compact inherit; restore
+    takes the RESTORED version's record; merge/replace_where union
+    their incoming fields."""
+    table.append(_kv(spark, [(1, 10), (2, 200)]))              # v0
+    base = (("k", "bigint"), ("v", "bigint"))
+    assert table.snapshot().schema == base
+    table.delete(spark, "v >= 100")                            # v1
+    assert table.snapshot().schema == base
+    table.compact(spark, target_files=1)                       # v2
+    assert table.snapshot().schema == base
+    table.overwrite(
+        spark.createDataFrame([(1, "x")], "k long, s string")
+    )                                                          # v3
+    assert table.snapshot().schema == (("k", "bigint"), ("s", "string"))
+    table.restore(0, spark)                                    # v4
+    assert table.snapshot().schema == base
+    table.merge(
+        spark,
+        _kv(spark, [(3, 30)]),
+        key_cols=["k"],
+    )                                                          # v5
+    assert table.snapshot().schema == base
