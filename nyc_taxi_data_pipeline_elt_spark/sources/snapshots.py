@@ -177,14 +177,7 @@ def _check_proven_by_stats(expr: str, fstats: dict) -> bool:
     if m:
         col, a, b = m.group(1), _num(m.group(2)), _num(m.group(3))
         env = fstats.get(col)
-        if (
-            not isinstance(env, (list, tuple))
-            or len(env) != 2
-            or not all(
-                isinstance(x, (int, float)) and not isinstance(x, bool)
-                for x in env
-            )
-        ):
+        if not _env_numeric(env):
             return False
         return env[0] >= a and env[1] <= b
     m = _CMP_RE.match(expr)
@@ -196,14 +189,7 @@ def _check_proven_by_stats(expr: str, fstats: dict) -> bool:
             return False
         lit, op, col = _num(m.group(1)), _FLIP[m.group(2)], m.group(3)
     env = fstats.get(col)
-    if (
-        not isinstance(env, (list, tuple))
-        or len(env) != 2
-        or not all(
-            isinstance(x, (int, float)) and not isinstance(x, bool)
-            for x in env
-        )
-    ):
+    if not _env_numeric(env):
         return False
     lo, hi = env[0], env[1]
     if op == ">=":
@@ -275,8 +261,18 @@ def _pred_disjoint_by_stats(expr: str, fstats: dict) -> bool:
 def _constraint_scan(spark: SparkSession, paths: list[str], predicate: str):
     """The one row-level existence scan for CHECK enforcement — a
     module-level seam so tests can assert a metadata-proven restore
-    launches ZERO scan tasks (monkeypatch this to raise)."""
-    return spark.read.parquet(*paths).filter(predicate).limit(1).collect()
+    launches ZERO scan tasks (monkeypatch this to raise). mergeSchema:
+    on a name-evolved table a single-footer sniff could miss the
+    constraint's column entirely (AnalysisException instead of a
+    verdict); with the union schema, pre-evolution rows read the column
+    as NULL, which passes CHECK (ANSI semantics) — correct."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*paths)
+        .filter(predicate)
+        .limit(1)
+        .collect()
+    )
 
 
 class CommitConflict(RuntimeError):
@@ -404,6 +400,19 @@ class SnapshotTable:
         ):
             return None
         return c
+
+    def _read_files(self, spark: SparkSession, rel_files) -> DataFrame:
+        """mergeSchema read over specific table files. Every REWRITE
+        path (delete survivors, replace_where remainder, merge target,
+        compact/optimize input) and the CDF delete replay must read
+        with the UNION schema: a plain read sniffs one footer, and on a
+        name-evolved table that silently DROPS later-added columns from
+        the rewritten rows (or crashes when the sniffed footer lacks
+        the predicate column) — review r9, data-loss class. Rewrites
+        read data pages anyway, so the extra footer union is noise."""
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[str(self.root / f) for f in rel_files]
+        )
 
     def _drop_uuid_dirs(self, rels) -> None:
         """Eagerly delete the uuid dirs of uncommitted written files
@@ -634,6 +643,14 @@ class SnapshotTable:
         cur = self.current_version()
         if cur is not None and cur >= version:
             return
+        if not (self.manifest_dir / f"v{version:08d}.json").exists():
+            # our manifest was quarantined under us (review r9: a writer
+            # paused past the grace period mid-json.dump whose torn
+            # manifest a recoverer quarantined can RESUME the dump into
+            # the renamed inode and reach this swap — pointing the table
+            # at a path that no longer exists would brick every read).
+            # Narrows the race to the exists-then-swap microseconds.
+            return
         tmp = self.manifest_dir / f"._current.{uuid.uuid4().hex}"
         tmp.write_text(str(version))
         os.replace(tmp, self._pointer())
@@ -707,24 +724,48 @@ class SnapshotTable:
                     f"{self.root}: snapshot v{version} is mid-write by "
                     "another writer; re-read and retry"
                 )
-            qdir = self.manifest_dir / "_quarantine"
-            qdir.mkdir(exist_ok=True)
-            try:
-                os.replace(
-                    manifest, qdir / f"v{version:08d}.{uuid.uuid4().hex}"
-                )
-            except FileNotFoundError:
-                pass  # another recoverer got it first
+            self._quarantine_manifest(manifest)
             return CommitConflict(
                 f"{self.root}: quarantined a torn orphan manifest at "
                 f"v{version}; retry to take the freed slot"
             )
-        # valid + past grace: complete the crashed writer's commit
+        # Valid + past grace: complete the crashed writer's commit —
+        # but only if its snapshot still RESOLVES and its data files
+        # survived. Vacuum is pointer-bounded, so an orphan's files are
+        # never in the live set: a vacuum run between the crash and this
+        # recovery reclaimed them, and completing would make the table
+        # current on missing files (review r9). Recovery is an
+        # exceptional path, so the O(files) existence sweep is
+        # acceptable; an unrecoverable orphan takes the same quarantine
+        # exit as a torn one, freeing the slot.
+        try:
+            snap = self.snapshot(version)
+            intact = all((self.root / f).exists() for f in snap.files)
+        except Exception:
+            intact = False  # ancestors vacuumed away: chain unresolvable
+        if not intact:
+            self._quarantine_manifest(manifest)
+            return CommitConflict(
+                f"{self.root}: quarantined an orphan manifest at "
+                f"v{version} whose snapshot no longer resolves (data "
+                "or ancestors vacuumed); retry to take the freed slot"
+            )
         self._swap_pointer(version)
         return CommitConflict(
             f"{self.root}: completed a crashed writer's commit at "
             f"v{version}; re-read the table and retry"
         )
+
+    def _quarantine_manifest(self, manifest: Path) -> None:
+        """Move an unrecoverable orphan manifest out of the log dir
+        (atomic rename), freeing its version slot. Idempotent: a racing
+        recoverer winning the rename first is fine."""
+        qdir = self.manifest_dir / "_quarantine"
+        qdir.mkdir(exist_ok=True)
+        try:
+            os.replace(manifest, qdir / f"{manifest.name}.{uuid.uuid4().hex}")
+        except FileNotFoundError:
+            pass  # another recoverer got it first
 
     @staticmethod
     def _manifest_age(path: Path) -> float:
@@ -896,6 +937,50 @@ class SnapshotTable:
                 return None
         return sorted(out.items())
 
+    def _recheck_fresh_constraints(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        files: list[str],
+        stats: dict,
+        enforced: dict,
+    ) -> None:
+        """Re-enforce, on already-written ``files``, any constraint the
+        commit parent ``snap`` carries that was NOT in force when they
+        were written (added or changed since — the one write/metadata
+        race that does not commute). Stats-pruned first, so in-bounds
+        data re-verifies from manifest metadata alone; ``enforced`` is
+        updated in place. Shared by ``append``'s retry loop and
+        ``_commit_rewrite`` (review r9: two near-identical copies were
+        drifting). ``files`` must share one writer uuid dir (true for
+        every caller: each hands the output of a single ``_write_data``)
+        — on violation ``_verify_constraints`` removes that dir and
+        raises; callers' failure handlers drop any sibling dirs."""
+        fresh = {
+            k: e
+            for k, e in (snap.constraints or {}).items()
+            if enforced.get(k) != e
+        }
+        if fresh and files:
+            need = [
+                f
+                for f in files
+                if not all(
+                    _check_proven_by_stats(e, stats.get(f, {}))
+                    for e in fresh.values()
+                )
+            ]
+            if need:
+                self._verify_constraints(
+                    spark,
+                    need,
+                    fresh,
+                    self.root
+                    / Path(files[0]).parts[0]
+                    / Path(files[0]).parts[1],
+                )
+        enforced.update(fresh)
+
     def append(
         self,
         df: DataFrame,
@@ -938,36 +1023,11 @@ class SnapshotTable:
                 snap = self.snapshot(cur)
                 base = list(snap.files)
                 base_stats = dict(snap.stats or {})
-                # constraints this commit's parent carries that the
-                # write-time enforcement did not cover (added — or
-                # changed — between our write and this attempt, with or
-                # without an intervening CommitConflict): re-enforce
-                # them on OUR files before re-basing. Stats-pruned, so
-                # in-bounds data re-verifies from metadata alone.
-                fresh = {
-                    k: e
-                    for k, e in (snap.constraints or {}).items()
-                    if enforced.get(k) != e
-                }
-                if fresh and new:
-                    need = [
-                        f
-                        for f in new
-                        if not all(
-                            _check_proven_by_stats(e, new_stats.get(f, {}))
-                            for e in fresh.values()
-                        )
-                    ]
-                    if need:
-                        self._verify_constraints(
-                            df.sparkSession,
-                            need,
-                            fresh,
-                            self.root
-                            / Path(new[0]).parts[0]
-                            / Path(new[0]).parts[1],
-                        )
-                    enforced.update(fresh)
+                # constraints added/changed between our write and this
+                # attempt: re-enforce on OUR files before re-basing
+                self._recheck_fresh_constraints(
+                    df.sparkSession, snap, new, new_stats, enforced
+                )
                 if schema_mode == "strict" and cur != checked_version:
                     # a concurrent schema-evolving append may have moved
                     # the table between our check and this (re-based)
@@ -1128,32 +1188,9 @@ class SnapshotTable:
                 )
                 if recheck is not None:
                     ck_files, ck_stats, _ = recheck
-                    fresh = {
-                        k: e
-                        for k, e in (snap.constraints or {}).items()
-                        if enforced.get(k) != e
-                    }
-                    if fresh and ck_files:
-                        need = [
-                            f
-                            for f in ck_files
-                            if not all(
-                                _check_proven_by_stats(
-                                    e, ck_stats.get(f, {})
-                                )
-                                for e in fresh.values()
-                            )
-                        ]
-                        if need:
-                            self._verify_constraints(
-                                spark,
-                                need,
-                                fresh,
-                                self.root
-                                / Path(ck_files[0]).parts[0]
-                                / Path(ck_files[0]).parts[1],
-                            )
-                        enforced.update(fresh)
+                    self._recheck_fresh_constraints(
+                        spark, snap, ck_files, ck_stats, enforced
+                    )
             else:
                 stats = {}
                 out = sorted(new_files)
@@ -1313,9 +1350,9 @@ class SnapshotTable:
                 # must be carried into the remainder (Delta keeps them
                 # too); ``~match`` alone evaluates NULL for them and
                 # drops them.
-                remainder = spark.read.parquet(
-                    *[str(self.root / f) for f in touched]
-                ).filter(~F_coalesce(match, F_lit(False)))
+                remainder = self._read_files(spark, touched).filter(
+                    ~F_coalesce(match, F_lit(False))
+                )
                 # remainder rows are verbatim copies of already-committed
                 # rows: they passed their CHECK at the original write, so
                 # re-verifying would double the rewrite's read I/O for
@@ -1441,7 +1478,7 @@ class SnapshotTable:
 
         out_rows = None
         if touched:
-            target = spark.read.parquet(*[str(self.root / f) for f in touched])
+            target = self._read_files(spark, touched)
             if set(source.columns) != set(target.columns):
                 raise ValueError(
                     f"{self.root}: merge source columns {sorted(source.columns)} "
@@ -1455,9 +1492,9 @@ class SnapshotTable:
                 incoming = source  # matched updates + unmatched inserts
             elif touched:
                 # update-only: keep just the source rows that matched
-                target_keys = spark.read.parquet(
-                    *[str(self.root / f) for f in touched]
-                ).select(*key_cols)
+                target_keys = self._read_files(spark, touched).select(
+                    *key_cols
+                )
                 incoming = source.join(target_keys, key_cols, "left_semi")
             else:
                 incoming = None
@@ -1560,9 +1597,9 @@ class SnapshotTable:
             )
         from pyspark.sql.functions import expr as F_expr
 
-        survivors = spark.read.parquet(
-            *[str(self.root / f) for f in touched]
-        ).filter(~F_coalesce(F_expr(predicate), F_lit(False)))
+        survivors = self._read_files(spark, touched).filter(
+            ~F_coalesce(F_expr(predicate), F_lit(False))
+        )
         new, new_stats = self._write_data(survivors, enforce=False)
         try:
             return self._commit_rewrite(
@@ -1623,7 +1660,9 @@ class SnapshotTable:
         still aborts (the compacted copy would resurrect its rows)."""
         cur = self.current_version()
         basis = self.snapshot(cur) if cur is not None else None
-        df = self.read(spark, version=cur).repartition(target_files)
+        df = self.read(spark, version=cur, merge_schema=True).repartition(
+            target_files
+        )
         new, new_stats = self._write_data(df, enforce=False)
         try:
             return self._commit_rewrite(
@@ -1674,7 +1713,7 @@ class SnapshotTable:
                 "for a plain file-count rewrite"
             )
         cur = self.current_version()
-        df = self.read(spark, version=cur)
+        df = self.read(spark, version=cur, merge_schema=True)
         # global per-column bounds: one aggregate row, driver-side O(cols)
         row = df.agg(
             *[F_min(c).alias(f"lo{i}") for i, c in enumerate(zorder_by)],
@@ -2190,9 +2229,7 @@ class SnapshotTable:
                 added = [f for f in s.files if f not in parent_files]
                 if added:
                     parts.append(
-                        spark.read.parquet(
-                            *[str(self.root / f) for f in added]
-                        )
+                        self._read_files(spark, added)
                         .withColumn("_change_type", F_lit("insert"))
                         .withColumn("_commit_version", F_lit(v))
                     )
@@ -2208,9 +2245,7 @@ class SnapshotTable:
                     )
                 if removed:
                     parts.append(
-                        spark.read.parquet(
-                            *[str(self.root / f) for f in removed]
-                        )
+                        self._read_files(spark, removed)
                         .filter(F_coalesce(F_expr(pred), F_lit(False)))
                         .withColumn("_change_type", F_lit("delete"))
                         .withColumn("_commit_version", F_lit(v))

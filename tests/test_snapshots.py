@@ -1559,10 +1559,15 @@ def test_live_writer_slot_not_recovered(spark, table):
 def test_threaded_appends_with_concurrent_compaction(spark, table):
     """Stress the reconciliation end to end (VERDICT r8 task #3 'done'
     bar): N appender threads (idempotent commit_batch, unique batch ids)
-    race a compaction loop on ONE table. Invariants: every batch lands
-    exactly once, final rows = sum of all appends, and at least one
-    compaction commits by REBASING (its manifest parent advanced past
-    its basis) rather than winning a quiet window."""
+    race a compaction loop on ONE table. Deterministic invariants:
+    every batch lands exactly once, final rows = sum of all appends, no
+    thread errors, and at least one compaction COMMITS (the loop runs
+    until one does, so a reconciliation regression that makes every
+    compact abort fails here rather than vanishing). Whether a given
+    commit went through the rebase path depends on thread timing — the
+    deterministic rebase/abort coverage is
+    test_compact_rebases_over_concurrent_append and
+    test_rewrite_true_conflict_aborts_cleanly."""
     import threading
 
     N_THREADS, N_BATCHES, ROWS = 3, 4, 10
@@ -1581,13 +1586,17 @@ def test_threaded_appends_with_concurrent_compaction(spark, table):
             errors.append(exc)
 
     def compactor():
-        h = SnapshotTable(str(table.root))
-        for _ in range(3):
-            try:
-                snap = h.compact(spark, target_files=2)
-                compactions.append(snap)
-            except CommitConflict:
-                pass  # exhausted retries under heavy racing: acceptable
+        try:
+            h = SnapshotTable(str(table.root))
+            for _ in range(20):
+                try:
+                    compactions.append(h.compact(spark, target_files=2))
+                except CommitConflict:
+                    continue  # retries exhausted under racing: go again
+                if compactions:
+                    break
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append(exc)
 
     threads = [
         threading.Thread(target=appender, args=(t,))
@@ -1601,6 +1610,7 @@ def test_threaded_appends_with_concurrent_compaction(spark, table):
         th.join()
     comp.join()
     assert not errors, errors
+    assert compactions, "no compaction ever committed under append load"
     assert table.read(spark).count() == N_THREADS * N_BATCHES * ROWS
     ids = table.snapshot().batch_ids
     want = {t * 100 + b for t in range(N_THREADS) for b in range(N_BATCHES)}
@@ -1717,3 +1727,79 @@ def test_schema_record_follows_table_ops(spark, table):
         key_cols=["k"],
     )                                                          # v5
     assert table.snapshot().schema == base
+
+
+def test_rewrites_preserve_evolved_columns(spark, table):
+    """Review r9 (data-loss class): rewrite paths must read with the
+    UNION schema — a plain read sniffs one footer on a name-evolved
+    table and silently drops later-added columns from the rewritten
+    rows. Drives delete and compact across an evolved table and checks
+    the evolved column's VALUES survive."""
+    table.append(_kv(spark, [(1, 10), (2, 200)]))
+    table.append(
+        spark.createDataFrame(
+            [(3, 300, "x3"), (4, 40, "x4")], "k long, v long, tag string"
+        )
+    )
+    table.delete(spark, "v >= 100")  # touches both files
+    got = sorted(
+        (r.k, r.v, r.tag)
+        for r in table.read(spark, merge_schema=True).collect()
+    )
+    assert got == [(1, 10, None), (4, 40, "x4")], "tag values must survive"
+    table.compact(spark, target_files=1)
+    got2 = sorted(
+        (r.k, r.v, r.tag)
+        for r in table.read(spark, merge_schema=True).collect()
+    )
+    assert got2 == got, "compact must not drop evolved columns either"
+
+
+def test_cdf_replay_on_evolved_table(spark, table):
+    """read_changes_cdf must union-read: replayed delete rows from a
+    mixed-schema file set keep evolved columns (null-padded where the
+    file predates them) instead of crashing or dropping them."""
+    table.append(_kv(spark, [(1, 150)]))                        # v0
+    table.append(
+        spark.createDataFrame(
+            [(2, 250, "x2")], "k long, v long, tag string"
+        )
+    )                                                           # v1
+    table.delete(spark, "v >= 100")                             # v2: both
+    rows = {
+        (r.k, r.tag, r._change_type)
+        for r in table.read_changes_cdf(spark, since_version=0).collect()
+    }
+    assert rows == {
+        (2, "x2", "insert"),
+        (1, None, "delete"),
+        (2, "x2", "delete"),
+    }
+
+
+def test_vacuumed_orphan_quarantined_not_completed(spark, table, monkeypatch):
+    """Review r9: vacuum is pointer-bounded, so a crashed writer's
+    orphan data files are never in the live set — a vacuum between the
+    crash and recovery reclaims them, and COMPLETING the orphan then
+    would point the table at missing files. Recovery must quarantine
+    such an orphan instead, and the table keeps working."""
+    table.append(_df(spark, 0, 5))                              # v0
+    # crashed writer: wrote data, created manifest v1, never swapped
+    racer = SnapshotTable(str(table.root))
+    real_swap = SnapshotTable._swap_pointer
+    monkeypatch.setattr(SnapshotTable, "_swap_pointer", lambda self, v: None)
+    try:
+        racer.append(_df(spark, 100, 105), retries=0)
+    except Exception:
+        pass
+    monkeypatch.setattr(SnapshotTable, "_swap_pointer", real_swap)
+    assert (table.manifest_dir / "v00000001.json").exists()
+    assert table.current_version() == 0
+    removed = table.vacuum(keep_versions=1)  # reclaims the orphan's files
+    assert removed, "orphan data should have been vacuumed"
+    monkeypatch.setattr(SnapshotTable, "orphan_grace_seconds", -1.0)
+    snap = table.append(_df(spark, 5, 10))
+    assert snap.version == 1, "slot must be freed by quarantine"
+    assert sorted(r.id for r in table.read(spark).collect()) == list(range(10))
+    q = list((table.manifest_dir / "_quarantine").iterdir())
+    assert len(q) == 1
