@@ -44,3 +44,24 @@ def ephemeral_root(name: str) -> str:
     root = tempfile.mkdtemp(prefix=f"ntx-{name}-")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     return root
+
+
+#: query name -> fn(spark, sf_dir) building (or reusing) that query's
+#: cached fixture. bench.py calls :func:`prewarm_all` UNTIMED inside
+#: each pass subprocess, so the timed number is the OPERATION the query
+#: names (feed read, pruned scan, timestamp read, stream replay) — not
+#: input-table construction, which a fresh-JVM-per-pass bench would
+#: otherwise re-pay on every pass despite the in-process cache.
+#: Queries whose mutation IS the operation (roundtrip, delete) must NOT
+#: register. The driver's correctness run doesn't prewarm — it measures
+#: nothing, and the query builds its fixture on first call as always.
+PREWARMERS: dict = {}
+
+
+def register_prewarmer(name: str, fn) -> None:
+    PREWARMERS[name] = fn
+
+
+def prewarm_all(spark, sf_dir: str) -> None:
+    for fn in PREWARMERS.values():
+        fn(spark, sf_dir)

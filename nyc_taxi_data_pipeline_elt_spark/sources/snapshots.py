@@ -203,6 +203,13 @@ def _check_proven_by_stats(expr: str, fstats: dict) -> bool:
     return lo == lit == hi  # = / ==
 
 
+def _rows_of(files, stats: dict) -> int | None:
+    """Total ``__num_rows__`` across ``files`` from their stats entries
+    — None when any file's count is unrecorded (legacy write)."""
+    counts = [stats.get(f, {}).get("__num_rows__") for f in files]
+    return sum(counts) if all(c is not None for c in counts) else None
+
+
 def _env_numeric(env) -> bool:
     """A usable [min, max] stats envelope: two non-bool numerics."""
     return (
@@ -308,6 +315,11 @@ class Snapshot:
     # CHECK constraints: {name: sql_expr}; carried forward on every
     # commit and enforced on every data-adding write (Delta CHECK).
     constraints: dict = None  # type: ignore[assignment]
+    # Delta operationMetrics: {num_added_files, num_removed_files,
+    # rows_added, rows_removed} derived at commit time from metadata the
+    # commit already holds (file lists + __num_rows__ stats) — the
+    # audit trail DESCRIBE HISTORY shows. Empty for legacy manifests.
+    metrics: dict = None  # type: ignore[assignment]
     # the table schema as ((name, simpleString), ...) recorded at commit
     # time (Delta keeps the schema in the log for exactly this reason —
     # ADVICE r8: deriving it from every live file's footer made strict
@@ -333,6 +345,7 @@ def _make_snapshot(raw: dict, files, stats: dict) -> Snapshot:
             tuple(raw["batch_ids"]) if "batch_ids" in raw else None
         ),
         constraints=raw.get("constraints", {}),
+        metrics=raw.get("metrics", {}),
         schema=(
             tuple((n, t) for n, t in raw["schema"])
             if raw.get("schema") is not None
@@ -415,13 +428,14 @@ class SnapshotTable:
         )
 
     def _drop_uuid_dirs(self, rels) -> None:
-        """Eagerly delete the uuid dirs of uncommitted written files
-        (failure/duplicate-batch cleanup; vacuum would reclaim them
-        eventually, but eager matches the no-orphan tests' intent)."""
+        """Eagerly delete the uuid dirs of uncommitted written files —
+        data or change-data (failure/duplicate-batch cleanup; vacuum
+        would reclaim them eventually, but eager matches the no-orphan
+        tests' intent)."""
         dirs = set()
         for rel in rels:
             parts = Path(rel).parts
-            if len(parts) >= 2 and parts[0] == "data":
+            if len(parts) >= 2 and parts[0] in ("data", "_change_data"):
                 dirs.add(self.root / parts[0] / parts[1])
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -596,6 +610,12 @@ class SnapshotTable:
             # v0 is always inline — the chain's base case
             payload["files"] = files_sorted
             payload["stats"] = stats
+            payload["metrics"] = {
+                "num_added_files": len(files_sorted),
+                "num_removed_files": 0,
+                "rows_added": _rows_of(files_sorted, stats),
+                "rows_removed": 0,
+            }
         else:
             # Delta manifest (the Delta-log move): a commit writes
             # O(changed files) metadata, not O(table). An append to a
@@ -615,6 +635,16 @@ class SnapshotTable:
             payload["add"] = add
             payload["remove"] = sorted(pset - nset)
             payload["stats_add"] = stats_add
+            # Delta operationMetrics: audit counts from metadata the
+            # commit already holds — no extra I/O (row counts from the
+            # per-file __num_rows__ stats; None when any file's count
+            # predates row recording)
+            payload["metrics"] = {
+                "num_added_files": len(add),
+                "num_removed_files": len(payload["remove"]),
+                "rows_added": _rows_of(add, stats),
+                "rows_removed": _rows_of(payload["remove"], pstats),
+            }
         try:
             # O_EXCL create: the optimistic-concurrency gate. Two racing
             # writers both target version N+1; exactly one create wins.
@@ -837,6 +867,20 @@ class SnapshotTable:
                         df.sparkSession, need_scan, cons, sub
                     )
         return written, stats
+
+    def _write_change_data(self, df: DataFrame) -> list[str]:
+        """Land CDF change rows (with their ``_change_type`` column)
+        under ``_change_data/<uuid>/`` — OUTSIDE the table's data file
+        set, referenced only by the committing manifest's ``cdc_files``
+        (Delta's cdc-action layout). No stats, no CHECK enforcement:
+        change files are an audit stream, not table rows."""
+        sub = self.root / "_change_data" / uuid.uuid4().hex
+        df.write.mode("error").parquet(str(sub))
+        return [
+            str(p.relative_to(self.root))
+            for p in sub.rglob("*.parquet")
+            if not p.name.startswith((".", "_"))
+        ]
 
     def _verify_constraints(
         self,
@@ -1286,6 +1330,14 @@ class SnapshotTable:
         At scale this is why commit-time stats pay for themselves — a
         one-(fleet, month) replace touches that slice's files only.
         Files without recorded stats are conservatively rewritten.
+
+        The manifest records the predicate and which added files are
+        the REPLACEMENT (vs the rewritten remainder), so
+        :meth:`read_changes_cdf` can derive this commit's change rows
+        with no extra write: deletes = the removed files' matching
+        rows, inserts = the replacement files — the remainder rows are
+        carried copies, not changes. (JSON-unserializable predicate
+        values skip the recording; the CDF then refuses that commit.)
         """
         if predicate is None:
             predicate = {column: values}
@@ -1362,6 +1414,14 @@ class SnapshotTable:
                 )
                 fresh_files += rem_files
                 written_stats.update(rem_stats)
+            try:  # record only if the CDF replay can re-parse it
+                json.dumps(predicate)
+                extra = {
+                    "replace_predicate": predicate,
+                    "replace_added": sorted(new),
+                }
+            except TypeError:
+                extra = None
             return self._commit_rewrite(
                 "replace",
                 cur,
@@ -1371,6 +1431,7 @@ class SnapshotTable:
                 spark=spark,
                 added_guard=lambda rel, fstats: _pred_excludes(fstats),
                 recheck=(list(new), repl_stats, enforced),
+                extra=extra,
                 evolve_with=df,
             )
         except BaseException:
@@ -1384,6 +1445,7 @@ class SnapshotTable:
         key_cols: list[str],
         when_matched: str = "update",
         when_not_matched: str | None = "insert",
+        change_data: bool = False,
     ) -> Snapshot:
         """MERGE INTO at the table-format layer: apply ``source`` rows to
         the table by ``key_cols`` as ONE atomic snapshot commit —
@@ -1407,6 +1469,19 @@ class SnapshotTable:
         Like Delta, raises when several source rows share a key (the
         "multiple source rows matched" ambiguity) — one cheap action on
         the batch.
+
+        ``change_data=True`` is Delta's ``enableChangeDataFeed`` for
+        MERGE: unlike delete/replace, a merge's row changes cannot be
+        re-derived from the manifest (they depend on the source batch,
+        which is not retained), so the change rows — ``update_preimage``
+        / ``update_postimage`` (or ``delete`` preimages) for matched
+        keys, ``insert`` for unmatched — are materialized under
+        ``_change_data/`` at commit time and referenced by the manifest;
+        :meth:`read_changes_cdf` serves them directly. Off by default
+        (two extra joins over the touched slice + one write, the same
+        cost Delta charges); a merge committed without it still RAISES
+        in the CDF, as before. Change files follow manifest retention:
+        vacuum reclaims them with their manifest.
         """
         if when_matched not in ("update", "delete"):
             raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
@@ -1429,6 +1504,13 @@ class SnapshotTable:
         cur = self.current_version()
         if cur is None:
             if when_not_matched == "insert":
+                cdc0 = (
+                    self._write_change_data(
+                        source.withColumn("_change_type", F_lit("insert"))
+                    )
+                    if change_data
+                    else []
+                )
                 new, new_stats_ = self._write_data(source)
                 try:
                     return self._commit(
@@ -1437,11 +1519,18 @@ class SnapshotTable:
                         stats=new_stats_,
                         expected_parent=cur,
                         schema=self._df_fields(source),
+                        extra={"cdc_files": cdc0} if change_data else None,
                     )
                 except BaseException:
-                    self._drop_uuid_dirs(new)
+                    self._drop_uuid_dirs(new + cdc0)
                     raise
-            return self._commit([], "merge", stats={}, expected_parent=cur)
+            return self._commit(
+                [],
+                "merge",
+                stats={},
+                expected_parent=cur,
+                extra={"cdc_files": []} if change_data else None,
+            )
         snap = self.snapshot(cur)
 
         key_range = source.agg(
@@ -1506,6 +1595,47 @@ class SnapshotTable:
                     if out_rows is None
                     else out_rows.unionByName(incoming)
                 )
+        cdc_files: list[str] = []
+        if change_data:
+            cdc_parts: list[DataFrame] = []
+            if touched:
+                tgt = self._read_files(spark, touched)
+                cols = tgt.columns
+                tgt_keys = tgt.select(*key_cols)
+                cdc_parts.append(
+                    tgt.join(source.select(*key_cols), key_cols, "left_semi")
+                    .withColumn(
+                        "_change_type",
+                        F_lit(
+                            "update_preimage"
+                            if when_matched == "update"
+                            else "delete"
+                        ),
+                    )
+                )
+                if when_matched == "update":
+                    cdc_parts.append(
+                        source.join(tgt_keys, key_cols, "left_semi")
+                        .select(*cols)
+                        .withColumn(
+                            "_change_type", F_lit("update_postimage")
+                        )
+                    )
+                if when_not_matched == "insert":
+                    cdc_parts.append(
+                        source.join(tgt_keys, key_cols, "left_anti")
+                        .select(*cols)
+                        .withColumn("_change_type", F_lit("insert"))
+                    )
+            elif when_not_matched == "insert":
+                cdc_parts.append(
+                    source.withColumn("_change_type", F_lit("insert"))
+                )
+            if cdc_parts:
+                changes = cdc_parts[0]
+                for p in cdc_parts[1:]:
+                    changes = changes.unionByName(p)
+                cdc_files = self._write_change_data(changes)
         fresh: list[str] = []
         fresh_stats: dict = {}
         enforced: dict = {}
@@ -1525,10 +1655,12 @@ class SnapshotTable:
                 spark=spark,
                 added_guard=lambda rel, fstats: _keys_disjoint(fstats),
                 recheck=(fresh, fresh_stats, enforced),
+                extra={"cdc_files": cdc_files} if change_data else None,
                 evolve_with=source,
             )
         except BaseException:
-            self._drop_uuid_dirs(fresh)  # carried files stay, they are committed
+            # carried files stay (committed); fresh data + change files go
+            self._drop_uuid_dirs(fresh + cdc_files)
             raise
 
     def delete(
@@ -1964,6 +2096,21 @@ class SnapshotTable:
             for sub in subdirs:
                 removed.extend(_vacuum_subdir(str(self.root), sub, live))
             removed.sort()
+        # change-data files (merge change_data=True) follow manifest
+        # retention: reclaim any not referenced by a KEPT manifest.
+        # Serial listing is fine here — cdc dirs exist only for explicit
+        # change_data merges, a per-batch cadence, not per-file scale.
+        cdc_root = self.root / "_change_data"
+        if cdc_root.exists():
+            live_cdc = frozenset(
+                f
+                for s in kept
+                for f in self._raw_manifest(s.version).get("cdc_files", [])
+            )
+            for sub in sorted(d for d in cdc_root.iterdir() if d.is_dir()):
+                removed.extend(
+                    _vacuum_subdir(str(self.root), str(sub), live_cdc)
+                )
         # the oldest KEPT version must resolve without its (about to be
         # deleted) ancestors: materialize it into a checkpoint first
         oldest = kept[0]
@@ -2042,6 +2189,8 @@ class SnapshotTable:
                 sum(counts) if all(c is not None for c in counts) else None
             ),
             "constraints": sorted(snap.constraints or {}),
+            # the last commit's audit counts (Delta operationMetrics)
+            "operation_metrics": dict(snap.metrics or {}),
         }
 
     def read(
@@ -2188,17 +2337,24 @@ class SnapshotTable:
         when the table mutates, where the insert-only
         :meth:`read_changes` must refuse.
 
+        - a commit that recorded explicit ``cdc_files`` (a
+          ``merge(change_data=True)`` — Delta's cdc actions) serves
+          them verbatim: ``update_preimage`` / ``update_postimage`` /
+          ``delete`` / ``insert`` rows as materialized at commit time;
         - ``append`` -> its added files' rows as ``insert``;
         - ``delete`` -> the REMOVED rows as ``delete``, replayed by
           re-reading the rewritten parent files (immutable until
           vacuumed — same retention contract as Delta CDF) under the
           predicate the manifest recorded; a no-op delete contributes
           nothing;
+        - ``replace`` (replace_where) -> fully DERIVED, no extra
+          writes: deletes = the removed files' predicate-matching rows,
+          inserts = the recorded replacement files (the rewritten
+          remainder rows are carried copies, not changes);
         - ``compact`` / ``optimize`` / constraint commits are
           row-neutral and skipped;
-        - ``overwrite`` / ``restore`` / ``merge`` / ``replace`` still
-          raise (full-snapshot re-read; per-row update vectors are out
-          of scope, as in Delta CDF's pre-DV era).
+        - ``overwrite`` / ``restore`` / a merge without change_data
+          still raise (full-snapshot re-read).
 
         O(changed files) metadata + one scan over exactly the changed
         files; versions are unioned by name so schema evolution across
@@ -2220,11 +2376,49 @@ class SnapshotTable:
                 "drop_constraint",
             ):
                 continue
+            raw = self._raw_manifest(v)
+            if "cdc_files" in raw:
+                # explicit change-data files (merge change_data=True):
+                # authoritative, already typed; empty list = no changes
+                if raw["cdc_files"]:
+                    parts.append(
+                        self._read_files(spark, raw["cdc_files"])
+                        .withColumn("_commit_version", F_lit(v))
+                    )
+                continue
             parent_files = (
                 set(self.snapshot(s.parent).files)
                 if s.parent is not None
                 else set()
             )
+            if s.op == "replace":
+                pred = raw.get("replace_predicate")
+                repl = raw.get("replace_added")
+                if pred is None or repl is None:
+                    raise ValueError(
+                        f"{self.root}: replace snapshot v{v} recorded no "
+                        "replayable predicate; read the full snapshot "
+                        "instead"
+                    )
+                removed = raw.get("remove", [])
+                if removed:
+                    match = None
+                    for c, vals in pred.items():
+                        cond = F_col(c).isin(*vals)
+                        match = cond if match is None else (match & cond)
+                    parts.append(
+                        self._read_files(spark, removed)
+                        .filter(F_coalesce(match, F_lit(False)))
+                        .withColumn("_change_type", F_lit("delete"))
+                        .withColumn("_commit_version", F_lit(v))
+                    )
+                if repl:
+                    parts.append(
+                        self._read_files(spark, repl)
+                        .withColumn("_change_type", F_lit("insert"))
+                        .withColumn("_commit_version", F_lit(v))
+                    )
+                continue
             if s.op == "append":
                 added = [f for f in s.files if f not in parent_files]
                 if added:
@@ -2235,7 +2429,6 @@ class SnapshotTable:
                     )
                 continue
             if s.op == "delete":
-                raw = self._raw_manifest(v)
                 removed = raw.get("remove", [])
                 pred = raw.get("delete_predicate")
                 if removed and pred is None:

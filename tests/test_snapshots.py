@@ -1803,3 +1803,83 @@ def test_vacuumed_orphan_quarantined_not_completed(spark, table, monkeypatch):
     assert sorted(r.id for r in table.read(spark).collect()) == list(range(10))
     q = list((table.manifest_dir / "_quarantine").iterdir())
     assert len(q) == 1
+
+
+def test_operation_metrics_recorded(spark, table):
+    """Delta operationMetrics: audit counts derived at commit time from
+    file lists + __num_rows__ stats, no extra I/O; surfaced on the
+    Snapshot and in DESCRIBE DETAIL."""
+    table.append(_kv(spark, [(1, 10), (2, 200), (3, 300)]))
+    m0 = table.snapshot().metrics
+    assert m0["rows_added"] == 3 and m0["num_removed_files"] == 0
+    snap = table.delete(spark, "v >= 100")
+    m = snap.metrics
+    assert m["rows_removed"] - m["rows_added"] == 2  # net rows deleted
+    assert m["num_removed_files"] >= 1
+    assert table.detail()["operation_metrics"] == m
+
+
+def test_replace_where_cdf_derived(spark, table):
+    """replace_where's change rows are DERIVED from the manifest (no
+    extra writes): deletes = removed files' predicate-matching rows,
+    inserts = the recorded replacement files; rewritten remainder rows
+    are carried copies and must NOT appear as changes."""
+    table.append(_kv(spark, [(1, 10), (2, 20), (3, 30)]).coalesce(1))
+    table.replace_where(spark, _kv(spark, [(2, 21)]), column="k", values=[2])
+    rows = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in table.read_changes_cdf(spark, since_version=0).collect()
+    }
+    assert rows == {(2, 20, "delete", 1), (2, 21, "insert", 1)}
+
+
+def test_merge_change_data_cdf(spark, table):
+    """merge(change_data=True) materializes Delta-style cdc files
+    (update_preimage/update_postimage/insert) the CDF serves verbatim;
+    a merge WITHOUT change_data still refuses (its changes are not
+    re-derivable)."""
+    table.append(_kv(spark, [(1, 10), (2, 20)]))
+    table.merge(
+        spark,
+        _kv(spark, [(2, 21), (3, 30)]),
+        key_cols=["k"],
+        change_data=True,
+    )
+    rows = {
+        (r.k, r.v, r._change_type)
+        for r in table.read_changes_cdf(spark, since_version=0).collect()
+    }
+    assert rows == {
+        (2, 20, "update_preimage"),
+        (2, 21, "update_postimage"),
+        (3, 30, "insert"),
+    }
+    table.merge(spark, _kv(spark, [(4, 40)]), key_cols=["k"])
+    with pytest.raises(ValueError, match="full snapshot"):
+        table.read_changes_cdf(spark, since_version=1)
+
+
+def test_merge_delete_change_data_and_vacuum_retention(spark, table):
+    """when_matched='delete' cdc preimages carry _change_type='delete';
+    change files follow manifest retention — vacuum reclaims them once
+    their manifest is pruned, not before."""
+    table.append(_kv(spark, [(1, 10), (2, 20)]))
+    table.merge(
+        spark,
+        _kv(spark, [(1, 0)]),
+        key_cols=["k"],
+        when_matched="delete",
+        when_not_matched=None,
+        change_data=True,
+    )
+    rows = {
+        (r.k, r.v, r._change_type)
+        for r in table.read_changes_cdf(spark, since_version=0).collect()
+    }
+    assert rows == {(1, 10, "delete")}
+    table.vacuum(keep_versions=1)  # merge (v1) is current: cdc kept
+    assert list((table.root / "_change_data").rglob("*.parquet"))
+    table.append(_kv(spark, [(9, 90)]))
+    removed = table.vacuum(keep_versions=1)  # v1 manifest pruned now
+    assert not list((table.root / "_change_data").rglob("*.parquet"))
+    assert any(r.startswith("_change_data") for r in removed)
