@@ -115,11 +115,12 @@ _PRIORITY_WINDOW = [
     "cohort_retention",
     "corpus_datasheet",
     "curate_corpus_pipeline",
-    "curriculum_budget_selection",
-    # NEW r9 query (SnapshotTable.delete drive) takes slot 50 by
-    # displacing the alphabetically-last r6 filler
-    # (customer_entity_leaders, which keeps its r6 green row)
+    # NEW r9 queries (SnapshotTable.delete drive; merge change-data CDF
+    # drive) take slots 49-50 by displacing the two alphabetically-last
+    # r6 fillers (customer_entity_leaders, curriculum_budget_selection —
+    # both keep their r6 green rows)
     "snapshot_delete_rows",
+    "snapshot_cdf_updates",
 ]
 
 _PLAN_MODULES = (

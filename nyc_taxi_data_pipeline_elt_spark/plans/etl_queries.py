@@ -464,6 +464,67 @@ GROUP BY o_orderstatus
 """
 
 
+def snapshot_cdf_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE change-data-feed drive (``merge(change_data=True)`` —
+    Delta ``enableChangeDataFeed`` for MERGE): the table starts as the
+    orders with ``o_orderkey % 3 != 0``; a CDC batch of all EVEN-keyed
+    orders with doubled prices merges in — even keys not divisible by 3
+    are matched (update), even multiples of 3 are new (insert). The
+    materialized change rows are read back through
+    ``read_changes_cdf`` and aggregated BY CHANGE TYPE: the
+    update_preimage checksum must equal the original matched rows, the
+    update_postimage and insert checksums the doubled-price batch —
+    proving the cdc files capture exactly the merge's row changes.
+    MERGE+CDF is the operation; the table rebuilds per invocation under
+    a unique exit-cleaned root."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import SnapshotTable
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    table = SnapshotTable(ephemeral_root("snapcdfmerge") + "/tbl")
+    table.append(orders.filter(F.col("o_orderkey") % 3 != 0))
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    table.merge(spark, source, key_cols=["o_orderkey"], change_data=True)
+    return (
+        table.read_changes_cdf(spark, since_version=0)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").alias("key_checksum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+SNAPSHOT_CDF_MERGE_ORACLE = """
+WITH matched AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+), ins AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
+)
+SELECT 'update_preimage' AS change_type, count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM matched
+UNION ALL
+SELECT 'update_postimage', count(*),
+       CAST(sum(o_orderkey) AS BIGINT),
+       CAST(sum(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DOUBLE)
+FROM matched
+UNION ALL
+SELECT 'insert', count(*),
+       CAST(sum(o_orderkey) AS BIGINT),
+       CAST(sum(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DOUBLE)
+FROM ins
+"""
+
+
 QUERIES = {
     "scd2_user_event_type": scd2_user_event_type,
     "cdc_orders_merge": cdc_orders_merge,
@@ -472,6 +533,7 @@ QUERIES = {
     "snapshot_zorder_pruned_scan": snapshot_zorder_pruned_scan,
     "snapshot_time_travel_read": snapshot_time_travel_read,
     "snapshot_delete_rows": snapshot_delete_rows,
+    "snapshot_cdf_updates": snapshot_cdf_updates,
 }
 
 ORACLE = {
@@ -482,4 +544,5 @@ ORACLE = {
     "snapshot_zorder_pruned_scan": SNAPSHOT_ZORDER_ORACLE,
     "snapshot_time_travel_read": SNAPSHOT_TTR_ORACLE,
     "snapshot_delete_rows": SNAPSHOT_DELETE_ORACLE,
+    "snapshot_cdf_updates": SNAPSHOT_CDF_MERGE_ORACLE,
 }
