@@ -141,21 +141,29 @@ def run_one_pass(sf_dir: str) -> dict[str, float]:
             ).write.format("noop").mode("overwrite").save()
         finally:
             _sh.rmtree(_wroot, ignore_errors=True)
-        # fixture PREWARM (VERDICT r8): queries whose snapshot table is
-        # pure INPUT (feed read, pruned scan, timestamp read, stream
-        # replay) registered a builder — build those tables here,
-        # untimed, so each pass's timed number is the operation the
-        # query names, not input construction (each pass is a fresh
-        # subprocess, so the in-process fixture cache alone can't span
-        # passes). Queries whose mutation IS the operation (roundtrip,
-        # delete) don't register and keep paying their own way.
+    except Exception:
+        pass
+    # fixture PREWARM (VERDICT r8): queries whose snapshot table is pure
+    # INPUT (feed read, pruned scan, timestamp read, stream replay)
+    # registered a builder — build those tables here, untimed, so each
+    # pass's timed number is the operation the query names, not input
+    # construction (each pass is a fresh subprocess, so the in-process
+    # fixture cache alone can't span passes). Queries whose mutation IS
+    # the operation (roundtrip, delete) don't register and keep paying
+    # their own way. A prewarm failure is NOT silent (review r9): the
+    # affected queries would then be charged construction, so say so.
+    try:
         from nyc_taxi_data_pipeline_elt_spark.plans import (
             _snapshot_fixtures,
         )
 
         _snapshot_fixtures.prewarm_all(spark, sf_dir)
-    except Exception:
-        pass
+    except Exception as exc:
+        print(
+            "bench: fixture prewarm FAILED — snapshot-fixture queries "
+            f"will be charged construction time: {exc}",
+            file=sys.stderr,
+        )
 
     out: dict[str, float] = {}
     for name in sorted(queries):

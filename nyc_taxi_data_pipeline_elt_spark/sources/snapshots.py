@@ -1511,8 +1511,9 @@ class SnapshotTable:
                     if change_data
                     else []
                 )
-                new, new_stats_ = self._write_data(source)
+                new: list[str] = []
                 try:
+                    new, new_stats_ = self._write_data(source)
                     return self._commit(
                         new,
                         "merge",
@@ -1522,6 +1523,8 @@ class SnapshotTable:
                         extra={"cdc_files": cdc0} if change_data else None,
                     )
                 except BaseException:
+                    # the data write's own failure must also drop the
+                    # already-landed change-data dir (review r9)
                     self._drop_uuid_dirs(new + cdc0)
                     raise
             return self._commit(
@@ -1565,25 +1568,26 @@ class SnapshotTable:
         for f in snap.files:
             (carried if _keys_disjoint(stats.get(f, {})) else touched).append(f)
 
+        # ONE read of the touched slice feeds the anti-join, the
+        # update-only semi-join, and the CDC block (review r9: a
+        # duplicate read here re-opened footers and invited plan drift)
+        target = self._read_files(spark, touched) if touched else None
+        target_keys = target.select(*key_cols) if target is not None else None
+        if target is not None and set(source.columns) != set(target.columns):
+            raise ValueError(
+                f"{self.root}: merge source columns {sorted(source.columns)} "
+                f"!= table columns {sorted(target.columns)}"
+            )
         out_rows = None
-        if touched:
-            target = self._read_files(spark, touched)
-            if set(source.columns) != set(target.columns):
-                raise ValueError(
-                    f"{self.root}: merge source columns {sorted(source.columns)} "
-                    f"!= table columns {sorted(target.columns)}"
-                )
+        if target is not None:
             out_rows = target.join(
                 source.select(*key_cols), key_cols, "left_anti"
             )
         if when_matched == "update" or when_not_matched == "insert":
             if when_not_matched == "insert":
                 incoming = source  # matched updates + unmatched inserts
-            elif touched:
+            elif target is not None:
                 # update-only: keep just the source rows that matched
-                target_keys = self._read_files(spark, touched).select(
-                    *key_cols
-                )
                 incoming = source.join(target_keys, key_cols, "left_semi")
             else:
                 incoming = None
@@ -1597,40 +1601,10 @@ class SnapshotTable:
                 )
         cdc_files: list[str] = []
         if change_data:
-            cdc_parts: list[DataFrame] = []
-            if touched:
-                tgt = self._read_files(spark, touched)
-                cols = tgt.columns
-                tgt_keys = tgt.select(*key_cols)
-                cdc_parts.append(
-                    tgt.join(source.select(*key_cols), key_cols, "left_semi")
-                    .withColumn(
-                        "_change_type",
-                        F_lit(
-                            "update_preimage"
-                            if when_matched == "update"
-                            else "delete"
-                        ),
-                    )
-                )
-                if when_matched == "update":
-                    cdc_parts.append(
-                        source.join(tgt_keys, key_cols, "left_semi")
-                        .select(*cols)
-                        .withColumn(
-                            "_change_type", F_lit("update_postimage")
-                        )
-                    )
-                if when_not_matched == "insert":
-                    cdc_parts.append(
-                        source.join(tgt_keys, key_cols, "left_anti")
-                        .select(*cols)
-                        .withColumn("_change_type", F_lit("insert"))
-                    )
-            elif when_not_matched == "insert":
-                cdc_parts.append(
-                    source.withColumn("_change_type", F_lit("insert"))
-                )
+            cdc_parts = self._merge_change_rows(
+                source, target, target_keys, key_cols,
+                when_matched, when_not_matched,
+            )
             if cdc_parts:
                 changes = cdc_parts[0]
                 for p in cdc_parts[1:]:
@@ -1639,13 +1613,14 @@ class SnapshotTable:
         fresh: list[str] = []
         fresh_stats: dict = {}
         enforced: dict = {}
-        if out_rows is not None:
-            new, written_stats = self._write_data(
-                out_rows, enforced_out=enforced
-            )
-            fresh = new
-            fresh_stats = written_stats
         try:
+            if out_rows is not None:
+                # inside the cleanup scope: a write failure here (e.g.
+                # ConstraintViolation) must also drop the already-landed
+                # change-data dir, not strand it until vacuum (review r9)
+                fresh, fresh_stats = self._write_data(
+                    out_rows, enforced_out=enforced
+                )
             return self._commit_rewrite(
                 "merge",
                 cur,
@@ -1662,6 +1637,95 @@ class SnapshotTable:
             # carried files stay (committed); fresh data + change files go
             self._drop_uuid_dirs(fresh + cdc_files)
             raise
+
+    def _merge_change_rows(
+        self,
+        source: DataFrame,
+        target: DataFrame | None,
+        target_keys: DataFrame | None,
+        key_cols: list[str],
+        when_matched: str,
+        when_not_matched: str | None,
+    ) -> list[DataFrame]:
+        """The CDF change rows a merge produces, matching THIS engine's
+        merge semantics exactly (a consumer replaying them reproduces
+        the committed table):
+
+        - a source key matching EXACTLY ONE target row is a true update:
+          ``update_preimage`` / ``update_postimage`` pair;
+        - a source key matching SEVERAL target rows collapses them to
+          the one source row — emitted as N ``delete`` preimages plus an
+          ``insert`` (review r9: tagging all N as update_preimage next
+          to a single postimage gives downstream pre/post pairing N-1
+          rows that are never reported; Delta-style consumers misapply
+          the batch);
+        - ``when_matched='delete'`` preimages are plain ``delete``;
+        - unmatched source rows are ``insert`` when
+          ``when_not_matched='insert'``.
+
+        The duplicate-arity split costs one window count over the
+        MATCHED slice only — part of change_data's documented opt-in
+        price."""
+        from pyspark.sql.functions import count as F_count
+        from pyspark.sql.window import Window as _Window
+
+        parts: list[DataFrame] = []
+        if target is None:
+            if when_not_matched == "insert":
+                parts.append(
+                    source.withColumn("_change_type", F_lit("insert"))
+                )
+            return parts
+        cols = target.columns
+        skeys = source.select(*key_cols)
+        matched = target.join(skeys, key_cols, "left_semi")
+        if when_matched == "delete":
+            parts.append(
+                matched.withColumn("_change_type", F_lit("delete"))
+            )
+        else:
+            arity = matched.withColumn(
+                "__n", F_count("*").over(_Window.partitionBy(*key_cols))
+            )
+            parts.append(
+                arity.filter(F_col("__n") == 1)
+                .drop("__n")
+                .withColumn("_change_type", F_lit("update_preimage"))
+            )
+            parts.append(
+                arity.filter(F_col("__n") > 1)
+                .drop("__n")
+                .withColumn("_change_type", F_lit("delete"))
+            )
+            single_keys = (
+                matched.groupBy(*key_cols)
+                .count()
+                .filter(F_col("count") == 1)
+                .select(*key_cols)
+            )
+            dup_keys = (
+                matched.groupBy(*key_cols)
+                .count()
+                .filter(F_col("count") > 1)
+                .select(*key_cols)
+            )
+            parts.append(
+                source.join(single_keys, key_cols, "left_semi")
+                .select(*cols)
+                .withColumn("_change_type", F_lit("update_postimage"))
+            )
+            parts.append(
+                source.join(dup_keys, key_cols, "left_semi")
+                .select(*cols)
+                .withColumn("_change_type", F_lit("insert"))
+            )
+        if when_not_matched == "insert":
+            parts.append(
+                source.join(target_keys, key_cols, "left_anti")
+                .select(*cols)
+                .withColumn("_change_type", F_lit("insert"))
+            )
+        return parts
 
     def delete(
         self,
@@ -1845,6 +1909,7 @@ class SnapshotTable:
                 "for a plain file-count rewrite"
             )
         cur = self.current_version()
+        basis = self.snapshot(cur) if cur is not None else None
         df = self.read(spark, version=cur, merge_schema=True)
         # global per-column bounds: one aggregate row, driver-side O(cols)
         row = df.agg(
@@ -1871,7 +1936,7 @@ class SnapshotTable:
             return self._commit_rewrite(
                 "optimize",
                 cur,
-                removed=self.snapshot(cur).files if cur is not None else (),
+                removed=basis.files if basis else (),
                 new_files=new,
                 new_stats=new_stats,
                 spark=spark,
@@ -2386,11 +2451,6 @@ class SnapshotTable:
                         .withColumn("_commit_version", F_lit(v))
                     )
                 continue
-            parent_files = (
-                set(self.snapshot(s.parent).files)
-                if s.parent is not None
-                else set()
-            )
             if s.op == "replace":
                 pred = raw.get("replace_predicate")
                 repl = raw.get("replace_added")
@@ -2420,7 +2480,12 @@ class SnapshotTable:
                     )
                 continue
             if s.op == "append":
-                added = [f for f in s.files if f not in parent_files]
+                # the delta manifest already lists what this append
+                # added (review r9: resolving the parent snapshot per
+                # version re-walked the chain for nothing); inline
+                # manifests (a since=-1 range reaching v0) fall back to
+                # the full file list — v0 has no parent to diff against
+                added = raw["add"] if "add" in raw else raw.get("files", [])
                 if added:
                     parts.append(
                         self._read_files(spark, added)
@@ -2450,9 +2515,22 @@ class SnapshotTable:
                 "read the full snapshot instead"
             )
         if not parts:
+            # typed empty feed: derive the row schema from the until-
+            # snapshot's files, its recorded manifest schema when the
+            # file list is empty (review r9: read() raises on an empty
+            # snapshot — a changeless feed over an emptied table must
+            # return empty, not crash), or zero columns when unknowable
+            snap = self.snapshot(until)
+            if snap.files:
+                base = self.read(spark, until)
+            elif snap.schema:
+                base = spark.createDataFrame(
+                    [], ", ".join(f"`{n}` {t}" for n, t in snap.schema)
+                )
+            else:
+                base = spark.range(0).drop("id")
             return (
-                self.read(spark, until)
-                .withColumn("_change_type", F_lit(""))
+                base.withColumn("_change_type", F_lit(""))
                 .withColumn("_commit_version", F_lit(0))
                 .limit(0)
             )

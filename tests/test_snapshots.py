@@ -1883,3 +1883,67 @@ def test_merge_delete_change_data_and_vacuum_retention(spark, table):
     removed = table.vacuum(keep_versions=1)  # v1 manifest pruned now
     assert not list((table.root / "_change_data").rglob("*.parquet"))
     assert any(r.startswith("_change_data") for r in removed)
+
+
+def test_merge_change_data_dup_target_keys_split(spark, table):
+    """Review r9: a source key matching SEVERAL target rows collapses
+    them to one row — the CDF must report N deletes + 1 insert (an
+    unpairable update_preimage glut would make pre/post-pairing
+    consumers misapply the batch); single-match keys stay true update
+    pairs."""
+    table.append(
+        spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 20)], "k long, v long"
+        )
+    )
+    table.merge(
+        spark,
+        _kv(spark, [(1, 100), (2, 21)]),
+        key_cols=["k"],
+        change_data=True,
+    )
+    rows = sorted(
+        (r.k, r.v, r._change_type)
+        for r in table.read_changes_cdf(spark, since_version=0).collect()
+    )
+    assert rows == [
+        (1, 10, "delete"),
+        (1, 11, "delete"),
+        (1, 100, "insert"),
+        (2, 20, "update_preimage"),
+        (2, 21, "update_postimage"),
+    ]
+    got = sorted((r.k, r.v) for r in table.read(spark).collect())
+    assert got == [(1, 100), (2, 21)]  # table semantics unchanged
+
+
+def test_merge_change_data_cleanup_on_write_failure(spark, table):
+    """Review r9: a data-write failure after the change-data dir landed
+    must drop that dir too, not strand it until vacuum."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        ConstraintViolation,
+    )
+
+    table.append(_kv(spark, [(1, 10)]))
+    table.add_check_constraint(spark, "v_small", "v <= 1000")
+    with pytest.raises(ConstraintViolation):
+        table.merge(
+            spark,
+            _kv(spark, [(1, 99999)]),  # violates v_small
+            key_cols=["k"],
+            change_data=True,
+        )
+    assert not list((table.root / "_change_data").rglob("*.parquet")), (
+        "aborted merge stranded its change-data files"
+    )
+
+
+def test_cdf_empty_feed_over_emptied_table(spark, table):
+    """Review r9: a changeless CDF range whose until-snapshot has ZERO
+    files (delete-everything) must return an empty typed feed, not
+    crash in the schema-deriving read."""
+    table.append(_kv(spark, [(1, 10)]).coalesce(1))
+    table.delete(spark, "v >= 0")              # v1: table now empty
+    cdf = table.read_changes_cdf(spark, since_version=1)  # empty range
+    assert cdf.count() == 0
+    assert "_change_type" in cdf.columns and "k" in cdf.columns
