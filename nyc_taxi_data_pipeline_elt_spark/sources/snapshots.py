@@ -1584,13 +1584,21 @@ class SnapshotTable:
                 source.select(*key_cols), key_cols, "left_anti"
             )
         if when_matched == "update" or when_not_matched == "insert":
-            if when_not_matched == "insert":
-                incoming = source  # matched updates + unmatched inserts
-            elif target is not None:
+            if when_not_matched != "insert":
                 # update-only: keep just the source rows that matched
-                incoming = source.join(target_keys, key_cols, "left_semi")
+                incoming = (
+                    source.join(target_keys, key_cols, "left_semi")
+                    if target is not None
+                    else None
+                )
+            elif when_matched == "delete" and target is not None:
+                # delete+insert: a MATCHED source row must NOT re-enter
+                # the table as an insert — its match was just deleted
+                # (review r9: `incoming = source` resurrected it, against
+                # MERGE semantics and the CDF's replay contract)
+                incoming = source.join(target_keys, key_cols, "left_anti")
             else:
-                incoming = None
+                incoming = source  # matched updates + unmatched inserts
             if incoming is not None:
                 cols = out_rows.columns if out_rows is not None else incoming.columns
                 incoming = incoming.select(*cols)
@@ -1663,12 +1671,12 @@ class SnapshotTable:
         - unmatched source rows are ``insert`` when
           ``when_not_matched='insert'``.
 
-        The duplicate-arity split costs one window count over the
-        MATCHED slice only — part of change_data's documented opt-in
-        price."""
-        from pyspark.sql.functions import count as F_count
-        from pyspark.sql.window import Window as _Window
-
+        The duplicate-arity split derives both key sets from ONE shared
+        per-key count aggregate over the MATCHED slice (review r9: a
+        window plus two independent groupBys tripled the shuffle; the
+        identical count subplan across branches also lets Spark reuse
+        the exchange inside the single change-data write) — part of
+        change_data's documented opt-in price."""
         parts: list[DataFrame] = []
         if target is None:
             if when_not_matched == "insert":
@@ -1684,30 +1692,16 @@ class SnapshotTable:
                 matched.withColumn("_change_type", F_lit("delete"))
             )
         else:
-            arity = matched.withColumn(
-                "__n", F_count("*").over(_Window.partitionBy(*key_cols))
-            )
+            counts = matched.groupBy(*key_cols).count()
+            single_keys = counts.filter(F_col("count") == 1).select(*key_cols)
+            dup_keys = counts.filter(F_col("count") > 1).select(*key_cols)
             parts.append(
-                arity.filter(F_col("__n") == 1)
-                .drop("__n")
+                matched.join(single_keys, key_cols, "left_semi")
                 .withColumn("_change_type", F_lit("update_preimage"))
             )
             parts.append(
-                arity.filter(F_col("__n") > 1)
-                .drop("__n")
+                matched.join(dup_keys, key_cols, "left_semi")
                 .withColumn("_change_type", F_lit("delete"))
-            )
-            single_keys = (
-                matched.groupBy(*key_cols)
-                .count()
-                .filter(F_col("count") == 1)
-                .select(*key_cols)
-            )
-            dup_keys = (
-                matched.groupBy(*key_cols)
-                .count()
-                .filter(F_col("count") > 1)
-                .select(*key_cols)
             )
             parts.append(
                 source.join(single_keys, key_cols, "left_semi")
@@ -2383,11 +2377,34 @@ class SnapshotTable:
             raise FileNotFoundError(f"{self.root}: no committed snapshot")
         added = self.added_files(since_version, until)
         if not added:
-            return self.read(spark, until, merge_schema=merge_schema).limit(0)
+            return self._snapshot_frame_or_empty(
+                spark, until, merge_schema=merge_schema
+            ).limit(0)
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*[str(self.root / f) for f in added])
+
+    def _snapshot_frame_or_empty(
+        self,
+        spark: SparkSession,
+        version: int,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """A DataFrame carrying snapshot ``version``'s row schema even
+        when its FILE LIST is empty (review r9: ``read()`` raises on an
+        empty snapshot, so a changeless feed over an emptied table
+        crashed instead of returning empty) — typed from the manifest's
+        recorded schema, or zero columns when unknowable. The empty-feed
+        base both change readers share."""
+        snap = self.snapshot(version)
+        if snap.files:
+            return self.read(spark, version, merge_schema=merge_schema)
+        if snap.schema:
+            return spark.createDataFrame(
+                [], ", ".join(f"`{n}` {t}" for n, t in snap.schema)
+            )
+        return spark.range(0).drop("id")
 
     def read_changes_cdf(
         self,
@@ -2433,15 +2450,20 @@ class SnapshotTable:
             raise FileNotFoundError(f"{self.root}: no committed snapshot")
         parts: list[DataFrame] = []
         for v in range(since_version + 1, until + 1):
-            s = self.snapshot(v)
-            if s.op in (
+            # the raw manifest carries everything this loop needs (op,
+            # deltas, predicates, cdc refs) — resolving the full
+            # snapshot per version would re-walk the delta chain up to
+            # checkpoint_every times per step for nothing (review r9);
+            # only the rare legacy-inline-append fallback resolves one
+            raw = self._raw_manifest(v)
+            op = raw["op"]
+            if op in (
                 "compact",
                 "optimize",
                 "add_constraint",
                 "drop_constraint",
             ):
                 continue
-            raw = self._raw_manifest(v)
             if "cdc_files" in raw:
                 # explicit change-data files (merge change_data=True):
                 # authoritative, already typed; empty list = no changes
@@ -2451,7 +2473,7 @@ class SnapshotTable:
                         .withColumn("_commit_version", F_lit(v))
                     )
                 continue
-            if s.op == "replace":
+            if op == "replace":
                 pred = raw.get("replace_predicate")
                 repl = raw.get("replace_added")
                 if pred is None or repl is None:
@@ -2479,13 +2501,26 @@ class SnapshotTable:
                         .withColumn("_commit_version", F_lit(v))
                     )
                 continue
-            if s.op == "append":
-                # the delta manifest already lists what this append
-                # added (review r9: resolving the parent snapshot per
-                # version re-walked the chain for nothing); inline
-                # manifests (a since=-1 range reaching v0) fall back to
-                # the full file list — v0 has no parent to diff against
-                added = raw["add"] if "add" in raw else raw.get("files", [])
+            if op == "append":
+                if "add" in raw:
+                    added = raw["add"]  # delta manifest: the common case
+                elif raw.get("parent") is None:
+                    # inline v0 (a since=-1 range): everything is new
+                    added = raw.get("files", [])
+                else:
+                    # legacy/hand-written INLINE append at v>0 (review
+                    # r9: trusting its full file list would replay every
+                    # CARRIED pre-existing row as an insert): fall back
+                    # to the parent diff, paying the chain walk only for
+                    # this rare manifest shape
+                    parent_files = set(
+                        self.snapshot(raw["parent"]).files
+                    )
+                    added = [
+                        f
+                        for f in raw.get("files", [])
+                        if f not in parent_files
+                    ]
                 if added:
                     parts.append(
                         self._read_files(spark, added)
@@ -2493,7 +2528,7 @@ class SnapshotTable:
                         .withColumn("_commit_version", F_lit(v))
                     )
                 continue
-            if s.op == "delete":
+            if op == "delete":
                 removed = raw.get("remove", [])
                 pred = raw.get("delete_predicate")
                 if removed and pred is None:
@@ -2511,26 +2546,13 @@ class SnapshotTable:
                 continue
             raise ValueError(
                 f"{self.root}: change feed crosses snapshot v{v} "
-                f"(op={s.op!r}) whose row changes are not replayable; "
+                f"(op={op!r}) whose row changes are not replayable; "
                 "read the full snapshot instead"
             )
         if not parts:
-            # typed empty feed: derive the row schema from the until-
-            # snapshot's files, its recorded manifest schema when the
-            # file list is empty (review r9: read() raises on an empty
-            # snapshot — a changeless feed over an emptied table must
-            # return empty, not crash), or zero columns when unknowable
-            snap = self.snapshot(until)
-            if snap.files:
-                base = self.read(spark, until)
-            elif snap.schema:
-                base = spark.createDataFrame(
-                    [], ", ".join(f"`{n}` {t}" for n, t in snap.schema)
-                )
-            else:
-                base = spark.range(0).drop("id")
             return (
-                base.withColumn("_change_type", F_lit(""))
+                self._snapshot_frame_or_empty(spark, until)
+                .withColumn("_change_type", F_lit(""))
                 .withColumn("_commit_version", F_lit(0))
                 .limit(0)
             )

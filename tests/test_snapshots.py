@@ -1947,3 +1947,60 @@ def test_cdf_empty_feed_over_emptied_table(spark, table):
     cdf = table.read_changes_cdf(spark, since_version=1)  # empty range
     assert cdf.count() == 0
     assert "_change_type" in cdf.columns and "k" in cdf.columns
+
+
+def test_merge_delete_insert_does_not_resurrect_matched_rows(spark, table):
+    """Review r9 (pre-existing semantic bug): when_matched='delete' +
+    when_not_matched='insert' must DELETE matched rows, not replace
+    them — only unmatched source rows insert. The CDF (change_data)
+    must agree row for row with the committed table."""
+    table.append(_kv(spark, [(1, 10), (2, 20)]))
+    table.merge(
+        spark,
+        _kv(spark, [(1, 99), (3, 30)]),
+        key_cols=["k"],
+        when_matched="delete",
+        when_not_matched="insert",
+        change_data=True,
+    )
+    got = sorted((r.k, r.v) for r in table.read(spark).collect())
+    assert got == [(2, 20), (3, 30)], "matched row must not resurrect"
+    rows = sorted(
+        (r.k, r.v, r._change_type)
+        for r in table.read_changes_cdf(spark, since_version=0).collect()
+    )
+    assert rows == [(1, 10, "delete"), (3, 30, "insert")]
+
+
+def test_cdf_legacy_inline_append_diffs_parent(spark, table):
+    """Review r9: a legacy/hand-written INLINE append manifest at v>0
+    (full file list, no add/remove deltas) must contribute only its
+    genuinely-new files to the CDF — trusting its file list would
+    replay every carried row as an insert."""
+    table.append(_kv(spark, [(1, 10)]))                         # v0
+    table.append(_kv(spark, [(2, 20)]))                         # v1
+    # rewrite v1 as an inline manifest (what a pre-delta-log writer or
+    # an external tool would produce)
+    m = table.manifest_dir / "v00000001.json"
+    raw = json.loads(m.read_text())
+    snap1 = table.snapshot(1)
+    for k in ("add", "remove", "stats_add"):
+        raw.pop(k, None)
+    raw["files"] = list(snap1.files)
+    raw["stats"] = dict(snap1.stats or {})
+    m.write_text(json.dumps(raw))
+    rows = [
+        (r.k, r._change_type)
+        for r in table.read_changes_cdf(spark, since_version=0).collect()
+    ]
+    assert rows == [(2, "insert")], "carried v0 rows must not replay"
+
+
+def test_insert_only_feed_empty_over_empty_table(spark, table):
+    """Review r9: read_changes over a range ending at an empty snapshot
+    returns a typed empty feed instead of crashing."""
+    table.append(_kv(spark, [(1, 10)]).coalesce(1))             # v0
+    table.delete(spark, "v >= 0")                               # v1: empty
+    # the feed range is (1, 1] = empty -> typed empty result
+    out = table.read_changes(spark, since_version=1)
+    assert out.count() == 0 and "k" in out.columns
