@@ -315,6 +315,11 @@ class Snapshot:
     # CHECK constraints: {name: sql_expr}; carried forward on every
     # commit and enforced on every data-adding write (Delta CHECK).
     constraints: dict = None  # type: ignore[assignment]
+    # table properties: {key: str} carried forward on every commit like
+    # constraints (Delta TBLPROPERTIES) — e.g.
+    # 'delta.enableChangeDataFeed' = 'true' makes every merge write its
+    # change-data files without the per-call flag.
+    properties: dict = None  # type: ignore[assignment]
     # Delta operationMetrics: {num_added_files, num_removed_files,
     # rows_added, rows_removed} derived at commit time from metadata the
     # commit already holds (file lists + __num_rows__ stats) — the
@@ -345,6 +350,7 @@ def _make_snapshot(raw: dict, files, stats: dict) -> Snapshot:
             tuple(raw["batch_ids"]) if "batch_ids" in raw else None
         ),
         constraints=raw.get("constraints", {}),
+        properties=raw.get("properties", {}),
         metrics=raw.get("metrics", {}),
         schema=(
             tuple((n, t) for n, t in raw["schema"])
@@ -534,6 +540,7 @@ class SnapshotTable:
         batch_id: int | None = None,
         stats: dict | None = None,
         constraints: dict | None = None,
+        properties: dict | None = None,
         batch_ids_override: list | None = None,
         expected_parent: int | None | object = _UNSET,
         extra: dict | None = None,
@@ -563,10 +570,13 @@ class SnapshotTable:
         )
         version = 0 if parent is None else parent + 1
         psnap = self.snapshot(parent) if parent is not None else None
-        # constraints ride every manifest (like batch_ids): None means
-        # "inherit the parent's", a dict is an explicit replacement
+        # constraints and properties ride every manifest (like
+        # batch_ids): None means "inherit the parent's", a dict is an
+        # explicit replacement
         if constraints is None:
             constraints = dict(psnap.constraints or {}) if psnap else {}
+        if properties is None:
+            properties = dict(psnap.properties or {}) if psnap else {}
         # every commit carries the cumulative batch-id set forward, so a
         # replayed foreachBatch is detected from the current manifest alone;
         # a legacy parent (no recorded set) is reconstructed from history once
@@ -593,6 +603,7 @@ class SnapshotTable:
             "ts": time.time(),
             "batch_ids": seen,
             "constraints": constraints,
+            "properties": properties,
         }
         if schema is SnapshotTable._UNSET:
             rec = (
@@ -1535,6 +1546,12 @@ class SnapshotTable:
                 extra={"cdc_files": []} if change_data else None,
             )
         snap = self.snapshot(cur)
+        if not change_data:
+            # table property (Delta enableChangeDataFeed): change-data
+            # files on every merge without the per-call flag
+            change_data = (snap.properties or {}).get(
+                "delta.enableChangeDataFeed"
+            ) == "true"
 
         key_range = source.agg(
             *[
@@ -2086,6 +2103,45 @@ class SnapshotTable:
             expected_parent=cur,
         )
 
+    def set_property(self, key: str, value: str) -> Snapshot:
+        """Delta ``ALTER TABLE SET TBLPROPERTIES``: a metadata-only
+        commit recording a {key: value} table property, carried forward
+        on every later commit and versioned with the log. Recognized by
+        this engine: ``'delta.enableChangeDataFeed' = 'true'`` makes
+        every MERGE write its change-data files (the per-call
+        ``change_data=True`` without remembering the flag)."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"{self.root}: no committed snapshot")
+        snap = self.snapshot(cur)
+        props = dict(snap.properties or {})
+        props[key] = str(value)
+        return self._commit(
+            list(snap.files),
+            "set_property",
+            stats=dict(snap.stats or {}),
+            properties=props,
+            expected_parent=cur,
+        )
+
+    def unset_property(self, key: str) -> Snapshot:
+        """Remove a table property (metadata-only commit)."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"{self.root}: no committed snapshot")
+        snap = self.snapshot(cur)
+        props = dict(snap.properties or {})
+        if key not in props:
+            raise ValueError(f"{self.root}: no property {key!r}")
+        del props[key]
+        return self._commit(
+            list(snap.files),
+            "unset_property",
+            stats=dict(snap.stats or {}),
+            properties=props,
+            expected_parent=cur,
+        )
+
     def drop_constraint(self, name: str) -> Snapshot:
         """Remove a CHECK constraint (metadata-only commit)."""
         cur = self.current_version()
@@ -2248,6 +2304,7 @@ class SnapshotTable:
                 sum(counts) if all(c is not None for c in counts) else None
             ),
             "constraints": sorted(snap.constraints or {}),
+            "properties": dict(snap.properties or {}),
             # the last commit's audit counts (Delta operationMetrics)
             "operation_metrics": dict(snap.metrics or {}),
         }
@@ -2334,6 +2391,8 @@ class SnapshotTable:
                 "optimize",
                 "add_constraint",
                 "drop_constraint",
+                "set_property",
+                "unset_property",
             ):
                 continue
             if s.op == "delete" and s.parent is not None and set(
@@ -2462,6 +2521,8 @@ class SnapshotTable:
                 "optimize",
                 "add_constraint",
                 "drop_constraint",
+                "set_property",
+                "unset_property",
             ):
                 continue
             if "cdc_files" in raw:

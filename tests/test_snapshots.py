@@ -2004,3 +2004,41 @@ def test_insert_only_feed_empty_over_empty_table(spark, table):
     # the feed range is (1, 1] = empty -> typed empty result
     out = table.read_changes(spark, since_version=1)
     assert out.count() == 0 and "k" in out.columns
+
+
+def test_table_properties_and_cdf_property(spark, table):
+    """Delta TBLPROPERTIES parity: set_property is a metadata-only
+    versioned commit carried forward by every later commit; the
+    'delta.enableChangeDataFeed' property makes MERGE write change-data
+    files without the per-call flag; property commits are row-neutral
+    to both feeds; unset removes it."""
+    table.append(_kv(spark, [(1, 10), (2, 20)]))                # v0
+    table.set_property("delta.enableChangeDataFeed", "true")    # v1
+    assert table.detail()["properties"] == {
+        "delta.enableChangeDataFeed": "true"
+    }
+    table.append(_kv(spark, [(3, 30)]))                         # v2 carries
+    assert table.snapshot().properties == {
+        "delta.enableChangeDataFeed": "true"
+    }
+    table.merge(spark, _kv(spark, [(2, 21)]), key_cols=["k"])   # v3: CDC on
+    rows = {
+        (r.k, r.v, r._change_type)
+        for r in table.read_changes_cdf(spark, since_version=1).collect()
+    }
+    assert rows == {
+        (3, 30, "insert"),
+        (2, 20, "update_preimage"),
+        (2, 21, "update_postimage"),
+    }
+    # the property commit itself is row-neutral to the insert-only feed
+    assert sorted(
+        r.k for r in table.read_changes(spark, 0, 2).collect()
+    ) == [3]
+    table.unset_property("delta.enableChangeDataFeed")          # v4
+    assert table.detail()["properties"] == {}
+    with pytest.raises(ValueError, match="no property"):
+        table.unset_property("delta.enableChangeDataFeed")
+    table.merge(spark, _kv(spark, [(3, 31)]), key_cols=["k"])   # v5: CDC off
+    with pytest.raises(ValueError, match="full snapshot"):
+        table.read_changes_cdf(spark, since_version=4)
