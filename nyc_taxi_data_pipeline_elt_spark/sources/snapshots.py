@@ -203,6 +203,17 @@ def _check_proven_by_stats(expr: str, fstats: dict) -> bool:
     return lo == lit == hi  # = / ==
 
 
+def _cdf_enabled(snap: "Snapshot") -> bool:
+    """The ``delta.enableChangeDataFeed`` table property, parsed
+    case-insensitively (Delta's boolean-property semantics; a literal
+    ``== 'true'`` would silently ignore 'True'/'TRUE')."""
+    return (
+        str((snap.properties or {}).get("delta.enableChangeDataFeed", ""))
+        .lower()
+        == "true"
+    )
+
+
 def _rows_of(files, stats: dict) -> int | None:
     """Total ``__num_rows__`` across ``files`` from their stats entries
     — None when any file's count is unrecorded (legacy write)."""
@@ -1191,6 +1202,7 @@ class SnapshotTable:
         recheck: tuple | None = None,
         extra: dict | None = None,
         evolve_with: DataFrame | None = None,
+        metadata_guard=None,
     ) -> Snapshot:
         """Commit a REWRITE (compact / optimize / replace_where / merge /
         delete) with Delta-style logical conflict reconciliation
@@ -1225,6 +1237,14 @@ class SnapshotTable:
         re-derived against each rebase parent; None (compact /
         optimize / delete preserve the row shape) inherits the parent's
         record untouched.
+
+        ``metadata_guard(newsnap) -> bool``: called on each rebase
+        parent; False means the concurrent commit changed table
+        METADATA this already-planned op cannot honor (e.g. a merge
+        planned without change-data racing a
+        ``delta.enableChangeDataFeed`` enable) — abort, Delta's
+        MetadataChangedException posture, rather than silently commit a
+        hole in the guarantee the metadata promises.
 
         Uuid-dir cleanup on terminal failure stays with the CALLER
         (its try/except wraps this call)."""
@@ -1299,6 +1319,14 @@ class SnapshotTable:
                             f"(e.g. {bad[0]}); cannot rebase — re-run "
                             "against the current snapshot"
                         )
+                if metadata_guard is not None and not metadata_guard(
+                    newsnap
+                ):
+                    raise CommitConflict(
+                        f"{self.root}: table metadata changed under "
+                        f"this {op} in a way it cannot honor; cannot "
+                        "rebase — re-run against the current snapshot"
+                    )
                 cur = newcur
 
     def overwrite(self, df: DataFrame) -> Snapshot:
@@ -1549,9 +1577,7 @@ class SnapshotTable:
         if not change_data:
             # table property (Delta enableChangeDataFeed): change-data
             # files on every merge without the per-call flag
-            change_data = (snap.properties or {}).get(
-                "delta.enableChangeDataFeed"
-            ) == "true"
+            change_data = _cdf_enabled(snap)
 
         key_range = source.agg(
             *[
@@ -1657,6 +1683,11 @@ class SnapshotTable:
                 recheck=(fresh, fresh_stats, enforced),
                 extra={"cdc_files": cdc_files} if change_data else None,
                 evolve_with=source,
+                # a merge PLANNED without change-data must not rebase
+                # onto a concurrent enableChangeDataFeed=true commit —
+                # it would commit a hole in the feed that property now
+                # promises (review r9; Delta raises MetadataChanged)
+                metadata_guard=lambda ns: change_data or not _cdf_enabled(ns),
             )
         except BaseException:
             # carried files stay (committed); fresh data + change files go
@@ -2103,25 +2134,67 @@ class SnapshotTable:
             expected_parent=cur,
         )
 
+    def _metadata_commit(
+        self,
+        op: str,
+        cur: int | None,
+        snap: Snapshot | None,
+        constraints: dict | None = None,
+        properties: dict | None = None,
+    ) -> Snapshot:
+        """Commit a METADATA-ONLY change: basis snapshot ``snap``'s file
+        list and stats carried verbatim, one constraints/properties
+        field replaced (the shared tail of set/unset_property and
+        drop_constraint — review r9: four drifting copies of this
+        boilerplate already produced an empty-table inconsistency). The
+        caller passes the (cur, snap) basis it DERIVED the new field
+        from, so a commit racing in between surfaces as CommitConflict
+        instead of silently losing its metadata. ``snap=None`` creates
+        v0 with no files — governance configured BEFORE the first
+        write."""
+        if snap is None:
+            return self._commit(
+                [],
+                op,
+                stats={},
+                constraints=constraints,
+                properties=properties,
+                expected_parent=None,
+            )
+        return self._commit(
+            list(snap.files),
+            op,
+            stats=dict(snap.stats or {}),
+            constraints=constraints,
+            properties=properties,
+            expected_parent=cur,
+        )
+
     def set_property(self, key: str, value: str) -> Snapshot:
         """Delta ``ALTER TABLE SET TBLPROPERTIES``: a metadata-only
         commit recording a {key: value} table property, carried forward
-        on every later commit and versioned with the log. Recognized by
-        this engine: ``'delta.enableChangeDataFeed' = 'true'`` makes
-        every MERGE write its change-data files (the per-call
-        ``change_data=True`` without remembering the flag)."""
+        on every later commit and versioned with the log. Works on an
+        empty table (enable governance BEFORE the first write, as Delta
+        does). Recognized by this engine:
+        ``'delta.enableChangeDataFeed' = 'true'`` (boolean parsed
+        case-insensitively; invalid values are rejected up front —
+        review r9: ``str(True)`` stored 'True' and a case-sensitive
+        check silently never enabled the feed) makes every MERGE write
+        its change-data files without the per-call flag."""
+        value = str(value)
+        if key == "delta.enableChangeDataFeed" and value.lower() not in (
+            "true",
+            "false",
+        ):
+            raise ValueError(
+                f"{self.root}: {key} must be true/false, got {value!r}"
+            )
         cur = self.current_version()
-        if cur is None:
-            raise FileNotFoundError(f"{self.root}: no committed snapshot")
-        snap = self.snapshot(cur)
-        props = dict(snap.properties or {})
-        props[key] = str(value)
-        return self._commit(
-            list(snap.files),
-            "set_property",
-            stats=dict(snap.stats or {}),
-            properties=props,
-            expected_parent=cur,
+        snap = self.snapshot(cur) if cur is not None else None
+        props = dict(snap.properties or {}) if snap else {}
+        props[key] = value
+        return self._metadata_commit(
+            "set_property", cur, snap, properties=props
         )
 
     def unset_property(self, key: str) -> Snapshot:
@@ -2134,12 +2207,8 @@ class SnapshotTable:
         if key not in props:
             raise ValueError(f"{self.root}: no property {key!r}")
         del props[key]
-        return self._commit(
-            list(snap.files),
-            "unset_property",
-            stats=dict(snap.stats or {}),
-            properties=props,
-            expected_parent=cur,
+        return self._metadata_commit(
+            "unset_property", cur, snap, properties=props
         )
 
     def drop_constraint(self, name: str) -> Snapshot:
@@ -2152,12 +2221,8 @@ class SnapshotTable:
         if name not in cons:
             raise ValueError(f"{self.root}: no constraint {name!r}")
         del cons[name]
-        return self._commit(
-            list(snap.files),
-            "drop_constraint",
-            stats=dict(snap.stats or {}),
-            constraints=cons,
-            expected_parent=cur,
+        return self._metadata_commit(
+            "drop_constraint", cur, snap, constraints=cons
         )
 
     #: Distribute the vacuum listing/deletion when a session is given

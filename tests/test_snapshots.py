@@ -2042,3 +2042,55 @@ def test_table_properties_and_cdf_property(spark, table):
     table.merge(spark, _kv(spark, [(3, 31)]), key_cols=["k"])   # v5: CDC off
     with pytest.raises(ValueError, match="full snapshot"):
         table.read_changes_cdf(spark, since_version=4)
+
+
+def test_property_on_empty_table_and_boolean_validation(spark, table):
+    """Review r9: properties can be set BEFORE the first write (v0 with
+    no files, like add_check_constraint); the CDF boolean is parsed
+    case-insensitively and invalid values are rejected up front."""
+    table.set_property("delta.enableChangeDataFeed", "True")  # empty: v0
+    assert table.current_version() == 0
+    with pytest.raises(ValueError, match="true/false"):
+        table.set_property("delta.enableChangeDataFeed", "yes")
+    table.append(_kv(spark, [(1, 10)]))                       # v1
+    table.merge(spark, _kv(spark, [(2, 20)]), key_cols=["k"])  # v2: CDC on
+    rows = {
+        (r.k, r._change_type)
+        for r in table.read_changes_cdf(spark, since_version=1).collect()
+    }
+    assert rows == {(2, "insert")}, "'True' must still enable the feed"
+
+
+def test_merge_aborts_rebase_onto_concurrent_cdf_enable(
+    spark, table, monkeypatch
+):
+    """Review r9 (Delta MetadataChanged posture): a merge PLANNED
+    without change-data that loses its commit race to a concurrent
+    enableChangeDataFeed=true commit must ABORT, not rebase — rebasing
+    would commit a permanent hole in the feed the property promises."""
+    table.append(_kv(spark, [(1, 10)]))                       # v0
+    racer = SnapshotTable(str(table.root))
+    real_write = SnapshotTable.__dict__["_write_data"]
+    state = {"raced": False}
+
+    def write_then_race(self, df, enforce=True, enforced_out=None):
+        out = real_write(self, df, enforce=enforce, enforced_out=enforced_out)
+        if not state["raced"]:
+            state["raced"] = True
+            racer.set_property("delta.enableChangeDataFeed", "true")
+        return out
+
+    monkeypatch.setattr(SnapshotTable, "_write_data", write_then_race)
+    with pytest.raises(CommitConflict, match="metadata changed"):
+        table.merge(spark, _kv(spark, [(1, 11)]), key_cols=["k"])
+    monkeypatch.setattr(SnapshotTable, "_write_data", real_write)
+    # re-run against the current snapshot: now CDC-enabled and whole
+    table.merge(spark, _kv(spark, [(1, 11)]), key_cols=["k"])
+    rows = {
+        (r.k, r.v, r._change_type)
+        for r in table.read_changes_cdf(spark, since_version=1).collect()
+    }
+    assert rows == {
+        (1, 10, "update_preimage"),
+        (1, 11, "update_postimage"),
+    }
