@@ -45,82 +45,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records correctness rows for the FIRST 50 entries of
-# ``queries()`` insertion order. Round-9 rotation (VERDICT r8 task #1,
-# executing COVERAGE.md's "r9 rotation pre-computation", re-derived
-# against the actual CORRECTNESS_r08.json: staleness distribution is
-# 50@r8 / 50@r7 / 48@r6 / 39@r4, zero never-green). This window is the
-# 39 queries whose newest green driver row is r4 — nothing has
-# re-verified them across 4 rounds of refactors (includes
-# knn_join_embeddings, semdedup_prune, snapshot_change_feed,
-# lineitem_asof_prior_order, the whole simsearch LSH family) — plus the
-# 11 alphabetically-first r6 rows, starting the r6 cohort refresh.
-# Window invariant: every member's newest prior green row is <= r6;
-# after this round no registered query's evidence predates r6.
-# Everything displaced is r7/r8 driver-hash-verified and remains
+# ``queries()`` insertion order. Round-10 rotation (VERDICT r9 task #1,
+# executing COVERAGE.md's "r10 rotation pre-computation", re-derived
+# against the actual CORRECTNESS_r09.json: staleness distribution is
+# 50@r9 / 50@r8 / 50@r7 / 39@r6, zero never-green, 189 registered ==
+# 189 ever-green). This window is the 39 queries whose newest green
+# driver row is r6 — the oldest evidence in the ledger, predating three
+# rounds of table-format/CDF rework (includes customer_entity_leaders,
+# nation_cheapest_route, funnel_conversion, image_luma_profile, the
+# streaming left-join/dedup/funnel family) — plus the
+# alphabetically-first r7 rows continuing the r7 cohort refresh.
+# Window invariant: every member's newest prior green row is <= r7;
+# after this round no registered query's evidence predates r7.
+# Everything displaced is r8/r9 driver-hash-verified and remains
 # registered, benchmarked, and locally parity-tested;
 # tests/test_window_coverage.py FAILS the suite if any registered query
 # has neither a driver row in any CORRECTNESS_r*.json nor a slot here,
 # and if this list exceeds the 50 slots the driver actually records.
 # NEW queries registered this round take a slot by displacing the
-# alphabetically-last r6 filler (note it in COVERAGE.md) — the r8
+# alphabetically-last r7 filler (note it in COVERAGE.md) — the r8
 # snapshot_time_travel_read pattern.
 _PRIORITY_WINDOW = [
-    # --- stalest: newest green row is r4 (39) ---------------------------
-    "dedup_containment_pairs",
-    "dedup_incremental_minhash",
-    "dedup_spans_corpus",
-    "doc_bottomk_sample",
-    "doc_group_split",
-    "doc_mixture_sample",
-    "doc_quota_sample",
-    "doc_repetition_stats",
-    "doc_sample_split",
-    "doc_vowel_stats_pandas_udf",
-    "dq_expectations_orders",
-    "embedding_kmeans",
-    "embedding_random_projection",
-    "knn_join_embeddings",
-    "lang_id_docs",
-    "large_volume_orders",
-    "late_shipment_priorities",
-    "lineitem_asof_prior_order",
-    "min_cost_supplier_per_part",
-    "multimodal_meta",
-    "nation_profit_by_year",
-    "nation_wealth_coverage",
-    "pack_training_sequences",
-    "part_supplier_variety",
-    "quality_filter_docs",
-    "returned_item_losses",
-    "semdedup_prune",
-    "shard_assignment",
-    "simsearch_bruteforce_topk",
-    "simsearch_lsh_multiprobe",
-    "simsearch_lsh_topk",
-    "simsearch_recall_eval",
-    "snapshot_change_feed",
-    "source_quality_udaf",
-    "sql_consumption_report",
-    "text_stats",
-    "top3_lineitems_per_supplier",
-    "top_revenue_suppliers",
-    "winnow_fingerprint_docs",
-    # --- r6 cohort refresh: alphabetically-first 11 r6 rows -------------
-    "ab_test_event_value",
-    "audio_energy_profile",
-    "balanced_shard_packing",
-    "bigram_lm_scores",
-    "bpe_pair_counts",
-    "classifier_score_docs",
-    "cohort_retention",
-    "corpus_datasheet",
-    "curate_corpus_pipeline",
-    # NEW r9 queries (SnapshotTable.delete drive; merge change-data CDF
-    # drive) take slots 49-50 by displacing the two alphabetically-last
-    # r6 fillers (customer_entity_leaders, curriculum_budget_selection —
-    # both keep their r6 green rows)
-    "snapshot_delete_rows",
-    "snapshot_cdf_updates",
+    # --- stalest: newest green row is r6 (39) ---------------------------
+    "curriculum_budget_selection",
+    "customer_entity_leaders",
+    "dedup_lsh_band_plan",
+    "dedup_lsh_recall_eval",
+    "dedup_minhash_lsh_capped",
+    "dedup_threshold_sweep",
+    "doc_char_entropy",
+    "embedding_neardup_pairs",
+    "embedding_norm_profile",
+    "embedding_standardize_profile",
+    "events_anomaly_screen",
+    "funnel_conversion",
+    "image_luma_profile",
+    "join_cardinality_estimate",
+    "kmv_distinct_tokens",
+    "mixture_temperature_weights",
+    "nation_cheapest_route",
+    "order_price_deciles",
+    "order_price_histogram",
+    "orders_grouping_sets",
+    "percentile_sketch_eval",
+    "pii_redact_docs",
+    "props_extract_udtf",
+    "q1_monthly_revenue",
+    "quality_drift_psi",
+    "quality_quantile_normalize",
+    "semantic_decontaminate",
+    "similar_part_names",
+    "skew_diagnosis_orders",
+    "source_novelty_curve",
+    "source_overlap_matrix",
+    "sql_scripting_threshold_scan",
+    "streaming_click_purchase_left_join",
+    "streaming_dedup_within_watermark",
+    "streaming_funnel_stages",
+    "streaming_user_totals_tws",
+    "video_motion_profile",
+    "vocab_coverage",
+    "winsorized_order_stats",
+    # --- r7 cohort refresh: alphabetically-first r7 rows ----------------
+    "approx_distinct_stats",
+    "biggest_order_per_customer",
+    "boilerplate_prefix_report",
+    "click_attribution",
+    "copurchase_part_pairs",
+    "cube_order_stats",
+    "customer_max_order_subquery",
+    "customers_with_big_order",
+    "customers_without_open_orders",
+    "dedup_canonical_docs",
+    "dedup_clusters",
 ]
 
 _PLAN_MODULES = (
