@@ -116,8 +116,12 @@ _PRIORITY_WINDOW = [
     "customer_max_order_subquery",
     "customers_with_big_order",
     "customers_without_open_orders",
-    "dedup_canonical_docs",
-    "dedup_clusters",
+    # NEW r10 queries (SnapshotTable.update drive; optimize CDF
+    # row-neutrality) take slots 49-50 by displacing the two
+    # alphabetically-last r7 fillers (dedup_canonical_docs,
+    # dedup_clusters — both keep their r7 green rows)
+    "snapshot_update_rows",
+    "snapshot_optimize_cdf_neutral",
 ]
 
 _PLAN_MODULES = (

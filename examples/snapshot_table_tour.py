@@ -61,7 +61,8 @@ def main() -> None:
 
     # 5. compaction + vacuum — no reader ever sees a torn directory
     table.compact(spark, target_files=2)
-    removed = table.vacuum(keep_versions=1)
+    # grace_seconds=0: this single-process tour has no in-flight writer
+    removed = table.vacuum(keep_versions=1, grace_seconds=0.0)
     print("compacted; vacuum removed", len(removed), "files")
 
     # 6. exactly-once batch commits — a replayed batch id is a no-op

@@ -431,18 +431,32 @@ class SnapshotTable:
             return None
         return c
 
-    def _read_files(self, spark: SparkSession, rel_files) -> DataFrame:
+    def _read_files(
+        self, spark: SparkSession, rel_files, schema=None
+    ) -> DataFrame:
         """mergeSchema read over specific table files. Every REWRITE
-        path (delete survivors, replace_where remainder, merge target,
-        compact/optimize input) and the CDF delete replay must read
-        with the UNION schema: a plain read sniffs one footer, and on a
-        name-evolved table that silently DROPS later-added columns from
-        the rewritten rows (or crashes when the sniffed footer lacks
-        the predicate column) — review r9, data-loss class. Rewrites
-        read data pages anyway, so the extra footer union is noise."""
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[str(self.root / f) for f in rel_files]
-        )
+        path (delete survivors, update target, replace_where remainder,
+        merge target, compact/optimize input) and the CDF replays must
+        read with the UNION schema: a plain read sniffs one footer, and
+        on a name-evolved table that silently DROPS later-added columns
+        from the rewritten rows (or crashes when the sniffed footer
+        lacks the predicate column) — review r9, data-loss class.
+        Rewrites read data pages anyway, so the extra footer union is
+        noise.
+
+        ``schema`` — a manifest-recorded (name, type) pair list — makes
+        the read use the LOG schema, Delta's posture (ADVICE r9): a
+        column added by name evolution that NO listed file contains
+        then reads as typed NULLs, so a predicate referencing it
+        evaluates (to NULL -> no match) instead of raising
+        AnalysisException. The footer union can only see columns some
+        listed file has; the log schema is authoritative."""
+        paths = [str(self.root / f) for f in rel_files]
+        if schema:
+            return spark.read.schema(
+                ", ".join(f"`{n}` {t}" for n, t in schema)
+            ).parquet(*paths)
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def _drop_uuid_dirs(self, rels) -> None:
         """Eagerly delete the uuid dirs of uncommitted written files —
@@ -679,7 +693,22 @@ class SnapshotTable:
             # safe to lose (resolution falls back to the chain walk)
             self._write_checkpoint(version, files_sorted, stats)
         self._swap_pointer(version)
-        return self.snapshot(version)
+        try:
+            return self.snapshot(version)
+        except FileNotFoundError as exc:
+            # ADVICE r9: a recoverer quarantined OUR manifest while we
+            # were paused between the O_EXCL create and the pointer
+            # swap (it looked like a crashed orphan past the grace
+            # period). The swap above skipped (manifest gone) — this
+            # commit did NOT land. Surface it as CommitConflict so the
+            # caller's existing retry/cleanup path fires instead of an
+            # unhandled FileNotFoundError stranding the written files.
+            raise CommitConflict(
+                f"{self.root}: this writer's v{version} manifest was "
+                "quarantined by orphan recovery before its pointer "
+                "swap (paused past the grace period); re-read and "
+                "retry"
+            ) from exc
 
     def _swap_pointer(self, version: int) -> None:
         """Advance the pointer to ``version`` — atomic (os.replace =
@@ -1835,9 +1864,9 @@ class SnapshotTable:
             )
         from pyspark.sql.functions import expr as F_expr
 
-        survivors = self._read_files(spark, touched).filter(
-            ~F_coalesce(F_expr(predicate), F_lit(False))
-        )
+        survivors = self._read_files(
+            spark, touched, schema=snap.schema
+        ).filter(~F_coalesce(F_expr(predicate), F_lit(False)))
         new, new_stats = self._write_data(survivors, enforce=False)
         try:
             return self._commit_rewrite(
@@ -1855,6 +1884,167 @@ class SnapshotTable:
             )
         except BaseException:
             self._drop_uuid_dirs(new)
+            raise
+
+    def update(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        set_exprs: dict[str, str],
+        retries: int = 3,
+        change_data: bool = False,
+    ) -> Snapshot:
+        """Row-level ``UPDATE ... SET col = expr WHERE predicate``
+        (Delta parity — VERDICT r9 task #2: the last missing Delta
+        row-level op next to :meth:`merge` and :meth:`delete`).
+        ``predicate`` is a SQL boolean expression; rows where it is
+        TRUE get every ``set_exprs`` assignment applied, FALSE/NULL
+        rows are carried verbatim (SQL WHERE semantics). Assignments
+        are SQL expressions evaluated against the PRE-image row — an
+        expr referencing another updated column sees its OLD value,
+        and each result is cast to the column's existing type (Delta's
+        UPDATE cast; SET cannot add columns, the row shape is
+        preserved).
+
+        Copy-on-write, stats-pruned first, like :meth:`delete`: a file
+        whose manifest [min, max] envelope PROVES no row matches
+        (:func:`_pred_disjoint_by_stats`) is carried verbatim — a
+        provably-disjoint update on a 100 TB table is METADATA-ONLY
+        (zero read tasks, zero rewrites, one manifest write). Only
+        intersecting files are read (with the LOG schema, so an
+        evolution-added predicate/SET column evaluates as NULL) and
+        rewritten. Unlike delete, an update CAN manufacture rows that
+        violate a CHECK constraint, so the rewrite is written with
+        full enforcement (stats-first) and re-enforced on a rebase if
+        a constraint landed concurrently — the append contract.
+
+        CDF: the manifest records ``update_predicate`` + ``update_set``
+        so :meth:`read_changes_cdf` can replay paired
+        ``update_preimage`` / ``update_postimage`` rows from the
+        still-immutable parent files with NO extra write — sound when
+        the SET expressions are deterministic (document'd contract,
+        same class as delete's predicate replay). ``change_data=True``
+        (or the ``delta.enableChangeDataFeed`` table property)
+        materializes the pairs under ``_change_data/`` at commit time
+        instead — authoritative even for non-deterministic SET exprs,
+        Delta's always-materialize posture, at merge's documented
+        opt-in price.
+
+        Losing a commit race re-bases exactly like delete: every
+        rewritten file still live, every concurrently-added file
+        provably predicate-disjoint (else its rows should have been
+        updated too: abort)."""
+        if not set_exprs:
+            raise ValueError(f"{self.root}: update needs at least one SET assignment")
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"{self.root}: no committed snapshot")
+        snap = self.snapshot(cur)
+        if not change_data:
+            change_data = _cdf_enabled(snap)
+        stats = dict(snap.stats or {})
+        touched = [
+            f
+            for f in snap.files
+            if not _pred_disjoint_by_stats(predicate, stats.get(f, {}))
+        ]
+        extra: dict = {
+            "update_predicate": predicate,
+            "update_set": dict(set_exprs),
+        }
+        if change_data:
+            # authoritative (possibly empty) materialized feed — the
+            # CDF must not fall back to re-deriving what the property
+            # promised was materialized
+            extra["cdc_files"] = []
+        guard = lambda rel, fstats: _pred_disjoint_by_stats(  # noqa: E731
+            predicate, fstats
+        )
+        if not touched:
+            if snap.schema is not None:
+                known = {n for n, _ in snap.schema}
+                bad = sorted(set(set_exprs) - known)
+                if bad:
+                    raise ValueError(
+                        f"{self.root}: update SET references column(s) "
+                        f"{bad} not in the table schema"
+                    )
+            return self._commit_rewrite(
+                "update",
+                cur,
+                removed=(),
+                new_files=[],
+                new_stats={},
+                spark=spark,
+                retries=retries,
+                added_guard=guard,
+                extra=extra,
+                metadata_guard=lambda ns: change_data
+                or not _cdf_enabled(ns),
+            )
+        from pyspark.sql.functions import expr as F_expr
+        from pyspark.sql.functions import when as F_when
+
+        target = self._read_files(spark, touched, schema=snap.schema)
+        bad = sorted(set(set_exprs) - set(target.columns))
+        if bad:
+            raise ValueError(
+                f"{self.root}: update SET references column(s) {bad} "
+                "not in the table schema"
+            )
+        match = F_coalesce(F_expr(predicate), F_lit(False))
+
+        def _post_cols(df: DataFrame, guarded: bool) -> list:
+            """The UPDATE projection: every column, SET exprs applied
+            (guarded per-row by the predicate, or unguarded over an
+            already-filtered matched slice), cast back to the column's
+            committed type so the row shape never drifts."""
+            out = []
+            for f in df.schema.fields:
+                if f.name in set_exprs:
+                    e = F_expr(set_exprs[f.name]).cast(f.dataType)
+                    if guarded:
+                        e = F_when(match, e).otherwise(F_col(f.name))
+                    out.append(e.alias(f.name))
+                else:
+                    out.append(F_col(f.name))
+            return out
+
+        rewritten = target.select(*_post_cols(target, guarded=True))
+        cdc_files: list[str] = []
+        if change_data:
+            matched = target.filter(match)
+            changes = matched.withColumn(
+                "_change_type", F_lit("update_preimage")
+            ).unionByName(
+                matched.select(*_post_cols(target, guarded=False))
+                .withColumn("_change_type", F_lit("update_postimage"))
+            )
+            cdc_files = self._write_change_data(changes)
+            extra["cdc_files"] = cdc_files
+        fresh: list[str] = []
+        fresh_stats: dict = {}
+        enforced: dict = {}
+        try:
+            fresh, fresh_stats = self._write_data(
+                rewritten, enforced_out=enforced
+            )
+            return self._commit_rewrite(
+                "update",
+                cur,
+                removed=touched,
+                new_files=fresh,
+                new_stats=fresh_stats,
+                spark=spark,
+                retries=retries,
+                added_guard=guard,
+                recheck=(fresh, fresh_stats, enforced),
+                extra=extra,
+                metadata_guard=lambda ns: change_data
+                or not _cdf_enabled(ns),
+            )
+        except BaseException:
+            self._drop_uuid_dirs(fresh + cdc_files)
             raise
 
     def commit_batch(
@@ -2234,7 +2424,10 @@ class SnapshotTable:
     vacuum_driver_max = 16
 
     def vacuum(
-        self, keep_versions: int = 1, spark: SparkSession | None = None
+        self,
+        keep_versions: int = 1,
+        spark: SparkSession | None = None,
+        grace_seconds: float | None = None,
     ) -> list[str]:
         """Delete data files referenced by no kept snapshot and manifests
         older than the kept window. Run only when no reader holds a
@@ -2242,7 +2435,31 @@ class SnapshotTable:
         Delta/Iceberg VACUUM). With ``spark`` and more than
         ``vacuum_driver_max`` writer dirs, listing + deletion run as one
         Spark job — one task per uuid dir, the live set shipped once as
-        a broadcast — and the driver only assembles the removed list."""
+        a broadcast — and the driver only assembles the removed list.
+
+        ``grace_seconds`` (default :attr:`orphan_grace_seconds`) is the
+        in-flight-writer guard (ADVICE r9, Delta's retention-hours
+        posture): a writer uuid dir — data OR ``_change_data`` — whose
+        mtime is younger than the grace is SKIPPED even when no kept
+        manifest references it, because its writer may be between the
+        file write and the manifest commit (the cdc dir of a
+        ``merge(change_data=True)`` lands before the rebase-capable
+        commit loop — reclaiming it mid-window would commit a manifest
+        whose ``cdc_files`` point at nothing, permanently breaking that
+        version's CDF). Pass ``0.0`` only when no writer can be
+        in flight."""
+        grace = (
+            self.orphan_grace_seconds
+            if grace_seconds is None
+            else grace_seconds
+        )
+
+        def _settled(d: Path) -> bool:
+            try:
+                return time.time() - d.stat().st_mtime >= grace
+            except OSError:
+                return False  # vanished under us: another vacuum got it
+
         hist = self.history()
         if not hist:
             return []
@@ -2253,7 +2470,7 @@ class SnapshotTable:
             for d in (
                 self.data_dir.iterdir() if self.data_dir.exists() else []
             )
-            if d.is_dir()
+            if d.is_dir() and _settled(d)
         )
         removed: list[str] = []
         if spark is not None and len(subdirs) > self.vacuum_driver_max:
@@ -2287,7 +2504,9 @@ class SnapshotTable:
                 for s in kept
                 for f in self._raw_manifest(s.version).get("cdc_files", [])
             )
-            for sub in sorted(d for d in cdc_root.iterdir() if d.is_dir()):
+            for sub in sorted(
+                d for d in cdc_root.iterdir() if d.is_dir() and _settled(d)
+            ):
                 removed.extend(
                     _vacuum_subdir(str(self.root), str(sub), live_cdc)
                 )
@@ -2460,9 +2679,10 @@ class SnapshotTable:
                 "unset_property",
             ):
                 continue
-            if s.op == "delete" and s.parent is not None and set(
+            if s.op in ("delete", "update") and s.parent is not None and set(
                 s.files
             ) == set(self.snapshot(s.parent).files):
+                # stats pruning touched zero files: no row changed
                 continue
             if s.op != "append":
                 raise ValueError(
@@ -2544,15 +2764,22 @@ class SnapshotTable:
         :meth:`read_changes` must refuse.
 
         - a commit that recorded explicit ``cdc_files`` (a
-          ``merge(change_data=True)`` — Delta's cdc actions) serves
-          them verbatim: ``update_preimage`` / ``update_postimage`` /
-          ``delete`` / ``insert`` rows as materialized at commit time;
+          ``merge``/``update`` with ``change_data=True`` — Delta's cdc
+          actions) serves them verbatim: ``update_preimage`` /
+          ``update_postimage`` / ``delete`` / ``insert`` rows as
+          materialized at commit time;
         - ``append`` -> its added files' rows as ``insert``;
         - ``delete`` -> the REMOVED rows as ``delete``, replayed by
           re-reading the rewritten parent files (immutable until
           vacuumed — same retention contract as Delta CDF) under the
           predicate the manifest recorded; a no-op delete contributes
           nothing;
+        - ``update`` -> paired ``update_preimage`` /
+          ``update_postimage`` rows DERIVED from the removed parent
+          files under the recorded predicate + SET expressions (exact
+          when the SET exprs are deterministic — the documented replay
+          contract; an update committed with change-data serves its
+          materialized pairs via ``cdc_files`` above instead);
         - ``replace`` (replace_where) -> fully DERIVED, no extra
           writes: deletes = the removed files' predicate-matching rows,
           inserts = the recorded replacement files (the rewritten
@@ -2562,16 +2789,32 @@ class SnapshotTable:
         - ``overwrite`` / ``restore`` / a merge without change_data
           still raise (full-snapshot re-read).
 
+        Replays of removed files read with the LOG schema the manifest
+        recorded (ADVICE r9): an evolution-added predicate column no
+        removed file contains evaluates as NULL instead of raising.
+        Every row also carries ``_commit_timestamp`` (the manifest's
+        commit ts — Delta's third CDF metadata column, ADVICE r9)
+        alongside ``_commit_version``.
+
         O(changed files) metadata + one scan over exactly the changed
         files; versions are unioned by name so schema evolution across
         the range reads null-padded."""
         from pyspark.sql.functions import expr as F_expr
+        from pyspark.sql.functions import when as F_when
 
         until = (
             self.current_version() if until_version is None else until_version
         )
         if until is None:
             raise FileNotFoundError(f"{self.root}: no committed snapshot")
+
+        def _stamp(df: DataFrame, v: int, ts: float) -> DataFrame:
+            return df.withColumn(
+                "_commit_version", F_lit(v)
+            ).withColumn(
+                "_commit_timestamp", F_lit(ts).cast("timestamp")
+            )
+
         parts: list[DataFrame] = []
         for v in range(since_version + 1, until + 1):
             # the raw manifest carries everything this loop needs (op,
@@ -2590,13 +2833,19 @@ class SnapshotTable:
                 "unset_property",
             ):
                 continue
+            ts = float(raw.get("ts", 0.0))
+            sch = raw.get("schema")
             if "cdc_files" in raw:
-                # explicit change-data files (merge change_data=True):
-                # authoritative, already typed; empty list = no changes
+                # explicit change-data files (merge/update
+                # change_data=True): authoritative, already typed;
+                # empty list = no changes
                 if raw["cdc_files"]:
                     parts.append(
-                        self._read_files(spark, raw["cdc_files"])
-                        .withColumn("_commit_version", F_lit(v))
+                        _stamp(
+                            self._read_files(spark, raw["cdc_files"]),
+                            v,
+                            ts,
+                        )
                     )
                 continue
             if op == "replace":
@@ -2615,16 +2864,22 @@ class SnapshotTable:
                         cond = F_col(c).isin(*vals)
                         match = cond if match is None else (match & cond)
                     parts.append(
-                        self._read_files(spark, removed)
-                        .filter(F_coalesce(match, F_lit(False)))
-                        .withColumn("_change_type", F_lit("delete"))
-                        .withColumn("_commit_version", F_lit(v))
+                        _stamp(
+                            self._read_files(spark, removed, schema=sch)
+                            .filter(F_coalesce(match, F_lit(False)))
+                            .withColumn("_change_type", F_lit("delete")),
+                            v,
+                            ts,
+                        )
                     )
                 if repl:
                     parts.append(
-                        self._read_files(spark, repl)
-                        .withColumn("_change_type", F_lit("insert"))
-                        .withColumn("_commit_version", F_lit(v))
+                        _stamp(
+                            self._read_files(spark, repl)
+                            .withColumn("_change_type", F_lit("insert")),
+                            v,
+                            ts,
+                        )
                     )
                 continue
             if op == "append":
@@ -2649,9 +2904,12 @@ class SnapshotTable:
                     ]
                 if added:
                     parts.append(
-                        self._read_files(spark, added)
-                        .withColumn("_change_type", F_lit("insert"))
-                        .withColumn("_commit_version", F_lit(v))
+                        _stamp(
+                            self._read_files(spark, added)
+                            .withColumn("_change_type", F_lit("insert")),
+                            v,
+                            ts,
+                        )
                     )
                 continue
             if op == "delete":
@@ -2664,10 +2922,58 @@ class SnapshotTable:
                     )
                 if removed:
                     parts.append(
-                        self._read_files(spark, removed)
-                        .filter(F_coalesce(F_expr(pred), F_lit(False)))
-                        .withColumn("_change_type", F_lit("delete"))
-                        .withColumn("_commit_version", F_lit(v))
+                        _stamp(
+                            self._read_files(spark, removed, schema=sch)
+                            .filter(
+                                F_coalesce(F_expr(pred), F_lit(False))
+                            )
+                            .withColumn("_change_type", F_lit("delete")),
+                            v,
+                            ts,
+                        )
+                    )
+                continue
+            if op == "update":
+                removed = raw.get("remove", [])
+                pred = raw.get("update_predicate")
+                sets = raw.get("update_set")
+                if removed and (pred is None or sets is None):
+                    raise ValueError(
+                        f"{self.root}: update snapshot v{v} recorded no "
+                        "predicate/SET; cannot replay its changes"
+                    )
+                if removed:
+                    base = self._read_files(spark, removed, schema=sch)
+                    matched = base.filter(
+                        F_coalesce(F_expr(pred), F_lit(False))
+                    )
+                    post = matched.select(
+                        *[
+                            F_expr(sets[f.name])
+                            .cast(f.dataType)
+                            .alias(f.name)
+                            if f.name in sets
+                            else F_col(f.name)
+                            for f in base.schema.fields
+                        ]
+                    )
+                    parts.append(
+                        _stamp(
+                            matched.withColumn(
+                                "_change_type", F_lit("update_preimage")
+                            ),
+                            v,
+                            ts,
+                        )
+                    )
+                    parts.append(
+                        _stamp(
+                            post.withColumn(
+                                "_change_type", F_lit("update_postimage")
+                            ),
+                            v,
+                            ts,
+                        )
                     )
                 continue
             raise ValueError(
@@ -2680,6 +2986,9 @@ class SnapshotTable:
                 self._snapshot_frame_or_empty(spark, until)
                 .withColumn("_change_type", F_lit(""))
                 .withColumn("_commit_version", F_lit(0))
+                .withColumn(
+                    "_commit_timestamp", F_lit(0.0).cast("timestamp")
+                )
                 .limit(0)
             )
         out = parts[0]

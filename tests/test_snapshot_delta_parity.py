@@ -116,7 +116,7 @@ def test_reader_unaffected_by_concurrent_vacuum_of_newer(spark, tmp_path):
     v_last = snap.current_version()
     last_rows = _rows(snap.read(spark, version=v_last))
 
-    removed = snap.vacuum(keep_versions=1)
+    removed = snap.vacuum(keep_versions=1, grace_seconds=0.0)
     assert _rows(snap.read(spark, version=v_last)) == last_rows
     # vacuum actually reclaimed the replaced generation's files
     assert removed
