@@ -58,6 +58,34 @@ _PUSHABLE = {
 }
 
 
+def _project_parquet(path: str, arrow_schema, filters=None):
+    """One parquet file -> an Arrow table in exactly ``arrow_schema``'s
+    columns, order, and types — the projection/evolution kernel BOTH
+    readers' ``read`` paths share (review r10: it had been written
+    twice). Only the schema's columns are read (column chunks for
+    everything else are never fetched); a column the file lacks
+    (pre-evolution) is null-padded at the file's row count. ``filters``
+    (pyarrow DNF conjuncts) are applied exactly during the read;
+    returns None when a filter references an absent column — a pushed
+    comparison on an all-NULL column matches no rows (SQL three-valued
+    logic), so the file is skipped entirely."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    want = list(arrow_schema.names)
+    file_schema = pq.read_schema(path)
+    present = [c for c in want if c in file_schema.names]
+    missing = [c for c in want if c not in file_schema.names]
+    if filters and any(c in missing for c, _, _ in filters):
+        return None
+    table = pq.read_table(path, columns=present, filters=filters or None)
+    for c in missing:
+        table = table.append_column(
+            c, pa.nulls(table.num_rows, arrow_schema.field(c).type)
+        )
+    return table.select(want).cast(arrow_schema)
+
+
 class SnapshotDataSource(DataSource):
     """``format("snapshot_table")``; options: ``path`` (required),
     ``version`` (optional time travel)."""
@@ -165,18 +193,25 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     offset the JVM restores via ``AcceptsLatestSeenOffset`` is kept
     JVM-side, never forwarded to the Python reader (the runner
     protocol has exactly initial/latest/partitions/commit). The
-    frontier is therefore tracked in-process and caps bound every
-    trigger AFTER it is known: ``initialOffset`` (fresh stream) or the
-    first ``partitions(start, end)`` call (a restart replaying a
-    pending batch) teaches it. The one unboundable case is the first
-    trigger of a restarted stream whose last batch committed —
-    bounding it from a guessed start could return an offset BEHIND the
-    checkpoint and regress it (duplicate delivery), strictly worse
-    than one oversized batch. ``availableNow`` runs additionally drain
-    as a single batch regardless of caps: Spark wraps sources without
-    ``SupportsTriggerAvailableNow`` in ``AvailableNowDataStreamWrapper``
-    and captures the target offset once, before any batch. Use a
-    ProcessingTime trigger for bounded catch-up."""
+    frontier is therefore tracked in-process, and the FIRST trigger of
+    a fresh reader process is UNBOUNDED unless a restart replays a
+    pending batch (whose ``partitions(start, end)`` call teaches the
+    frontier before any new planning): Spark calls the first
+    ``latestOffset`` before even ``initialOffset`` (observed 4.1.2),
+    and with no signal, bounding from a guessed start could return an
+    offset BEHIND a restored checkpoint and regress it (duplicate
+    delivery) — strictly worse than one oversized batch. Every trigger
+    after the first is bounded. So the caps protect steady-state
+    catch-up (a stream that fell behind drains in steps), NOT the
+    initial-snapshot load, which Delta bounds only because
+    ``SupportsAdmissionControl`` hands it the start offset; bound an
+    initial backfill by starting the stream before the backlog exists
+    or by pre-loading with a batch read. ``availableNow`` runs
+    additionally drain as a single batch regardless of caps: Spark
+    wraps sources without ``SupportsTriggerAvailableNow`` in
+    ``AvailableNowDataStreamWrapper`` and captures the target offset
+    once, before any batch. Use a ProcessingTime trigger for bounded
+    catch-up."""
 
     def __init__(
         self,
@@ -268,23 +303,13 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     def read(self, partition: InputPartition):
         if partition.value is None:
             return
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         # column projection reaches the scan (VERDICT r9 task #4): only
         # the reader schema's columns are read — parquet column chunks
         # for everything else are never fetched; a column this
         # (pre-evolution) file lacks is served as typed nulls
-        want = list(self.arrow_schema.names)
-        file_schema = pq.read_schema(partition.value)
-        present = [c for c in want if c in file_schema.names]
-        missing = [c for c in want if c not in file_schema.names]
-        table = pq.read_table(partition.value, columns=present)
-        for c in missing:
-            table = table.append_column(
-                c, pa.nulls(table.num_rows, self.arrow_schema.field(c).type)
-            )
-        yield from table.select(want).cast(self.arrow_schema).to_batches()
+        yield from _project_parquet(
+            partition.value, self.arrow_schema
+        ).to_batches()
 
     def commit(self, end: dict) -> None:
         # progress tracking lives in the streaming checkpoint; manifests
@@ -367,29 +392,16 @@ class _SnapshotReader(DataSourceReader):
         return [InputPartition(f) for f in files]
 
     def read(self, partition: InputPartition):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         # Arrow-vectorized: yield record batches, not per-row tuples.
         # Pushed filters are applied exactly here (DNF conjunction), so
-        # Spark never re-evaluates them.
-        file_schema = pq.read_schema(partition.value)
-        present = [c for c in self.columns if c in file_schema.names]
-        missing = [c for c in self.columns if c not in file_schema.names]
-        if missing and any(c in missing for c, _, _ in self.pushed):
-            # a pushed comparison on an all-NULL (absent) column matches
-            # no rows — SQL three-valued logic; skip the file entirely
-            return
-        filters = [(c, o, list(v) if o == "in" else v) for c, o, v in self.pushed]
-        table = pq.read_table(
-            partition.value, columns=present, filters=filters or None
+        # Spark never re-evaluates them; projection/evolution handling
+        # is the shared kernel.
+        filters = [
+            (c, o, list(v) if o == "in" else v) for c, o, v in self.pushed
+        ]
+        table = _project_parquet(
+            partition.value, self.arrow_schema, filters
         )
-        # Null-pad columns this (pre-evolution) file lacks, restore the
-        # unified column order, and cast to the unified types so every
-        # partition serves identical Arrow batches.
-        for c in missing:
-            table = table.append_column(
-                c, pa.nulls(table.num_rows, self.arrow_schema.field(c).type)
-            )
-        table = table.select(self.columns).cast(self.arrow_schema)
+        if table is None:
+            return
         yield from table.to_batches()

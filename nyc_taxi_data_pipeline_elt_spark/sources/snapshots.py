@@ -693,22 +693,40 @@ class SnapshotTable:
             # safe to lose (resolution falls back to the chain walk)
             self._write_checkpoint(version, files_sorted, stats)
         self._swap_pointer(version)
-        try:
-            return self.snapshot(version)
-        except FileNotFoundError as exc:
-            # ADVICE r9: a recoverer quarantined OUR manifest while we
-            # were paused between the O_EXCL create and the pointer
-            # swap (it looked like a crashed orphan past the grace
-            # period). The swap above skipped (manifest gone) — this
-            # commit did NOT land. Surface it as CommitConflict so the
-            # caller's existing retry/cleanup path fires instead of an
-            # unhandled FileNotFoundError stranding the written files.
-            raise CommitConflict(
-                f"{self.root}: this writer's v{version} manifest was "
-                "quarantined by orphan recovery before its pointer "
-                "swap (paused past the grace period); re-read and "
-                "retry"
-            ) from exc
+        for attempt in range(3):
+            try:
+                return self.snapshot(version)
+            except FileNotFoundError as exc:
+                cur_now = self.current_version()
+                if not manifest.exists() and (
+                    cur_now is None or cur_now < version
+                ):
+                    # ADVICE r9: a recoverer quarantined OUR manifest
+                    # while we were paused between the O_EXCL create
+                    # and the pointer swap (it looked like a crashed
+                    # orphan past the grace period). The swap above
+                    # skipped (manifest gone) — this commit did NOT
+                    # land. Surface it as CommitConflict so the
+                    # caller's existing retry/cleanup path fires
+                    # instead of an unhandled FileNotFoundError
+                    # stranding the written files.
+                    raise CommitConflict(
+                        f"{self.root}: this writer's v{version} "
+                        "manifest was quarantined by orphan recovery "
+                        "before its pointer swap (paused past the "
+                        "grace period); re-read and retry"
+                    ) from exc
+                # the commit LANDED (our manifest is present / the
+                # pointer reached it) — the resolution walk raced a
+                # concurrent vacuum re-homing ancestors onto a fresh
+                # checkpoint (checkpoint lands BEFORE old manifests
+                # unlink, so a retry resolves). Never report a landed
+                # commit as failed: rewrite callers' failure cleanup
+                # would delete data files the live snapshot references
+                # (review r10, data-loss class).
+                if attempt == 2:
+                    raise
+                time.sleep(0.05)
 
     def _swap_pointer(self, version: int) -> None:
         """Advance the pointer to ``version`` — atomic (os.replace =
@@ -1961,14 +1979,28 @@ class SnapshotTable:
             predicate, fstats
         )
         if not touched:
+            # validate SET names even when nothing rewrites — a typo'd
+            # column must fail loudly, not commit a bogus update_set
+            # (review r10). O(1) from the recorded schema; a legacy
+            # table (no record) pays the footer union once, exactly as
+            # a strict append would.
             if snap.schema is not None:
                 known = {n for n, _ in snap.schema}
-                bad = sorted(set(set_exprs) - known)
-                if bad:
-                    raise ValueError(
-                        f"{self.root}: update SET references column(s) "
-                        f"{bad} not in the table schema"
+            elif snap.files:
+                known = {
+                    n
+                    for n, _ in self._union_schema_from_footers(
+                        spark, snap
                     )
+                }
+            else:
+                known = set(set_exprs)  # empty table: nothing to check
+            bad = sorted(set(set_exprs) - known)
+            if bad:
+                raise ValueError(
+                    f"{self.root}: update SET references column(s) "
+                    f"{bad} not in the table schema"
+                )
             return self._commit_rewrite(
                 "update",
                 cur,
@@ -2013,14 +2045,22 @@ class SnapshotTable:
         rewritten = target.select(*_post_cols(target, guarded=True))
         cdc_files: list[str] = []
         if change_data:
-            matched = target.filter(match)
-            changes = matched.withColumn(
-                "_change_type", F_lit("update_preimage")
-            ).unionByName(
-                matched.select(*_post_cols(target, guarded=False))
-                .withColumn("_change_type", F_lit("update_postimage"))
-            )
-            cdc_files = self._write_change_data(changes)
+            # one scan of the touched files feeds BOTH cdc branches:
+            # without the cache the unionByName's pre and post sides
+            # each re-read the touched parquet (review r10). The cached
+            # slice is only the matched rows (band-sized, spills to
+            # disk if not), released before the rewrite job runs.
+            matched = target.filter(match).persist()
+            try:
+                changes = matched.withColumn(
+                    "_change_type", F_lit("update_preimage")
+                ).unionByName(
+                    matched.select(*_post_cols(target, guarded=False))
+                    .withColumn("_change_type", F_lit("update_postimage"))
+                )
+                cdc_files = self._write_change_data(changes)
+            finally:
+                matched.unpersist()
             extra["cdc_files"] = cdc_files
         fresh: list[str] = []
         fresh_stats: dict = {}
@@ -2800,7 +2840,6 @@ class SnapshotTable:
         files; versions are unioned by name so schema evolution across
         the range reads null-padded."""
         from pyspark.sql.functions import expr as F_expr
-        from pyspark.sql.functions import when as F_when
 
         until = (
             self.current_version() if until_version is None else until_version

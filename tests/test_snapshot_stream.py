@@ -82,10 +82,11 @@ def test_stream_rejects_overwrite_lineage(spark, tmp_path):
 
 def test_stream_admission_control_bounds_each_trigger(spark, tmp_path):
     """maxVersionsPerTrigger/maxFilesPerTrigger (VERDICT r9 task #3):
-    drive the offset protocol exactly as Spark's runner does (initial ->
-    latest -> partitions per trigger) over a 6-version backlog and
-    assert every microbatch is bounded AND the bounded drain delivers
-    exactly the one-batch file set."""
+    drive the offset protocol in Spark's REAL call order — the first
+    latestOffset arrives before even initialOffset (observed 4.1.2) —
+    and assert the documented contract: the first trigger of a fresh
+    reader process is unbounded, every later trigger is bounded, and
+    the bounded drain delivers exactly the one-batch file set."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
     from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
@@ -93,34 +94,47 @@ def test_stream_admission_control_bounds_each_trigger(spark, tmp_path):
     )
 
     table = SnapshotTable(str(tmp_path / "tbl"))
-    for lo in range(0, 12, 2):
-        table.append(_df(spark, lo, lo + 2).coalesce(1))  # 6 versions, 1 file
+    table.append(_df(spark, 0, 2).coalesce(1))            # v0: pre-existing
     schema = to_arrow_schema(table.read(spark).schema)
 
-    def drain(**caps):
-        r = _SnapshotStreamReader(str(table.root), schema, **caps)
-        start = r.initialOffset()["version"]
+    def drain(reader, start):
         batches = []
         for _ in range(20):
-            end = r.latestOffset()["version"]
+            end = reader.latestOffset()["version"]
             if end == start:
                 break
-            parts = r.partitions({"version": start}, {"version": end})
+            parts = reader.partitions({"version": start}, {"version": end})
             files = [p.value for p in parts if p.value is not None]
             batches.append((end - start, len(files)))
-            r.commit({"version": end})
+            reader.commit({"version": end})
             start = end
         else:
             raise AssertionError("backlog did not drain")
         return batches
 
-    unbounded = drain()
-    assert unbounded == [(6, 6)], "no caps: one batch takes everything"
-    by_version = drain(max_versions=2)
-    assert by_version == [(2, 2)] * 3, "2-version steps"
-    by_files = drain(max_files=3)
-    assert [f for _, f in by_files] == [3, 3], "3-file steps"
-    assert sum(f for _, f in by_version) == sum(f for _, f in unbounded)
+    r = _SnapshotStreamReader(str(table.root), schema, max_versions=2)
+    # trigger 1, Spark's order: latestOffset FIRST (no frontier signal
+    # yet -> unbounded, the documented contract), then initialOffset
+    end0 = r.latestOffset()["version"]
+    assert end0 == 0, "first trigger takes the whole pre-existing table"
+    assert r.initialOffset()["version"] == -1
+    r.partitions({"version": -1}, {"version": end0})
+    r.commit({"version": end0})
+    # a 6-version backlog lands; every later trigger is bounded
+    for lo in range(2, 14, 2):
+        table.append(_df(spark, lo, lo + 2).coalesce(1))
+    assert drain(r, end0) == [(2, 2)] * 3, "2-version steps after teach-in"
+
+    # restart replaying a PENDING batch: partitions() teaches the
+    # frontier before any latestOffset, so bounding starts immediately
+    r2 = _SnapshotStreamReader(str(table.root), schema, max_versions=2)
+    r2.partitions({"version": 2}, {"version": 4})  # the replayed batch
+    assert drain(r2, 4) == [(2, 2)], "bounded from the first new plan"
+
+    # file cap: 3-file steps over the same 6-file backlog
+    r3 = _SnapshotStreamReader(str(table.root), schema, max_files=3)
+    r3.partitions({"version": -1}, {"version": 0})  # frontier taught
+    assert [f for _, f in drain(r3, 0)] == [3, 3], "3-file steps"
 
 
 def test_stream_admission_control_end_to_end(spark, tmp_path):

@@ -2391,3 +2391,22 @@ def test_commit_conflict_when_manifest_quarantined_under_writer(
     assert table.current_version() == 0
     table.append(_kv(spark, [(2, 20)]))
     assert table.read(spark).count() == 2
+
+
+def test_update_metadata_only_validates_set_on_legacy_table(spark, table):
+    """Review r10: the zero-touched (metadata-only) update path must
+    reject a typo'd SET column even on a legacy table with no recorded
+    schema (footer-union fallback), not silently commit a bogus
+    update_set."""
+    table.append(_kv(spark, [(1, 10)]))
+    m = table.manifest_dir / "v00000000.json"
+    raw = json.loads(m.read_text())
+    raw.pop("schema", None)  # simulate a pre-schema-recording manifest
+    m.write_text(json.dumps(raw))
+    assert table.snapshot().schema is None
+    with pytest.raises(ValueError, match="not in the table schema"):
+        table.update(spark, "v > 1000", {"nope": "1"})
+    assert table.current_version() == 0
+    # a valid metadata-only update on the same legacy table still works
+    snap = table.update(spark, "v > 1000", {"v": "v + 1"})
+    assert snap.version == 1 and table.read(spark).count() == 1
