@@ -115,13 +115,14 @@ _PRIORITY_WINDOW = [
     "cube_order_stats",
     "customer_max_order_subquery",
     "customers_with_big_order",
-    "customers_without_open_orders",
     # NEW r10 queries (SnapshotTable.update drive; optimize CDF
-    # row-neutrality) take slots 49-50 by displacing the two
-    # alphabetically-last r7 fillers (dedup_canonical_docs,
-    # dedup_clusters — both keep their r7 green rows)
+    # row-neutrality; merge-on-read deletion-vector delete drive) take
+    # slots 48-50 by displacing the three alphabetically-last r7
+    # fillers (customers_without_open_orders, dedup_canonical_docs,
+    # dedup_clusters — all keep their r7 green rows)
     "snapshot_update_rows",
     "snapshot_optimize_cdf_neutral",
+    "snapshot_dv_delete_rows",
 ]
 
 _PLAN_MODULES = (

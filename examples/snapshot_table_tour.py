@@ -77,6 +77,20 @@ def main() -> None:
     print("via format('snapshot_table'):", pruned.count(), "rows from",
           pruned.rdd.getNumPartitions(), "pruned partition(s)")
 
+    # 8. row-level maintenance — UPDATE, and DELETE in both modes:
+    #    copy-on-write (rewrite the touched files) vs merge-on-read
+    #    (deletion vectors: soft-delete positions in a tiny sidecar,
+    #    materialized away by the next compact)
+    table.update(spark, "total_amount >= 6", {"total_amount": "5.0"})
+    before_files = set(table.snapshot().files)
+    table.delete(spark, "total_amount = 0", mode="merge-on-read")
+    assert set(table.snapshot().files) == before_files  # no data rewrite
+    print("after soft delete:", table.read(spark).count(), "live rows,",
+          table.detail()["num_deletion_vectors"], "deletion vector(s)")
+    table.compact(spark, target_files=2)  # materializes the soft deletes
+    assert table.snapshot().dv == {}
+    print("after compact:", table.read(spark).count(), "rows, dv cleared")
+
 
 if __name__ == "__main__":
     main()

@@ -607,6 +607,69 @@ GROUP BY o_orderstatus
 """
 
 
+def snapshot_dv_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE drive (deletion vectors — Delta's
+    ``delta.enableDeletionVectors``): same price-band delete as
+    ``snapshot_delete_rows`` but ``mode='merge-on-read'`` — instead of
+    copy-on-writing the band's files, the matching rows' file-absolute
+    positions land in a tiny (file, pos) sidecar and every reader
+    anti-joins the broadcast dead set. At 100 TB a GDPR-style delete of
+    scattered rows writes KILOBYTES instead of rewriting terabytes.
+    Inline gates: the data FILE SET must be byte-identical before and
+    after the soft delete (zero data writes); the CDF must replay
+    exactly the removed rows; a follow-up ``compact`` must materialize
+    the deletes away (empty dv map) without changing a single row —
+    the returned aggregate is computed over the POST-COMPACT table, so
+    the oracle match proves soft-delete -> read -> materialize is
+    lossless end to end."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import SnapshotTable
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    table = SnapshotTable(ephemeral_root("snapdvdelete") + "/tbl")
+    table.append(orders.repartitionByRange(8, "o_totalprice"))
+    before = table.snapshot()
+    band = "o_totalprice BETWEEN 100000 AND 200000"
+    snap = table.delete(spark, band, mode="merge-on-read")
+    if set(snap.files) - set(before.files):
+        raise AssertionError("merge-on-read delete must write no data file")
+    n_removed = (
+        table.read_changes_cdf(spark, since_version=0)
+        .filter(F.col("_change_type") == "delete")
+        .count()
+    )
+    n_expect = orders.filter(band).count()
+    if n_removed != n_expect:
+        raise AssertionError(
+            f"CDF replayed {n_removed} soft removals, expected {n_expect}"
+        )
+    compacted = table.compact(spark, target_files=8)
+    if compacted.dv:
+        raise AssertionError("compact must materialize deletion vectors away")
+    return (
+        table.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("key_checksum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+SNAPSHOT_DV_DELETE_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE NOT COALESCE(o_totalprice BETWEEN 100000 AND 200000, FALSE)
+GROUP BY o_orderstatus
+"""
+
+
 def snapshot_optimize_cdf_neutral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-neutral rewrites must be ROW-NEUTRAL in the change feed
     (VERDICT r9 task #5): build a mutating history — two appends, then
@@ -685,6 +748,7 @@ QUERIES = {
     "snapshot_cdf_updates": snapshot_cdf_updates,
     "snapshot_update_rows": snapshot_update_rows,
     "snapshot_optimize_cdf_neutral": snapshot_optimize_cdf_neutral,
+    "snapshot_dv_delete_rows": snapshot_dv_delete_rows,
 }
 
 ORACLE = {
@@ -698,4 +762,5 @@ ORACLE = {
     "snapshot_cdf_updates": SNAPSHOT_CDF_MERGE_ORACLE,
     "snapshot_update_rows": SNAPSHOT_UPDATE_ORACLE,
     "snapshot_optimize_cdf_neutral": SNAPSHOT_OPTIMIZE_CDF_ORACLE,
+    "snapshot_dv_delete_rows": SNAPSHOT_DV_DELETE_ORACLE,
 }

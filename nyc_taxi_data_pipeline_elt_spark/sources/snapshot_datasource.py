@@ -133,6 +133,12 @@ class SnapshotDataSource(DataSource):
             [str(table.root / f) for f in snap.files],
             to_arrow_schema(schema),
             {str(table.root / f): s for f, s in (snap.stats or {}).items()},
+            # deletion vectors: abs data file -> (abs dv file, rel data
+            # file) so each partition can mask its soft-deleted rows
+            {
+                str(table.root / f): (str(table.root / e[0]), f)
+                for f, e in (snap.dv or {}).items()
+            },
         )
 
     def streamReader(self, schema):
@@ -323,11 +329,13 @@ class _SnapshotReader(DataSourceReader):
         files: list[str],
         arrow_schema,
         stats: dict | None = None,
+        dv: dict | None = None,
     ):
         self.files = files
         self.arrow_schema = arrow_schema  # unified target schema (picklable)
         self.columns = arrow_schema.names
         self.stats = stats or {}
+        self.dv = dv or {}  # abs data file -> (abs dv file, rel file)
         self.pushed: list[tuple[str, str, object]] = []
 
     def pushFilters(self, filters):
@@ -399,9 +407,31 @@ class _SnapshotReader(DataSourceReader):
         filters = [
             (c, o, list(v) if o == "in" else v) for c, o, v in self.pushed
         ]
-        table = _project_parquet(
-            partition.value, self.arrow_schema, filters
-        )
-        if table is None:
+        dv_entry = self.dv.get(partition.value)
+        if dv_entry is None:
+            table = _project_parquet(
+                partition.value, self.arrow_schema, filters
+            )
+            if table is None:
+                return
+            yield from table.to_batches()
             return
+        # deletion vector present: mask the soft-deleted positions
+        # FIRST (positions are file-absolute, so the read must be
+        # unfiltered), then apply the pushed filters as an Arrow
+        # expression — exact either way
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        dv_path, rel = dv_entry
+        table = _project_parquet(partition.value, self.arrow_schema)
+        dead = pq.read_table(
+            dv_path, columns=["pos"], filters=[("file", "=", rel)]
+        )["pos"].to_numpy()
+        mask = np.ones(table.num_rows, dtype=bool)
+        mask[dead[dead < table.num_rows]] = False
+        table = table.filter(pa.array(mask))
+        if filters:
+            table = table.filter(pq.filters_to_expression(filters))
         yield from table.to_batches()

@@ -38,6 +38,11 @@ from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import SnapshotTable
 
 BAND = "o_totalprice BETWEEN 100000 AND 110000"
 DISJOINT = "o_totalprice < 0"
+# ~0.1% of rows, scattered across EVERY file (orderkey is uncorrelated
+# with the o_totalprice range layout): the GDPR shape where
+# copy-on-write rewrites the whole table and merge-on-read writes one
+# tiny sidecar
+SCATTER = "o_orderkey % 1000 = 0"
 FILES = 16
 
 
@@ -54,7 +59,14 @@ def main() -> None:
         orders = load_table(spark, sf_dir, "orders").repartitionByRange(
             FILES, "o_totalprice"
         )
-        times: dict = {"disjoint": [], "band": []}
+        times: dict = {
+            "disjoint": [],
+            "band": [],
+            "scatter_cow": [],
+            "mor_band": [],
+            "mor_scatter": [],
+            "mor_read": [],
+        }
         touched = total = None
         for _ in range(repeats):
             root = tempfile.mkdtemp(prefix="ntx-delprobe-")
@@ -74,9 +86,54 @@ def main() -> None:
                 )
             finally:
                 shutil.rmtree(root, ignore_errors=True)
+            # scattered copy-on-write: the predicate hits every file,
+            # so the COW path rewrites the whole table
+            root = tempfile.mkdtemp(prefix="ntx-delprobe-scat-")
+            try:
+                table = SnapshotTable(root + "/tbl")
+                table.append(orders)
+                t0 = time.perf_counter()
+                s = table.delete(spark, SCATTER)
+                times["scatter_cow"].append(time.perf_counter() - t0)
+                cow_bytes = sum(
+                    (Path(root + "/tbl") / f).stat().st_size for f in s.files
+                )
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+            # merge-on-read twin: fresh table, soft delete of the band
+            # AND the scattered predicate (each writes a sidecar, no
+            # data rewrite), then a full dv-honoring read to price the
+            # read-path amplification
+            root = tempfile.mkdtemp(prefix="ntx-delprobe-mor-")
+            try:
+                table = SnapshotTable(root + "/tbl")
+                table.append(orders)
+                t0 = time.perf_counter()
+                table.delete(spark, BAND, mode="merge-on-read")
+                times["mor_band"].append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                s = table.delete(spark, SCATTER, mode="merge-on-read")
+                times["mor_scatter"].append(time.perf_counter() - t0)
+                mor_bytes = sum(
+                    (Path(root + "/tbl") / f).stat().st_size
+                    for f in {e[0] for e in s.dv.values()}
+                )
+                t0 = time.perf_counter()
+                table.read(spark).selectExpr(
+                    "count(*)", "sum(o_orderkey)"
+                ).collect()
+                times["mor_read"].append(time.perf_counter() - t0)
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
         out[sf_dir] = {
             "disjoint_s": round(min(times["disjoint"]), 2),
             "band_s": round(min(times["band"]), 2),
+            "scatter_cow_s": round(min(times["scatter_cow"]), 2),
+            "mor_band_s": round(min(times["mor_band"]), 2),
+            "mor_scatter_s": round(min(times["mor_scatter"]), 2),
+            "mor_read_s": round(min(times["mor_read"]), 2),
+            "scatter_cow_bytes_written": cow_bytes,
+            "mor_scatter_bytes_written": mor_bytes,
             "files_touched": touched,
             "files_total": total,
         }

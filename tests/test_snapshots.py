@@ -2410,3 +2410,175 @@ def test_update_metadata_only_validates_set_on_legacy_table(spark, table):
     # a valid metadata-only update on the same legacy table still works
     snap = table.update(spark, "v > 1000", {"v": "v + 1"})
     assert snap.version == 1 and table.read(spark).count() == 1
+
+
+# ---------------- deletion vectors (merge-on-read delete) ----------------
+
+
+def test_dv_delete_soft_removes_without_rewrite(spark, table, monkeypatch):
+    """delete(mode='merge-on-read'): the file set is UNTOUCHED (no data
+    write at all — pinned by monkeypatch), rows disappear from read(),
+    time travel still sees them, and detail() reports live rows."""
+    table.append(
+        spark.range(0, 100)
+        .selectExpr("id", "id % 10 AS v")
+        .repartition(4)
+    )
+    before = table.snapshot()
+
+    def boom(*a, **kw):
+        raise AssertionError("merge-on-read delete must not write data")
+
+    monkeypatch.setattr(SnapshotTable, "_write_data", boom)
+    snap = table.delete(spark, "v = 3", mode="merge-on-read")
+    monkeypatch.setattr(
+        SnapshotTable, "_write_data", SnapshotTable.__dict__["_write_data"]
+    )
+    assert set(snap.files) == set(before.files)
+    assert len(snap.dv) == 4 and snap.metrics["rows_soft_deleted"] == 10
+    got = sorted(r.id for r in table.read(spark).collect())
+    assert got == [i for i in range(100) if i % 10 != 3]
+    assert table.read(spark, version=0).count() == 100  # time travel
+    d = table.detail()
+    assert d["num_rows"] == 90 and d["num_deletion_vectors"] == 4
+
+
+def test_dv_delete_consolidates_and_parity_with_cow(spark, table):
+    """Two stacked merge-on-read deletes consolidate per-file entries
+    and read back exactly like the copy-on-write twin."""
+    df = spark.range(0, 200).selectExpr("id", "id * 7 % 37 AS v")
+    table.append(df)
+    other = SnapshotTable(str(table.root.parent / "tbl_cow"))
+    other.append(df)
+    for pred in ("v BETWEEN 5 AND 11", "v BETWEEN 20 AND 23"):
+        table.delete(spark, pred, mode="merge-on-read")
+        other.delete(spark, pred)
+    a = sorted((r.id, r.v) for r in table.read(spark).collect())
+    b = sorted((r.id, r.v) for r in other.read(spark).collect())
+    assert a == b and len(a) > 0
+    # each affected file holds at most ONE consolidated entry
+    assert all(len(e) == 2 for e in table.snapshot().dv.values())
+
+
+def test_dv_cdf_replays_exactly_new_deletions(spark, table):
+    """The CDF replays each merge-on-read delete's NEWLY-dead rows only
+    (already-dead rows are excluded via the recorded dv_before)."""
+    table.append(_kv(spark, [(1, 10), (2, 200), (3, 300)]))  # v0
+    table.delete(spark, "v >= 250", mode="merge-on-read")    # v1: kills 3
+    table.delete(spark, "v >= 100", mode="merge-on-read")    # v2: kills 2
+    cdf = table.read_changes_cdf(spark, since_version=0)
+    rows = {(r.k, r._change_type, r._commit_version) for r in cdf.collect()}
+    assert rows == {(3, "delete", 1), (2, "delete", 2)}
+    assert sorted(r.k for r in table.read(spark).collect()) == [1]
+
+
+def test_dv_compact_materializes_deletes_away(spark, table):
+    """compact() reads dv-aware and commits clean files with an empty
+    dv map; rows stay identical; the orphaned dv file is reclaimed by
+    the next vacuum once no kept manifest references it."""
+    table.append(spark.range(10).selectExpr("id", "id AS v").coalesce(1))
+    table.delete(spark, "v < 3", mode="merge-on-read")
+    live = table.vacuum(keep_versions=1, grace_seconds=0.0)
+    assert all("_deletion_vectors" not in f for f in live), "live dv kept"
+    snap = table.compact(spark, target_files=1)
+    assert snap.dv == {}
+    assert sorted(r.id for r in table.read(spark).collect()) == list(
+        range(3, 10)
+    )
+    removed = table.vacuum(keep_versions=1, grace_seconds=0.0)
+    assert any("_deletion_vectors" in f for f in removed), "dead dv reclaimed"
+
+
+def test_dv_rewrites_exclude_dead_rows(spark, table):
+    """Every rewrite on a dv-carrying table reads dv-aware: a COW
+    delete, a merge, and an update must neither match nor resurrect
+    soft-deleted rows."""
+    table.append(_kv(spark, [(1, 10), (2, 20), (3, 30), (4, 40)]))
+    table.delete(spark, "k = 2", mode="merge-on-read")
+    # COW delete: survivors of the touched files exclude the dead row
+    table.delete(spark, "k = 4")
+    got = sorted((r.k, r.v) for r in table.read(spark).collect())
+    assert got == [(1, 10), (3, 30)]
+    # merge: the dead key is UNMATCHED (insert), not an update
+    table.merge(spark, _kv(spark, [(2, 99)]), key_cols=["k"])
+    got = sorted((r.k, r.v) for r in table.read(spark).collect())
+    assert got == [(1, 10), (2, 99), (3, 30)]
+    # update: SET applies to live rows only
+    table.update(spark, "v >= 30", {"v": "v + 1"})
+    got = sorted((r.k, r.v) for r in table.read(spark).collect())
+    assert got == [(1, 10), (2, 100), (3, 31)]  # 99 matched the SET too
+
+
+def test_dv_fully_dead_file_dropped(spark, table):
+    """A file whose rows become ALL dead leaves the file set entirely
+    (no dv entry, no phantom file)."""
+    table.append(_kv(spark, [(1, 1), (2, 1)]).coalesce(1))
+    table.append(_kv(spark, [(3, 2)]).coalesce(1))
+    snap = table.delete(spark, "v = 1", mode="merge-on-read")
+    assert len(snap.files) == 1 and snap.dv == {}
+    assert [(r.k, r.v) for r in table.read(spark).collect()] == [(3, 2)]
+
+
+def test_dv_insert_only_feed_and_noop(spark, table):
+    """The insert-only feed skips a no-match merge-on-read delete but
+    refuses a row-changing one (the file set is unchanged — the dv
+    comparison is what catches it)."""
+    table.append(_kv(spark, [(1, 1)]))                        # v0
+    table.delete(spark, "v > 100", mode="merge-on-read")      # v1: no-op
+    assert table.read_changes(spark, since_version=0).count() == 0
+    table.append(_kv(spark, [(2, 2)]))                        # v2
+    table.delete(spark, "v = 1", mode="merge-on-read")        # v3: changes
+    with pytest.raises(ValueError, match="non-append"):
+        table.read_changes(spark, since_version=0)
+
+
+def test_dv_restore_carries_each_versions_vectors(spark, table):
+    """restore() commits the RESTORED version's dv map — rolling back
+    past a soft delete resurrects the rows; restoring the dv version
+    re-kills them."""
+    table.append(spark.range(10).selectExpr("id", "id AS v").coalesce(1))  # v0
+    table.delete(spark, "v < 3", mode="merge-on-read")  # v1: partial file
+    table.restore(0)                                           # v2
+    assert table.read(spark).count() == 10
+    table.restore(1)                                           # v3
+    assert table.read(spark).count() == 7
+    assert table.snapshot().dv != {}
+
+
+def test_dv_constraint_scan_ignores_dead_rows(spark, table):
+    """add_check_constraint / restore validation must not fail on a
+    violating row that is already soft-deleted (dead rows are not
+    table rows)."""
+    table.append(_kv(spark, [(1, 10), (2, -5)]).coalesce(1))
+    table.delete(spark, "v < 0", mode="merge-on-read")
+    table.add_check_constraint(spark, "v_pos", "v >= 0")  # passes: -5 dead
+    assert "v_pos" in table.snapshot().constraints
+    with pytest.raises(Exception, match="v_pos"):
+        table.append(_kv(spark, [(9, -1)]))
+
+
+def test_dv_rebase_guards(spark, table, monkeypatch):
+    """A rewrite whose read basis raced a concurrent merge-on-read
+    delete must ABORT the rebase (its rewritten rows would resurrect
+    the soft-deleted ones); a disjoint concurrent append still
+    rebases."""
+    table.append(_kv(spark, [(1, 10), (2, 200)]).coalesce(1))  # ONE file:
+    # the racer's soft delete stays PARTIAL (dv entry, file kept), so
+    # the rebase fails on the dv guard, not the removed-files check
+    racer = SnapshotTable(str(table.root))
+    real_write = SnapshotTable.__dict__["_write_data"]
+    state = {"raced": False}
+
+    def write_then_soft_delete(self, df, enforce=True, enforced_out=None):
+        out = real_write(self, df, enforce=enforce, enforced_out=enforced_out)
+        if not state["raced"]:
+            state["raced"] = True
+            racer.delete(spark, "v = 10", mode="merge-on-read")
+        return out
+
+    monkeypatch.setattr(SnapshotTable, "_write_data", write_then_soft_delete)
+    with pytest.raises(CommitConflict, match="deletion vector"):
+        table.compact(spark, target_files=1)
+    monkeypatch.setattr(SnapshotTable, "_write_data", real_write)
+    got = sorted((r.k, r.v) for r in table.read(spark).collect())
+    assert got == [(2, 200)], "the racer's soft delete must survive"
