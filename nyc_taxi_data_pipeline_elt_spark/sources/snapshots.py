@@ -2273,6 +2273,7 @@ class SnapshotTable:
         set_exprs: dict[str, str],
         retries: int = 3,
         change_data: bool = False,
+        mode: str = "copy-on-write",
     ) -> Snapshot:
         """Row-level ``UPDATE ... SET col = expr WHERE predicate``
         (Delta parity — VERDICT r9 task #2: the last missing Delta
@@ -2313,7 +2314,23 @@ class SnapshotTable:
         Losing a commit race re-bases exactly like delete: every
         rewritten file still live, every concurrently-added file
         provably predicate-disjoint (else its rows should have been
-        updated too: abort)."""
+        updated too: abort).
+
+        ``mode='merge-on-read'`` (Delta's deletion-vector UPDATE): the
+        matched rows' positions are soft-deleted into a dv sidecar and
+        ONLY the post-image rows land as new files — the untouched
+        rows of the touched files are never rewritten. A scattered
+        update of 0.1% of a 100 TB table writes 0.1%-of-table bytes
+        instead of every touched file. CDF falls out for free and is
+        exact even for NON-deterministic SET expressions: the
+        pre-image derives from the immutable parent files + the
+        recorded prior dv, the post-image IS the added files —
+        nothing is re-evaluated at replay, so ``change_data`` is
+        unnecessary in this mode."""
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(
+                f"mode must be copy-on-write|merge-on-read, got {mode!r}"
+            )
         if not set_exprs:
             raise ValueError(f"{self.root}: update needs at least one SET assignment")
         cur = self.current_version()
@@ -2375,6 +2392,10 @@ class SnapshotTable:
                 extra=extra,
                 metadata_guard=lambda ns: change_data
                 or not _cdf_enabled(ns),
+            )
+        if mode == "merge-on-read":
+            return self._update_merge_on_read(
+                spark, snap, predicate, set_exprs, touched, retries, guard
             )
         from pyspark.sql.functions import expr as F_expr
         from pyspark.sql.functions import when as F_when
@@ -2455,6 +2476,165 @@ class SnapshotTable:
         except BaseException:
             self._drop_uuid_dirs(fresh + cdc_files)
             raise
+
+    def _update_merge_on_read(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        predicate: str,
+        set_exprs: dict[str, str],
+        touched: list[str],
+        retries: int,
+        guard,
+    ) -> Snapshot:
+        """The deletion-vector branch of :meth:`update`: soft-delete
+        the matched LIVE rows' positions (consolidated with any prior
+        dv, exactly like merge-on-read delete) and land ONLY their
+        post-image rows as new CHECK-enforced files — untouched rows
+        of the touched files stay in place. The manifest records
+        ``update_mode``/``dv_touched``/``dv_before`` (pre-image
+        derivation) and ``update_added`` (the post-image files), so
+        the CDF replays exact pre/post pairs with no SET
+        re-evaluation."""
+        from pyspark.sql.functions import expr as F_expr
+        from pyspark.sql.functions import regexp_extract as F_rex
+
+        cur = snap.version
+        pdv = dict(snap.dv or {})
+        stats = dict(snap.stats or {})
+        tagged = (
+            self._read_files(spark, touched, schema=snap.schema)
+            .withColumn(
+                "__dv_file__",
+                F_rex(
+                    F_col("_metadata.file_path"),
+                    r"(data/[^/]+/[^/]+)$",
+                    1,
+                ),
+            )
+            .withColumn("__dv_pos__", F_col("_metadata.row_index"))
+        )
+        bad = sorted(
+            set(set_exprs)
+            - {c for c in tagged.columns if not c.startswith("__dv_")}
+        )
+        if bad:
+            raise ValueError(
+                f"{self.root}: update SET references column(s) {bad} "
+                "not in the table schema"
+            )
+        old_touched = {f: e for f, e in pdv.items() if f in set(touched)}
+        if old_touched:
+            from pyspark.sql.functions import broadcast as F_broadcast
+
+            dead0 = self._dv_frame(spark, old_touched).selectExpr(
+                "file AS __dv_file__", "pos AS __dv_pos__"
+            )
+            tagged = tagged.join(
+                F_broadcast(dead0),
+                ["__dv_file__", "__dv_pos__"],
+                "left_anti",
+            )
+        matched = tagged.filter(
+            F_coalesce(F_expr(predicate), F_lit(False))
+        ).persist()  # ONE scan feeds positions, counts, and post-image
+        try:
+            counts = {
+                r["file"]: r["count"]
+                for r in matched.groupBy("__dv_file__")
+                .count()
+                .withColumnRenamed("__dv_file__", "file")
+                .collect()
+            }
+            extra: dict = {
+                "update_predicate": predicate,
+                "update_set": dict(set_exprs),
+                "update_mode": "merge-on-read",
+            }
+            if not counts:
+                return self._commit_rewrite(
+                    "update",
+                    cur,
+                    removed=(),
+                    new_files=[],
+                    new_stats={},
+                    spark=spark,
+                    retries=retries,
+                    added_guard=guard,
+                    extra=extra,
+                    read_dv={f: pdv.get(f) for f in touched},
+                )
+            affected = sorted(counts)
+            dead_parts = matched.select(
+                F_col("__dv_file__").alias("file"),
+                F_col("__dv_pos__").alias("pos"),
+            )
+            old_affected = {f: pdv[f] for f in affected if f in pdv}
+            if old_affected:
+                dead_parts = dead_parts.unionByName(
+                    self._dv_frame(spark, old_affected).select("file", "pos")
+                )
+            dv_files = self._write_dv(dead_parts)
+            if len(dv_files) != 1:
+                self._drop_uuid_dirs(dv_files)
+                raise RuntimeError(
+                    f"{self.root}: deletion-vector write produced "
+                    f"{len(dv_files)} files, expected 1"
+                )
+            dv_file = dv_files[0]
+            totals = {
+                f: counts[f] + (pdv[f][1] if f in pdv else 0)
+                for f in affected
+            }
+            fully_dead = [
+                f
+                for f in affected
+                if stats.get(f, {}).get("__num_rows__") is not None
+                and totals[f] >= stats[f]["__num_rows__"]
+            ]
+            dv_set = {
+                f: [dv_file, totals[f]]
+                for f in affected
+                if f not in fully_dead
+            }
+            post = matched.select(
+                *[
+                    F_expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in set_exprs
+                    else F_col(f.name)
+                    for f in matched.schema.fields
+                    if not f.name.startswith("__dv_")
+                ]
+            )
+            enforced: dict = {}
+            fresh: list[str] = []
+            fresh_stats: dict = {}
+            try:
+                fresh, fresh_stats = self._write_data(
+                    post, enforced_out=enforced
+                )
+                extra["dv_touched"] = affected
+                extra["dv_before"] = {f: pdv.get(f) for f in affected}
+                extra["update_added"] = sorted(fresh)
+                return self._commit_rewrite(
+                    "update",
+                    cur,
+                    removed=fully_dead,
+                    new_files=fresh,
+                    new_stats=fresh_stats,
+                    spark=spark,
+                    retries=retries,
+                    added_guard=guard,
+                    recheck=(fresh, fresh_stats, enforced),
+                    extra=extra,
+                    dv_set=dv_set,
+                    read_dv={f: pdv.get(f) for f in touched},
+                )
+            except BaseException:
+                self._drop_uuid_dirs(fresh + dv_files)
+                raise
+        finally:
+            matched.unpersist()
 
     def commit_batch(
         self,
@@ -3434,6 +3614,53 @@ class SnapshotTable:
                     )
                 continue
             if op == "update":
+                if raw.get("update_mode") == "merge-on-read":
+                    affected = raw.get("dv_touched", [])
+                    added = raw.get("update_added", [])
+                    pred = raw.get("update_predicate")
+                    if affected and pred is None:
+                        raise ValueError(
+                            f"{self.root}: merge-on-read update "
+                            f"snapshot v{v} recorded no predicate; "
+                            "cannot replay its changes"
+                        )
+                    if affected:
+                        # pre-image: the affected files' then-live
+                        # rows matching the predicate
+                        parts.append(
+                            _stamp(
+                                _live(
+                                    affected, sch, raw.get("dv_before")
+                                )
+                                .filter(
+                                    F_coalesce(
+                                        F_expr(pred), F_lit(False)
+                                    )
+                                )
+                                .withColumn(
+                                    "_change_type",
+                                    F_lit("update_preimage"),
+                                ),
+                                v,
+                                ts,
+                            )
+                        )
+                    if added:
+                        # post-image IS the added files — materialized
+                        # at commit, exact even for non-deterministic
+                        # SET expressions
+                        parts.append(
+                            _stamp(
+                                self._read_files(spark, added)
+                                .withColumn(
+                                    "_change_type",
+                                    F_lit("update_postimage"),
+                                ),
+                                v,
+                                ts,
+                            )
+                        )
+                    continue
                 removed = raw.get("remove", [])
                 pred = raw.get("update_predicate")
                 sets = raw.get("update_set")

@@ -2582,3 +2582,93 @@ def test_dv_rebase_guards(spark, table, monkeypatch):
     monkeypatch.setattr(SnapshotTable, "_write_data", real_write)
     got = sorted((r.k, r.v) for r in table.read(spark).collect())
     assert got == [(2, 200)], "the racer's soft delete must survive"
+
+
+def test_dv_update_rewrites_only_postimage(spark, table):
+    """update(mode='merge-on-read'): matched rows soft-delete into a dv
+    and ONLY their post-image lands as new files — the touched files
+    stay byte-identical; read-back equals the copy-on-write twin."""
+    df = spark.range(0, 100).selectExpr("id", "id % 10 AS v")
+    table.append(df.coalesce(2))
+    other = SnapshotTable(str(table.root.parent / "tbl_cow_upd"))
+    other.append(df.coalesce(2))
+    before = set(table.snapshot().files)
+    snap = table.update(
+        spark, "v = 3", {"v": "v * 100 + id"}, mode="merge-on-read"
+    )
+    other.update(spark, "v = 3", {"v": "v * 100 + id"})
+    assert before <= set(snap.files), "touched files must be carried"
+    assert snap.dv, "matched rows must be soft-deleted"
+    a = sorted((r.id, r.v) for r in table.read(spark).collect())
+    b = sorted((r.id, r.v) for r in other.read(spark).collect())
+    assert a == b and len(a) == 100
+
+
+def test_dv_update_cdf_pairs_without_set_reevaluation(spark, table):
+    """The MoR update's CDF replays exact pre/post pairs: pre derived
+    from the immutable files + recorded prior dv, post read from the
+    materialized added files — sound even for NON-deterministic SET
+    (pinned by updating with rand() and matching the feed's post-image
+    against the committed table)."""
+    table.append(_kv(spark, [(1, 10), (2, 200)]).coalesce(1))
+    table.update(
+        spark,
+        "v >= 100",
+        {"v": "CAST(rand() * 1000000 AS BIGINT)"},
+        mode="merge-on-read",
+    )
+    cdf = table.read_changes_cdf(spark, since_version=0)
+    rows = {(r.k, r.v, r._change_type) for r in cdf.collect()}
+    committed = {(r.k, r.v) for r in table.read(spark).collect()}
+    post = {(k, v) for k, v, t in rows if t == "update_postimage"}
+    assert {(k, v, t) for k, v, t in rows if t == "update_preimage"} == {
+        (2, 200, "update_preimage")
+    }
+    assert len(post) == 1 and post <= committed, (
+        "post-image must equal the committed row, not a re-evaluation"
+    )
+
+
+def test_dv_update_stacks_on_prior_dv_and_full_death(spark, table):
+    """A MoR update consolidates with a prior soft delete; a file whose
+    remaining live rows ALL match leaves the file set."""
+    table.append(_kv(spark, [(1, 10), (2, 20), (3, 30)]).coalesce(1))
+    table.delete(spark, "k = 1", mode="merge-on-read")
+    snap = table.update(
+        spark, "v >= 20", {"v": "v + 1"}, mode="merge-on-read"
+    )
+    # all 3 original rows now dead in the original file -> dropped
+    assert all("part-" not in f or f in snap.files for f in snap.files)
+    assert sorted((r.k, r.v) for r in table.read(spark).collect()) == [
+        (2, 21),
+        (3, 31),
+    ]
+    orig = set(table.snapshot(0).files)
+    assert not (orig & set(snap.files)), "fully-dead original file dropped"
+    assert snap.dv == {}
+
+
+def test_dv_update_check_enforced_and_noop(spark, table):
+    """Post-image rows are CHECK-enforced (red path commits nothing and
+    strands neither data nor dv files); a no-match MoR update is an
+    auditable no-op."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        ConstraintViolation,
+    )
+
+    table.append(_kv(spark, [(1, 10), (2, 20)]).coalesce(1))
+    table.add_check_constraint(spark, "v_small", "v <= 1000")
+    before = table.snapshot()
+    with pytest.raises(ConstraintViolation, match="v_small"):
+        table.update(
+            spark, "v >= 20", {"v": "v * 1000"}, mode="merge-on-read"
+        )
+    assert table.current_version() == before.version
+    dv_root = table.root / "_deletion_vectors"
+    leftover = list(dv_root.rglob("*.parquet")) if dv_root.exists() else []
+    assert leftover == [], "red path must not strand dv files"
+    snap = table.update(
+        spark, "v > 9999", {"v": "0"}, mode="merge-on-read"
+    )
+    assert snap.files == before.files and (snap.dv or {}) == {}
+    assert sorted(r.v for r in table.read(spark).collect()) == [10, 20]
