@@ -473,6 +473,11 @@ class SnapshotTable:
     # row positions (parquet row index) of logically-deleted rows, file
     # paths relative to the table root so the table stays relocatable.
 
+    #: rel path of a data file inside its writer uuid dir — the shape
+    #: _apply_dv and the soft-delete taggers extract from
+    #: ``_metadata.file_path`` so dv joins stay relocatable
+    _DATA_FILE_RE = r"(data/[^/]+/[^/]+)$"
+
     def _dv_frame(self, spark: SparkSession, dv_entries: dict) -> DataFrame:
         """The (file, pos) dead-row set behind ``dv_entries`` ({rel_file:
         [dv_rel_file, count]}): one read over the DISTINCT dv parquet
@@ -513,11 +518,147 @@ class SnapshotTable:
         )
         tagged = df.withColumn(
             "__dv_file__",
-            F_rex(F_col("_metadata.file_path"), r"(data/[^/]+/[^/]+)$", 1),
+            F_rex(F_col("_metadata.file_path"), self._DATA_FILE_RE, 1),
         ).withColumn("__dv_pos__", F_col("_metadata.row_index"))
         return tagged.join(
             F_broadcast(dead), ["__dv_file__", "__dv_pos__"], "left_anti"
         ).drop("__dv_file__", "__dv_pos__")
+
+    def _freeze_matches(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        predicate: str,
+        touched: list[str],
+    ):
+        """Evaluate ``predicate`` EXACTLY ONCE over the touched files'
+        live rows and FREEZE the matching positions in a (file, pos)
+        sidecar — the single source of truth every later consumer
+        (manifest counts, fully-dead decisions, update post-image, CDF
+        replay) derives from. Review r10: computing counts and writing
+        the sidecar as two independent jobs re-evaluates the predicate,
+        so a non-deterministic one (rand() sampling deletes) could drop
+        a file as fully dead while its sidecar recorded different
+        positions — committed data loss. Freezing costs one tiny
+        read-back of the sidecar instead of a second full scan of the
+        touched slice.
+
+        Returns ``(tagged, frozen_rel, counts)``: the tagged live frame
+        (for post-image joins), the sidecar's rel path (None when
+        nothing matched — the empty sidecar dir is dropped), and the
+        per-file match counts read back from the frozen file."""
+        from pyspark.sql.functions import expr as F_expr
+        from pyspark.sql.functions import regexp_extract as F_rex
+
+        pdv = dict(snap.dv or {})
+        tagged = (
+            self._read_files(spark, touched, schema=snap.schema)
+            .withColumn(
+                "__dv_file__",
+                F_rex(
+                    F_col("_metadata.file_path"), self._DATA_FILE_RE, 1
+                ),
+            )
+            .withColumn("__dv_pos__", F_col("_metadata.row_index"))
+        )
+        old_touched = {f: e for f, e in pdv.items() if f in set(touched)}
+        if old_touched:
+            from pyspark.sql.functions import broadcast as F_broadcast
+
+            dead0 = self._dv_frame(spark, old_touched).selectExpr(
+                "file AS __dv_file__", "pos AS __dv_pos__"
+            )
+            tagged = tagged.join(
+                F_broadcast(dead0),
+                ["__dv_file__", "__dv_pos__"],
+                "left_anti",
+            )
+        new_dead = tagged.filter(
+            F_coalesce(F_expr(predicate), F_lit(False))
+        ).select(
+            F_col("__dv_file__").alias("file"),
+            F_col("__dv_pos__").alias("pos"),
+        )
+        frozen = self._write_dv(new_dead)
+        if len(frozen) != 1:
+            self._drop_uuid_dirs(frozen)
+            raise RuntimeError(
+                f"{self.root}: deletion-vector write produced "
+                f"{len(frozen)} files, expected 1"
+            )
+        counts = {
+            r["file"]: r["count"]
+            for r in spark.read.parquet(str(self.root / frozen[0]))
+            .groupBy("file")
+            .count()
+            .collect()
+        }
+        if not counts:
+            self._drop_uuid_dirs(frozen)
+            return tagged, None, {}
+        return tagged, frozen[0], counts
+
+    def _consolidated_dv(
+        self,
+        spark: SparkSession,
+        frozen_rel: str,
+        counts: dict,
+        pdv: dict,
+        stats: dict,
+    ):
+        """Fold a frozen new-dead sidecar into the table's dv state:
+        returns ``(dv_set, fully_dead, extra_fields, written)`` — the
+        per-file entries to commit, the files whose rows became ALL
+        dead (they leave the file set), the manifest fields CDF replay
+        needs, and any extra sidecar written (a consolidation with
+        prior entries; the caller's failure cleanup drops it). Files
+        with no prior entry point straight at the frozen sidecar."""
+        affected = sorted(counts)
+        totals = {
+            f: counts[f] + (pdv[f][1] if f in pdv else 0) for f in affected
+        }
+        fully_dead = [
+            f
+            for f in affected
+            if stats.get(f, {}).get("__num_rows__") is not None
+            and totals[f] >= stats[f]["__num_rows__"]
+        ]
+        old_affected = {f: pdv[f] for f in affected if f in pdv}
+        written: list[str] = []
+        if old_affected:
+            merged = (
+                spark.read.parquet(str(self.root / frozen_rel))
+                .unionByName(
+                    self._dv_frame(spark, old_affected).select(
+                        "file", "pos"
+                    )
+                )
+            )
+            written = self._write_dv(merged)
+            if len(written) != 1:
+                self._drop_uuid_dirs(written)
+                raise RuntimeError(
+                    f"{self.root}: deletion-vector write produced "
+                    f"{len(written)} files, expected 1"
+                )
+            entry_file = written[0]
+        else:
+            entry_file = frozen_rel
+        dv_set = {
+            f: [entry_file, totals[f]]
+            for f in affected
+            if f not in fully_dead
+        }
+        extra_fields = {
+            "dv_touched": affected,
+            "dv_before": {f: pdv.get(f) for f in affected},
+            # the frozen new-dead positions: CDF replays semi-join them
+            # instead of re-evaluating the predicate (exact even for
+            # non-deterministic predicates), and vacuum pins them while
+            # this manifest is kept
+            "dv_new": frozen_rel,
+        }
+        return dv_set, fully_dead, extra_fields, written
 
     def _constraint_scan_dv(
         self,
@@ -669,6 +810,7 @@ class SnapshotTable:
         extra: dict | None = None,
         schema: object = _UNSET,
         dv: dict | None = None,
+        soft_deleted: int | None = None,
     ) -> Snapshot:
         """Write manifest ``expected_parent + 1``. ``expected_parent``
         MUST be the version the caller's file list was derived from
@@ -787,14 +929,13 @@ class SnapshotTable:
                 "rows_added": _rows_of(add, stats),
                 "rows_removed": _rows_of(payload["remove"], pstats),
             }
-            new_dead = sum(e[1] for e in dv.values())
-            old_dead = sum(e[1] for e in (psnap.dv or {}).values())
-            if new_dead or old_dead:
-                # Delta's numDeletedRows for merge-on-read commits:
-                # rows newly soft-deleted by this commit's dv growth
-                payload["metrics"]["rows_soft_deleted"] = max(
-                    0, new_dead - old_dead
-                )
+            if soft_deleted is not None:
+                # Delta's numDeletedRows for merge-on-read commits: the
+                # CALLER's exact newly-dead count from the frozen
+                # sidecar (review r10: a map-total delta here
+                # undercounted to 0 whenever a fully-dead file left the
+                # map in the same commit that soft-deleted other rows)
+                payload["metrics"]["rows_soft_deleted"] = soft_deleted
         try:
             # O_EXCL create: the optimistic-concurrency gate. Two racing
             # writers both target version N+1; exactly one create wins.
@@ -1380,6 +1521,7 @@ class SnapshotTable:
         metadata_guard=None,
         dv_set: dict | None = None,
         read_dv: dict | None = None,
+        soft_deleted: int | None = None,
     ) -> Snapshot:
         """Commit a REWRITE (compact / optimize / replace_where / merge /
         delete) with Delta-style logical conflict reconciliation
@@ -1497,6 +1639,7 @@ class SnapshotTable:
                     extra=xtra or None,
                     schema=sch,
                     dv=out_dv,
+                    soft_deleted=soft_deleted,
                 )
             except CommitConflict:
                 attempt += 1
@@ -2155,50 +2298,22 @@ class SnapshotTable:
         manifest whose ``dv`` map points the touched files at it. Zero
         data-file writes; per-file dead totals ride the manifest so
         ``detail()`` and full-file drop decisions are metadata-only.
-        The manifest records ``delete_mode`` + ``dv_before`` (the
-        affected files' PRIOR entries) so the CDF can replay exactly
-        the newly-deleted rows without the parent manifest."""
-        from pyspark.sql.functions import expr as F_expr
-        from pyspark.sql.functions import regexp_extract as F_rex
-
+        The manifest records ``delete_mode``, ``dv_before`` (the
+        affected files' PRIOR entries), and ``dv_new`` (the frozen
+        new-dead sidecar) so the CDF replays EXACTLY the newly-deleted
+        rows — a position semi-join, no predicate re-evaluation, sound
+        for non-deterministic predicates too."""
         cur = snap.version
         pdv = dict(snap.dv or {})
         stats = dict(snap.stats or {})
-        tagged = (
-            self._read_files(spark, touched, schema=snap.schema)
-            .withColumn(
-                "__dv_file__",
-                F_rex(
-                    F_col("_metadata.file_path"),
-                    r"(data/[^/]+/[^/]+)$",
-                    1,
-                ),
-            )
-            .withColumn("__dv_pos__", F_col("_metadata.row_index"))
-        )
-        old_touched = {f: e for f, e in pdv.items() if f in set(touched)}
-        if old_touched:
-            from pyspark.sql.functions import broadcast as F_broadcast
-
-            dead0 = self._dv_frame(spark, old_touched).selectExpr(
-                "file AS __dv_file__", "pos AS __dv_pos__"
-            )
-            tagged = tagged.join(
-                F_broadcast(dead0),
-                ["__dv_file__", "__dv_pos__"],
-                "left_anti",
-            )
-        new_dead = tagged.filter(
-            F_coalesce(F_expr(predicate), F_lit(False))
-        ).select(
-            F_col("__dv_file__").alias("file"),
-            F_col("__dv_pos__").alias("pos"),
-        )
-        counts = {
-            r["file"]: r["count"]
-            for r in new_dead.groupBy("file").count().collect()
+        extra: dict = {
+            "delete_predicate": predicate,
+            "delete_mode": "merge-on-read",
         }
-        if not counts:
+        _, frozen, counts = self._freeze_matches(
+            spark, snap, predicate, touched
+        )
+        if frozen is None:
             # predicate matched no live row: auditable no-op, dv intact
             return self._commit_rewrite(
                 "delete",
@@ -2209,46 +2324,16 @@ class SnapshotTable:
                 spark=spark,
                 retries=retries,
                 added_guard=guard,
-                extra={
-                    "delete_predicate": predicate,
-                    "delete_mode": "merge-on-read",
-                },
+                extra=extra,
                 read_dv={f: pdv.get(f) for f in touched},
             )
-        affected = sorted(counts)
-        parts = new_dead
-        old_affected = {f: pdv[f] for f in affected if f in pdv}
-        if old_affected:
-            parts = parts.unionByName(
-                self._dv_frame(spark, old_affected).select("file", "pos")
-            )
-        dv_files = self._write_dv(parts)
-        if len(dv_files) != 1:  # coalesce(1) contract: exactly one part
-            self._drop_uuid_dirs(dv_files)
-            raise RuntimeError(
-                f"{self.root}: deletion-vector write produced "
-                f"{len(dv_files)} files, expected 1"
-            )
-        dv_file = dv_files[0]
-        totals = {
-            f: counts[f] + (pdv[f][1] if f in pdv else 0) for f in affected
-        }
-        fully_dead = [
-            f
-            for f in affected
-            if stats.get(f, {}).get("__num_rows__") is not None
-            and totals[f] >= stats[f]["__num_rows__"]
-        ]
-        dv_set = {
-            f: [dv_file, totals[f]] for f in affected if f not in fully_dead
-        }
-        extra = {
-            "delete_predicate": predicate,
-            "delete_mode": "merge-on-read",
-            "dv_touched": affected,
-            "dv_before": {f: pdv.get(f) for f in affected},
-        }
+        written = [frozen]
         try:
+            dv_set, fully_dead, fields, merged = self._consolidated_dv(
+                spark, frozen, counts, pdv, stats
+            )
+            written += merged
+            extra.update(fields)
             return self._commit_rewrite(
                 "delete",
                 cur,
@@ -2261,9 +2346,10 @@ class SnapshotTable:
                 extra=extra,
                 dv_set=dv_set,
                 read_dv={f: pdv.get(f) for f in touched},
+                soft_deleted=sum(counts.values()),
             )
         except BaseException:
-            self._drop_uuid_dirs(dv_files)
+            self._drop_uuid_dirs(written)
             raise
 
     def update(
@@ -2323,10 +2409,12 @@ class SnapshotTable:
         update of 0.1% of a 100 TB table writes 0.1%-of-table bytes
         instead of every touched file. CDF falls out for free and is
         exact even for NON-deterministic SET expressions: the
-        pre-image derives from the immutable parent files + the
-        recorded prior dv, the post-image IS the added files —
-        nothing is re-evaluated at replay, so ``change_data`` is
-        unnecessary in this mode."""
+        pre-image derives from the frozen new-dead sidecar over the
+        immutable parent files, the post-image IS the added files —
+        nothing is re-evaluated at replay, and vacuum pins both while
+        the manifest is retained. A ``change_data=True`` request (or
+        the table property) is therefore SATISFIED by these recorded
+        artifacts; no separate cdc files are written in this mode."""
         if mode not in ("copy-on-write", "merge-on-read"):
             raise ValueError(
                 f"mode must be copy-on-write|merge-on-read, got {mode!r}"
@@ -2489,114 +2577,69 @@ class SnapshotTable:
     ) -> Snapshot:
         """The deletion-vector branch of :meth:`update`: soft-delete
         the matched LIVE rows' positions (consolidated with any prior
-        dv, exactly like merge-on-read delete) and land ONLY their
-        post-image rows as new CHECK-enforced files — untouched rows
-        of the touched files stay in place. The manifest records
-        ``update_mode``/``dv_touched``/``dv_before`` (pre-image
-        derivation) and ``update_added`` (the post-image files), so
-        the CDF replays exact pre/post pairs with no SET
-        re-evaluation."""
+        dv, exactly like merge-on-read delete — the shared
+        ``_freeze_matches``/``_consolidated_dv`` skeleton) and land
+        ONLY their post-image rows as new CHECK-enforced files —
+        untouched rows of the touched files stay in place. The
+        post-image derives from the FROZEN positions (a semi-join, not
+        a predicate re-evaluation), so the committed rows, the sidecar,
+        and the manifest counts agree even for non-deterministic
+        predicates. The manifest records ``update_mode`` /
+        ``dv_touched`` / ``dv_before`` / ``dv_new`` (pre-image
+        derivation) and ``update_added`` (the post-image files), so the
+        CDF replays exact pre/post pairs with no re-evaluation of
+        anything."""
+        from pyspark.sql.functions import broadcast as F_broadcast
         from pyspark.sql.functions import expr as F_expr
-        from pyspark.sql.functions import regexp_extract as F_rex
 
         cur = snap.version
         pdv = dict(snap.dv or {})
         stats = dict(snap.stats or {})
-        tagged = (
-            self._read_files(spark, touched, schema=snap.schema)
-            .withColumn(
-                "__dv_file__",
-                F_rex(
-                    F_col("_metadata.file_path"),
-                    r"(data/[^/]+/[^/]+)$",
-                    1,
-                ),
-            )
-            .withColumn("__dv_pos__", F_col("_metadata.row_index"))
+        extra: dict = {
+            "update_predicate": predicate,
+            "update_set": dict(set_exprs),
+            "update_mode": "merge-on-read",
+        }
+        tagged, frozen, counts = self._freeze_matches(
+            spark, snap, predicate, touched
         )
-        bad = sorted(
-            set(set_exprs)
-            - {c for c in tagged.columns if not c.startswith("__dv_")}
-        )
+        data_cols = [c for c in tagged.columns if not c.startswith("__dv_")]
+        bad = sorted(set(set_exprs) - set(data_cols))
         if bad:
+            if frozen is not None:
+                self._drop_uuid_dirs([frozen])
             raise ValueError(
                 f"{self.root}: update SET references column(s) {bad} "
                 "not in the table schema"
             )
-        old_touched = {f: e for f, e in pdv.items() if f in set(touched)}
-        if old_touched:
-            from pyspark.sql.functions import broadcast as F_broadcast
-
-            dead0 = self._dv_frame(spark, old_touched).selectExpr(
-                "file AS __dv_file__", "pos AS __dv_pos__"
+        if frozen is None:
+            return self._commit_rewrite(
+                "update",
+                cur,
+                removed=(),
+                new_files=[],
+                new_stats={},
+                spark=spark,
+                retries=retries,
+                added_guard=guard,
+                extra=extra,
+                read_dv={f: pdv.get(f) for f in touched},
             )
-            tagged = tagged.join(
-                F_broadcast(dead0),
-                ["__dv_file__", "__dv_pos__"],
-                "left_anti",
-            )
-        matched = tagged.filter(
-            F_coalesce(F_expr(predicate), F_lit(False))
-        ).persist()  # ONE scan feeds positions, counts, and post-image
+        written = [frozen]
         try:
-            counts = {
-                r["file"]: r["count"]
-                for r in matched.groupBy("__dv_file__")
-                .count()
-                .withColumnRenamed("__dv_file__", "file")
-                .collect()
-            }
-            extra: dict = {
-                "update_predicate": predicate,
-                "update_set": dict(set_exprs),
-                "update_mode": "merge-on-read",
-            }
-            if not counts:
-                return self._commit_rewrite(
-                    "update",
-                    cur,
-                    removed=(),
-                    new_files=[],
-                    new_stats={},
-                    spark=spark,
-                    retries=retries,
-                    added_guard=guard,
-                    extra=extra,
-                    read_dv={f: pdv.get(f) for f in touched},
-                )
-            affected = sorted(counts)
-            dead_parts = matched.select(
-                F_col("__dv_file__").alias("file"),
-                F_col("__dv_pos__").alias("pos"),
+            dv_set, fully_dead, fields, merged = self._consolidated_dv(
+                spark, frozen, counts, pdv, stats
             )
-            old_affected = {f: pdv[f] for f in affected if f in pdv}
-            if old_affected:
-                dead_parts = dead_parts.unionByName(
-                    self._dv_frame(spark, old_affected).select("file", "pos")
-                )
-            dv_files = self._write_dv(dead_parts)
-            if len(dv_files) != 1:
-                self._drop_uuid_dirs(dv_files)
-                raise RuntimeError(
-                    f"{self.root}: deletion-vector write produced "
-                    f"{len(dv_files)} files, expected 1"
-                )
-            dv_file = dv_files[0]
-            totals = {
-                f: counts[f] + (pdv[f][1] if f in pdv else 0)
-                for f in affected
-            }
-            fully_dead = [
-                f
-                for f in affected
-                if stats.get(f, {}).get("__num_rows__") is not None
-                and totals[f] >= stats[f]["__num_rows__"]
-            ]
-            dv_set = {
-                f: [dv_file, totals[f]]
-                for f in affected
-                if f not in fully_dead
-            }
+            written += merged
+            extra.update(fields)
+            frozen_pos = spark.read.parquet(
+                str(self.root / frozen)
+            ).selectExpr("file AS __dv_file__", "pos AS __dv_pos__")
+            matched = tagged.join(
+                F_broadcast(frozen_pos),
+                ["__dv_file__", "__dv_pos__"],
+                "left_semi",
+            )
             post = matched.select(
                 *[
                     F_expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
@@ -2607,34 +2650,29 @@ class SnapshotTable:
                 ]
             )
             enforced: dict = {}
-            fresh: list[str] = []
-            fresh_stats: dict = {}
-            try:
-                fresh, fresh_stats = self._write_data(
-                    post, enforced_out=enforced
-                )
-                extra["dv_touched"] = affected
-                extra["dv_before"] = {f: pdv.get(f) for f in affected}
-                extra["update_added"] = sorted(fresh)
-                return self._commit_rewrite(
-                    "update",
-                    cur,
-                    removed=fully_dead,
-                    new_files=fresh,
-                    new_stats=fresh_stats,
-                    spark=spark,
-                    retries=retries,
-                    added_guard=guard,
-                    recheck=(fresh, fresh_stats, enforced),
-                    extra=extra,
-                    dv_set=dv_set,
-                    read_dv={f: pdv.get(f) for f in touched},
-                )
-            except BaseException:
-                self._drop_uuid_dirs(fresh + dv_files)
-                raise
-        finally:
-            matched.unpersist()
+            fresh, fresh_stats = self._write_data(
+                post, enforced_out=enforced
+            )
+            written += fresh
+            extra["update_added"] = sorted(fresh)
+            return self._commit_rewrite(
+                "update",
+                cur,
+                removed=fully_dead,
+                new_files=fresh,
+                new_stats=fresh_stats,
+                spark=spark,
+                retries=retries,
+                added_guard=guard,
+                recheck=(fresh, fresh_stats, enforced),
+                extra=extra,
+                dv_set=dv_set,
+                read_dv={f: pdv.get(f) for f in touched},
+                soft_deleted=sum(counts.values()),
+            )
+        except BaseException:
+            self._drop_uuid_dirs(written)
+            raise
 
     def commit_batch(
         self,
@@ -3066,6 +3104,26 @@ class SnapshotTable:
             return []
         kept = hist[-keep_versions:]
         live = {f for s in kept for f in s.files}
+        # a kept manifest's CDF REPLAY INPUTS are live too (review r10:
+        # pinning the dv sidecars but not the data files the same
+        # replay reads made the feed contract inconsistent): the files
+        # a replayable op re-reads — COW delete/update/replace removals,
+        # merge-on-read touched files, materialized replacement /
+        # post-image files, an append's added files — stay until their
+        # manifest leaves the window. Non-replayable ops (overwrite /
+        # restore / compact / optimize / merge-without-cdc) pin nothing.
+        kept_raws = [self._raw_manifest(s.version) for s in kept]
+        for raw in kept_raws:
+            op = raw.get("op")
+            if op == "append":
+                live.update(raw.get("add", raw.get("files", [])))
+            elif op in ("delete", "update"):
+                live.update(raw.get("remove", []))
+                live.update(raw.get("dv_touched", []))
+                live.update(raw.get("update_added", []))
+            elif op == "replace":
+                live.update(raw.get("remove", []))
+                live.update(raw.get("replace_added", []))
         subdirs = sorted(
             str(d)
             for d in (
@@ -3101,9 +3159,7 @@ class SnapshotTable:
         cdc_root = self.root / "_change_data"
         if cdc_root.exists():
             live_cdc = frozenset(
-                f
-                for s in kept
-                for f in self._raw_manifest(s.version).get("cdc_files", [])
+                f for raw in kept_raws for f in raw.get("cdc_files", [])
             )
             for sub in sorted(
                 d for d in cdc_root.iterdir() if d.is_dir() and _settled(d)
@@ -3119,12 +3175,13 @@ class SnapshotTable:
         dv_root = self.root / "_deletion_vectors"
         if dv_root.exists():
             live_dv = set()
-            for s in kept:
-                raw = self._raw_manifest(s.version)
+            for raw in kept_raws:
                 for key in ("dv", "dv_removed", "dv_before"):
                     for e in (raw.get(key) or {}).values():
                         if e:
                             live_dv.add(e[0])
+                if raw.get("dv_new"):
+                    live_dv.add(raw["dv_new"])
             for sub in sorted(
                 d for d in dv_root.iterdir() if d.is_dir() and _settled(d)
             ):
@@ -3465,6 +3522,35 @@ class SnapshotTable:
                 {f: e for f, e in (dv_entries or {}).items() if e},
             )
 
+        def _frozen_rows(rel_files, sch, dv_new_rel) -> DataFrame:
+            """Replay of a merge-on-read commit: EXACTLY the rows whose
+            positions its frozen new-dead sidecar recorded — a position
+            semi-join, no predicate re-evaluation, exact even when the
+            predicate was non-deterministic. (The frozen set was
+            computed over then-live rows, so no dv_before exclusion is
+            needed on top.)"""
+            from pyspark.sql.functions import broadcast as F_broadcast
+            from pyspark.sql.functions import regexp_extract as F_rex
+
+            df = (
+                self._read_files(spark, rel_files, schema=sch)
+                .withColumn(
+                    "__dv_file__",
+                    F_rex(
+                        F_col("_metadata.file_path"),
+                        self._DATA_FILE_RE,
+                        1,
+                    ),
+                )
+                .withColumn("__dv_pos__", F_col("_metadata.row_index"))
+            )
+            pos = spark.read.parquet(
+                str(self.root / dv_new_rel)
+            ).selectExpr("file AS __dv_file__", "pos AS __dv_pos__")
+            return df.join(
+                F_broadcast(pos), ["__dv_file__", "__dv_pos__"], "left_semi"
+            ).drop("__dv_file__", "__dv_pos__")
+
         parts: list[DataFrame] = []
         for v in range(since_version + 1, until + 1):
             # the raw manifest carries everything this loop needs (op,
@@ -3573,20 +3659,22 @@ class SnapshotTable:
                             "cannot replay its changes"
                         )
                     if affected:
-                        # newly-dead rows = the affected files' rows
-                        # minus what was ALREADY dead before this
-                        # commit (dv_before), predicate-matched
+                        dv_new = raw.get("dv_new")
+                        rows = (
+                            _frozen_rows(affected, sch, dv_new)
+                            if dv_new
+                            # legacy MoR manifest without a frozen
+                            # sidecar record: derive (deterministic
+                            # predicates only)
+                            else _live(
+                                affected, sch, raw.get("dv_before")
+                            ).filter(
+                                F_coalesce(F_expr(pred), F_lit(False))
+                            )
+                        )
                         parts.append(
                             _stamp(
-                                _live(
-                                    affected, sch, raw.get("dv_before")
-                                )
-                                .filter(
-                                    F_coalesce(
-                                        F_expr(pred), F_lit(False)
-                                    )
-                                )
-                                .withColumn(
+                                rows.withColumn(
                                     "_change_type", F_lit("delete")
                                 ),
                                 v,
@@ -3625,19 +3713,19 @@ class SnapshotTable:
                             "cannot replay its changes"
                         )
                     if affected:
-                        # pre-image: the affected files' then-live
-                        # rows matching the predicate
+                        dv_new = raw.get("dv_new")
+                        pre = (
+                            _frozen_rows(affected, sch, dv_new)
+                            if dv_new
+                            else _live(
+                                affected, sch, raw.get("dv_before")
+                            ).filter(
+                                F_coalesce(F_expr(pred), F_lit(False))
+                            )
+                        )
                         parts.append(
                             _stamp(
-                                _live(
-                                    affected, sch, raw.get("dv_before")
-                                )
-                                .filter(
-                                    F_coalesce(
-                                        F_expr(pred), F_lit(False)
-                                    )
-                                )
-                                .withColumn(
+                                pre.withColumn(
                                     "_change_type",
                                     F_lit("update_preimage"),
                                 ),

@@ -118,8 +118,17 @@ def test_reader_unaffected_by_concurrent_vacuum_of_newer(spark, tmp_path):
 
     removed = snap.vacuum(keep_versions=1, grace_seconds=0.0)
     assert _rows(snap.read(spark, version=v_last)) == last_rows
-    # vacuum actually reclaimed the replaced generation's files
+    # the kept manifest IS the replace: its CDF replay inputs (the
+    # replaced generation) stay live while it is retained (review r10)
+    assert removed == []
+    # a later commit ages the replace out of the window; the replaced
+    # generation then reclaims while the kept read stays byte-identical
+    snap.append(_events(spark, 2, 900, 905))
+    removed = snap.vacuum(keep_versions=1, grace_seconds=0.0)
     assert removed
+    assert sorted(_rows(snap.read(spark))) == sorted(
+        last_rows + _rows(_events(spark, 2, 900, 905))
+    )
 
 
 def test_optimize_invisible_to_readers_unlike_parquet_rewrite(spark, tmp_path):

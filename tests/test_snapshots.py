@@ -2425,15 +2425,14 @@ def test_dv_delete_soft_removes_without_rewrite(spark, table, monkeypatch):
         .repartition(4)
     )
     before = table.snapshot()
+    real_write = SnapshotTable.__dict__["_write_data"]
 
     def boom(*a, **kw):
         raise AssertionError("merge-on-read delete must not write data")
 
     monkeypatch.setattr(SnapshotTable, "_write_data", boom)
     snap = table.delete(spark, "v = 3", mode="merge-on-read")
-    monkeypatch.setattr(
-        SnapshotTable, "_write_data", SnapshotTable.__dict__["_write_data"]
-    )
+    monkeypatch.setattr(SnapshotTable, "_write_data", real_write)
     assert set(snap.files) == set(before.files)
     assert len(snap.dv) == 4 and snap.metrics["rows_soft_deleted"] == 10
     got = sorted(r.id for r in table.read(spark).collect())
@@ -2638,7 +2637,6 @@ def test_dv_update_stacks_on_prior_dv_and_full_death(spark, table):
         spark, "v >= 20", {"v": "v + 1"}, mode="merge-on-read"
     )
     # all 3 original rows now dead in the original file -> dropped
-    assert all("part-" not in f or f in snap.files for f in snap.files)
     assert sorted((r.k, r.v) for r in table.read(spark).collect()) == [
         (2, 21),
         (3, 31),
@@ -2672,3 +2670,65 @@ def test_dv_update_check_enforced_and_noop(spark, table):
     )
     assert snap.files == before.files and (snap.dv or {}) == {}
     assert sorted(r.v for r in table.read(spark).collect()) == [10, 20]
+
+
+def test_dv_nondeterministic_predicate_single_evaluation(spark, table):
+    """Review r10 (data-loss class): a merge-on-read delete/update
+    evaluates its predicate EXACTLY ONCE (positions frozen in the
+    sidecar; counts, post-image, and CDF replay all derive from it) —
+    pinned with rand() predicates, where any re-evaluation would make
+    the committed table, the manifest counts, and the feed disagree."""
+    table.append(
+        spark.range(0, 400).selectExpr("id", "id AS v").coalesce(2)
+    )
+    snap = table.delete(spark, "rand() < 0.3", mode="merge-on-read")
+    live = sorted(r.id for r in table.read(spark).collect())
+    dead = sorted(
+        r.id
+        for r in table.read_changes_cdf(spark, since_version=0)
+        .filter("_change_type = 'delete'")
+        .collect()
+    )
+    assert sorted(live + dead) == list(range(400)), "exact partition"
+    assert snap.metrics["rows_soft_deleted"] == len(dead)
+    assert sum(e[1] for e in snap.dv.values()) == len(dead)
+    # MoR update with a random predicate: pre/post pair counts agree
+    # with each other and with the rows that actually changed
+    snap2 = table.update(
+        spark, "rand() < 0.3", {"v": "v + 1000000"}, mode="merge-on-read"
+    )
+    feed = (
+        table.read_changes_cdf(spark, since_version=snap.version)
+        .groupBy("_change_type")
+        .count()
+        .collect()
+    )
+    counts = {r["_change_type"]: r["count"] for r in feed}
+    n_changed = table.read(spark).filter("v >= 1000000").count()
+    assert counts.get("update_preimage", 0) == counts.get(
+        "update_postimage", 0
+    ) == n_changed == snap2.metrics["rows_soft_deleted"]
+    assert table.read(spark).count() == len(live), "updates never drop rows"
+
+
+def test_dv_vacuum_pins_kept_replay_inputs(spark, table):
+    """Review r10: vacuum keeps the DATA files a kept manifest's CDF
+    replay reads (a fully-dead file dropped by a kept merge-on-read
+    delete, a COW delete's removed files), not just the dv sidecars —
+    the feed stays readable over the whole kept window."""
+    table.append(_kv(spark, [(1, 1), (2, 1)]).coalesce(1))   # v0: one file
+    table.append(_kv(spark, [(3, 2)]).coalesce(1))           # v1
+    table.delete(spark, "v = 1", mode="merge-on-read")       # v2: drops file
+    table.vacuum(keep_versions=2, grace_seconds=0.0)         # keeps v1, v2
+    rows = {
+        (r.k, r._change_type)
+        for r in table.read_changes_cdf(spark, since_version=1).collect()
+    }
+    assert rows == {(1, "delete"), (2, "delete")}, (
+        "replay inputs of a kept manifest must survive vacuum"
+    )
+    # once the manifest leaves the window, its inputs reclaim
+    table.append(_kv(spark, [(4, 3)]))                       # v3
+    table.append(_kv(spark, [(5, 3)]))                       # v4
+    removed = table.vacuum(keep_versions=2, grace_seconds=0.0)
+    assert removed, "aged-out replay inputs are reclaimed"
