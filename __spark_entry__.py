@@ -114,15 +114,16 @@ _PRIORITY_WINDOW = [
     "copurchase_part_pairs",
     "cube_order_stats",
     "customer_max_order_subquery",
-    "customers_with_big_order",
     # NEW r10 queries (SnapshotTable.update drive; optimize CDF
-    # row-neutrality; merge-on-read deletion-vector delete drive) take
-    # slots 48-50 by displacing the three alphabetically-last r7
-    # fillers (customers_without_open_orders, dedup_canonical_docs,
+    # row-neutrality; merge-on-read deletion-vector delete drive;
+    # shallow-clone divergence drive) take slots 47-50 by displacing
+    # the four alphabetically-last r7 fillers (customers_with_big_order,
+    # customers_without_open_orders, dedup_canonical_docs,
     # dedup_clusters — all keep their r7 green rows)
     "snapshot_update_rows",
     "snapshot_optimize_cdf_neutral",
     "snapshot_dv_delete_rows",
+    "snapshot_clone_divergence",
 ]
 
 _PLAN_MODULES = (

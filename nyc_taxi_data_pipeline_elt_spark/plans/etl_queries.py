@@ -670,6 +670,66 @@ GROUP BY o_orderstatus
 """
 
 
+def snapshot_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE drive (Delta ``CREATE TABLE ... SHALLOW CLONE``):
+    the source orders table takes a merge-on-read band delete (deletion
+    vectors carry into the clone), is cloned ZERO-COPY (inline gate: the
+    clone's data directory must not exist), and the CLONE alone then
+    takes a price UPDATE — the returned aggregate is over the diverged
+    clone, while an inline gate pins the source unchanged (its aggregate
+    equals the pre-clone read). Proves reference-by-absolute-path reads,
+    carried dv correctness across roots, and write isolation — the
+    whole clone contract in one oracle-checked query."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import SnapshotTable
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    root = ephemeral_root("snapclone")
+    src = SnapshotTable(root + "/src")
+    src.append(orders.repartitionByRange(8, "o_totalprice"))
+    band = "o_totalprice BETWEEN 100000 AND 200000"
+    src.delete(spark, band, mode="merge-on-read")
+    src_before = src.read(spark).count()
+    clone = src.shallow_clone(root + "/clone")
+    if (clone.root / "data").exists():
+        raise AssertionError("shallow clone must copy zero data files")
+    clone.update(
+        spark,
+        "o_totalprice < 50000",
+        {"o_totalprice": "o_totalprice + 10000.0"},
+    )
+    if src.read(spark).count() != src_before:
+        raise AssertionError("clone writes must not touch the source")
+    return (
+        clone.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("key_checksum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+SNAPSHOT_CLONE_ORACLE = """
+WITH survivors AS (
+  SELECT o_orderstatus, o_orderkey,
+         CASE WHEN o_totalprice < 50000
+              THEN o_totalprice + 10000.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE NOT COALESCE(o_totalprice BETWEEN 100000 AND 200000, FALSE)
+)
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM survivors
+GROUP BY o_orderstatus
+"""
+
+
 def snapshot_optimize_cdf_neutral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-neutral rewrites must be ROW-NEUTRAL in the change feed
     (VERDICT r9 task #5): build a mutating history — two appends, then
@@ -749,6 +809,7 @@ QUERIES = {
     "snapshot_update_rows": snapshot_update_rows,
     "snapshot_optimize_cdf_neutral": snapshot_optimize_cdf_neutral,
     "snapshot_dv_delete_rows": snapshot_dv_delete_rows,
+    "snapshot_clone_divergence": snapshot_clone_divergence,
 }
 
 ORACLE = {
@@ -763,4 +824,5 @@ ORACLE = {
     "snapshot_update_rows": SNAPSHOT_UPDATE_ORACLE,
     "snapshot_optimize_cdf_neutral": SNAPSHOT_OPTIMIZE_CDF_ORACLE,
     "snapshot_dv_delete_rows": SNAPSHOT_DV_DELETE_ORACLE,
+    "snapshot_clone_divergence": SNAPSHOT_CLONE_ORACLE,
 }

@@ -133,10 +133,14 @@ class SnapshotDataSource(DataSource):
             [str(table.root / f) for f in snap.files],
             to_arrow_schema(schema),
             {str(table.root / f): s for f, s in (snap.stats or {}).items()},
-            # deletion vectors: abs data file -> (abs dv file, rel data
-            # file) so each partition can mask its soft-deleted rows
+            # deletion vectors: abs data file -> (abs dv file, the
+            # root-independent tail the sidecar keys rows by) so each
+            # partition can mask its soft-deleted rows
             {
-                str(table.root / f): (str(table.root / e[0]), f)
+                str(table.root / f): (
+                    str(table.root / e[0]),
+                    type(table)._file_tail(f),
+                )
                 for f, e in (snap.dv or {}).items()
             },
         )

@@ -478,6 +478,16 @@ class SnapshotTable:
     #: ``_metadata.file_path`` so dv joins stay relocatable
     _DATA_FILE_RE = r"(data/[^/]+/[^/]+)$"
 
+    @classmethod
+    def _file_tail(cls, f: str) -> str:
+        """The root-independent ``data/<uuid>/<name>`` tail of a data
+        file reference — the dv parquet's join key. Manifest file
+        strings are normally root-relative (== their tail), but a
+        SHALLOW CLONE lists its source's files absolutely; keying dv
+        joins by the tail keeps soft deletes correct on both."""
+        m = _re.search(cls._DATA_FILE_RE, f)
+        return m.group(1) if m else f
+
     def _dv_frame(self, spark: SparkSession, dv_entries: dict) -> DataFrame:
         """The (file, pos) dead-row set behind ``dv_entries`` ({rel_file:
         [dv_rel_file, count]}): one read over the DISTINCT dv parquet
@@ -488,7 +498,9 @@ class SnapshotTable:
         dv_files = sorted({e[0] for e in dv_entries.values()})
         return spark.read.parquet(
             *[str(self.root / f) for f in dv_files]
-        ).filter(F_col("file").isin(list(dv_entries)))
+        ).filter(
+            F_col("file").isin([self._file_tail(f) for f in dv_entries])
+        )
 
     def _apply_dv(
         self,
@@ -586,8 +598,11 @@ class SnapshotTable:
                 f"{self.root}: deletion-vector write produced "
                 f"{len(frozen)} files, expected 1"
             )
+        # the sidecar keys rows by root-independent tails; map back to
+        # the manifest's file strings (identical unless shallow-cloned)
+        by_tail = {self._file_tail(f): f for f in touched}
         counts = {
-            r["file"]: r["count"]
+            by_tail[r["file"]]: r["count"]
             for r in spark.read.parquet(str(self.root / frozen[0]))
             .groupBy("file")
             .count()
@@ -2913,6 +2928,56 @@ class SnapshotTable:
             dv=dict(snap.dv or {}),
         )
 
+    def shallow_clone(self, path: str) -> "SnapshotTable":
+        """Delta ``CREATE TABLE ... SHALLOW CLONE``: a new table at
+        ``path`` whose v0 manifest REFERENCES the source's current data
+        files by absolute path — zero data copied, O(files) metadata,
+        ready in one commit. Stats, schema, constraints, properties,
+        deletion vectors, and the exactly-once batch-id set all carry
+        over (dv joins key rows by the root-independent
+        ``data/<uuid>/<name>`` tail, so the source's sidecars apply
+        unchanged). The clone then lives its own life: appends land
+        under ITS root, rewrites (compact/optimize/delete/update/
+        merge/replace) materialize whatever they touch into local
+        files, and the clone's vacuum only ever lists its own data
+        directory — source files are structurally out of reach.
+
+        The one shared-fate caveat is Delta's own: the source must not
+        VACUUM away files the clone still references (its snapshot at
+        clone time). Keep the source's retention at least as long as
+        the clone's dependence, or ``compact()`` the clone to cut the
+        cord (first compaction deep-copies the remaining referenced
+        rows)."""
+        snap = self.snapshot()  # raises FileNotFoundError when empty
+        clone = SnapshotTable(path)
+        if clone.current_version() is not None:
+            raise FileExistsError(
+                f"{clone.root}: already a committed table; clone into "
+                "a fresh path"
+            )
+        src = self.root.resolve()
+        clone._commit(
+            [str(src / f) for f in snap.files],
+            "clone",
+            stats={str(src / f): s for f, s in (snap.stats or {}).items()},
+            constraints=dict(snap.constraints or {}),
+            properties=dict(snap.properties or {}),
+            batch_ids_override=list(snap.batch_ids or []),
+            expected_parent=None,
+            schema=(
+                list(snap.schema) if snap.schema is not None else None
+            ),
+            dv={
+                str(src / f): [str(src / e[0]), e[1]]
+                for f, e in (snap.dv or {}).items()
+            },
+            extra={
+                "clone_source": str(src),
+                "clone_version": snap.version,
+            },
+        )
+        return clone
+
     def add_check_constraint(
         self, spark: SparkSession, name: str, expr: str
     ) -> Snapshot:
@@ -3347,6 +3412,46 @@ class SnapshotTable:
         os.replace(tmp, ck)
         return cur
 
+    def process_changes_cdf(
+        self,
+        spark: SparkSession,
+        checkpoint: str,
+        handle,
+    ) -> int | None:
+        """Incremental CDF consumer: feed every not-yet-seen version's
+        FULL change feed (``read_changes_cdf`` — inserts, deletes,
+        update pre/post images, ``_commit_version``/``_commit_timestamp``
+        columns) to ``handle(df, until_version)``, then advance an
+        atomically-swapped checkpoint file. The mutation-aware twin of
+        :meth:`process_changes`: that one refuses to cross row-removing
+        commits; this one replays them, so a downstream mirror applying
+        deletes/updates stays exact. Delivery is at-least-once across
+        crashes; pass the supplied version as a batch id into an
+        idempotent sink for exactly-once end to end. Returns the
+        newly-recorded version, or None when nothing changed.
+
+        Run it at least as often as vacuum retention: the replay reads
+        the kept window's replay inputs (pinned by vacuum while their
+        manifests are retained — the same CDF-availability window Delta
+        documents)."""
+        ck = Path(checkpoint)
+        try:
+            last = int(ck.read_text().strip())
+        except (FileNotFoundError, ValueError):
+            last = -1
+        cur = self.current_version()
+        if cur is None or cur <= last:
+            return None
+        handle(
+            self.read_changes_cdf(spark, since_version=last, until_version=cur),
+            cur,
+        )
+        ck.parent.mkdir(parents=True, exist_ok=True)
+        tmp = ck.with_name(f".{ck.name}.{uuid.uuid4().hex}")
+        tmp.write_text(str(cur))
+        os.replace(tmp, ck)
+        return cur
+
     def added_files(self, since_version: int, until_version: int) -> list[str]:
         """Relative paths of data files ADDED by append snapshots in
         ``(since_version, until_version]`` — the manifest-diff core of
@@ -3380,6 +3485,17 @@ class SnapshotTable:
                     # vector grew (a merge-on-read delete changes rows
                     # without changing the file set): no row changed
                     continue
+            if s.op == "clone" and s.parent is None:
+                if s.dv:
+                    # the carried deletion vectors make 'added rows' a
+                    # filtered set plain file reads cannot express
+                    raise ValueError(
+                        f"{self.root}: clone snapshot v{v} carries "
+                        "deletion vectors; read_changes_cdf is the "
+                        "reader that honors them"
+                    )
+                added.extend(s.files)  # every referenced row is new here
+                continue
             if s.op != "append":
                 raise ValueError(
                     f"{self.root}: change feed crosses non-append snapshot "
@@ -3618,7 +3734,9 @@ class SnapshotTable:
                         )
                     )
                 continue
-            if op == "append":
+            if op in ("append", "clone"):
+                # a clone's v0 is inline (parent None): every referenced
+                # row is new TO THIS TABLE, replayed as inserts
                 if "add" in raw:
                     added = raw["add"]  # delta manifest: the common case
                 elif raw.get("parent") is None:
@@ -3639,10 +3757,19 @@ class SnapshotTable:
                         if f not in parent_files
                     ]
                 if added:
+                    rows = self._read_files(spark, added)
+                    if op == "clone":
+                        # the clone carried its source's deletion
+                        # vectors: soft-deleted rows were never part of
+                        # this table, so they must not replay as inserts
+                        rows = self._apply_dv(
+                            spark, rows, added, raw.get("dv")
+                        )
                     parts.append(
                         _stamp(
-                            self._read_files(spark, added)
-                            .withColumn("_change_type", F_lit("insert")),
+                            rows.withColumn(
+                                "_change_type", F_lit("insert")
+                            ),
                             v,
                             ts,
                         )

@@ -2732,3 +2732,79 @@ def test_dv_vacuum_pins_kept_replay_inputs(spark, table):
     table.append(_kv(spark, [(5, 3)]))                       # v4
     removed = table.vacuum(keep_versions=2, grace_seconds=0.0)
     assert removed, "aged-out replay inputs are reclaimed"
+
+
+# ---------------- shallow clone + incremental CDF consumer ----------------
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, table, tmp_path):
+    """SHALLOW CLONE: zero data copied (the clone's data dir does not
+    exist), reads match the source exactly (including carried deletion
+    vectors and constraints), and the clone then diverges without ever
+    touching the source — its rewrites materialize locally, its vacuum
+    lists only its own directory."""
+    table.append(
+        spark.range(0, 50).selectExpr("id", "id % 5 AS v").coalesce(2)
+    )
+    table.delete(spark, "v = 1", mode="merge-on-read")
+    table.add_check_constraint(spark, "v_pos", "v >= 0")
+    clone = table.shallow_clone(str(tmp_path / "clone"))
+    assert not (clone.root / "data").exists(), "no data copied"
+    exp = sorted(i for i in range(50) if i % 5 != 1)
+    assert sorted(r.id for r in clone.read(spark).collect()) == exp
+    assert "v_pos" in clone.snapshot().constraints
+    with pytest.raises(Exception, match="v_pos"):
+        clone.append(_kv(spark, [(9, -1)]))  # constraint carried, live
+    # divergence: append + a MoR delete whose dv covers SOURCE files
+    clone.append(spark.range(100, 110).selectExpr("id", "id % 5 AS v"))
+    clone.delete(spark, "v = 2", mode="merge-on-read")
+    exp2 = sorted(
+        [i for i in range(50) if i % 5 not in (1, 2)]
+        + [i for i in range(100, 110) if i % 5 != 2]
+    )
+    assert sorted(r.id for r in clone.read(spark).collect()) == exp2
+    assert sorted(r.id for r in table.read(spark).collect()) == exp
+    # CDF from scratch: clone v0 replays as inserts MINUS carried dv
+    cdf = clone.read_changes_cdf(spark, since_version=-1)
+    ins = sorted(r.id for r in cdf.filter("_change_type='insert'").collect())
+    assert ins == sorted(exp + list(range(100, 110)))
+    with pytest.raises(ValueError, match="deletion vectors"):
+        clone.read_changes(spark, since_version=-1)
+    # compact cuts the cord; vacuum reclaims only local files
+    clone.compact(spark, target_files=2)
+    clone.vacuum(keep_versions=1, grace_seconds=0.0)
+    assert sorted(r.id for r in clone.read(spark).collect()) == exp2
+    assert sorted(r.id for r in table.read(spark).collect()) == exp
+    assert all(
+        not f.startswith("/") for f in clone.snapshot().files
+    ), "post-compact files are clone-relative (the cord is cut)"
+
+
+def test_shallow_clone_refuses_existing_target(spark, table, tmp_path):
+    table.append(_kv(spark, [(1, 1)]))
+    other = SnapshotTable(str(tmp_path / "other"))
+    other.append(_kv(spark, [(2, 2)]))
+    with pytest.raises(FileExistsError):
+        table.shallow_clone(str(other.root))
+
+
+def test_process_changes_cdf_incremental_exactly_once(spark, table, tmp_path):
+    """The mutation-aware incremental consumer: each call feeds only
+    the unseen versions' FULL feed (inserts and deletes), advances the
+    checkpoint atomically, and no-ops when idle."""
+    ck = str(tmp_path / "ck" / "cdf")
+    seen = []
+
+    def handle(df, v):
+        seen.append((v, {(r.k, r._change_type) for r in df.collect()}))
+
+    table.append(_kv(spark, [(1, 10), (2, 200)]))
+    assert table.process_changes_cdf(spark, ck, handle) == 0
+    table.delete(spark, "v >= 100")
+    table.update(spark, "k = 1", {"v": "v + 1"})
+    assert table.process_changes_cdf(spark, ck, handle) == 2
+    assert table.process_changes_cdf(spark, ck, handle) is None
+    assert seen == [
+        (0, {(1, "insert"), (2, "insert")}),
+        (2, {(2, "delete"), (1, "update_preimage"), (1, "update_postimage")}),
+    ]
