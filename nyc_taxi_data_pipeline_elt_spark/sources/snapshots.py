@@ -502,6 +502,33 @@ class SnapshotTable:
             F_col("file").isin([self._file_tail(f) for f in dv_entries])
         )
 
+    def _tag_dv_cols(self, df: DataFrame) -> DataFrame:
+        """Add the ``__dv_file__``/``__dv_pos__`` join-key columns to a
+        ``_metadata``-bearing read: the root-independent
+        ``data/<uuid>/<name>`` tail when the physical path matches the
+        writer layout, else the table-relative string recovered by
+        stripping this root — the DataFrame-side mirror of
+        :meth:`_file_tail`'s fallback, so legacy / hand-written
+        manifest entries (inline appends at arbitrary relative paths)
+        key dv joins identically on both sides instead of collapsing
+        to ``''`` and silently missing every mask."""
+        from pyspark.sql.functions import length as F_length
+        from pyspark.sql.functions import regexp_extract as F_rex
+        from pyspark.sql.functions import regexp_replace as F_rrep
+        from pyspark.sql.functions import when as F_when
+
+        tail = F_rex(F_col("_metadata.file_path"), self._DATA_FILE_RE, 1)
+        # file:/p, file:///p and plain /p all normalize to /p
+        phys = F_rrep(F_col("_metadata.file_path"), "^file:/+", "/")
+        prefix = str(self.root.resolve()) + "/"
+        rel = F_when(
+            phys.startswith(prefix),
+            phys.substr(F_lit(len(prefix) + 1), F_length(phys)),
+        ).otherwise(phys)
+        return df.withColumn(
+            "__dv_file__", F_when(tail != "", tail).otherwise(rel)
+        ).withColumn("__dv_pos__", F_col("_metadata.row_index"))
+
     def _apply_dv(
         self,
         spark: SparkSession,
@@ -523,15 +550,11 @@ class SnapshotTable:
         if not ents:
             return df
         from pyspark.sql.functions import broadcast as F_broadcast
-        from pyspark.sql.functions import regexp_extract as F_rex
 
         dead = self._dv_frame(spark, ents).selectExpr(
             "file AS __dv_file__", "pos AS __dv_pos__"
         )
-        tagged = df.withColumn(
-            "__dv_file__",
-            F_rex(F_col("_metadata.file_path"), self._DATA_FILE_RE, 1),
-        ).withColumn("__dv_pos__", F_col("_metadata.row_index"))
+        tagged = self._tag_dv_cols(df)
         return tagged.join(
             F_broadcast(dead), ["__dv_file__", "__dv_pos__"], "left_anti"
         ).drop("__dv_file__", "__dv_pos__")
@@ -560,18 +583,10 @@ class SnapshotTable:
         nothing matched — the empty sidecar dir is dropped), and the
         per-file match counts read back from the frozen file."""
         from pyspark.sql.functions import expr as F_expr
-        from pyspark.sql.functions import regexp_extract as F_rex
 
         pdv = dict(snap.dv or {})
-        tagged = (
+        tagged = self._tag_dv_cols(
             self._read_files(spark, touched, schema=snap.schema)
-            .withColumn(
-                "__dv_file__",
-                F_rex(
-                    F_col("_metadata.file_path"), self._DATA_FILE_RE, 1
-                ),
-            )
-            .withColumn("__dv_pos__", F_col("_metadata.row_index"))
         )
         old_touched = {f: e for f, e in pdv.items() if f in set(touched)}
         if old_touched:
@@ -601,13 +616,23 @@ class SnapshotTable:
         # the sidecar keys rows by root-independent tails; map back to
         # the manifest's file strings (identical unless shallow-cloned)
         by_tail = {self._file_tail(f): f for f in touched}
-        counts = {
-            by_tail[r["file"]]: r["count"]
-            for r in spark.read.parquet(str(self.root / frozen[0]))
+        counts: dict = {}
+        for r in (
+            spark.read.parquet(str(self.root / frozen[0]))
             .groupBy("file")
             .count()
             .collect()
-        }
+        ):
+            f = by_tail.get(r["file"])
+            if f is None:
+                self._drop_uuid_dirs(frozen)
+                raise RuntimeError(
+                    f"{self.root}: frozen sidecar recorded file key "
+                    f"{r['file']!r} that maps to no touched manifest "
+                    f"file — refusing to commit a dv that reads would "
+                    f"not apply"
+                )
+            counts[f] = r["count"]
         if not counts:
             self._drop_uuid_dirs(frozen)
             return tagged, None, {}
@@ -2956,13 +2981,23 @@ class SnapshotTable:
                 "a fresh path"
             )
         src = self.root.resolve()
+        ids = snap.batch_ids
+        if ids is None:  # legacy manifest: reconstruct from history,
+            # exactly as _commit and restore() do — collapsing None to
+            # an empty set would let a foreachBatch producer replay an
+            # already-committed batch into the clone (duplicate rows)
+            ids = tuple(
+                s.batch_id
+                for s in self.history()
+                if s.batch_id is not None
+            )
         clone._commit(
             [str(src / f) for f in snap.files],
             "clone",
             stats={str(src / f): s for f, s in (snap.stats or {}).items()},
             constraints=dict(snap.constraints or {}),
             properties=dict(snap.properties or {}),
-            batch_ids_override=list(snap.batch_ids or []),
+            batch_ids_override=list(ids),
             expected_parent=None,
             schema=(
                 list(snap.schema) if snap.schema is not None else None
@@ -3397,6 +3432,20 @@ class SnapshotTable:
         ``downstream.commit_batch(df, batch_id=version)`` — to get
         exactly-once end to end. Returns the newly-recorded version, or
         None when there was nothing to process."""
+        return self._process_with(
+            spark, checkpoint, handle, self.read_changes
+        )
+
+    def _process_with(
+        self, spark: SparkSession, checkpoint: str, handle, reader
+    ) -> int | None:
+        """Shared checkpoint protocol behind :meth:`process_changes` /
+        :meth:`process_changes_cdf`: read-or-default the checkpoint,
+        idle-exit, feed ``reader(spark, since, until)``'s frame to
+        ``handle``, then advance via atomic tmp-write + ``os.replace``
+        — one implementation so a future protocol fix (fsync policy,
+        ahead-of-table checkpoints, corruption handling) cannot
+        silently diverge between the two consumers."""
         ck = Path(checkpoint)
         try:
             last = int(ck.read_text().strip())
@@ -3405,7 +3454,7 @@ class SnapshotTable:
         cur = self.current_version()
         if cur is None or cur <= last:
             return None
-        handle(self.read_changes(spark, since_version=last, until_version=cur), cur)
+        handle(reader(spark, since_version=last, until_version=cur), cur)
         ck.parent.mkdir(parents=True, exist_ok=True)
         tmp = ck.with_name(f".{ck.name}.{uuid.uuid4().hex}")
         tmp.write_text(str(cur))
@@ -3434,23 +3483,9 @@ class SnapshotTable:
         the kept window's replay inputs (pinned by vacuum while their
         manifests are retained — the same CDF-availability window Delta
         documents)."""
-        ck = Path(checkpoint)
-        try:
-            last = int(ck.read_text().strip())
-        except (FileNotFoundError, ValueError):
-            last = -1
-        cur = self.current_version()
-        if cur is None or cur <= last:
-            return None
-        handle(
-            self.read_changes_cdf(spark, since_version=last, until_version=cur),
-            cur,
+        return self._process_with(
+            spark, checkpoint, handle, self.read_changes_cdf
         )
-        ck.parent.mkdir(parents=True, exist_ok=True)
-        tmp = ck.with_name(f".{ck.name}.{uuid.uuid4().hex}")
-        tmp.write_text(str(cur))
-        os.replace(tmp, ck)
-        return cur
 
     def added_files(self, since_version: int, until_version: int) -> list[str]:
         """Relative paths of data files ADDED by append snapshots in
@@ -3646,19 +3681,9 @@ class SnapshotTable:
             computed over then-live rows, so no dv_before exclusion is
             needed on top.)"""
             from pyspark.sql.functions import broadcast as F_broadcast
-            from pyspark.sql.functions import regexp_extract as F_rex
 
-            df = (
+            df = self._tag_dv_cols(
                 self._read_files(spark, rel_files, schema=sch)
-                .withColumn(
-                    "__dv_file__",
-                    F_rex(
-                        F_col("_metadata.file_path"),
-                        self._DATA_FILE_RE,
-                        1,
-                    ),
-                )
-                .withColumn("__dv_pos__", F_col("_metadata.row_index"))
             )
             pos = spark.read.parquet(
                 str(self.root / dv_new_rel)

@@ -2808,3 +2808,58 @@ def test_process_changes_cdf_incremental_exactly_once(spark, table, tmp_path):
         (0, {(1, "insert"), (2, "insert")}),
         (2, {(2, "delete"), (1, "update_preimage"), (1, "update_postimage")}),
     ]
+
+
+def test_shallow_clone_reconstructs_legacy_batch_ids(spark, table, tmp_path):
+    """Review r10 (clone diff): a source whose manifests predate
+    batch-id recording (batch_ids=None) must clone with the replay set
+    RECONSTRUCTED from history — collapsing None to an empty set would
+    let a foreachBatch producer re-apply an already-committed batch to
+    the clone (duplicate rows)."""
+    table.commit_batch(_kv(spark, [(1, 10)]), batch_id=7)       # v0
+    table.append(_kv(spark, [(2, 20)]))                         # v1
+    for m in sorted(table.manifest_dir.glob("v*.json")):
+        raw = json.loads(m.read_text())
+        raw.pop("batch_ids", None)  # legacy shape: per-commit batch_id
+        m.write_text(json.dumps(raw))  # stays, cumulative set absent
+    assert table.snapshot().batch_ids is None
+    clone = table.shallow_clone(str(tmp_path / "clone"))
+    assert clone.snapshot().batch_ids == (7,)
+    before = clone.current_version()
+    clone.commit_batch(_kv(spark, [(1, 10)]), batch_id=7)  # replay
+    assert clone.current_version() == before, "replayed batch skipped"
+    assert clone.read(spark).count() == 2
+
+
+def test_mor_delete_on_legacy_inline_file_layout(spark, table):
+    """Review r10 (clone diff): a legacy/hand-written manifest may list
+    data files at arbitrary relative paths (not data/<uuid>/<name>).
+    The dv join key must fall back to the table-relative string on BOTH
+    sides — the frozen sidecar and every reader — so a merge-on-read
+    delete on such a table masks exactly its rows instead of crashing
+    (or worse, committing a dv no read applies)."""
+    import shutil
+
+    table.append(_kv(spark, [(1, 10), (2, 20), (3, 30)]).coalesce(1))
+    src_rel = table.snapshot(0).files[0]
+    shutil.copy(table.root / src_rel, table.root / "legacy-part.parquet")
+    m = table.manifest_dir / "v00000000.json"
+    raw = json.loads(m.read_text())
+    stats = (raw.get("stats") or raw.get("stats_add") or {}).get(src_rel)
+    for k in ("add", "remove", "stats_add"):
+        raw.pop(k, None)
+    raw["files"] = ["legacy-part.parquet"]
+    raw["stats"] = {"legacy-part.parquet": stats} if stats else {}
+    m.write_text(json.dumps(raw))
+    table.delete(spark, "k = 2", mode="merge-on-read")          # v1
+    snap = table.snapshot()
+    assert "legacy-part.parquet" in (snap.dv or {}), "dv keyed by path"
+    assert sorted(r.k for r in table.read(spark).collect()) == [1, 3]
+    dels = {
+        (r.k, r._change_type)
+        for r in table.read_changes_cdf(spark, since_version=0).collect()
+    }
+    assert dels == {(2, "delete")}
+    # a second MoR delete consolidates with the prior legacy-keyed dv
+    table.delete(spark, "k = 3", mode="merge-on-read")          # v2
+    assert sorted(r.k for r in table.read(spark).collect()) == [1]
