@@ -2294,16 +2294,44 @@ class SnapshotTable:
             return self._delete_merge_on_read(
                 spark, snap, predicate, touched, retries, guard
             )
-        from pyspark.sql.functions import expr as F_expr
-
         pdv = dict(snap.dv or {})
-        survivors = self._apply_dv(
-            spark,
-            self._read_files(spark, touched, schema=snap.schema),
-            touched,
-            pdv,
-        ).filter(~F_coalesce(F_expr(predicate), F_lit(False)))
+        # Freeze the matching positions ONCE (same single-evaluation
+        # discipline as merge-on-read — review r10): survivors are the
+        # anti-join against the frozen set, and the CDF replays the
+        # semi-join, so a non-deterministic predicate (rand() sampling
+        # deletes) can never disagree between what was removed and what
+        # the feed reports. The sidecar is manifest-referenced as
+        # ``dv_new`` purely as a REPLAY artifact (the rewrite removes
+        # the files; no reader masks by it), and vacuum pins it while
+        # the manifest is kept. The joins carry no broadcast hint: a
+        # large COW delete freezes a large position set, and AQE picks
+        # broadcast only when it actually fits.
+        tagged, frozen, counts = self._freeze_matches(
+            spark, snap, predicate, touched
+        )
+        if frozen is None:
+            # stats-intersecting files held no matching live row: the
+            # delete is an auditable no-op commit, no rewrite at all
+            return self._commit_rewrite(
+                "delete",
+                cur,
+                removed=(),
+                new_files=[],
+                new_stats={},
+                spark=spark,
+                retries=retries,
+                added_guard=guard,
+                extra=extra,
+                read_dv={f: pdv.get(f) for f in touched},
+            )
+        pos = spark.read.parquet(str(self.root / frozen)).selectExpr(
+            "file AS __dv_file__", "pos AS __dv_pos__"
+        )
+        survivors = tagged.join(
+            pos, ["__dv_file__", "__dv_pos__"], "left_anti"
+        ).drop("__dv_file__", "__dv_pos__")
         new, new_stats = self._write_data(survivors, enforce=False)
+        extra["dv_new"] = frozen
         try:
             return self._commit_rewrite(
                 "delete",
@@ -2318,7 +2346,7 @@ class SnapshotTable:
                 read_dv={f: pdv.get(f) for f in touched},
             )
         except BaseException:
-            self._drop_uuid_dirs(new)
+            self._drop_uuid_dirs(new + [frozen])
             raise
 
     def _delete_merge_on_read(
@@ -3679,9 +3707,9 @@ class SnapshotTable:
             semi-join, no predicate re-evaluation, exact even when the
             predicate was non-deterministic. (The frozen set was
             computed over then-live rows, so no dv_before exclusion is
-            needed on top.)"""
-            from pyspark.sql.functions import broadcast as F_broadcast
-
+            needed on top.) No broadcast hint: merge-on-read sidecars
+            are small by contract, but a copy-on-write delete freezes
+            its FULL matched set — AQE broadcasts only when it fits."""
             df = self._tag_dv_cols(
                 self._read_files(spark, rel_files, schema=sch)
             )
@@ -3689,7 +3717,7 @@ class SnapshotTable:
                 str(self.root / dv_new_rel)
             ).selectExpr("file AS __dv_file__", "pos AS __dv_pos__")
             return df.join(
-                F_broadcast(pos), ["__dv_file__", "__dv_pos__"], "left_semi"
+                pos, ["__dv_file__", "__dv_pos__"], "left_semi"
             ).drop("__dv_file__", "__dv_pos__")
 
         parts: list[DataFrame] = []
@@ -3835,19 +3863,29 @@ class SnapshotTable:
                         )
                     continue
                 removed = raw.get("remove", [])
-                if removed and pred is None:
+                dv_new = raw.get("dv_new")
+                if removed and pred is None and dv_new is None:
                     raise ValueError(
                         f"{self.root}: delete snapshot v{v} recorded no "
                         "predicate; cannot replay its removals"
                     )
                 if removed:
+                    rows = (
+                        # frozen positions (the commit's single
+                        # predicate evaluation): exact replay even for
+                        # non-deterministic predicates
+                        _frozen_rows(removed, sch, dv_new)
+                        if dv_new
+                        # legacy COW manifest: derive (deterministic
+                        # predicates only)
+                        else _live(removed, sch, raw.get("dv_removed"))
+                        .filter(F_coalesce(F_expr(pred), F_lit(False)))
+                    )
                     parts.append(
                         _stamp(
-                            _live(removed, sch, raw.get("dv_removed"))
-                            .filter(
-                                F_coalesce(F_expr(pred), F_lit(False))
-                            )
-                            .withColumn("_change_type", F_lit("delete")),
+                            rows.withColumn(
+                                "_change_type", F_lit("delete")
+                            ),
                             v,
                             ts,
                         )

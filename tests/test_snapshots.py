@@ -2863,3 +2863,46 @@ def test_mor_delete_on_legacy_inline_file_layout(spark, table):
     # a second MoR delete consolidates with the prior legacy-keyed dv
     table.delete(spark, "k = 3", mode="merge-on-read")          # v2
     assert sorted(r.k for r in table.read(spark).collect()) == [1]
+
+
+def test_cow_delete_nondeterministic_predicate_single_evaluation(
+    spark, table
+):
+    """r10: copy-on-write DELETE now freezes its matched positions too
+    (the merge-on-read discipline extended to rewrites): survivors are
+    the anti-join and the CDF replay the semi-join of ONE predicate
+    evaluation — pinned with rand(), where the legacy derive-at-replay
+    path would report a different row set than the rewrite removed."""
+    table.append(
+        spark.range(0, 400).selectExpr("id", "id AS v").coalesce(2)
+    )
+    table.delete(spark, "rand() < 0.3")  # copy-on-write
+    live = sorted(r.id for r in table.read(spark).collect())
+    dead = sorted(
+        r.id
+        for r in table.read_changes_cdf(spark, since_version=0)
+        .filter("_change_type = 'delete'")
+        .collect()
+    )
+    assert sorted(live + dead) == list(range(400)), "exact partition"
+    assert 0 < len(dead) < 400  # rand() matched something, not all
+    # the frozen sidecar is manifest-referenced and survives vacuum
+    # while its manifest is kept
+    raw = table._raw_manifest(1)
+    assert raw.get("dv_new"), "COW delete records its frozen sidecar"
+    assert (table.root / raw["dv_new"]).exists()
+
+
+def test_cow_delete_no_matching_rows_skips_rewrite(spark, table):
+    """r10: a COW delete whose stats-surviving files hold no matching
+    live row commits an auditable no-op instead of rewriting files
+    byte-identically (stats envelopes are conservative; the frozen
+    sidecar is the exact arbiter)."""
+    table.append(_kv(spark, [(1, 10), (2, 20), (5, 50)]).coalesce(1))
+    before = table.snapshot()
+    # k=3 is inside [1, 5] so stats cannot prune, but no row matches
+    snap = table.delete(spark, "k = 3")
+    assert snap.op == "delete" and set(snap.files) == set(before.files)
+    assert table.read(spark).count() == 3
+    # the no-op is row-neutral to the insert-only feed
+    assert table.read_changes(spark, since_version=0).count() == 0
