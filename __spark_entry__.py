@@ -113,17 +113,19 @@ _PRIORITY_WINDOW = [
     "click_attribution",
     "copurchase_part_pairs",
     "cube_order_stats",
-    "customer_max_order_subquery",
     # NEW r10 queries (SnapshotTable.update drive; optimize CDF
     # row-neutrality; merge-on-read deletion-vector delete drive;
-    # shallow-clone divergence drive) take slots 47-50 by displacing
-    # the four alphabetically-last r7 fillers (customers_with_big_order,
-    # customers_without_open_orders, dedup_canonical_docs,
-    # dedup_clusters — all keep their r7 green rows)
+    # shallow-clone divergence drive; streaming change-data-feed
+    # mirror) take slots 46-50 by displacing the five
+    # alphabetically-last r7 fillers (customer_max_order_subquery,
+    # customers_with_big_order, customers_without_open_orders,
+    # dedup_canonical_docs, dedup_clusters — all keep their r7 green
+    # rows)
     "snapshot_update_rows",
     "snapshot_optimize_cdf_neutral",
     "snapshot_dv_delete_rows",
     "snapshot_clone_divergence",
+    "snapshot_cdf_stream_mirror",
 ]
 
 _PLAN_MODULES = (

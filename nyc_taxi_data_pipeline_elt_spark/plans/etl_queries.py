@@ -797,6 +797,96 @@ WHERE COALESCE(o_totalprice BETWEEN 100000 AND 200000, FALSE)
 """
 
 
+def snapshot_cdf_stream_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CHANGE DATA FEED drive (Delta
+    ``readStream.option('readChangeFeed', 'true')`` re-expressed on the
+    Python Data Source — ``snapshot_datasource._SnapshotCDFStreamReader``):
+    the orders table takes a merge-on-read band DELETE and, under
+    ``delta.enableChangeDataFeed``, a copy-on-write price UPDATE
+    (materialized cdc files); one ``availableNow`` stream cycle then
+    delivers the FULL feed — v0 inserts, frozen-sidecar delete replay,
+    cdc pre/post pairs — which a downstream MIRROR rebuilds
+    distributed-style: stage every microbatch to parquet, keep each
+    key's latest ``_commit_version`` change, drop deletes (one window
+    function — no driver-side row loop, the 100 TB-sound way to apply
+    a feed). The returned aggregate is over the MIRROR, so the oracle
+    match proves stream-plan -> Arrow replay -> apply is lossless end
+    to end."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import SnapshotTable
+
+    tune(spark)
+    spark.dataSource.register(SnapshotDataSource)
+    orders = load_table(spark, sf_dir, "orders")
+    root = ephemeral_root("snapcdfstream")
+    table = SnapshotTable(root + "/tbl")
+    table.append(orders.repartitionByRange(8, "o_orderkey"))     # v0
+    table.set_property("delta.enableChangeDataFeed", "true")     # v1
+    band = "o_totalprice BETWEEN 100000 AND 200000"
+    table.delete(spark, band, mode="merge-on-read")              # v2
+    table.update(                                                # v3: cdc
+        spark,
+        "o_totalprice < 50000",
+        {"o_totalprice": "o_totalprice + 10000.0"},
+    )
+    stage = root + "/stage"
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("readChangeFeed", "true")
+        .load(str(table.root))
+        .writeStream.foreachBatch(
+            lambda df, _bid: df.write.mode("append").parquet(stage)
+        )
+        .option("checkpointLocation", root + "/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    from pyspark.sql.window import Window
+
+    staged = spark.read.parquet(stage)
+    n_feed = staged.count()
+    n_batch = table.read_changes_cdf(spark, since_version=-1).count()
+    if n_feed != n_batch:
+        raise AssertionError(
+            f"stream delivered {n_feed} change rows, batch feed has {n_batch}"
+        )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("_commit_version").desc()
+    )
+    mirror = (
+        staged.filter(F.col("_change_type") != "update_preimage")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .filter(F.col("_change_type") != "delete")
+    )
+    return mirror.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+SNAPSHOT_CDF_STREAM_ORACLE = """
+WITH final AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_totalprice < 50000
+              THEN o_totalprice + 10000.0
+              ELSE o_totalprice END AS price
+  FROM orders
+  WHERE NOT COALESCE(o_totalprice BETWEEN 100000 AND 200000, FALSE)
+)
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM final
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "scd2_user_event_type": scd2_user_event_type,
     "cdc_orders_merge": cdc_orders_merge,
@@ -810,6 +900,7 @@ QUERIES = {
     "snapshot_optimize_cdf_neutral": snapshot_optimize_cdf_neutral,
     "snapshot_dv_delete_rows": snapshot_dv_delete_rows,
     "snapshot_clone_divergence": snapshot_clone_divergence,
+    "snapshot_cdf_stream_mirror": snapshot_cdf_stream_mirror,
 }
 
 ORACLE = {
@@ -825,4 +916,5 @@ ORACLE = {
     "snapshot_optimize_cdf_neutral": SNAPSHOT_OPTIMIZE_CDF_ORACLE,
     "snapshot_dv_delete_rows": SNAPSHOT_DV_DELETE_ORACLE,
     "snapshot_clone_divergence": SNAPSHOT_CLONE_ORACLE,
+    "snapshot_cdf_stream_mirror": SNAPSHOT_CDF_STREAM_ORACLE,
 }

@@ -106,6 +106,12 @@ class SnapshotDataSource(DataSource):
         v = self.options.get("version")
         return table, table.snapshot(int(v) if v is not None else None)
 
+    def _cdf(self) -> bool:
+        v = self.options.get("readchangefeed", self.options.get(
+            "readChangeFeed", "false"
+        ))
+        return str(v).lower() in ("true", "1", "yes")
+
     def schema(self):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -123,11 +129,28 @@ class SnapshotDataSource(DataSource):
         # evolution implies nullability: pre-evolution files are
         # null-padded for later-added columns, so every field is nullable
         unified = pa.schema([f.with_nullable(True) for f in unified])
+        if self._cdf():
+            # Delta's readChangeFeed shape: table columns + the three
+            # change-metadata columns
+            unified = pa.schema(
+                list(unified)
+                + [
+                    pa.field("_change_type", pa.string()),
+                    pa.field("_commit_version", pa.int64()),
+                    pa.field("_commit_timestamp", pa.timestamp("us")),
+                ]
+            )
         return from_arrow_schema(unified)
 
     def reader(self, schema) -> DataSourceReader:
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        if self._cdf():
+            raise ValueError(
+                "snapshot_table: readChangeFeed is a streaming option "
+                "(spark.readStream); for a batch change feed use "
+                "SnapshotTable.read_changes_cdf"
+            )
         table, snap = self._snapshot()
         return _SnapshotReader(
             [str(table.root / f) for f in snap.files],
@@ -161,7 +184,10 @@ class SnapshotDataSource(DataSource):
                 raise ValueError(f"snapshot_table: {name} must be >= 1")
             return n
 
-        return _SnapshotStreamReader(
+        cls = (
+            _SnapshotCDFStreamReader if self._cdf() else _SnapshotStreamReader
+        )
+        return cls(
             path,
             to_arrow_schema(schema),
             max_files=_cap("maxFilesPerTrigger"),
@@ -325,6 +351,238 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # progress tracking lives in the streaming checkpoint; manifests
         # are immutable so there is nothing to clean up table-side
         pass
+
+
+class _SnapshotCDFStreamReader(_SnapshotStreamReader):
+    """Streaming CHANGE DATA FEED over a snapshot table — Delta's
+
+        spark.readStream.format("delta").option("readChangeFeed", "true")
+
+    re-expressed for the Python Data Source API:
+
+        (spark.readStream.format("snapshot_table")
+              .option("readChangeFeed", "true").load(path))
+
+    Offsets, admission control, and the exactly-once contract are
+    inherited from the insert-only reader (a table VERSION is the
+    atomic offset unit). What changes is WHAT a microbatch serves: the
+    full change rows of every version in ``(start, end]`` — inserts,
+    deletes, update pre/post images — each stamped with
+    ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``,
+    the same shape as ``SnapshotTable.read_changes_cdf``.
+
+    Executor-side reads cannot run Spark jobs, so every partition must
+    be servable from MATERIALIZED artifacts with pyarrow alone:
+
+    - appends / clone-v0 / ``replace_added`` -> data files as inserts
+      (a clone's carried deletion vectors are masked per file);
+    - explicit ``cdc_files`` (merge; update/delete under
+      ``delta.enableChangeDataFeed`` or ``change_data=True``) are
+      served verbatim — they already carry ``_change_type``;
+    - merge-on-read AND copy-on-write delete/update replay from the
+      commit's frozen ``dv_new`` position sidecar (a pyarrow position
+      take — the r10 single-evaluation artifact), pre-images tagged
+      ``delete``/``update_preimage``, ``update_added`` files served as
+      ``update_postimage``;
+    - ``replace_where`` removals apply the recorded partition-value
+      predicate as an Arrow IN-filter after dv masking.
+
+    A version whose changes have NO materialized replay artifact — a
+    legacy COW update/delete without cdc files or a frozen sidecar, an
+    ``overwrite``/``restore`` — fails planning with Delta's posture
+    ("change data was not recorded"): enable
+    ``delta.enableChangeDataFeed`` (or keep this library's frozen
+    sidecars) before streaming the feed. Compactions / OPTIMIZE /
+    constraint and property commits are row-neutral and skipped."""
+
+    _META = ("_change_type", "_commit_version", "_commit_timestamp")
+
+    def _base_schema(self):
+        import pyarrow as pa
+
+        return pa.schema(
+            [f for f in self.arrow_schema if f.name not in self._META]
+        )
+
+    def partitions(self, start: dict, end: dict):
+        table = self._table()
+        ev = int(end["version"])
+        if self._last_end is None or ev > self._last_end:
+            self._last_end = ev
+        root = table.root
+        tail = type(table)._file_tail
+        parts: list[dict] = []
+
+        def _emit(kind: str, path: str, v: int, ts: float, **kw):
+            parts.append(
+                dict(kind=kind, path=str(root / path), version=v, ts=ts, **kw)
+            )
+
+        def _no_artifact(v: int, why: str):
+            return ValueError(
+                f"snapshot_table[readChangeFeed]: change data was not "
+                f"recorded for version {v} of {self.path} ({why}); set "
+                f"'delta.enableChangeDataFeed' = 'true' (or pass "
+                f"change_data=True) so mutations materialize their "
+                f"feed, or consume SnapshotTable.read_changes_cdf in "
+                f"batch"
+            )
+
+        for v in range(int(start["version"]) + 1, ev + 1):
+            raw = table._raw_manifest(v)
+            op = raw["op"]
+            if op in (
+                "compact",
+                "optimize",
+                "add_constraint",
+                "drop_constraint",
+                "set_property",
+                "unset_property",
+            ):
+                continue
+            ts = float(raw.get("ts", 0.0))
+            if "cdc_files" in raw:
+                for f in raw["cdc_files"]:
+                    _emit("cdc", f, v, ts)
+                continue
+            if op in ("append", "clone"):
+                if "add" in raw:
+                    added = raw["add"]
+                elif raw.get("parent") is None:
+                    added = raw.get("files", [])
+                else:  # legacy inline append at v>0: parent diff
+                    parent_files = set(table.snapshot(raw["parent"]).files)
+                    added = [
+                        f
+                        for f in raw.get("files", [])
+                        if f not in parent_files
+                    ]
+                dv = raw.get("dv") if op == "clone" else None
+                for f in added:
+                    e = (dv or {}).get(f)
+                    _emit(
+                        "insert",
+                        f,
+                        v,
+                        ts,
+                        dv_path=str(root / e[0]) if e else None,
+                        dv_key=tail(f) if e else None,
+                    )
+                continue
+            if op == "replace":
+                pred = raw.get("replace_predicate")
+                repl = raw.get("replace_added")
+                if pred is None or repl is None:
+                    raise _no_artifact(v, "replace without a predicate")
+                dvr = raw.get("dv_removed") or {}
+                for f in raw.get("remove", []):
+                    e = dvr.get(f)
+                    _emit(
+                        "replace_del",
+                        f,
+                        v,
+                        ts,
+                        pred={c: list(vals) for c, vals in pred.items()},
+                        dv_path=str(root / e[0]) if e else None,
+                        dv_key=tail(f) if e else None,
+                    )
+                for f in repl:
+                    _emit("file_as", f, v, ts, ctype="insert")
+                continue
+            if op in ("delete", "update"):
+                mor = raw.get(f"{op}_mode") == "merge-on-read"
+                affected = (
+                    raw.get("dv_touched", []) if mor else raw.get("remove", [])
+                )
+                dv_new = raw.get("dv_new")
+                if affected and not dv_new:
+                    raise _no_artifact(
+                        v, f"legacy {op} without a frozen position sidecar"
+                    )
+                pre_type = "delete" if op == "delete" else "update_preimage"
+                for f in affected:
+                    _emit(
+                        "mor",
+                        f,
+                        v,
+                        ts,
+                        dv_path=str(root / dv_new),
+                        dv_key=tail(f),
+                        ctype=pre_type,
+                    )
+                if op == "update":
+                    for f in raw.get("update_added", []):
+                        _emit("file_as", f, v, ts, ctype="update_postimage")
+                continue
+            raise _no_artifact(v, f"op={op!r} is not replayable")
+        if not parts:
+            return [InputPartition(None)]
+        return [InputPartition(p) for p in parts]
+
+    def read(self, partition: InputPartition):
+        p = partition.value
+        if p is None:
+            return
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = self._base_schema()
+        kind = p["kind"]
+        if kind == "cdc":
+            # cdc parquet already carries _change_type
+            sch = pa.schema(
+                list(base) + [pa.field("_change_type", pa.string())]
+            )
+            table = _project_parquet(p["path"], sch)
+        else:
+            table = _project_parquet(p["path"], base)
+            # prior/clone-carried deletion vector: mask dead rows before
+            # anything else. NOT for "mor" — there dv_path is the FROZEN
+            # new-dead sidecar consumed by the position take below, and
+            # frozen positions were computed over then-live rows only.
+            if kind != "mor" and p.get("dv_path"):
+                dead = pq.read_table(
+                    p["dv_path"],
+                    columns=["pos"],
+                    filters=[("file", "=", p["dv_key"])],
+                )["pos"].to_numpy()
+                mask = np.ones(table.num_rows, dtype=bool)
+                mask[dead[dead < table.num_rows]] = False
+                table = table.filter(pa.array(mask))
+            if kind == "mor":
+                # the commit's frozen positions: exactly the rows this
+                # version deleted / updated (single-evaluation artifact)
+                pos = pq.read_table(
+                    p["dv_path"],
+                    columns=["pos"],
+                    filters=[("file", "=", p["dv_key"])],
+                )["pos"].to_numpy()
+                table = table.take(pa.array(np.sort(pos)))
+            elif kind == "replace_del":
+                import pyarrow.compute as pc
+
+                expr = None
+                for c, vals in p["pred"].items():
+                    e = pc.field(c).isin(vals)
+                    expr = e if expr is None else expr & e
+                table = table.filter(expr)
+            ctype = "insert" if kind == "insert" else p["ctype"]
+            table = table.append_column(
+                "_change_type", pa.array([ctype] * table.num_rows)
+            )
+        n = table.num_rows
+        table = table.append_column(
+            "_commit_version", pa.array([p["version"]] * n, pa.int64())
+        ).append_column(
+            "_commit_timestamp",
+            pa.array(
+                [int(p["ts"] * 1_000_000)] * n, pa.int64()
+            ).cast(pa.timestamp("us")),
+        )
+        yield from table.select(self.arrow_schema.names).cast(
+            self.arrow_schema
+        ).to_batches()
 
 
 class _SnapshotReader(DataSourceReader):

@@ -217,3 +217,121 @@ def test_stream_read_projects_columns(spark, tmp_path):
         b.column(1).null_count == b.num_rows and b.schema.field(1).type == pa.string()
         for b in batches
     )
+
+
+def _drain_cdf(spark, path, ck):
+    """One availableNow cycle of the CHANGE-FEED stream; returns
+    (id, v, _change_type, _commit_version) tuples."""
+    spark.dataSource.register(SnapshotDataSource)
+    out = []
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("readChangeFeed", "true")
+        .load(path)
+        .writeStream.foreachBatch(
+            lambda df, _bid: out.extend(
+                (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+                for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return out
+
+
+def test_cdf_stream_matches_batch_feed_across_mutations(spark, tmp_path):
+    """The streaming change feed (readChangeFeed=true) delivers the
+    SAME rows as read_changes_cdf across every replayable op class —
+    appends, merge cdc files, MoR delete, MoR update, COW delete
+    (frozen sidecar), compaction skipped — exactly once across two
+    availableNow cycles."""
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    ck = str(tmp_path / "ck")
+    table.append(_df(spark, 0, 8).coalesce(1))               # v0
+    table.delete(spark, "id = 1", mode="merge-on-read")      # v1
+    table.delete(spark, "id = 2")                            # v2 COW frozen
+    first = _drain_cdf(spark, str(table.root), ck)
+    batch1 = {
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in table.read_changes_cdf(spark, since_version=-1).collect()
+    }
+    assert set(first) == batch1 and len(first) == len(batch1)
+    # second cycle: MoR update + compaction (skipped) + append
+    v2 = table.current_version()
+    table.update(
+        spark, "id = 3", {"v": "v + 100"}, mode="merge-on-read"
+    )                                                        # v3
+    table.compact(spark, target_files=1)                     # v4 skipped
+    table.append(_df(spark, 8, 10))                          # v5
+    second = _drain_cdf(spark, str(table.root), ck)
+    batch2 = {
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in table.read_changes_cdf(spark, since_version=v2).collect()
+    }
+    assert set(second) == batch2 and len(second) == len(batch2)
+    assert {t for _, _, t, _ in second} == {
+        "update_preimage",
+        "update_postimage",
+        "insert",
+    }
+
+
+def test_cdf_stream_serves_materialized_cdc_files(spark, tmp_path):
+    """update/delete under delta.enableChangeDataFeed materialize cdc
+    files; the stream serves them verbatim (authoritative, exact even
+    for non-deterministic expressions)."""
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    ck = str(tmp_path / "ck")
+    table.append(_df(spark, 0, 6).coalesce(1))               # v0
+    table.set_property("delta.enableChangeDataFeed", "true")  # v1
+    table.update(spark, "id = 4", {"v": "v + 7"})            # v2: cdc
+    rows = _drain_cdf(spark, str(table.root), ck)
+    batch = {
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in table.read_changes_cdf(spark, since_version=-1).collect()
+    }
+    assert set(rows) == batch
+    assert (4, 8, "update_preimage", 2) in batch
+    assert (4, 15, "update_postimage", 2) in batch
+
+
+def test_cdf_stream_refuses_unreplayable_versions(spark, tmp_path):
+    """A version with no materialized replay artifact (overwrite)
+    fails planning with the not-recorded message, Delta's posture."""
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    ck = str(tmp_path / "ck")
+    table.append(_df(spark, 0, 4))
+    table.overwrite(_df(spark, 100, 102))
+    with pytest.raises(Exception, match="not recorded|not replayable"):
+        _drain_cdf(spark, str(table.root), ck)
+
+
+def test_cdf_stream_batch_reader_rejects_option(spark, tmp_path):
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    table.append(_df(spark, 0, 4))
+    spark.dataSource.register(SnapshotDataSource)
+    with pytest.raises(Exception, match="readChangeFeed is a streaming"):
+        (
+            spark.read.format("snapshot_table")
+            .option("readChangeFeed", "true")
+            .load(str(table.root))
+            .collect()
+        )
+
+
+def test_cdf_stream_clone_v0_inserts_minus_carried_dv(spark, tmp_path):
+    """A shallow clone's v0 streams as inserts MINUS the carried
+    deletion vectors — soft-deleted source rows were never part of the
+    clone (parity with read_changes_cdf's clone replay)."""
+    src = SnapshotTable(str(tmp_path / "src"))
+    src.append(_df(spark, 0, 10).coalesce(1))
+    src.delete(spark, "id < 3", mode="merge-on-read")
+    clone = src.shallow_clone(str(tmp_path / "clone"))
+    rows = _drain_cdf(spark, str(clone.root), str(tmp_path / "ck"))
+    assert sorted(i for i, _, t, _ in rows if t == "insert") == list(
+        range(3, 10)
+    )
+    assert all(t == "insert" for _, _, t, _ in rows)
