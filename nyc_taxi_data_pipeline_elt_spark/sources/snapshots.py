@@ -307,6 +307,29 @@ class SchemaMismatch(ValueError):
     was written (the check is fail-fast, before any data lands)."""
 
 
+class UnsupportedTableFeature(ValueError):
+    """The manifest requires a table feature this library version does
+    not implement (Delta's protocol-version / table-features guard):
+    reading anyway could silently return WRONG rows (e.g. a reader that
+    does not understand deletion vectors would resurrect soft-deleted
+    rows), and writing could corrupt invariants a newer writer relies
+    on — so both fail closed instead."""
+
+
+# Delta-style table features (manifest `reader_features` /
+# `writer_features`): every commit self-describes what a reader MUST
+# understand to see correct rows and what a writer MUST enforce to
+# commit safely. An older library build that predates a feature refuses
+# the table instead of silently misreading it; unknown names here mean
+# the manifest came from a NEWER writer.
+SUPPORTED_READER_FEATURES = frozenset(
+    {"deletion-vectors", "absolute-paths"}
+)
+SUPPORTED_WRITER_FEATURES = frozenset(
+    {"check-constraints", "change-data-feed"}
+)
+
+
 @dataclass(frozen=True)
 class Snapshot:
     version: int
@@ -406,7 +429,24 @@ class SnapshotTable:
             return None
 
     def _raw_manifest(self, v: int) -> dict:
-        return json.loads((self.manifest_dir / f"v{v:08d}.json").read_text())
+        raw = json.loads(
+            (self.manifest_dir / f"v{v:08d}.json").read_text()
+        )
+        # the single manifest-load choke point is where the reader
+        # feature gate lives: EVERY consumer (snapshot resolution, CDF
+        # replay, vacuum — which deletes files and must not run against
+        # artifacts it doesn't understand) fails closed on a manifest
+        # from a newer writer
+        unknown = (
+            set(raw.get("reader_features", [])) - SUPPORTED_READER_FEATURES
+        )
+        if unknown:
+            raise UnsupportedTableFeature(
+                f"{self.root}: manifest v{v} requires reader feature(s) "
+                f"{sorted(unknown)} this library does not implement; "
+                f"upgrade to read this table"
+            )
+        return raw
 
     def _checkpoint_path(self, v: int) -> Path:
         return self.manifest_dir / f"c{v:08d}.json"
@@ -904,6 +944,21 @@ class SnapshotTable:
                 seen = list(psnap.batch_ids)
         if batch_id is not None and batch_id not in seen:
             seen.append(batch_id)
+        if parent is not None:
+            # writer feature gate (Delta minWriterVersion): a parent
+            # manifest demanding invariants this build doesn't know how
+            # to enforce must not be extended — committing anyway could
+            # silently break what a newer writer guarantees
+            unknown_wf = (
+                set(self._raw_manifest(parent).get("writer_features", []))
+                - SUPPORTED_WRITER_FEATURES
+            )
+            if unknown_wf:
+                raise UnsupportedTableFeature(
+                    f"{self.root}: manifest v{parent} requires writer "
+                    f"feature(s) {sorted(unknown_wf)} this library does "
+                    f"not implement; upgrade to write this table"
+                )
         files_sorted = sorted(files)
         stats = stats or {}
         manifest = self.manifest_dir / f"v{version:08d}.json"
@@ -918,6 +973,27 @@ class SnapshotTable:
             "properties": properties,
             "dv": dv,
         }
+        # every commit self-describes its required table features from
+        # the FULL state it carries (dv/constraints/properties ride
+        # every manifest; the file list is in hand) — so the guards
+        # need no chain walk
+        rf = []
+        if dv:
+            rf.append("deletion-vectors")
+        if any(f.startswith("/") for f in files_sorted):
+            rf.append("absolute-paths")  # shallow-clone source refs
+        wf = []
+        if constraints:
+            wf.append("check-constraints")
+        if (
+            str(properties.get("delta.enableChangeDataFeed", "")).lower()
+            == "true"
+        ):
+            wf.append("change-data-feed")
+        if rf:
+            payload["reader_features"] = rf
+        if wf:
+            payload["writer_features"] = wf
         if schema is SnapshotTable._UNSET:
             rec = (
                 list(psnap.schema)
@@ -2981,7 +3057,12 @@ class SnapshotTable:
             dv=dict(snap.dv or {}),
         )
 
-    def shallow_clone(self, path: str) -> "SnapshotTable":
+    def shallow_clone(
+        self,
+        path: str,
+        version: int | None = None,
+        timestamp: float | None = None,
+    ) -> "SnapshotTable":
         """Delta ``CREATE TABLE ... SHALLOW CLONE``: a new table at
         ``path`` whose v0 manifest REFERENCES the source's current data
         files by absolute path — zero data copied, O(files) metadata,
@@ -3000,8 +3081,23 @@ class SnapshotTable:
         clone time). Keep the source's retention at least as long as
         the clone's dependence, or ``compact()`` the clone to cut the
         cord (first compaction deep-copies the remaining referenced
-        rows)."""
-        snap = self.snapshot()  # raises FileNotFoundError when empty
+        rows).
+
+        ``version`` / ``timestamp`` clone a HISTORICAL snapshot (Delta
+        ``CLONE src VERSION AS OF n`` / ``TIMESTAMP AS OF ts``) — the
+        zero-copy way to pin a training-data release or reproduce a
+        past run: the clone's v0 is the source AS OF that point, and
+        everything (stats, schema, constraints, properties, dv, batch
+        ids) carries from THAT snapshot, not the current one."""
+        if timestamp is not None and version is not None:
+            raise ValueError(
+                "shallow_clone: pass version OR timestamp, not both"
+            )
+        snap = (  # raises FileNotFoundError when empty
+            self.snapshot_at_timestamp(timestamp)
+            if timestamp is not None
+            else self.snapshot(version)
+        )
         clone = SnapshotTable(path)
         if clone.current_version() is not None:
             raise FileExistsError(
@@ -3013,11 +3109,12 @@ class SnapshotTable:
         if ids is None:  # legacy manifest: reconstruct from history,
             # exactly as _commit and restore() do — collapsing None to
             # an empty set would let a foreachBatch producer replay an
-            # already-committed batch into the clone (duplicate rows)
+            # already-committed batch into the clone (duplicate rows);
+            # bounded at the cloned version, like restore()
             ids = tuple(
                 s.batch_id
                 for s in self.history()
-                if s.batch_id is not None
+                if s.version <= snap.version and s.batch_id is not None
             )
         clone._commit(
             [str(src / f) for f in snap.files],

@@ -2906,3 +2906,72 @@ def test_cow_delete_no_matching_rows_skips_rewrite(spark, table):
     assert table.read(spark).count() == 3
     # the no-op is row-neutral to the insert-only feed
     assert table.read_changes(spark, since_version=0).count() == 0
+
+
+def test_shallow_clone_at_version_and_timestamp(spark, table, tmp_path):
+    """Delta CLONE ... VERSION AS OF / TIMESTAMP AS OF: the clone's v0
+    is the source AS OF that point — later source commits (including a
+    delete) are invisible, and everything carries from the historical
+    snapshot."""
+    import time
+
+    table.append(_kv(spark, [(1, 10), (2, 20)]))             # v0
+    mid = time.time()
+    table.append(_kv(spark, [(3, 30)]))                      # v1
+    table.delete(spark, "k = 1")                             # v2
+    c0 = table.shallow_clone(str(tmp_path / "c0"), version=0)
+    assert sorted(r.k for r in c0.read(spark).collect()) == [1, 2]
+    ct = table.shallow_clone(str(tmp_path / "ct"), timestamp=mid)
+    assert sorted(r.k for r in ct.read(spark).collect()) == [1, 2]
+    assert json.loads(
+        (c0.manifest_dir / "v00000000.json").read_text()
+    )["clone_version"] == 0
+    with pytest.raises(ValueError, match="not both"):
+        table.shallow_clone(str(tmp_path / "cx"), version=0, timestamp=mid)
+    # head clone still sees the delete
+    ch = table.shallow_clone(str(tmp_path / "ch"))
+    assert sorted(r.k for r in ch.read(spark).collect()) == [2, 3]
+
+
+def test_table_features_guard_reader_and_writer(spark, table, tmp_path):
+    """Delta protocol/table-features parity: manifests self-describe
+    required reader/writer features; a build that doesn't implement one
+    fails CLOSED (an old reader silently ignoring deletion vectors
+    would resurrect soft-deleted rows) — reads refuse unknown reader
+    features everywhere (snapshot, CDF, vacuum), writes refuse unknown
+    writer features but reads still work."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        UnsupportedTableFeature,
+    )
+
+    table.append(_kv(spark, [(1, 10), (2, 20)]).coalesce(1))   # v0
+    table.delete(spark, "k = 1", mode="merge-on-read")         # v1: dv
+    raw = table._raw_manifest(1)
+    assert raw["reader_features"] == ["deletion-vectors"]
+    table.add_check_constraint(spark, "k_pos", "k > 0")        # v2
+    assert table._raw_manifest(2)["writer_features"] == [
+        "check-constraints"
+    ]
+    clone = table.shallow_clone(str(tmp_path / "clone"))
+    craw = clone._raw_manifest(0)
+    assert set(craw["reader_features"]) == {
+        "deletion-vectors",
+        "absolute-paths",
+    }
+    # a manifest from a NEWER writer: unknown reader feature -> every
+    # read fails closed
+    m = table.manifest_dir / "v00000002.json"
+    raw2 = json.loads(m.read_text())
+    raw2["reader_features"] = ["deletion-vectors", "v9-row-tracking"]
+    m.write_text(json.dumps(raw2))
+    with pytest.raises(UnsupportedTableFeature, match="v9-row-tracking"):
+        table.read(spark).collect()
+    with pytest.raises(UnsupportedTableFeature):
+        table.vacuum(grace_seconds=0.0)
+    # unknown WRITER feature: reads fine, appends refused
+    raw2["reader_features"] = ["deletion-vectors"]
+    raw2["writer_features"] = ["check-constraints", "v9-identity-cols"]
+    m.write_text(json.dumps(raw2))
+    assert sorted(r.k for r in table.read(spark).collect()) == [2]
+    with pytest.raises(UnsupportedTableFeature, match="v9-identity-cols"):
+        table.append(_kv(spark, [(3, 30)]))
