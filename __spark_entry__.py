@@ -112,12 +112,12 @@ _PRIORITY_WINDOW = [
     "boilerplate_prefix_report",
     "click_attribution",
     "copurchase_part_pairs",
-    "cube_order_stats",
     # NEW r10 queries (SnapshotTable.update drive; optimize CDF
     # row-neutrality; merge-on-read deletion-vector delete drive;
     # shallow-clone divergence drive; streaming change-data-feed
-    # mirror) take slots 46-50 by displacing the five
-    # alphabetically-last r7 fillers (customer_max_order_subquery,
+    # mirror; column-mapping rename/drop drive) take slots 45-50 by
+    # displacing the six alphabetically-last r7 fillers
+    # (cube_order_stats, customer_max_order_subquery,
     # customers_with_big_order, customers_without_open_orders,
     # dedup_canonical_docs, dedup_clusters — all keep their r7 green
     # rows)
@@ -126,6 +126,7 @@ _PRIORITY_WINDOW = [
     "snapshot_dv_delete_rows",
     "snapshot_clone_divergence",
     "snapshot_cdf_stream_mirror",
+    "snapshot_rename_column",
 ]
 
 _PLAN_MODULES = (

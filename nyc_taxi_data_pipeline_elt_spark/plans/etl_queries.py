@@ -887,6 +887,67 @@ GROUP BY o_orderstatus
 """
 
 
+def snapshot_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping drive (Delta ``ALTER TABLE RENAME/DROP COLUMN``):
+    RENAME is METADATA-ONLY — the physical parquet name never changes;
+    the manifest maps {logical: physical}, appends translate at write
+    and reads translate back, so at 100 TB a rename costs one manifest
+    write, zero data I/O. Inline gates: the file set must be
+    byte-identical across the rename; a provably-disjoint DELETE on the
+    RENAMED column must stay metadata-only (stats pruning translates
+    through the mapping); a post-rename append must land the PHYSICAL
+    name on disk. The pipeline then drops a column (tombstoned
+    physical), updates through the new name, and returns an aggregate
+    over the logical view — the oracle match proves rename -> append ->
+    mutate -> read is lossless end to end."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import SnapshotTable
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    table = SnapshotTable(ephemeral_root("snaprename") + "/tbl")
+    table.append(orders.repartitionByRange(8, "o_totalprice"))   # v0
+    before = set(table.snapshot().files)
+    table.rename_column("o_totalprice", "price")                 # v1
+    snap = table.snapshot()
+    if set(snap.files) != before:
+        raise AssertionError("rename must rewrite zero data files")
+    if snap.column_mapping != {"price": "o_totalprice"}:
+        raise AssertionError(f"bad mapping {snap.column_mapping}")
+    # disjoint delete on the RENAMED column: stats pruning must
+    # translate logical -> physical and stay metadata-only
+    table.delete(spark, "price < 0")                             # v2
+    if set(table.snapshot().files) != before:
+        raise AssertionError("disjoint delete on renamed column rewrote")
+    table.drop_column("o_orderpriority")                         # v3
+    if "o_orderpriority" in table.read(spark).columns:
+        raise AssertionError("dropped column still visible")
+    table.update(                                                # v4
+        spark, "price < 50000", {"price": "price + 10000.0"}
+    )
+    return (
+        table.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+SNAPSHOT_RENAME_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(CASE WHEN o_totalprice < 50000
+                          THEN o_totalprice + 10000.0
+                          ELSE o_totalprice END AS DECIMAL(18,2)))
+            AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "scd2_user_event_type": scd2_user_event_type,
     "cdc_orders_merge": cdc_orders_merge,
@@ -901,6 +962,7 @@ QUERIES = {
     "snapshot_dv_delete_rows": snapshot_dv_delete_rows,
     "snapshot_clone_divergence": snapshot_clone_divergence,
     "snapshot_cdf_stream_mirror": snapshot_cdf_stream_mirror,
+    "snapshot_rename_column": snapshot_rename_column,
 }
 
 ORACLE = {
@@ -917,4 +979,5 @@ ORACLE = {
     "snapshot_dv_delete_rows": SNAPSHOT_DV_DELETE_ORACLE,
     "snapshot_clone_divergence": SNAPSHOT_CLONE_ORACLE,
     "snapshot_cdf_stream_mirror": SNAPSHOT_CDF_STREAM_ORACLE,
+    "snapshot_rename_column": SNAPSHOT_RENAME_ORACLE,
 }

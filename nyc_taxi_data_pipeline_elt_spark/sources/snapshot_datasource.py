@@ -118,6 +118,13 @@ class SnapshotDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         table, snap = self._snapshot()
+        if snap.column_mapping or snap.dropped_physical:
+            raise ValueError(
+                "snapshot_table: column-mapped tables (RENAME/DROP "
+                "COLUMN) are not supported by this connector yet; read "
+                "via SnapshotTable.read / read_changes_cdf, or "
+                "compact() after re-adding columns to materialize"
+            )
         if not snap.files:
             raise ValueError(f"snapshot_table: v{snap.version} is empty")
         # Union footers across ALL manifest files: on a schema-evolved
@@ -430,6 +437,13 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
 
         for v in range(int(start["version"]) + 1, ev + 1):
             raw = table._raw_manifest(v)
+            if raw.get("column_mapping") or raw.get("dropped_physical"):
+                # physical names diverge from logical past this point;
+                # the Arrow replay below reads by name (belt-and-braces
+                # with schema()'s whole-table refusal)
+                raise _no_artifact(
+                    v, "column-mapped version (RENAME/DROP COLUMN)"
+                )
             op = raw["op"]
             if op in (
                 "compact",

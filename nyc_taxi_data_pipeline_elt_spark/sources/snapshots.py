@@ -323,10 +323,10 @@ class UnsupportedTableFeature(ValueError):
 # the table instead of silently misreading it; unknown names here mean
 # the manifest came from a NEWER writer.
 SUPPORTED_READER_FEATURES = frozenset(
-    {"deletion-vectors", "absolute-paths"}
+    {"deletion-vectors", "absolute-paths", "column-mapping"}
 )
 SUPPORTED_WRITER_FEATURES = frozenset(
-    {"check-constraints", "change-data-feed"}
+    {"check-constraints", "change-data-feed", "column-mapping"}
 )
 
 
@@ -375,6 +375,18 @@ class Snapshot:
     # commit like constraints; rewrites that remove a file drop its
     # entry (compaction materializes the deletes away).
     dv: dict = None  # type: ignore[assignment]
+    # column mapping (Delta's columnMapping feature): {logical_name:
+    # physical_name} for columns whose on-disk parquet name differs
+    # from the table name — RENAME COLUMN is then a metadata-only
+    # commit (the physical name NEVER changes once written; appends
+    # translate logical -> physical at write, reads translate back).
+    # Identity entries are omitted; empty = no renames ever.
+    column_mapping: dict = None  # type: ignore[assignment]
+    # physical names retired by DROP COLUMN: old files still hold the
+    # column, so a later ADD of a colliding name must be refused (we
+    # have no Delta col-ids to disambiguate) — the tombstone list makes
+    # that refusal explicit and versioned.
+    dropped_physical: tuple = ()
 
 
 def _make_snapshot(raw: dict, files, stats: dict) -> Snapshot:
@@ -401,6 +413,8 @@ def _make_snapshot(raw: dict, files, stats: dict) -> Snapshot:
             else None
         ),
         dv=raw.get("dv", {}),
+        column_mapping=raw.get("column_mapping", {}),
+        dropped_physical=tuple(raw.get("dropped_physical", [])),
     )
 
 
@@ -482,7 +496,7 @@ class SnapshotTable:
         return c
 
     def _read_files(
-        self, spark: SparkSession, rel_files, schema=None
+        self, spark: SparkSession, rel_files, schema=None, mapping=None
     ) -> DataFrame:
         """mergeSchema read over specific table files. Every REWRITE
         path (delete survivors, update target, replace_where remainder,
@@ -500,8 +514,32 @@ class SnapshotTable:
         then reads as typed NULLs, so a predicate referencing it
         evaluates (to NULL -> no match) instead of raising
         AnalysisException. The footer union can only see columns some
-        listed file has; the log schema is authoritative."""
+        listed file has; the log schema is authoritative.
+
+        ``mapping`` (the snapshot's ``column_mapping``) reads the files
+        under their PHYSICAL column names and returns LOGICAL columns —
+        one projection, after which the whole engine stays
+        logical-only. Spark's hidden ``_metadata`` column survives the
+        projection (verified on 4.1.2), so the deletion-vector taggers
+        compose unchanged."""
         paths = [str(self.root / f) for f in rel_files]
+        if mapping:
+            if not schema:
+                raise ValueError(
+                    f"{self.root}: a column-mapped read needs the "
+                    "manifest-recorded schema"
+                )
+            df = spark.read.schema(
+                ", ".join(
+                    f"`{mapping.get(n, n)}` {t}" for n, t in schema
+                )
+            ).parquet(*paths)
+            return df.select(
+                *[
+                    F_col(f"`{mapping.get(n, n)}`").alias(n)
+                    for n, _t in schema
+                ]
+            )
         if schema:
             return spark.read.schema(
                 ", ".join(f"`{n}` {t}" for n, t in schema)
@@ -626,7 +664,12 @@ class SnapshotTable:
 
         pdv = dict(snap.dv or {})
         tagged = self._tag_dv_cols(
-            self._read_files(spark, touched, schema=snap.schema)
+            self._read_files(
+                spark,
+                touched,
+                schema=snap.schema,
+                mapping=dict(snap.column_mapping or {}),
+            )
         )
         old_touched = {f: e for f, e in pdv.items() if f in set(touched)}
         if old_touched:
@@ -746,25 +789,43 @@ class SnapshotTable:
         rel_files: list[str],
         predicate: str,
         dv: dict | None,
+        schema=None,
+        mapping=None,
     ) -> list:
         """CHECK existence scan over committed files that may carry
         deletion vectors: a soft-deleted row is not a table row, so a
         violation in it must not fail the check (restore /
         add_check_constraint would otherwise reject a table whose only
         offenders are already dead). Clean files keep the plain
-        ``_constraint_scan`` fast path (and its zero-task test seam)."""
+        ``_constraint_scan`` fast path (and its zero-task test seam);
+        a column-mapped table reads through ``_read_files`` so the
+        logical expressions resolve."""
         ents = {f: (dv or {}).get(f) for f in rel_files}
         dirty = sorted(f for f, e in ents.items() if e)
         clean = [f for f in rel_files if f not in set(dirty)]
         bad: list = []
         if clean:
-            bad = _constraint_scan(
-                spark, [str(self.root / f) for f in clean], predicate
-            )
+            if mapping:
+                bad = (
+                    self._read_files(
+                        spark, clean, schema=schema, mapping=mapping
+                    )
+                    .filter(predicate)
+                    .limit(1)
+                    .collect()
+                )
+            else:
+                bad = _constraint_scan(
+                    spark, [str(self.root / f) for f in clean], predicate
+                )
         if not bad and dirty:
             df = self._apply_dv(
                 spark,
-                spark.read.option("mergeSchema", "true").parquet(
+                self._read_files(
+                    spark, dirty, schema=schema, mapping=mapping
+                )
+                if mapping
+                else spark.read.option("mergeSchema", "true").parquet(
                     *[str(self.root / f) for f in dirty]
                 ),
                 dirty,
@@ -891,6 +952,8 @@ class SnapshotTable:
         schema: object = _UNSET,
         dv: dict | None = None,
         soft_deleted: int | None = None,
+        column_mapping: dict | None = None,
+        dropped_physical: list | None = None,
     ) -> Snapshot:
         """Write manifest ``expected_parent + 1``. ``expected_parent``
         MUST be the version the caller's file list was derived from
@@ -925,6 +988,14 @@ class SnapshotTable:
             properties = dict(psnap.properties or {}) if psnap else {}
         if dv is None:
             dv = dict(psnap.dv or {}) if psnap else {}
+        if column_mapping is None:
+            column_mapping = (
+                dict(psnap.column_mapping or {}) if psnap else {}
+            )
+        if dropped_physical is None:
+            dropped_physical = (
+                list(psnap.dropped_physical or ()) if psnap else []
+            )
         # a dv entry must reference a live file — rewrites pass the
         # recomputed map, but a caller slip here would leave phantom
         # deletes pointing at nothing
@@ -982,9 +1053,13 @@ class SnapshotTable:
             rf.append("deletion-vectors")
         if any(f.startswith("/") for f in files_sorted):
             rf.append("absolute-paths")  # shallow-clone source refs
+        if column_mapping or dropped_physical:
+            rf.append("column-mapping")
         wf = []
         if constraints:
             wf.append("check-constraints")
+        if column_mapping or dropped_physical:
+            wf.append("column-mapping")
         if (
             str(properties.get("delta.enableChangeDataFeed", "")).lower()
             == "true"
@@ -1004,6 +1079,28 @@ class SnapshotTable:
             rec = schema
         if rec is not None:
             payload["schema"] = [[n, t] for n, t in rec]
+        if column_mapping or dropped_physical:
+            payload["column_mapping"] = dict(column_mapping)
+            payload["dropped_physical"] = sorted(dropped_physical)
+            if rec is not None:
+                # a logical column without a mapping entry writes/reads
+                # its own name physically — that name must not collide
+                # with a physical slot another (renamed or dropped)
+                # column occupies in existing files, or old data would
+                # surface under the new column
+                occupied = {
+                    p
+                    for l, p in column_mapping.items()
+                    if p != l
+                } | set(dropped_physical)
+                for n, _t in rec:
+                    if n not in column_mapping and n in occupied:
+                        raise ValueError(
+                            f"{self.root}: column {n!r} would occupy "
+                            f"physical name {n!r} already used by a "
+                            "renamed or dropped column's data; pick a "
+                            "different name"
+                        )
         if extra:
             payload.update(extra)
         if psnap is None:
@@ -1246,11 +1343,25 @@ class SnapshotTable:
             return float("inf")
 
     # ---------------- write path ----------------
+    @staticmethod
+    def _logical_view(fstats: dict, mapping: dict) -> dict:
+        """A per-file stats dict keyed by LOGICAL column names: manifest
+        stats are recorded under the footer's PHYSICAL names (the one
+        truth old and new files share), so predicate/constraint provers
+        — which speak logical — translate at consultation time. The
+        inverse is unambiguous: ``_commit`` refuses a logical column
+        whose physical name another column's data occupies."""
+        if not mapping:
+            return fstats
+        inv = {p: l for l, p in mapping.items()}
+        return {inv.get(k, k): v for k, v in fstats.items()}
+
     def _write_data(
         self,
         df: DataFrame,
         enforce: bool = True,
         enforced_out: dict | None = None,
+        mapping: dict | None = None,
     ) -> tuple[list[str], dict]:
         """Land ``df`` as immutable parquet under a fresh uuid dir and
         return ``(written_files, their_stats)``, files relative to the
@@ -1275,7 +1386,31 @@ class SnapshotTable:
         original write. ``enforced_out`` (append's retry loop) receives
         the constraint set that was actually enforced, so the committer
         can detect and re-enforce constraints added between this write
-        and its commit."""
+        and its commit.
+
+        ``mapping`` (the table's ``column_mapping``): ``df`` arrives
+        LOGICAL and is renamed to its PHYSICAL column names for the
+        write — the one translation point, mirroring ``_read_files``'s
+        read-side one. ``None`` derives it from the current snapshot
+        when enforcing (the same snapshot read the constraint set
+        needs); ``enforce=False`` callers pass it explicitly."""
+        cons: dict = {}
+        if enforce:
+            cur = self.current_version()
+            snap = self.snapshot(cur) if cur is not None else None
+            cons = dict(snap.constraints or {}) if snap else {}
+            if mapping is None:
+                mapping = (
+                    dict(snap.column_mapping or {}) if snap else {}
+                )
+        logical_cols = list(df.columns)
+        if mapping:
+            df = df.select(
+                *[
+                    F_col(f"`{c}`").alias(mapping.get(c, c))
+                    for c in logical_cols
+                ]
+            )
         sub = self.data_dir / uuid.uuid4().hex
         df.write.mode("error").parquet(str(sub))
         written = [
@@ -1285,12 +1420,6 @@ class SnapshotTable:
         ]
         stats = self._collect_stats(written, df.sparkSession)
         if enforce and written:
-            cur = self.current_version()
-            cons = (
-                dict(self.snapshot(cur).constraints or {})
-                if cur is not None
-                else {}
-            )
             if enforced_out is not None:
                 enforced_out.update(cons)
             if cons:
@@ -1298,13 +1427,23 @@ class SnapshotTable:
                     f
                     for f in written
                     if not all(
-                        _check_proven_by_stats(expr, stats.get(f, {}))
+                        _check_proven_by_stats(
+                            expr,
+                            self._logical_view(
+                                stats.get(f, {}), mapping or {}
+                            ),
+                        )
                         for expr in cons.values()
                     )
                 ]
                 if need_scan:
                     self._verify_constraints(
-                        df.sparkSession, need_scan, cons, sub
+                        df.sparkSession,
+                        need_scan,
+                        cons,
+                        sub,
+                        mapping=mapping or {},
+                        logical_cols=logical_cols,
                     )
         return written, stats
 
@@ -1342,19 +1481,38 @@ class SnapshotTable:
         rel_files: list[str],
         constraints: dict,
         cleanup_dir: Path,
+        mapping: dict | None = None,
+        logical_cols: list | None = None,
     ) -> None:
         """One existence-check scan over the just-written files whose
         stats could NOT prove compliance (``_write_data`` pre-prunes the
         proven ones): a row violates when any CHECK expression IS FALSE
         (SQL semantics — NULL passes, as in Delta/ANSI CHECK). Violation
         deletes the uncommitted files and raises
-        :class:`ConstraintViolation`."""
+        :class:`ConstraintViolation`. On a column-mapped table the scan
+        renames the files' physical columns back to ``logical_cols``
+        first — constraint expressions speak logical."""
         predicate = " OR ".join(
             f"(({expr}) IS FALSE)" for expr in constraints.values()
         )
-        bad = _constraint_scan(
-            spark, [str(self.root / f) for f in rel_files], predicate
-        )
+        if mapping and logical_cols:
+            bad = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[str(self.root / f) for f in rel_files])
+                .select(
+                    *[
+                        F_col(f"`{mapping.get(c, c)}`").alias(c)
+                        for c in logical_cols
+                    ]
+                )
+                .filter(predicate)
+                .limit(1)
+                .collect()
+            )
+        else:
+            bad = _constraint_scan(
+                spark, [str(self.root / f) for f in rel_files], predicate
+            )
         if bad:
             shutil.rmtree(cleanup_dir, ignore_errors=True)
             raise ConstraintViolation(
@@ -1703,9 +1861,28 @@ class SnapshotTable:
         cur = basis
         enforced = dict(recheck[2]) if recheck else {}
         attempt = 0
+        basis_cm = None
         while True:
             snap = self.snapshot(cur) if cur is not None else None
             if snap is not None:
+                # a rebase must not cross a column-mapping change: this
+                # op's frames (and any files it already wrote) were
+                # planned under the basis mapping — committing them
+                # under a concurrently renamed/dropped layout could
+                # record the wrong physical names (Delta's
+                # MetadataChangedException posture)
+                cmpair = (
+                    dict(snap.column_mapping or {}),
+                    tuple(snap.dropped_physical or ()),
+                )
+                if basis_cm is None:
+                    basis_cm = cmpair
+                elif cmpair != basis_cm:
+                    raise CommitConflict(
+                        f"{self.root}: column mapping changed "
+                        f"concurrently; re-plan the {op} against the "
+                        "new schema"
+                    )
                 vetted |= set(snap.files)
                 stats = dict(snap.stats or {})
                 out = sorted(
@@ -1892,6 +2069,10 @@ class SnapshotTable:
                 f"{self.root}: replace_where replacement data contains rows "
                 f"not matching {predicate!r}"
             )
+        cur = self.current_version()
+        snap = self.snapshot(cur) if cur is not None else None
+        cmap = dict(snap.column_mapping or {}) if snap else {}
+
         def _pred_excludes(fstats: dict) -> bool:
             """ANY conjunct's envelope excludes every accepted value —
             the file provably holds no matching row. Used both to pick
@@ -1899,6 +2080,7 @@ class SnapshotTable:
             commit rebase (a concurrent append whose rows match the
             predicate must abort the rebase: they would survive a
             replace that semantically covers them)."""
+            fstats = self._logical_view(fstats, cmap)
             if fstats.get("__num_rows__") == 0:
                 return True
             return any(
@@ -1906,9 +2088,6 @@ class SnapshotTable:
                 and not any(fstats[c][0] <= v <= fstats[c][1] for v in vals)
                 for c, vals in predicate.items()
             )
-
-        cur = self.current_version()
-        snap = self.snapshot(cur) if cur is not None else None
         keep_files: list[str] = []
         touched: list[str] = []
         stats = dict(snap.stats or {}) if snap else {}
@@ -1937,7 +2116,11 @@ class SnapshotTable:
                 # drops them.
                 remainder = self._apply_dv(
                     spark,
-                    self._read_files(spark, touched),
+                    self._read_files(
+                        spark, touched, schema=snap.schema, mapping=cmap
+                    )
+                    if cmap
+                    else self._read_files(spark, touched),
                     touched,
                     snap.dv if snap else None,
                 ).filter(~F_coalesce(match, F_lit(False)))
@@ -1946,7 +2129,7 @@ class SnapshotTable:
                 # re-verifying would double the rewrite's read I/O for
                 # nothing (same contract as compact/optimize)
                 rem_files, rem_stats = self._write_data(
-                    remainder, enforce=False
+                    remainder, enforce=False, mapping=cmap
                 )
                 fresh_files += rem_files
                 written_stats.update(rem_stats)
@@ -2088,12 +2271,15 @@ class SnapshotTable:
             ]
         ).first()
 
+        cmap = dict(snap.column_mapping or {})
+
         def _keys_disjoint(fstats: dict) -> bool:
             """ANY key column's envelope is disjoint from the source's
             key range — the file provably holds no matching key. Used
             for carried-file pruning and to vet concurrently-appended
             files on a commit rebase (a concurrent append that may hold
             a source key escaped this merge's anti-join: abort)."""
+            fstats = self._logical_view(fstats, cmap)
             if fstats.get("__num_rows__") == 0:
                 return True
             return any(
@@ -2120,7 +2306,11 @@ class SnapshotTable:
         target = (
             self._apply_dv(
                 spark,
-                self._read_files(spark, touched),
+                self._read_files(
+                    spark, touched, schema=snap.schema, mapping=cmap
+                )
+                if cmap
+                else self._read_files(spark, touched),
                 touched,
                 snap.dv,
             )
@@ -2345,14 +2535,17 @@ class SnapshotTable:
             raise FileNotFoundError(f"{self.root}: no committed snapshot")
         snap = self.snapshot(cur)
         stats = dict(snap.stats or {})
+        cmap = dict(snap.column_mapping or {})
         touched = [
             f
             for f in snap.files
-            if not _pred_disjoint_by_stats(predicate, stats.get(f, {}))
+            if not _pred_disjoint_by_stats(
+                predicate, self._logical_view(stats.get(f, {}), cmap)
+            )
         ]
         extra = {"delete_predicate": predicate}
         guard = lambda rel, fstats: _pred_disjoint_by_stats(  # noqa: E731
-            predicate, fstats
+            predicate, self._logical_view(fstats, cmap)
         )
         if not touched:
             return self._commit_rewrite(
@@ -2406,7 +2599,9 @@ class SnapshotTable:
         survivors = tagged.join(
             pos, ["__dv_file__", "__dv_pos__"], "left_anti"
         ).drop("__dv_file__", "__dv_pos__")
-        new, new_stats = self._write_data(survivors, enforce=False)
+        new, new_stats = self._write_data(
+            survivors, enforce=False, mapping=cmap
+        )
         extra["dv_new"] = frozen
         try:
             return self._commit_rewrite(
@@ -2572,10 +2767,13 @@ class SnapshotTable:
         if not change_data:
             change_data = _cdf_enabled(snap)
         stats = dict(snap.stats or {})
+        cmap = dict(snap.column_mapping or {})
         touched = [
             f
             for f in snap.files
-            if not _pred_disjoint_by_stats(predicate, stats.get(f, {}))
+            if not _pred_disjoint_by_stats(
+                predicate, self._logical_view(stats.get(f, {}), cmap)
+            )
         ]
         extra: dict = {
             "update_predicate": predicate,
@@ -2587,7 +2785,7 @@ class SnapshotTable:
             # promised was materialized
             extra["cdc_files"] = []
         guard = lambda rel, fstats: _pred_disjoint_by_stats(  # noqa: E731
-            predicate, fstats
+            predicate, self._logical_view(fstats, cmap)
         )
         if not touched:
             # validate SET names even when nothing rewrites — a typo'd
@@ -2635,7 +2833,9 @@ class SnapshotTable:
         pdv = dict(snap.dv or {})
         target = self._apply_dv(
             spark,
-            self._read_files(spark, touched, schema=snap.schema),
+            self._read_files(
+                spark, touched, schema=snap.schema, mapping=cmap
+            ),
             touched,
             pdv,
         )
@@ -2862,7 +3062,11 @@ class SnapshotTable:
         df = self.read(spark, version=cur, merge_schema=True).repartition(
             target_files
         )
-        new, new_stats = self._write_data(df, enforce=False)
+        new, new_stats = self._write_data(
+            df,
+            enforce=False,
+            mapping=dict(basis.column_mapping or {}) if basis else {},
+        )
         try:
             return self._commit_rewrite(
                 "compact",
@@ -2939,7 +3143,11 @@ class SnapshotTable:
             .sortWithinPartitions("__zkey")
             .drop("__zkey")
         )
-        new, new_stats = self._write_data(clustered, enforce=False)
+        new, new_stats = self._write_data(
+            clustered,
+            enforce=False,
+            mapping=dict(basis.column_mapping or {}) if basis else {},
+        )
         try:
             # rebase-on-append like compact (concurrent adds survive
             # unclustered — the next OPTIMIZE sweeps them in)
@@ -3006,11 +3214,14 @@ class SnapshotTable:
             # zero scan tasks on a provably-compliant table (pinned by
             # ``test_restore_metadata_proven_skips_scan``).
             rstats = snap.stats or {}
+            rmap = dict(snap.column_mapping or {})
             need_scan = [
                 f
                 for f in snap.files
                 if not all(
-                    _check_proven_by_stats(expr, rstats.get(f, {}))
+                    _check_proven_by_stats(
+                        expr, self._logical_view(rstats.get(f, {}), rmap)
+                    )
                     for expr in cons.values()
                 )
             ]
@@ -3027,7 +3238,12 @@ class SnapshotTable:
                     f"(({expr}) IS FALSE)" for expr in cons.values()
                 )
                 bad = self._constraint_scan_dv(
-                    spark, need_scan, predicate, snap.dv
+                    spark,
+                    need_scan,
+                    predicate,
+                    snap.dv,
+                    schema=snap.schema,
+                    mapping=rmap,
                 )
                 if bad:
                     raise ConstraintViolation(
@@ -3055,6 +3271,10 @@ class SnapshotTable:
             # would resurrect rows a restored-version dv soft-deleted
             # (or re-kill rows deleted after it)
             dv=dict(snap.dv or {}),
+            # and its column mapping/tombstones — the restored FILE SET
+            # carries the restored version's physical-name layout
+            column_mapping=dict(snap.column_mapping or {}),
+            dropped_physical=list(snap.dropped_physical or ()),
         )
 
     def shallow_clone(
@@ -3131,6 +3351,8 @@ class SnapshotTable:
                 str(src / f): [str(src / e[0]), e[1]]
                 for f, e in (snap.dv or {}).items()
             },
+            column_mapping=dict(snap.column_mapping or {}),
+            dropped_physical=list(snap.dropped_physical or ()),
             extra={
                 "clone_source": str(src),
                 "clone_version": snap.version,
@@ -3162,17 +3384,25 @@ class SnapshotTable:
         if cur is not None:
             snap = self.snapshot(cur)
             files, stats = list(snap.files), dict(snap.stats or {})
+            cmap = dict(snap.column_mapping or {})
             # stats-first, like restore(): validate only the files whose
             # manifest envelope cannot prove the new constraint — adding
             # an in-bounds constraint to a 100 TB table is metadata-only
             need_scan = [
                 f
                 for f in files
-                if not _check_proven_by_stats(expr, stats.get(f, {}))
+                if not _check_proven_by_stats(
+                    expr, self._logical_view(stats.get(f, {}), cmap)
+                )
             ]
             if need_scan:
                 bad = self._constraint_scan_dv(
-                    spark, need_scan, f"({expr}) IS FALSE", snap.dv
+                    spark,
+                    need_scan,
+                    f"({expr}) IS FALSE",
+                    snap.dv,
+                    schema=snap.schema,
+                    mapping=cmap,
                 )
                 if bad:
                     raise ConstraintViolation(
@@ -3222,6 +3452,101 @@ class SnapshotTable:
             constraints=constraints,
             properties=properties,
             expected_parent=cur,
+        )
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        """Delta ``ALTER TABLE ... RENAME COLUMN`` (the columnMapping
+        feature): a METADATA-ONLY commit — zero data rewritten at any
+        table size. The column's PHYSICAL parquet name never changes
+        once written; the manifest's ``column_mapping`` records
+        {logical: physical}, appends translate logical -> physical at
+        write (:meth:`_write_data`) and every read translates back
+        (:meth:`_read_files`), so old and new files serve the same
+        logical column. The commit requires the ``column-mapping``
+        reader AND writer feature — an older build fails closed instead
+        of misreading names. Change feeds refuse to cross the rename
+        (names would misalign across the range), Delta's
+        incompatible-schema-change posture."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"{self.root}: no committed snapshot")
+        snap = self.snapshot(cur)
+        if snap.schema is None:
+            raise ValueError(
+                f"{self.root}: rename_column needs a manifest-recorded "
+                "schema (legacy table: run one modern commit first)"
+            )
+        names = {n: t for n, t in snap.schema}
+        if old not in names:
+            raise ValueError(f"{self.root}: no column {old!r}")
+        if new in names:
+            raise ValueError(f"{self.root}: column {new!r} exists")
+        mapping = dict(snap.column_mapping or {})
+        phys = mapping.pop(old, old)
+        if phys != new:
+            mapping[new] = phys
+        # else: renamed back to its physical name — identity, unmapped
+        rec = sorted(
+            [(n, t) for n, t in snap.schema if n != old]
+            + [(new, names[old])]
+        )
+        return self._commit(
+            list(snap.files),
+            "rename_column",
+            stats=dict(snap.stats or {}),
+            expected_parent=cur,
+            schema=rec,
+            column_mapping=mapping,
+            extra={"rename_from": old, "rename_to": new},
+        )
+
+    def drop_column(self, name: str) -> Snapshot:
+        """Delta ``ALTER TABLE ... DROP COLUMN`` (columnMapping): a
+        METADATA-ONLY commit — the column leaves the logical schema and
+        every read projects it away; the bytes stay in existing files
+        until their natural rewrite (Delta's posture — run OPTIMIZE to
+        reclaim). The physical name is TOMBSTONED: re-adding a column
+        that would occupy it is refused (old files' data would surface
+        under the new column; Delta disambiguates with column ids, we
+        refuse honestly). Refused while a CHECK constraint references
+        the column, as in Delta."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"{self.root}: no committed snapshot")
+        snap = self.snapshot(cur)
+        if snap.schema is None:
+            raise ValueError(
+                f"{self.root}: drop_column needs a manifest-recorded "
+                "schema (legacy table: run one modern commit first)"
+            )
+        names = {n: t for n, t in snap.schema}
+        if name not in names:
+            raise ValueError(f"{self.root}: no column {name!r}")
+        if len(names) == 1:
+            raise ValueError(f"{self.root}: cannot drop the last column")
+        used_by = [
+            c
+            for c, expr in (snap.constraints or {}).items()
+            if _re.search(rf"\b{_re.escape(name)}\b", expr)
+        ]
+        if used_by:
+            raise ValueError(
+                f"{self.root}: column {name!r} is referenced by CHECK "
+                f"constraint(s) {sorted(used_by)}; drop them first"
+            )
+        mapping = dict(snap.column_mapping or {})
+        phys = mapping.pop(name, name)
+        dropped = sorted(set(snap.dropped_physical or ()) | {phys})
+        rec = sorted((n, t) for n, t in snap.schema if n != name)
+        return self._commit(
+            list(snap.files),
+            "drop_column",
+            stats=dict(snap.stats or {}),
+            expected_parent=cur,
+            schema=rec,
+            column_mapping=mapping,
+            dropped_physical=dropped,
+            extra={"dropped_column": name},
         )
 
     def set_property(self, key: str, value: str) -> Snapshot:
@@ -3535,6 +3860,17 @@ class SnapshotTable:
         )
         if not snap.files:
             raise FileNotFoundError(f"{self.root}: snapshot v{snap.version} is empty")
+        if snap.column_mapping or snap.dropped_physical:
+            # column-mapped table: the log schema + mapping are
+            # authoritative (renamed columns translate, dropped
+            # physicals project away) — merge_schema is implied
+            df = self._read_files(
+                spark,
+                snap.files,
+                schema=snap.schema,
+                mapping=dict(snap.column_mapping or {}),
+            )
+            return self._apply_dv(spark, df, snap.files, snap.dv)
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
@@ -3786,19 +4122,21 @@ class SnapshotTable:
                 "_commit_timestamp", F_lit(ts).cast("timestamp")
             )
 
-        def _live(rel_files, sch, dv_entries) -> DataFrame:
+        def _live(rel_files, sch, dv_entries, mp=None) -> DataFrame:
             """A replay read that honors the files' dv entries AS OF
             the replayed commit's parent — rows already soft-deleted
             before the commit were not part of the table, so its
             removals/updates must not replay them."""
             return self._apply_dv(
                 spark,
-                self._read_files(spark, rel_files, schema=sch),
+                self._read_files(
+                    spark, rel_files, schema=sch, mapping=mp
+                ),
                 rel_files,
                 {f: e for f, e in (dv_entries or {}).items() if e},
             )
 
-        def _frozen_rows(rel_files, sch, dv_new_rel) -> DataFrame:
+        def _frozen_rows(rel_files, sch, dv_new_rel, mp=None) -> DataFrame:
             """Replay of a merge-on-read commit: EXACTLY the rows whose
             positions its frozen new-dead sidecar recorded — a position
             semi-join, no predicate re-evaluation, exact even when the
@@ -3808,7 +4146,9 @@ class SnapshotTable:
             are small by contract, but a copy-on-write delete freezes
             its FULL matched set — AQE broadcasts only when it fits."""
             df = self._tag_dv_cols(
-                self._read_files(spark, rel_files, schema=sch)
+                self._read_files(
+                    spark, rel_files, schema=sch, mapping=mp
+                )
             )
             pos = spark.read.parquet(
                 str(self.root / dv_new_rel)
@@ -3837,6 +4177,7 @@ class SnapshotTable:
                 continue
             ts = float(raw.get("ts", 0.0))
             sch = raw.get("schema")
+            mp = raw.get("column_mapping") or {}
             if "cdc_files" in raw:
                 # explicit change-data files (merge/update
                 # change_data=True): authoritative, already typed;
@@ -3867,7 +4208,7 @@ class SnapshotTable:
                         match = cond if match is None else (match & cond)
                     parts.append(
                         _stamp(
-                            _live(removed, sch, raw.get("dv_removed"))
+                            _live(removed, sch, raw.get("dv_removed"), mp)
                             .filter(F_coalesce(match, F_lit(False)))
                             .withColumn("_change_type", F_lit("delete")),
                             v,
@@ -3877,8 +4218,13 @@ class SnapshotTable:
                 if repl:
                     parts.append(
                         _stamp(
-                            self._read_files(spark, repl)
-                            .withColumn("_change_type", F_lit("insert")),
+                            (
+                                self._read_files(
+                                    spark, repl, schema=sch, mapping=mp
+                                )
+                                if mp
+                                else self._read_files(spark, repl)
+                            ).withColumn("_change_type", F_lit("insert")),
                             v,
                             ts,
                         )
@@ -3907,7 +4253,13 @@ class SnapshotTable:
                         if f not in parent_files
                     ]
                 if added:
-                    rows = self._read_files(spark, added)
+                    rows = (
+                        self._read_files(
+                            spark, added, schema=sch, mapping=mp
+                        )
+                        if mp
+                        else self._read_files(spark, added)
+                    )
                     if op == "clone":
                         # the clone carried its source's deletion
                         # vectors: soft-deleted rows were never part of
@@ -3938,13 +4290,13 @@ class SnapshotTable:
                     if affected:
                         dv_new = raw.get("dv_new")
                         rows = (
-                            _frozen_rows(affected, sch, dv_new)
+                            _frozen_rows(affected, sch, dv_new, mp)
                             if dv_new
                             # legacy MoR manifest without a frozen
                             # sidecar record: derive (deterministic
                             # predicates only)
                             else _live(
-                                affected, sch, raw.get("dv_before")
+                                affected, sch, raw.get("dv_before"), mp
                             ).filter(
                                 F_coalesce(F_expr(pred), F_lit(False))
                             )
@@ -3971,11 +4323,11 @@ class SnapshotTable:
                         # frozen positions (the commit's single
                         # predicate evaluation): exact replay even for
                         # non-deterministic predicates
-                        _frozen_rows(removed, sch, dv_new)
+                        _frozen_rows(removed, sch, dv_new, mp)
                         if dv_new
                         # legacy COW manifest: derive (deterministic
                         # predicates only)
-                        else _live(removed, sch, raw.get("dv_removed"))
+                        else _live(removed, sch, raw.get("dv_removed"), mp)
                         .filter(F_coalesce(F_expr(pred), F_lit(False)))
                     )
                     parts.append(
@@ -4002,10 +4354,10 @@ class SnapshotTable:
                     if affected:
                         dv_new = raw.get("dv_new")
                         pre = (
-                            _frozen_rows(affected, sch, dv_new)
+                            _frozen_rows(affected, sch, dv_new, mp)
                             if dv_new
                             else _live(
-                                affected, sch, raw.get("dv_before")
+                                affected, sch, raw.get("dv_before"), mp
                             ).filter(
                                 F_coalesce(F_expr(pred), F_lit(False))
                             )
@@ -4026,8 +4378,13 @@ class SnapshotTable:
                         # SET expressions
                         parts.append(
                             _stamp(
-                                self._read_files(spark, added)
-                                .withColumn(
+                                (
+                                    self._read_files(
+                                        spark, added, schema=sch, mapping=mp
+                                    )
+                                    if mp
+                                    else self._read_files(spark, added)
+                                ).withColumn(
                                     "_change_type",
                                     F_lit("update_postimage"),
                                 ),
@@ -4045,7 +4402,7 @@ class SnapshotTable:
                         "predicate/SET; cannot replay its changes"
                     )
                 if removed:
-                    base = _live(removed, sch, raw.get("dv_removed"))
+                    base = _live(removed, sch, raw.get("dv_removed"), mp)
                     matched = base.filter(
                         F_coalesce(F_expr(pred), F_lit(False))
                     )

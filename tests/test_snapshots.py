@@ -1363,8 +1363,8 @@ def test_compact_rebases_over_concurrent_append(spark, table, monkeypatch):
     real_write = SnapshotTable.__dict__["_write_data"]
     state = {"raced": False}
 
-    def write_then_race(self, df, enforce=True, enforced_out=None):
-        out = real_write(self, df, enforce=enforce, enforced_out=enforced_out)
+    def write_then_race(self, df, enforce=True, enforced_out=None, **kw):
+        out = real_write(self, df, enforce=enforce, enforced_out=enforced_out, **kw)
         if not state["raced"]:
             state["raced"] = True
             racer.append(_df(spark, 100, 105))                  # steals v3
@@ -1389,8 +1389,8 @@ def test_rewrite_true_conflict_aborts_cleanly(spark, table, monkeypatch):
     real_write = SnapshotTable.__dict__["_write_data"]
     state = {"raced": False}
 
-    def write_then_race(self, df, enforce=True, enforced_out=None):
-        out = real_write(self, df, enforce=enforce, enforced_out=enforced_out)
+    def write_then_race(self, df, enforce=True, enforced_out=None, **kw):
+        out = real_write(self, df, enforce=enforce, enforced_out=enforced_out, **kw)
         if not state["raced"]:
             state["raced"] = True
             racer.overwrite(_df(spark, 100, 105))               # steals v2
@@ -1421,9 +1421,9 @@ def test_replace_where_rebase_guard(spark, table, monkeypatch):
     def make_racer(batch):
         state = {"raced": False}
 
-        def write_then_race(self, df, enforce=True, enforced_out=None):
+        def write_then_race(self, df, enforce=True, enforced_out=None, **kw):
             out = real_write(
-                self, df, enforce=enforce, enforced_out=enforced_out
+                self, df, enforce=enforce, enforced_out=enforced_out, **kw
             )
             if not state["raced"]:
                 state["raced"] = True
@@ -1463,9 +1463,9 @@ def test_merge_rebase_guard(spark, table, monkeypatch):
     def make_racer(batch):
         state = {"raced": False}
 
-        def write_then_race(self, df, enforce=True, enforced_out=None):
+        def write_then_race(self, df, enforce=True, enforced_out=None, **kw):
             out = real_write(
-                self, df, enforce=enforce, enforced_out=enforced_out
+                self, df, enforce=enforce, enforced_out=enforced_out, **kw
             )
             if not state["raced"]:
                 state["raced"] = True
@@ -1498,9 +1498,9 @@ def test_delete_rebase_guard(spark, table, monkeypatch):
     def make_racer(batch):
         state = {"raced": False}
 
-        def write_then_race(self, df, enforce=True, enforced_out=None):
+        def write_then_race(self, df, enforce=True, enforced_out=None, **kw):
             out = real_write(
-                self, df, enforce=enforce, enforced_out=enforced_out
+                self, df, enforce=enforce, enforced_out=enforced_out, **kw
             )
             if not state["raced"]:
                 state["raced"] = True
@@ -2073,8 +2073,8 @@ def test_merge_aborts_rebase_onto_concurrent_cdf_enable(
     real_write = SnapshotTable.__dict__["_write_data"]
     state = {"raced": False}
 
-    def write_then_race(self, df, enforce=True, enforced_out=None):
-        out = real_write(self, df, enforce=enforce, enforced_out=enforced_out)
+    def write_then_race(self, df, enforce=True, enforced_out=None, **kw):
+        out = real_write(self, df, enforce=enforce, enforced_out=enforced_out, **kw)
         if not state["raced"]:
             state["raced"] = True
             racer.set_property("delta.enableChangeDataFeed", "true")
@@ -2308,9 +2308,9 @@ def test_update_rebase_guard(spark, table, monkeypatch):
     def make_racer(batch):
         state = {"raced": False}
 
-        def write_then_race(self, df, enforce=True, enforced_out=None):
+        def write_then_race(self, df, enforce=True, enforced_out=None, **kw):
             out = real_write(
-                self, df, enforce=enforce, enforced_out=enforced_out
+                self, df, enforce=enforce, enforced_out=enforced_out, **kw
             )
             if not state["raced"]:
                 state["raced"] = True
@@ -2568,8 +2568,8 @@ def test_dv_rebase_guards(spark, table, monkeypatch):
     real_write = SnapshotTable.__dict__["_write_data"]
     state = {"raced": False}
 
-    def write_then_soft_delete(self, df, enforce=True, enforced_out=None):
-        out = real_write(self, df, enforce=enforce, enforced_out=enforced_out)
+    def write_then_soft_delete(self, df, enforce=True, enforced_out=None, **kw):
+        out = real_write(self, df, enforce=enforce, enforced_out=enforced_out, **kw)
         if not state["raced"]:
             state["raced"] = True
             racer.delete(spark, "v = 10", mode="merge-on-read")
@@ -2975,3 +2975,157 @@ def test_table_features_guard_reader_and_writer(spark, table, tmp_path):
     assert sorted(r.k for r in table.read(spark).collect()) == [2]
     with pytest.raises(UnsupportedTableFeature, match="v9-identity-cols"):
         table.append(_kv(spark, [(3, 30)]))
+
+
+# ---------------- column mapping (RENAME / DROP COLUMN) ----------------
+
+
+def test_rename_column_metadata_only_and_read_paths(spark, table):
+    """RENAME COLUMN is metadata-only (Delta columnMapping): zero data
+    rewritten, old files' physical name serves the new logical name,
+    post-rename appends write the PHYSICAL name so old and new files
+    stay one logical column; time travel sees each version's names."""
+    import pyarrow.parquet as pq
+
+    table.append(_kv(spark, [(1, 10), (2, 20)]).coalesce(1))    # v0
+    before = set(table.snapshot().files)
+    table.rename_column("v", "amount")                          # v1
+    snap = table.snapshot()
+    assert set(snap.files) == before, "no data rewritten"
+    assert snap.column_mapping == {"amount": "v"}
+    assert "column-mapping" in table._raw_manifest(1)["reader_features"]
+    df = table.read(spark)
+    assert sorted(df.columns) == ["amount", "k"]
+    assert sorted((r.k, r.amount) for r in df.collect()) == [
+        (1, 10),
+        (2, 20),
+    ]
+    # post-rename append arrives LOGICAL, lands PHYSICAL
+    table.append(
+        spark.createDataFrame([(3, 30)], "k long, amount long")
+    )                                                            # v2
+    newfile = (set(table.snapshot().files) - before).pop()
+    assert "v" in pq.read_schema(str(table.root / newfile)).names
+    assert sorted(
+        (r.k, r.amount) for r in table.read(spark).collect()
+    ) == [(1, 10), (2, 20), (3, 30)]
+    # time travel: v0 still reads the old name
+    assert sorted(table.read(spark, version=0).columns) == ["k", "v"]
+    # rename back to the physical name drops the mapping entry
+    table.rename_column("amount", "v")                           # v3
+    assert table.snapshot().column_mapping == {}
+    assert sorted(table.read(spark).columns) == ["k", "v"]
+
+
+def test_rename_column_mutations_and_stats_pruning(spark, table):
+    """Mutations speak the logical name end to end: stats pruning
+    translates to the physical envelope (a disjoint delete on the
+    renamed column stays metadata-only), UPDATE/merge/replace work,
+    and CHECK constraints enforce on mapped appends."""
+    table.append(
+        spark.createDataFrame(
+            [(1, 5), (2, 50), (3, 500)], "k long, v long"
+        ).coalesce(1)
+    )                                                            # v0
+    table.rename_column("v", "amount")                           # v1
+    # disjoint predicate on the RENAMED column: metadata-only
+    orig_write = type(table)._write_data
+    type(table)._write_data = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("disjoint delete must not write")
+    )
+    try:
+        table.delete(spark, "amount < 0")                        # v2
+    finally:
+        type(table)._write_data = orig_write
+    assert table.read(spark).count() == 3
+    table.update(spark, "amount = 50", {"amount": "amount + 1"})  # v3
+    assert sorted(
+        r.amount for r in table.read(spark).collect()
+    ) == [5, 51, 500]
+    table.delete(spark, "amount > 400", mode="merge-on-read")    # v4
+    assert sorted(
+        r.amount for r in table.read(spark).collect()
+    ) == [5, 51]
+    table.merge(
+        spark,
+        spark.createDataFrame([(1, 6), (9, 90)], "k long, amount long"),
+        key_cols=["k"],
+    )                                                            # v5
+    assert sorted(
+        (r.k, r.amount) for r in table.read(spark).collect()
+    ) == [(1, 6), (2, 51), (9, 90)]
+    table.add_check_constraint(spark, "amt_pos", "amount >= 0")  # v6
+    with pytest.raises(Exception, match="amt_pos"):
+        table.append(
+            spark.createDataFrame([(7, -1)], "k long, amount long")
+        )
+    # compact keeps the mapping and the logical view
+    table.compact(spark, target_files=1)                         # v7
+    assert sorted(
+        (r.k, r.amount) for r in table.read(spark).collect()
+    ) == [(1, 6), (2, 51), (9, 90)]
+
+
+def test_drop_column_tombstones_and_refusals(spark, table, tmp_path):
+    """DROP COLUMN projects the column away metadata-only; re-adding a
+    name whose physical slot old files still occupy is refused (no
+    Delta col-ids — refuse honestly); constraint-referenced columns
+    cannot drop; clones carry mapping; the connector fails closed."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+
+    table.append(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "k long, v long, tag string"
+        )
+    )                                                            # v0
+    table.add_check_constraint(spark, "v_pos", "v >= 0")         # v1
+    with pytest.raises(ValueError, match="v_pos"):
+        table.drop_column("v")
+    table.drop_column("tag")                                     # v2
+    assert sorted(table.read(spark).columns) == ["k", "v"]
+    assert table.snapshot().dropped_physical == ("tag",)
+    # re-adding 'tag' would surface the old files' bytes: refused
+    with pytest.raises(ValueError, match="renamed or dropped"):
+        table.append(
+            spark.createDataFrame(
+                [(3, 30, "x")], "k long, v long, tag string"
+            )
+        )
+    # a different name is fine (schema evolution unaffected)
+    table.append(
+        spark.createDataFrame(
+            [(3, 30, "x")], "k long, v long, label string"
+        )
+    )                                                            # v3
+    out = table.read(spark)
+    assert sorted(out.columns) == ["k", "label", "v"]
+    assert sorted(
+        (r.k, r.label) for r in out.collect()
+    ) == [(1, None), (2, None), (3, "x")]
+    clone = table.shallow_clone(str(tmp_path / "clone"))
+    assert clone.snapshot().dropped_physical == ("tag",)
+    assert sorted(clone.read(spark).columns) == ["k", "label", "v"]
+    spark.dataSource.register(SnapshotDataSource)
+    with pytest.raises(Exception, match="column-mapped"):
+        spark.read.format("snapshot_table").load(str(table.root)).collect()
+
+
+def test_rename_refuses_cdf_crossing_and_rebase(spark, table):
+    """Change feeds refuse a range crossing a rename (names would
+    misalign across versions — Delta's incompatible-schema-change
+    posture); sub-ranges on either side replay fine."""
+    table.append(_kv(spark, [(1, 10)]))                          # v0
+    table.rename_column("v", "amount")                           # v1
+    table.append(
+        spark.createDataFrame([(2, 20)], "k long, amount long")
+    )                                                            # v2
+    with pytest.raises(ValueError, match="not replayable"):
+        table.read_changes_cdf(spark, since_version=-1).collect()
+    post = table.read_changes_cdf(spark, since_version=1)
+    assert [(r.k, r.amount, r._change_type) for r in post.collect()] == [
+        (2, 20, "insert")
+    ]
+    with pytest.raises(ValueError, match="non-append|not replayable"):
+        table.read_changes(spark, since_version=0)
