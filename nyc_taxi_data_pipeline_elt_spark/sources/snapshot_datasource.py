@@ -126,6 +126,28 @@ class SnapshotDataSource(DataSource):
                 "compact() after re-adding columns to materialize"
             )
         if not snap.files:
+            if self._cdf() and snap.schema is not None:
+                # an EMPTIED table still has a replayable feed (the
+                # batch read_changes_cdf serves it); the stream schema
+                # comes from the manifest record instead of footers
+                from pyspark.sql.types import (
+                    StructField,
+                    StructType,
+                    TimestampType,
+                )
+                from pyspark.sql.types import LongType, StringType
+
+                base = StructType.fromDDL(
+                    ", ".join(f"`{n}` {t}" for n, t in snap.schema)
+                )
+                return StructType(
+                    list(base.fields)
+                    + [
+                        StructField("_change_type", StringType()),
+                        StructField("_commit_version", LongType()),
+                        StructField("_commit_timestamp", TimestampType()),
+                    ]
+                )
             raise ValueError(f"snapshot_table: v{snap.version} is empty")
         # Union footers across ALL manifest files: on a schema-evolved
         # table (appends via read(merge_schema=True) semantics) the first
@@ -159,6 +181,16 @@ class SnapshotDataSource(DataSource):
                 "SnapshotTable.read_changes_cdf"
             )
         table, snap = self._snapshot()
+        if snap.column_mapping or snap.dropped_physical:
+            # schema() refuses mapped tables, but a user-supplied
+            # reader schema SKIPS schema() — without this check the
+            # Arrow kernel would null-pad every renamed column
+            # (silently wrong data) instead of failing closed
+            raise ValueError(
+                "snapshot_table: column-mapped tables (RENAME/DROP "
+                "COLUMN) are not supported by this connector yet; "
+                "read via SnapshotTable.read"
+            )
         return _SnapshotReader(
             [str(table.root / f) for f in snap.files],
             to_arrow_schema(schema),
@@ -191,6 +223,23 @@ class SnapshotDataSource(DataSource):
                 raise ValueError(f"snapshot_table: {name} must be >= 1")
             return n
 
+        from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+            SnapshotTable,
+        )
+
+        t = SnapshotTable(path)
+        cur = t.current_version()
+        if cur is not None:
+            sn = t.snapshot(cur)
+            if sn.column_mapping or sn.dropped_physical:
+                # same fail-closed rule as reader(): a user-supplied
+                # schema bypasses schema()'s refusal
+                raise ValueError(
+                    "snapshot_table: column-mapped tables (RENAME/"
+                    "DROP COLUMN) are not supported by this connector "
+                    "yet; consume SnapshotTable.read_changes_cdf / "
+                    "process_changes in batch"
+                )
         cls = (
             _SnapshotCDFStreamReader if self._cdf() else _SnapshotStreamReader
         )
@@ -440,9 +489,15 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
             if raw.get("column_mapping") or raw.get("dropped_physical"):
                 # physical names diverge from logical past this point;
                 # the Arrow replay below reads by name (belt-and-braces
-                # with schema()'s whole-table refusal)
-                raise _no_artifact(
-                    v, "column-mapped version (RENAME/DROP COLUMN)"
+                # with the mapped-table refusal at planning). NOT a
+                # missing-artifact case — enabling change data cannot
+                # fix a schema change, so say what actually helps.
+                raise ValueError(
+                    f"snapshot_table[readChangeFeed]: version {v} of "
+                    f"{self.path} is column-mapped (RENAME/DROP "
+                    "COLUMN); the connector does not support mapped "
+                    "tables yet — consume "
+                    "SnapshotTable.read_changes_cdf in batch"
                 )
             op = raw["op"]
             if op in (
@@ -496,6 +551,7 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
                         f,
                         v,
                         ts,
+                        ctype="delete",
                         pred={c: list(vals) for c, vals in pred.items()},
                         dv_path=str(root / e[0]) if e else None,
                         dv_key=tail(f) if e else None,

@@ -783,6 +783,38 @@ class SnapshotTable:
         }
         return dv_set, fully_dead, extra_fields, written
 
+    def _mapped_existence_scan(
+        self,
+        spark: SparkSession,
+        rel_files: list[str],
+        predicate: str,
+        mapping: dict,
+        schema=None,
+        logical_cols=None,
+    ) -> list:
+        """The column-mapped twin of :func:`_constraint_scan`: read the
+        files physically, restore LOGICAL names (via the recorded
+        ``schema`` when given, else the written frame's
+        ``logical_cols``), and return at most one violating row — ONE
+        implementation shared by :meth:`_verify_constraints` and
+        :meth:`_constraint_scan_dv` so scan semantics cannot drift."""
+        if schema is not None:
+            df = self._read_files(
+                spark, rel_files, schema=schema, mapping=mapping
+            )
+        else:
+            df = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[str(self.root / f) for f in rel_files])
+                .select(
+                    *[
+                        F_col(f"`{mapping.get(c, c)}`").alias(c)
+                        for c in logical_cols
+                    ]
+                )
+            )
+        return df.filter(predicate).limit(1).collect()
+
     def _constraint_scan_dv(
         self,
         spark: SparkSession,
@@ -806,13 +838,8 @@ class SnapshotTable:
         bad: list = []
         if clean:
             if mapping:
-                bad = (
-                    self._read_files(
-                        spark, clean, schema=schema, mapping=mapping
-                    )
-                    .filter(predicate)
-                    .limit(1)
-                    .collect()
+                bad = self._mapped_existence_scan(
+                    spark, clean, predicate, mapping, schema=schema
                 )
             else:
                 bad = _constraint_scan(
@@ -1496,18 +1523,12 @@ class SnapshotTable:
             f"(({expr}) IS FALSE)" for expr in constraints.values()
         )
         if mapping and logical_cols:
-            bad = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(*[str(self.root / f) for f in rel_files])
-                .select(
-                    *[
-                        F_col(f"`{mapping.get(c, c)}`").alias(c)
-                        for c in logical_cols
-                    ]
-                )
-                .filter(predicate)
-                .limit(1)
-                .collect()
+            bad = self._mapped_existence_scan(
+                spark,
+                rel_files,
+                predicate,
+                mapping,
+                logical_cols=logical_cols,
             )
         else:
             bad = _constraint_scan(
@@ -2599,11 +2620,15 @@ class SnapshotTable:
         survivors = tagged.join(
             pos, ["__dv_file__", "__dv_pos__"], "left_anti"
         ).drop("__dv_file__", "__dv_pos__")
-        new, new_stats = self._write_data(
-            survivors, enforce=False, mapping=cmap
-        )
         extra["dv_new"] = frozen
+        new: list[str] = []
         try:
+            # inside the cleanup scope: a failed survivor write must
+            # also drop the already-landed frozen sidecar, not strand
+            # it until vacuum (the MoR twins' posture)
+            new, new_stats = self._write_data(
+                survivors, enforce=False, mapping=cmap
+            )
             return self._commit_rewrite(
                 "delete",
                 cur,
@@ -3481,6 +3506,20 @@ class SnapshotTable:
             raise ValueError(f"{self.root}: no column {old!r}")
         if new in names:
             raise ValueError(f"{self.root}: column {new!r} exists")
+        used_by = [
+            c
+            for c, expr in (snap.constraints or {}).items()
+            if _re.search(rf"\b{_re.escape(old)}\b", expr)
+        ]
+        if used_by:
+            # committing anyway would wedge every later write: the
+            # constraint expression still says the OLD name, which no
+            # logical frame resolves (Delta refuses this rename too)
+            raise ValueError(
+                f"{self.root}: column {old!r} is referenced by CHECK "
+                f"constraint(s) {sorted(used_by)}; drop or re-create "
+                "them against the new name"
+            )
         mapping = dict(snap.column_mapping or {})
         phys = mapping.pop(old, old)
         if phys != new:

@@ -335,3 +335,67 @@ def test_cdf_stream_clone_v0_inserts_minus_carried_dv(spark, tmp_path):
         range(3, 10)
     )
     assert all(t == "insert" for _, _, t, _ in rows)
+
+
+def test_cdf_stream_replays_replace_where(spark, tmp_path):
+    """replace_where versions stream as delete (recorded predicate via
+    Arrow IN-filters, prior dv masked) + insert (replacement files) —
+    matching the batch feed."""
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    table.append(_df(spark, 0, 10).coalesce(1))              # v0
+    table.replace_where(
+        spark,
+        spark.createDataFrame([(100, 0)], "id long, v long"),
+        column="v",
+        values=[0],
+    )                                                         # v1
+    rows = _drain_cdf(spark, str(table.root), str(tmp_path / "ck"))
+    batch = {
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in table.read_changes_cdf(spark, since_version=-1).collect()
+    }
+    assert set(rows) == batch and len(rows) == len(batch)
+    assert (0, 0, "delete", 1) in batch and (100, 0, "insert", 1) in batch
+
+
+def test_cdf_stream_serves_emptied_table(spark, tmp_path):
+    """A table whose current snapshot is EMPTY still streams its feed
+    (schema from the manifest record, parity with batch
+    read_changes_cdf)."""
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    table.append(_df(spark, 0, 3).coalesce(1))               # v0
+    table.delete(spark, "id >= 0")                           # v1: empties
+    rows = _drain_cdf(spark, str(table.root), str(tmp_path / "ck"))
+    ins = {(i, t) for i, _, t, _ in rows}
+    assert ins == {(0, "insert"), (1, "insert"), (2, "insert"),
+                   (0, "delete"), (1, "delete"), (2, "delete")}
+
+
+def test_connector_rejects_mapped_table_with_explicit_schema(
+    spark, tmp_path
+):
+    """A user-supplied reader schema bypasses DataSource.schema(), so
+    reader()/streamReader() must refuse mapped tables themselves —
+    otherwise renamed columns would silently null-pad."""
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    table.append(_df(spark, 0, 3))
+    table.rename_column("v", "amount")
+    spark.dataSource.register(SnapshotDataSource)
+    with pytest.raises(Exception, match="column-mapped"):
+        (
+            spark.read.format("snapshot_table")
+            .schema("id long, amount long")
+            .load(str(table.root))
+            .collect()
+        )
+    with pytest.raises(Exception, match="column-mapped"):
+        (
+            spark.readStream.format("snapshot_table")
+            .schema("id long, amount long")
+            .load(str(table.root))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )

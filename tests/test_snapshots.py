@@ -3129,3 +3129,47 @@ def test_rename_refuses_cdf_crossing_and_rebase(spark, table):
     ]
     with pytest.raises(ValueError, match="non-append|not replayable"):
         table.read_changes(spark, since_version=0)
+
+
+def test_rename_refused_when_constraint_references_column(spark, table):
+    """Review r10: renaming a CHECK-referenced column would wedge every
+    later write (the expression still names the old column) — refuse
+    up front, as Delta does."""
+    table.append(_kv(spark, [(1, 10)]))
+    table.add_check_constraint(spark, "v_pos", "v >= 0")
+    with pytest.raises(ValueError, match="v_pos"):
+        table.rename_column("v", "amount")
+    # dropping the constraint unblocks the rename
+    table.drop_constraint("v_pos")
+    table.rename_column("v", "amount")
+    assert sorted(table.read(spark).columns) == ["amount", "k"]
+
+
+def test_cow_delete_write_failure_strands_nothing(spark, table):
+    """Review r10: a survivor-write failure inside a COW delete must
+    drop the already-landed frozen sidecar too (the eager no-orphan
+    contract the MoR paths already honor)."""
+    table.append(_kv(spark, [(1, 10), (2, 20)]).coalesce(1))
+    committed = set(table.snapshot().files)
+    orig = type(table)._write_data
+
+    def boom(self, df, enforce=True, enforced_out=None, **kw):
+        raise RuntimeError("synthetic write failure")
+
+    type(table)._write_data = boom
+    try:
+        with pytest.raises(RuntimeError, match="synthetic"):
+            table.delete(spark, "k = 1")
+    finally:
+        type(table)._write_data = orig
+    on_disk = {
+        str(p.relative_to(table.root))
+        for p in table.root.rglob("*.parquet")
+        if not p.name.startswith((".", "_"))
+    }
+    # nothing outside the committed set survives — no data orphans AND
+    # no orphaned dv sidecar dir
+    strays = {
+        f for f in on_disk - committed if not f.startswith("_manifests")
+    }
+    assert strays == set(), f"stranded: {strays}"
