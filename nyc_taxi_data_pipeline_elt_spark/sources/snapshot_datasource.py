@@ -58,27 +58,41 @@ _PUSHABLE = {
 }
 
 
-def _project_parquet(path: str, arrow_schema, filters=None):
+def _project_parquet(path: str, arrow_schema, filters=None, phys=None):
     """One parquet file -> an Arrow table in exactly ``arrow_schema``'s
     columns, order, and types — the projection/evolution kernel BOTH
     readers' ``read`` paths share (review r10: it had been written
     twice). Only the schema's columns are read (column chunks for
     everything else are never fetched); a column the file lacks
     (pre-evolution) is null-padded at the file's row count. ``filters``
-    (pyarrow DNF conjuncts) are applied exactly during the read;
-    returns None when a filter references an absent column — a pushed
-    comparison on an all-NULL column matches no rows (SQL three-valued
-    logic), so the file is skipped entirely."""
+    (pyarrow DNF conjuncts, LOGICAL column names) are applied exactly
+    during the read; returns None when a filter references an absent
+    column — a pushed comparison on an all-NULL column matches no rows
+    (SQL three-valued logic), so the file is skipped entirely.
+
+    ``phys`` ({logical: physical}, a column-mapped table's manifest
+    record): columns are READ under their physical parquet names and
+    returned renamed to ``arrow_schema``'s logical names — the Arrow
+    twin of ``SnapshotTable._read_files(mapping=...)``."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    pmap = phys or {}
     want = list(arrow_schema.names)
     file_schema = pq.read_schema(path)
-    present = [c for c in want if c in file_schema.names]
-    missing = [c for c in want if c not in file_schema.names]
+    present = [c for c in want if pmap.get(c, c) in file_schema.names]
+    missing = [c for c in want if pmap.get(c, c) not in file_schema.names]
     if filters and any(c in missing for c, _, _ in filters):
         return None
-    table = pq.read_table(path, columns=present, filters=filters or None)
+    read_filters = (
+        [(pmap.get(c, c), o, v) for c, o, v in filters] if filters else None
+    )
+    table = pq.read_table(
+        path,
+        columns=[pmap.get(c, c) for c in present],
+        filters=read_filters,
+    )
+    table = table.rename_columns(present)
     for c in missing:
         table = table.append_column(
             c, pa.nulls(table.num_rows, arrow_schema.field(c).type)
@@ -118,36 +132,30 @@ class SnapshotDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         table, snap = self._snapshot()
+        def _record_ddl() -> str:
+            # DataSource.schema() may return a DDL string — Spark
+            # parses it JVM-side, which matters here: this method runs
+            # in a sessionless Python worker where StructType.fromDDL
+            # cannot parse (no SparkContext)
+            ddl = ", ".join(f"`{n}` {t}" for n, t in snap.schema)
+            if self._cdf():
+                ddl += (
+                    ", `_change_type` string, `_commit_version` bigint"
+                    ", `_commit_timestamp` timestamp"
+                )
+            return ddl
+
         if snap.column_mapping or snap.dropped_physical:
-            raise ValueError(
-                "snapshot_table: column-mapped tables (RENAME/DROP "
-                "COLUMN) are not supported by this connector yet; read "
-                "via SnapshotTable.read / read_changes_cdf, or "
-                "compact() after re-adding columns to materialize"
-            )
+            # column-mapped table: the manifest-recorded LOGICAL schema
+            # is authoritative (mapping implies it is recorded) — no
+            # footer union, and dropped physical columns never appear
+            return _record_ddl()
         if not snap.files:
             if self._cdf() and snap.schema is not None:
                 # an EMPTIED table still has a replayable feed (the
                 # batch read_changes_cdf serves it); the stream schema
                 # comes from the manifest record instead of footers
-                from pyspark.sql.types import (
-                    StructField,
-                    StructType,
-                    TimestampType,
-                )
-                from pyspark.sql.types import LongType, StringType
-
-                base = StructType.fromDDL(
-                    ", ".join(f"`{n}` {t}" for n, t in snap.schema)
-                )
-                return StructType(
-                    list(base.fields)
-                    + [
-                        StructField("_change_type", StringType()),
-                        StructField("_commit_version", LongType()),
-                        StructField("_commit_timestamp", TimestampType()),
-                    ]
-                )
+                return _record_ddl()
             raise ValueError(f"snapshot_table: v{snap.version} is empty")
         # Union footers across ALL manifest files: on a schema-evolved
         # table (appends via read(merge_schema=True) semantics) the first
@@ -181,16 +189,6 @@ class SnapshotDataSource(DataSource):
                 "SnapshotTable.read_changes_cdf"
             )
         table, snap = self._snapshot()
-        if snap.column_mapping or snap.dropped_physical:
-            # schema() refuses mapped tables, but a user-supplied
-            # reader schema SKIPS schema() — without this check the
-            # Arrow kernel would null-pad every renamed column
-            # (silently wrong data) instead of failing closed
-            raise ValueError(
-                "snapshot_table: column-mapped tables (RENAME/DROP "
-                "COLUMN) are not supported by this connector yet; "
-                "read via SnapshotTable.read"
-            )
         return _SnapshotReader(
             [str(table.root / f) for f in snap.files],
             to_arrow_schema(schema),
@@ -205,6 +203,11 @@ class SnapshotDataSource(DataSource):
                 )
                 for f, e in (snap.dv or {}).items()
             },
+            # column mapping: logical -> physical, threaded to every
+            # partition so the Arrow kernel reads physical names and
+            # returns logical ones (a user-supplied reader schema works
+            # too — it is logical, exactly like schema()'s)
+            phys=dict(snap.column_mapping or {}),
         )
 
     def streamReader(self, schema):
@@ -236,9 +239,10 @@ class SnapshotDataSource(DataSource):
                 # schema bypasses schema()'s refusal
                 raise ValueError(
                     "snapshot_table: column-mapped tables (RENAME/"
-                    "DROP COLUMN) are not supported by this connector "
-                    "yet; consume SnapshotTable.read_changes_cdf / "
-                    "process_changes in batch"
+                    "DROP COLUMN) are not supported by the STREAM "
+                    "readers yet (per-version name translation); use "
+                    "the batch connector or "
+                    "SnapshotTable.read_changes_cdf / process_changes"
                 )
         cls = (
             _SnapshotCDFStreamReader if self._cdf() else _SnapshotStreamReader
@@ -662,12 +666,14 @@ class _SnapshotReader(DataSourceReader):
         arrow_schema,
         stats: dict | None = None,
         dv: dict | None = None,
+        phys: dict | None = None,
     ):
         self.files = files
         self.arrow_schema = arrow_schema  # unified target schema (picklable)
         self.columns = arrow_schema.names
         self.stats = stats or {}
         self.dv = dv or {}  # abs data file -> (abs dv file, rel file)
+        self.phys = phys or {}  # column mapping: logical -> physical
         self.pushed: list[tuple[str, str, object]] = []
 
     def pushFilters(self, filters):
@@ -709,6 +715,9 @@ class _SnapshotReader(DataSourceReader):
     def _file_may_match(self, path: str) -> bool:
         env = self._envelopes(path)
         for col, op, value in self.pushed:
+            # stats/footers key the PHYSICAL name (what the file holds);
+            # pushed conjuncts speak logical — translate at lookup
+            col = self.phys.get(col, col)
             # non-envelope manifest entries (e.g. __num_rows__) never prune
             if col not in env or not isinstance(env[col], (list, tuple)):
                 continue
@@ -742,7 +751,7 @@ class _SnapshotReader(DataSourceReader):
         dv_entry = self.dv.get(partition.value)
         if dv_entry is None:
             table = _project_parquet(
-                partition.value, self.arrow_schema, filters
+                partition.value, self.arrow_schema, filters, phys=self.phys
             )
             if table is None:
                 return
@@ -757,7 +766,9 @@ class _SnapshotReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         dv_path, rel = dv_entry
-        table = _project_parquet(partition.value, self.arrow_schema)
+        table = _project_parquet(
+            partition.value, self.arrow_schema, phys=self.phys
+        )
         dead = pq.read_table(
             dv_path, columns=["pos"], filters=[("file", "=", rel)]
         )["pos"].to_numpy()

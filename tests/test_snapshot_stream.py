@@ -371,23 +371,31 @@ def test_cdf_stream_serves_emptied_table(spark, tmp_path):
                    (0, "delete"), (1, "delete"), (2, "delete")}
 
 
-def test_connector_rejects_mapped_table_with_explicit_schema(
-    spark, tmp_path
-):
-    """A user-supplied reader schema bypasses DataSource.schema(), so
-    reader()/streamReader() must refuse mapped tables themselves —
-    otherwise renamed columns would silently null-pad."""
+def test_connector_mapped_table_batch_and_stream(spark, tmp_path):
+    """The BATCH connector serves column-mapped tables — including a
+    user-supplied (logical) reader schema and a pushed filter on the
+    renamed column, which must translate to the physical envelope/
+    column instead of silently null-padding. The STREAM readers still
+    refuse (per-version name translation not wired)."""
     table = SnapshotTable(str(tmp_path / "tbl"))
     table.append(_df(spark, 0, 3))
     table.rename_column("v", "amount")
     spark.dataSource.register(SnapshotDataSource)
-    with pytest.raises(Exception, match="column-mapped"):
-        (
-            spark.read.format("snapshot_table")
-            .schema("id long, amount long")
-            .load(str(table.root))
-            .collect()
-        )
+    out = (
+        spark.read.format("snapshot_table")
+        .schema("id long, amount long")
+        .load(str(table.root))
+        .filter("amount >= 2")
+        .collect()
+    )
+    assert sorted((r.id, r.amount) for r in out) == [(1, 2), (2, 4)]
+    full = spark.read.format("snapshot_table").load(str(table.root))
+    assert sorted(full.columns) == ["amount", "id"]
+    assert sorted((r.id, r.amount) for r in full.collect()) == [
+        (0, 0),
+        (1, 2),
+        (2, 4),
+    ]
     with pytest.raises(Exception, match="column-mapped"):
         (
             spark.readStream.format("snapshot_table")

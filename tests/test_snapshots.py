@@ -3107,9 +3107,14 @@ def test_drop_column_tombstones_and_refusals(spark, table, tmp_path):
     clone = table.shallow_clone(str(tmp_path / "clone"))
     assert clone.snapshot().dropped_physical == ("tag",)
     assert sorted(clone.read(spark).columns) == ["k", "label", "v"]
+    # the batch connector serves the mapped table: dropped column
+    # invisible, schema from the manifest record
     spark.dataSource.register(SnapshotDataSource)
-    with pytest.raises(Exception, match="column-mapped"):
-        spark.read.format("snapshot_table").load(str(table.root)).collect()
+    via = spark.read.format("snapshot_table").load(str(table.root))
+    assert sorted(via.columns) == ["k", "label", "v"]
+    assert sorted(
+        (r.k, r.label) for r in via.collect()
+    ) == [(1, None), (2, None), (3, "x")]
 
 
 def test_rename_refuses_cdf_crossing_and_rebase(spark, table):
