@@ -244,6 +244,7 @@ class SnapshotDataSource(DataSource):
                     "the batch connector or "
                     "SnapshotTable.read_changes_cdf / process_changes"
                 )
+        sv = self.options.get("startingversion")
         cls = (
             _SnapshotCDFStreamReader if self._cdf() else _SnapshotStreamReader
         )
@@ -252,6 +253,7 @@ class SnapshotDataSource(DataSource):
             to_arrow_schema(schema),
             max_files=_cap("maxFilesPerTrigger"),
             max_versions=_cap("maxVersionsPerTrigger"),
+            starting_version=int(sv) if sv is not None else None,
         )
 
 
@@ -315,11 +317,17 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         arrow_schema,
         max_files: int | None = None,
         max_versions: int | None = None,
+        starting_version: int | None = None,
     ):
         self.path = path
         self.arrow_schema = arrow_schema
         self.max_files = max_files
         self.max_versions = max_versions
+        # Delta's startingVersion: a FRESH stream begins at this
+        # version (inclusive) instead of replaying the initial
+        # snapshot; ignored on a checkpointed restart (the JVM restores
+        # the committed offset and never consults initialOffset)
+        self.starting_version = starting_version
         self._last_end: int | None = None
 
     def _table(self):
@@ -333,9 +341,14 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # teach the admission bound its start on a FRESH stream — but
         # never move an already-learned frontier backward (Spark calls
         # the first latestOffset BEFORE initialOffset; observed 4.1.2)
+        start = (
+            -1
+            if self.starting_version is None
+            else self.starting_version - 1
+        )
         if self._last_end is None:
-            self._last_end = -1
-        return {"version": -1}
+            self._last_end = start
+        return {"version": start}
 
     @staticmethod
     def _version_added_count(table, v: int) -> int:

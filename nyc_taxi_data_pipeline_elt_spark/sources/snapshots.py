@@ -3863,6 +3863,10 @@ class SnapshotTable:
             "num_deletion_vectors": len(snap.dv or {}),
             "constraints": sorted(snap.constraints or {}),
             "properties": dict(snap.properties or {}),
+            # column mapping state (RENAME/DROP COLUMN): {logical:
+            # physical} plus retired physical names
+            "column_mapping": dict(snap.column_mapping or {}),
+            "dropped_physical": list(snap.dropped_physical or ()),
             # the last commit's audit counts (Delta operationMetrics)
             "operation_metrics": dict(snap.metrics or {}),
         }

@@ -407,3 +407,46 @@ def test_connector_mapped_table_batch_and_stream(spark, tmp_path):
             .start()
             .awaitTermination(60)
         )
+
+
+def test_stream_starting_version_skips_initial_snapshot(spark, tmp_path):
+    """Delta's startingVersion: a fresh stream begins at that version
+    (inclusive) instead of replaying the whole initial snapshot — for
+    both the insert-only and the change-feed readers."""
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    table.append(_df(spark, 0, 5))                           # v0
+    table.append(_df(spark, 5, 8))                           # v1
+    table.append(_df(spark, 8, 10))                          # v2
+    spark.dataSource.register(SnapshotDataSource)
+    out = []
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("startingVersion", 1)
+        .load(str(table.root))
+        .writeStream.foreachBatch(
+            lambda df, _b: out.extend(r["id"] for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(out) == list(range(5, 10)), "v0 must not replay"
+    out_cdf = []
+    q2 = (
+        spark.readStream.format("snapshot_table")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 2)
+        .load(str(table.root))
+        .writeStream.foreachBatch(
+            lambda df, _b: out_cdf.extend(
+                (r["id"], r["_change_type"], r["_commit_version"])
+                for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert sorted(out_cdf) == [(8, "insert", 2), (9, "insert", 2)]
