@@ -148,7 +148,13 @@ class SnapshotDataSource(DataSource):
         if snap.column_mapping or snap.dropped_physical:
             # column-mapped table: the manifest-recorded LOGICAL schema
             # is authoritative (mapping implies it is recorded) — no
-            # footer union, and dropped physical columns never appear
+            # footer union, and dropped physical columns never appear.
+            # Same empty-table posture as the unmapped branch below
+            # (review r10: branch order must not change semantics).
+            if not snap.files and not self._cdf():
+                raise ValueError(
+                    f"snapshot_table: v{snap.version} is empty"
+                )
             return _record_ddl()
         if not snap.files:
             if self._cdf() and snap.schema is not None:
@@ -189,6 +195,21 @@ class SnapshotDataSource(DataSource):
                 "SnapshotTable.read_changes_cdf"
             )
         table, snap = self._snapshot()
+        if snap.column_mapping or snap.dropped_physical:
+            # a user-supplied reader schema bypasses schema(): its
+            # names must be validated against the LOGICAL schema, or a
+            # retired name (dropped column, pre-rename alias) would
+            # resolve via pmap.get(c, c) straight to the tombstoned
+            # physical bytes — silently resurfacing data the table
+            # format retired (the same rule _commit enforces on write)
+            known = {n for n, _ in (snap.schema or ())}
+            bad = sorted(set(schema.fieldNames()) - known)
+            if bad:
+                raise ValueError(
+                    f"snapshot_table: column(s) {bad} are not in the "
+                    f"table's logical schema (columns: {sorted(known)});"
+                    " dropped or renamed-away names cannot be read"
+                )
         return _SnapshotReader(
             [str(table.root / f) for f in snap.files],
             to_arrow_schema(schema),
@@ -245,6 +266,19 @@ class SnapshotDataSource(DataSource):
                     "SnapshotTable.read_changes_cdf / process_changes"
                 )
         sv = self.options.get("startingversion")
+        if sv is not None:
+            sv_i = int(sv)
+            hi = (cur if cur is not None else -1) + 1
+            # [0, current+1]: current+1 = "future commits only" (the
+            # frontier math stays monotone); beyond that the first
+            # batch would commit an offset BELOW the requested start
+            # and later triggers would serve skipped versions
+            if sv_i < 0 or sv_i > hi:
+                raise ValueError(
+                    f"snapshot_table: startingVersion {sv_i} out of "
+                    f"range [0, {hi}] (latest committed version: "
+                    f"{cur if cur is not None else 'none'})"
+                )
         cls = (
             _SnapshotCDFStreamReader if self._cdf() else _SnapshotStreamReader
         )

@@ -450,3 +450,60 @@ def test_stream_starting_version_skips_initial_snapshot(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert sorted(out_cdf) == [(8, "insert", 2), (9, "insert", 2)]
+
+
+def test_connector_rejects_retired_names_in_reader_schema(spark, tmp_path):
+    """Review r10: a user reader schema naming a dropped or pre-rename
+    column must be refused — pmap.get(c, c) would otherwise resolve it
+    straight to the tombstoned physical bytes."""
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    table.append(
+        spark.createDataFrame([(1, 2, "x")], "id long, v long, tag string")
+    )
+    table.rename_column("v", "amount")
+    table.drop_column("tag")
+    spark.dataSource.register(SnapshotDataSource)
+    for ddl in ("id long, tag string", "id long, v long, amount long"):
+        with pytest.raises(Exception, match="logical schema"):
+            (
+                spark.read.format("snapshot_table")
+                .schema(ddl)
+                .load(str(table.root))
+                .collect()
+            )
+
+
+def test_stream_starting_version_validated(spark, tmp_path):
+    """Review r10: startingVersion outside [0, current+1] is refused
+    at stream build — beyond-current values would commit an offset
+    below the requested start and then serve skipped versions."""
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    table.append(_df(spark, 0, 3))                           # v0
+    spark.dataSource.register(SnapshotDataSource)
+    for sv in ("5", "-1"):
+        with pytest.raises(Exception, match="out of range"):
+            (
+                spark.readStream.format("snapshot_table")
+                .option("startingVersion", sv)
+                .load(str(table.root))
+                .writeStream.format("noop")
+                .option("checkpointLocation", str(tmp_path / f"ck{sv}"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination(60)
+            )
+    # current+1 = future-only: valid, drains nothing yet
+    out = []
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("startingVersion", 1)
+        .load(str(table.root))
+        .writeStream.foreachBatch(
+            lambda df, _b: out.extend(r["id"] for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert out == []
