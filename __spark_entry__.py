@@ -45,88 +45,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records correctness rows for the FIRST 50 entries of
-# ``queries()`` insertion order. Round-10 rotation (VERDICT r9 task #1,
-# executing COVERAGE.md's "r10 rotation pre-computation", re-derived
-# against the actual CORRECTNESS_r09.json: staleness distribution is
-# 50@r9 / 50@r8 / 50@r7 / 39@r6, zero never-green, 189 registered ==
-# 189 ever-green). This window is the 39 queries whose newest green
-# driver row is r6 — the oldest evidence in the ledger, predating three
-# rounds of table-format/CDF rework (includes customer_entity_leaders,
-# nation_cheapest_route, funnel_conversion, image_luma_profile, the
-# streaming left-join/dedup/funnel family) — plus the
-# alphabetically-first r7 rows continuing the r7 cohort refresh.
-# Window invariant: every member's newest prior green row is <= r7;
-# after this round no registered query's evidence predates r7.
-# Everything displaced is r8/r9 driver-hash-verified and remains
+# ``queries()`` insertion order. Round-11 rotation (VERDICT r10 task #1,
+# executing COVERAGE.md's "r11 rotation pre-computation", re-derived
+# against the actual CORRECTNESS_r10.json: staleness distribution is
+# 50@r10 / 50@r9 / 50@r8 / 45@r7, zero never-green, 195 registered ==
+# 195 ever-green). This window is the 45 queries whose newest green
+# driver row is r7 — the oldest evidence in the ledger (includes the
+# whole simsearch IVF/PQ family, the eight r7-era streaming queries,
+# the graph suite, and the classic agg/pivot/grouping-set block) —
+# plus the alphabetically-first r8 rows starting the r8 cohort
+# refresh. Window invariant: every member's newest prior green row is
+# <= r8; after this round no registered query's evidence predates r8.
+# Everything displaced is r9/r10 driver-hash-verified and remains
 # registered, benchmarked, and locally parity-tested;
 # tests/test_window_coverage.py FAILS the suite if any registered query
 # has neither a driver row in any CORRECTNESS_r*.json nor a slot here,
 # and if this list exceeds the 50 slots the driver actually records.
 # NEW queries registered this round take a slot by displacing the
-# alphabetically-last r7 filler (note it in COVERAGE.md) — the r8
+# alphabetically-last r8 filler (note it in COVERAGE.md) — the r8
 # snapshot_time_travel_read pattern.
 _PRIORITY_WINDOW = [
-    # --- stalest: newest green row is r6 (39) ---------------------------
-    "curriculum_budget_selection",
-    "customer_entity_leaders",
-    "dedup_lsh_band_plan",
-    "dedup_lsh_recall_eval",
-    "dedup_minhash_lsh_capped",
-    "dedup_threshold_sweep",
-    "doc_char_entropy",
-    "embedding_neardup_pairs",
-    "embedding_norm_profile",
-    "embedding_standardize_profile",
-    "events_anomaly_screen",
-    "funnel_conversion",
-    "image_luma_profile",
-    "join_cardinality_estimate",
-    "kmv_distinct_tokens",
-    "mixture_temperature_weights",
-    "nation_cheapest_route",
-    "order_price_deciles",
-    "order_price_histogram",
-    "orders_grouping_sets",
-    "percentile_sketch_eval",
-    "pii_redact_docs",
-    "props_extract_udtf",
-    "q1_monthly_revenue",
-    "quality_drift_psi",
-    "quality_quantile_normalize",
-    "semantic_decontaminate",
-    "similar_part_names",
-    "skew_diagnosis_orders",
-    "source_novelty_curve",
-    "source_overlap_matrix",
-    "sql_scripting_threshold_scan",
-    "streaming_click_purchase_left_join",
-    "streaming_dedup_within_watermark",
-    "streaming_funnel_stages",
-    "streaming_user_totals_tws",
-    "video_motion_profile",
-    "vocab_coverage",
-    "winsorized_order_stats",
-    # --- r7 cohort refresh: alphabetically-first r7 rows ----------------
-    "approx_distinct_stats",
-    "biggest_order_per_customer",
-    "boilerplate_prefix_report",
-    "click_attribution",
-    "copurchase_part_pairs",
-    # NEW r10 queries (SnapshotTable.update drive; optimize CDF
-    # row-neutrality; merge-on-read deletion-vector delete drive;
-    # shallow-clone divergence drive; streaming change-data-feed
-    # mirror; column-mapping rename/drop drive) take slots 45-50 by
-    # displacing the six alphabetically-last r7 fillers
-    # (cube_order_stats, customer_max_order_subquery,
-    # customers_with_big_order, customers_without_open_orders,
-    # dedup_canonical_docs, dedup_clusters — all keep their r7 green
-    # rows)
-    "snapshot_update_rows",
-    "snapshot_optimize_cdf_neutral",
-    "snapshot_dv_delete_rows",
-    "snapshot_clone_divergence",
-    "snapshot_cdf_stream_mirror",
-    "snapshot_rename_column",
+    # --- stalest: newest green row is r7 (45) ---------------------------
+    "cube_order_stats",
+    "customer_max_order_subquery",
+    "customers_with_big_order",
+    "customers_without_open_orders",
+    "dedup_canonical_docs",
+    "dedup_clusters",
+    "dedup_exact_docs",
+    "dedup_fingerprint_docs",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "distinct_customers_per_priority",
+    "doc_stratified_split",
+    "dsir_importance_select",
+    "events_gap_fill",
+    "events_json_stats",
+    "events_seasonal_decompose",
+    "events_variant_stats",
+    "events_xml_stats",
+    "forecast_revenue",
+    "grouping_sets_sales",
+    "heavy_hitter_tokens",
+    "nation_reach_bfs",
+    "nation_trade_volume",
+    "order_date_features",
+    "order_price_percentiles",
+    "order_rank_positions",
+    "orders_pivot_status",
+    "pagerank_dangling",
+    "pagerank_nation_trade",
+    "simsearch_ivf_kmeans",
+    "simsearch_ivf_multiprobe",
+    "simsearch_ivf_topk",
+    "simsearch_pq_rerank",
+    "simsearch_pq_topk",
+    "snapshot_zorder_pruned_scan",
+    "streaming_click_purchase_join",
+    "streaming_dedup_slots",
+    "streaming_late_data_tumbling",
+    "streaming_segment_counts",
+    "streaming_session_counts",
+    "streaming_sliding_totals",
+    "streaming_snapshot_source_counts",
+    "streaming_stateful_user_counts",
+    "streaming_tumbling_counts",
+    "triangles_neardup",
+    # --- r8 cohort refresh: alphabetically-first r8 rows ----------------
+    "big_spender_loners",
+    "bigrams_udtf",
+    "blocklist_scrub_docs",
+    "cdc_orders_merge",
+    "chunk_documents",
 ]
 
 _PLAN_MODULES = (
