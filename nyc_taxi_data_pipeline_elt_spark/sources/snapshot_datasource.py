@@ -615,7 +615,11 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
                 affected = (
                     raw.get("dv_touched", []) if mor else raw.get("remove", [])
                 )
-                dv_new = raw.get("dv_new")
+                from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+                    _dv_new_list,
+                )
+
+                dv_new = _dv_new_list(raw.get("dv_new"))
                 if affected and not dv_new:
                     raise _no_artifact(
                         v, f"legacy {op} without a frozen position sidecar"
@@ -627,7 +631,11 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
                         f,
                         v,
                         ts,
-                        dv_path=str(root / dv_new),
+                        # a sharded COW freeze records several sidecar
+                        # files; the file key's positions live in
+                        # exactly one (hash-sharded by key), and the
+                        # read side prunes the rest on footer min/max
+                        dv_paths=[str(root / d) for d in dv_new],
                         dv_key=tail(f),
                         ctype=pre_type,
                     )
@@ -673,12 +681,21 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
                 table = table.filter(pa.array(mask))
             if kind == "mor":
                 # the commit's frozen positions: exactly the rows this
-                # version deleted / updated (single-evaluation artifact)
-                pos = pq.read_table(
-                    p["dv_path"],
-                    columns=["pos"],
-                    filters=[("file", "=", p["dv_key"])],
-                )["pos"].to_numpy()
+                # version deleted / updated (single-evaluation
+                # artifact). A sharded COW freeze spreads keys over
+                # several sidecar files; the filter prunes via footer
+                # min/max on `file`, so non-matching shards cost one
+                # footer read each.
+                pos = np.concatenate(
+                    [
+                        pq.read_table(
+                            pth,
+                            columns=["pos"],
+                            filters=[("file", "=", p["dv_key"])],
+                        )["pos"].to_numpy()
+                        for pth in p["dv_paths"]
+                    ]
+                )
                 table = table.take(pa.array(np.sort(pos)))
             elif kind == "replace_del":
                 import pyarrow.compute as pc

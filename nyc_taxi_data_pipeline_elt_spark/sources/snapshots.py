@@ -136,6 +136,17 @@ def _vacuum_subdir(root: str, subdir: str, live: frozenset) -> list[str]:
     return removed
 
 
+def _dv_new_list(value) -> list[str]:
+    """Normalize a manifest's ``dv_new`` record to a rel-path list: a
+    merge-on-read freeze (and a single-file COW freeze) records the
+    plain string r10 manifests used; a sharded copy-on-write freeze
+    records the file LIST (``_write_dv(single=False)``). Falsy →
+    empty."""
+    if not value:
+        return []
+    return [value] if isinstance(value, str) else list(value)
+
+
 # CHECK expressions the manifest stats can PROVE file-wide: a single
 # numeric comparison between one column and one literal (either order).
 # Anything else — strings (writers may truncate binary stats), AND/OR,
@@ -643,6 +654,7 @@ class SnapshotTable:
         snap: Snapshot,
         predicate: str,
         touched: list[str],
+        single: bool = True,
     ):
         """Evaluate ``predicate`` EXACTLY ONCE over the touched files'
         live rows and FREEZE the matching positions in a (file, pos)
@@ -656,10 +668,20 @@ class SnapshotTable:
         read-back of the sidecar instead of a second full scan of the
         touched slice.
 
-        Returns ``(tagged, frozen_rel, counts)``: the tagged live frame
-        (for post-image joins), the sidecar's rel path (None when
-        nothing matched — the empty sidecar dir is dropped), and the
-        per-file match counts read back from the frozen file."""
+        ``single=True`` (merge-on-read callers) keeps the sidecar one
+        file — the consolidated per-file ``dv`` entries reference
+        exactly one — and raises if the write sharded. ``single=False``
+        (copy-on-write callers — VERDICT r10 #1) lets ``_write_dv``
+        shard the position set by ``file``: a large-fraction COW
+        delete's matched set is O(table), and one writer task / one
+        giant object is the 100 TB bottleneck; the consumers are
+        (anti-/semi-) joins that don't care about file count.
+
+        Returns ``(tagged, frozen_rels, counts)``: the tagged live
+        frame (for post-image joins), the sidecar's rel path LIST
+        (empty when nothing matched — the empty sidecar dir is
+        dropped; length 1 guaranteed under ``single=True``), and the
+        per-file match counts read back from the frozen files."""
         from pyspark.sql.functions import expr as F_expr
 
         pdv = dict(snap.dv or {})
@@ -689,8 +711,8 @@ class SnapshotTable:
             F_col("__dv_file__").alias("file"),
             F_col("__dv_pos__").alias("pos"),
         )
-        frozen = self._write_dv(new_dead)
-        if len(frozen) != 1:
+        frozen = self._write_dv(new_dead, single=single)
+        if single and len(frozen) != 1:
             self._drop_uuid_dirs(frozen)
             raise RuntimeError(
                 f"{self.root}: deletion-vector write produced "
@@ -701,7 +723,7 @@ class SnapshotTable:
         by_tail = {self._file_tail(f): f for f in touched}
         counts: dict = {}
         for r in (
-            spark.read.parquet(str(self.root / frozen[0]))
+            spark.read.parquet(*[str(self.root / f) for f in frozen])
             .groupBy("file")
             .count()
             .collect()
@@ -718,8 +740,8 @@ class SnapshotTable:
             counts[f] = r["count"]
         if not counts:
             self._drop_uuid_dirs(frozen)
-            return tagged, None, {}
-        return tagged, frozen[0], counts
+            return tagged, [], {}
+        return tagged, frozen, counts
 
     def _consolidated_dv(
         self,
@@ -1474,14 +1496,34 @@ class SnapshotTable:
                     )
         return written, stats
 
-    def _write_dv(self, df: DataFrame) -> list[str]:
+    def _write_dv(self, df: DataFrame, single: bool = True) -> list[str]:
         """Land a (file, pos) dead-row set under
         ``_deletion_vectors/<uuid>/`` — outside the data file set,
-        referenced only by manifests' ``dv`` entries. Coalesced to one
-        file: a dv is small by contract and every reader of the touched
-        files loads it whole (broadcast)."""
+        referenced only by manifests' ``dv`` entries.
+
+        ``single=True`` (merge-on-read): coalesced to one file — a MoR
+        dv is small by contract (it is the alternative to rewriting
+        files; a dv large enough to strain one writer is the signal to
+        ``compact()``), and per-file ``dv`` map entries reference
+        exactly one sidecar file.
+
+        ``single=False`` (copy-on-write freeze — VERDICT r10 #1): a COW
+        delete/update freezes its ENTIRE matched position set, which on
+        a 100 TB table can be billions of rows; funneling that through
+        ``coalesce(1)`` is a single-task write bottleneck and a single
+        giant object. Instead shuffle by ``file`` (writer parallelism
+        scales with touched files; AQE coalesces a small set back to
+        one partition, so small freezes still land one file) and sort
+        within partitions so each output file carries clustered
+        ``file`` runs — consumers filter by file key and prune on the
+        footer min/max."""
         sub = self.root / "_deletion_vectors" / uuid.uuid4().hex
-        df.coalesce(1).write.mode("error").parquet(str(sub))
+        out = (
+            df.coalesce(1)
+            if single
+            else df.repartition("file").sortWithinPartitions("file", "pos")
+        )
+        out.write.mode("error").parquet(str(sub))
         return [
             str(p.relative_to(self.root))
             for p in sub.rglob("*.parquet")
@@ -2595,11 +2637,14 @@ class SnapshotTable:
         # the files; no reader masks by it), and vacuum pins it while
         # the manifest is kept. The joins carry no broadcast hint: a
         # large COW delete freezes a large position set, and AQE picks
-        # broadcast only when it actually fits.
+        # broadcast only when it actually fits. single=False: the COW
+        # matched set is O(table) in the worst case, so the sidecar
+        # shards by ``file`` instead of funneling through one writer
+        # task (VERDICT r10 #1); ``dv_new`` records the file list.
         tagged, frozen, counts = self._freeze_matches(
-            spark, snap, predicate, touched
+            spark, snap, predicate, touched, single=False
         )
-        if frozen is None:
+        if not frozen:
             # stats-intersecting files held no matching live row: the
             # delete is an auditable no-op commit, no rewrite at all
             return self._commit_rewrite(
@@ -2614,13 +2659,16 @@ class SnapshotTable:
                 extra=extra,
                 read_dv={f: pdv.get(f) for f in touched},
             )
-        pos = spark.read.parquet(str(self.root / frozen)).selectExpr(
-            "file AS __dv_file__", "pos AS __dv_pos__"
-        )
+        pos = spark.read.parquet(
+            *[str(self.root / f) for f in frozen]
+        ).selectExpr("file AS __dv_file__", "pos AS __dv_pos__")
         survivors = tagged.join(
             pos, ["__dv_file__", "__dv_pos__"], "left_anti"
         ).drop("__dv_file__", "__dv_pos__")
-        extra["dv_new"] = frozen
+        # manifest-format compatibility: a single-file freeze records
+        # the plain string every r10 manifest used; a sharded freeze
+        # records the list (consumers normalize via _dv_new_list)
+        extra["dv_new"] = frozen[0] if len(frozen) == 1 else frozen
         new: list[str] = []
         try:
             # inside the cleanup scope: a failed survivor write must
@@ -2642,7 +2690,7 @@ class SnapshotTable:
                 read_dv={f: pdv.get(f) for f in touched},
             )
         except BaseException:
-            self._drop_uuid_dirs(new + [frozen])
+            self._drop_uuid_dirs(new + frozen)
             raise
 
     def _delete_merge_on_read(
@@ -2677,7 +2725,7 @@ class SnapshotTable:
         _, frozen, counts = self._freeze_matches(
             spark, snap, predicate, touched
         )
-        if frozen is None:
+        if not frozen:
             # predicate matched no live row: auditable no-op, dv intact
             return self._commit_rewrite(
                 "delete",
@@ -2691,10 +2739,10 @@ class SnapshotTable:
                 extra=extra,
                 read_dv={f: pdv.get(f) for f in touched},
             )
-        written = [frozen]
+        written = list(frozen)
         try:
             dv_set, fully_dead, fields, merged = self._consolidated_dv(
-                spark, frozen, counts, pdv, stats
+                spark, frozen[0], counts, pdv, stats
             )
             written += merged
             extra.update(fields)
@@ -2975,13 +3023,13 @@ class SnapshotTable:
         data_cols = [c for c in tagged.columns if not c.startswith("__dv_")]
         bad = sorted(set(set_exprs) - set(data_cols))
         if bad:
-            if frozen is not None:
-                self._drop_uuid_dirs([frozen])
+            if frozen:
+                self._drop_uuid_dirs(list(frozen))
             raise ValueError(
                 f"{self.root}: update SET references column(s) {bad} "
                 "not in the table schema"
             )
-        if frozen is None:
+        if not frozen:
             return self._commit_rewrite(
                 "update",
                 cur,
@@ -2994,15 +3042,15 @@ class SnapshotTable:
                 extra=extra,
                 read_dv={f: pdv.get(f) for f in touched},
             )
-        written = [frozen]
+        written = list(frozen)
         try:
             dv_set, fully_dead, fields, merged = self._consolidated_dv(
-                spark, frozen, counts, pdv, stats
+                spark, frozen[0], counts, pdv, stats
             )
             written += merged
             extra.update(fields)
             frozen_pos = spark.read.parquet(
-                str(self.root / frozen)
+                str(self.root / frozen[0])
             ).selectExpr("file AS __dv_file__", "pos AS __dv_pos__")
             matched = tagged.join(
                 F_broadcast(frozen_pos),
@@ -3769,8 +3817,7 @@ class SnapshotTable:
                     for e in (raw.get(key) or {}).values():
                         if e:
                             live_dv.add(e[0])
-                if raw.get("dv_new"):
-                    live_dv.add(raw["dv_new"])
+                live_dv.update(_dv_new_list(raw.get("dv_new")))
             for sub in sorted(
                 d for d in dv_root.iterdir() if d.is_dir() and _settled(d)
             ):
@@ -4187,14 +4234,16 @@ class SnapshotTable:
             computed over then-live rows, so no dv_before exclusion is
             needed on top.) No broadcast hint: merge-on-read sidecars
             are small by contract, but a copy-on-write delete freezes
-            its FULL matched set — AQE broadcasts only when it fits."""
+            its FULL matched set — AQE broadcasts only when it fits.
+            ``dv_new_rel`` may be a str (MoR / single-file freeze) or a
+            list (sharded COW freeze)."""
             df = self._tag_dv_cols(
                 self._read_files(
                     spark, rel_files, schema=sch, mapping=mp
                 )
             )
             pos = spark.read.parquet(
-                str(self.root / dv_new_rel)
+                *[str(self.root / f) for f in _dv_new_list(dv_new_rel)]
             ).selectExpr("file AS __dv_file__", "pos AS __dv_pos__")
             return df.join(
                 pos, ["__dv_file__", "__dv_pos__"], "left_semi"

@@ -9,7 +9,14 @@ o_totalprice (tight per-file envelopes), then time
 - ``band``: UPDATE of a narrow price band (SET price + priority) —
   copy-on-write of only the files whose envelope intersects it, so the
   cost tracks O(touched files), not O(table). Also reports
-  touched/total file counts from the manifest diff.
+  touched/total file counts from the manifest diff;
+- ``mor_disjoint`` / ``mor_band`` (VERDICT r10 task #6): the
+  merge-on-read twins — the disjoint UPDATE stays metadata-only in
+  both modes, and the band UPDATE soft-deletes the matched positions
+  and lands ONLY the post-image rows, so its write volume is
+  O(matched rows) instead of O(touched files);
+  ``mor_band_bytes_written`` prices the dv sidecar + post-image files
+  against the COW rewrite.
 
 Table construction is untimed. Each timed update runs against a fresh
 table state (updates mutate); min of SCALING_REPEATS (default 2)
@@ -59,8 +66,13 @@ def main() -> None:
         orders = load_table(spark, sf_dir, "orders").repartitionByRange(
             FILES, "o_totalprice"
         )
-        times: dict = {"disjoint": [], "band": []}
-        touched = total = None
+        times: dict = {
+            "disjoint": [],
+            "band": [],
+            "mor_disjoint": [],
+            "mor_band": [],
+        }
+        touched = total = mor_bytes = None
         for _ in range(repeats):
             root = tempfile.mkdtemp(prefix="ntx-updprobe-")
             try:
@@ -79,9 +91,36 @@ def main() -> None:
                 )
             finally:
                 shutil.rmtree(root, ignore_errors=True)
+            # merge-on-read twin: fresh table, same predicates; the
+            # band UPDATE writes O(matched rows) post-image + a dv
+            # sidecar instead of rewriting the touched files
+            root = tempfile.mkdtemp(prefix="ntx-updprobe-mor-")
+            try:
+                table = SnapshotTable(root + "/tbl")
+                table.append(orders)
+                t0 = time.perf_counter()
+                table.update(
+                    spark, DISJOINT, SET_DISJOINT, mode="merge-on-read"
+                )
+                times["mor_disjoint"].append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                s = table.update(spark, BAND, SET_BAND, mode="merge-on-read")
+                times["mor_band"].append(time.perf_counter() - t0)
+                raw = table._raw_manifest(s.version)
+                written = set(raw.get("update_added", []))
+                written |= {e[0] for e in (s.dv or {}).values()}
+                mor_bytes = sum(
+                    (Path(root + "/tbl") / f).stat().st_size
+                    for f in written
+                )
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
         out[sf_dir] = {
             "disjoint_s": round(min(times["disjoint"]), 2),
             "band_s": round(min(times["band"]), 2),
+            "mor_disjoint_s": round(min(times["mor_disjoint"]), 2),
+            "mor_band_s": round(min(times["mor_band"]), 2),
+            "mor_band_bytes_written": mor_bytes,
             "files_touched": touched,
             "files_total": total,
         }

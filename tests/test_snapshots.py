@@ -3178,3 +3178,101 @@ def test_cow_delete_write_failure_strands_nothing(spark, table):
         f for f in on_disk - committed if not f.startswith("_manifests")
     }
     assert strays == set(), f"stranded: {strays}"
+
+
+def test_cow_delete_large_fraction_shards_frozen_sidecar(spark, table):
+    """VERDICT r10 #1: a large-fraction COW delete's frozen position
+    set must NOT funnel through one writer task into one giant sidecar
+    object. ``_write_dv(single=False)`` shards by ``file``; the
+    manifest records ``dv_new`` as a file LIST and every consumer
+    (survivor anti-join, CDF semi-join, vacuum pinning) normalizes.
+    AQE's partition coalescing is disabled for the delete so the
+    test-sized position set actually exercises the multi-file layout a
+    100 TB delete would produce."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        _dv_new_list,
+    )
+
+    # 8 data files, delete ~50% of rows scattered across all of them
+    table.append(
+        spark.range(0, 800).selectExpr("id", "id AS v").repartition(8)
+    )
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        table.delete(spark, "v % 2 = 0")
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+    raw = table._raw_manifest(1)
+    frozen = _dv_new_list(raw.get("dv_new"))
+    assert len(frozen) > 1, (
+        f"large COW freeze must shard the sidecar, got {frozen}"
+    )
+    for f in frozen:
+        assert (table.root / f).exists()
+    # exact survivors
+    live = sorted(r.id for r in table.read(spark).collect())
+    assert live == list(range(1, 800, 2))
+    # exact CDF replay of the removed rows from the sharded sidecar
+    dead = sorted(
+        r.id
+        for r in table.read_changes_cdf(spark, since_version=0)
+        .filter("_change_type = 'delete'")
+        .collect()
+    )
+    assert dead == list(range(0, 800, 2))
+    # vacuum pins every shard while the delete manifest is kept
+    table.vacuum(keep_versions=10, grace_seconds=0.0)
+    for f in frozen:
+        assert (table.root / f).exists(), f"vacuum reclaimed live shard {f}"
+
+
+def test_cow_delete_sharded_sidecar_streams_through_cdf_connector(
+    spark, table
+):
+    """The streaming change feed replays a sharded COW delete from the
+    sidecar file LIST (per-file positions live in exactly one shard;
+    the Arrow read prunes the rest on footer min/max)."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        _dv_new_list,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    table.append(
+        spark.range(0, 400).selectExpr("id", "id AS v").repartition(4)
+    )
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        table.delete(spark, "v % 4 = 0")
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+    assert len(_dv_new_list(table._raw_manifest(1).get("dv_new"))) > 1, (
+        "setup: freeze must actually shard"
+    )
+    stream = (
+        spark.readStream.format("snapshot_table")
+        .option("readChangeFeed", "true")
+        .load(str(table.root))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cow_shard_cdf")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("cow_shard_cdf")
+    dead = sorted(
+        r.id
+        for r in got.filter(F.col("_change_type") == "delete").collect()
+    )
+    assert dead == list(range(0, 400, 4))
+    assert got.filter("_change_type = 'insert'").count() == 400
