@@ -116,7 +116,10 @@ _PRIORITY_WINDOW = [
     "bigrams_udtf",
     "blocklist_scrub_docs",
     "cdc_orders_merge",
-    "chunk_documents",
+    # NEW r11 query (ignoreDeletes + column-mapped streaming drive)
+    # takes slot 50 by displacing the alphabetically-last r8 filler
+    # (chunk_documents — keeps its r8 green row)
+    "snapshot_mapped_stream_read",
 ]
 
 _PLAN_MODULES = (

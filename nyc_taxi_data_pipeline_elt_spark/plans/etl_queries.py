@@ -948,6 +948,82 @@ GROUP BY o_orderstatus
 """
 
 
+def snapshot_mapped_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 stream-source drive (Delta parity:
+    ``ignoreDeletes`` + streaming a column-mapped table — VERDICT r10
+    tasks #3/#4): the orders table takes an append, a METADATA-ONLY
+    rename (``o_totalprice`` -> ``price``), a merge-on-read band
+    DELETE, and a post-rename append (lands the PHYSICAL name, serves
+    the logical one). A FRESH insert-only stream with
+    ``ignoreDeletes=true`` then drains in one ``availableNow`` cycle:
+    the rename is row-neutral for a stream whose schema is current,
+    the DV delete added no file and is skipped (insert-only semantics
+    — deletes intentionally do not retract), and every served row
+    carries LOGICAL column names via the range-end mapping. The
+    returned aggregate therefore equals a plain scan of orders — if
+    the stream served physical names the ``price`` column would
+    null-pad and the sum would diverge; if the delete wedged the
+    stream nothing would return; if rename handling replayed wrongly
+    counts would diverge. At 100 TB the plan is O(files added)
+    manifest metadata + one Arrow read per file — no row diffing."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import SnapshotTable
+
+    tune(spark)
+    spark.dataSource.register(SnapshotDataSource)
+    orders = load_table(spark, sf_dir, "orders")
+    root = ephemeral_root("snapmappedstream")
+    table = SnapshotTable(root + "/tbl")
+    key2 = F.col("o_orderkey") % 2
+    table.append(orders.filter(key2 == 0))                       # v0
+    table.rename_column("o_totalprice", "price")                 # v1
+    table.delete(                                                # v2: DV
+        spark,
+        "price BETWEEN 100000 AND 200000",
+        mode="merge-on-read",
+    )
+    table.append(                                                # v3
+        orders.filter(key2 == 1).withColumnRenamed(
+            "o_totalprice", "price"
+        )
+    )
+    stage = root + "/stage"
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("ignoreDeletes", "true")
+        .load(str(table.root))
+        .writeStream.foreachBatch(
+            lambda df, _bid: df.write.mode("append").parquet(stage)
+        )
+        .option("checkpointLocation", root + "/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(stage)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+SNAPSHOT_MAPPED_STREAM_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "scd2_user_event_type": scd2_user_event_type,
     "cdc_orders_merge": cdc_orders_merge,
@@ -963,6 +1039,7 @@ QUERIES = {
     "snapshot_clone_divergence": snapshot_clone_divergence,
     "snapshot_cdf_stream_mirror": snapshot_cdf_stream_mirror,
     "snapshot_rename_column": snapshot_rename_column,
+    "snapshot_mapped_stream_read": snapshot_mapped_stream_read,
 }
 
 ORACLE = {
@@ -980,4 +1057,5 @@ ORACLE = {
     "snapshot_clone_divergence": SNAPSHOT_CLONE_ORACLE,
     "snapshot_cdf_stream_mirror": SNAPSHOT_CDF_STREAM_ORACLE,
     "snapshot_rename_column": SNAPSHOT_RENAME_ORACLE,
+    "snapshot_mapped_stream_read": SNAPSHOT_MAPPED_STREAM_ORACLE,
 }

@@ -100,6 +100,11 @@ def _file_stats(abspath: str) -> dict:
     # all, yet trivially satisfies every CHECK constraint; without the
     # count the restore prover would row-scan it forever.
     cols["__num_rows__"] = md.num_rows
+    # on-disk size (Delta's AddFile.size): the maxBytesPerTrigger
+    # admission bound reads it from the manifest instead of statting
+    # every file at planning time; legacy manifests without it fall
+    # back to one os.stat per file
+    cols["__size_bytes__"] = os.stat(abspath).st_size
     return cols
 
 
@@ -3840,6 +3845,38 @@ class SnapshotTable:
         return removed
 
     # ---------------- read path ----------------
+    def first_version_at_or_after(self, ts: float) -> int:
+        """Delta's stream ``startingTimestamp`` resolution: the EARLIEST
+        version whose EFFECTIVE commit timestamp is >= ``ts`` (unix
+        seconds). Effective = monotonized exactly like
+        :meth:`snapshot_at_timestamp` (clamped to the running ancestor
+        max), so clock-skewed commits resolve in version order and the
+        two timestamp APIs can never disagree about ordering. Raises
+        ``ValueError`` when ``ts`` is after the latest commit (Delta's
+        posture: a future start silently meaning "nothing, ever" hides
+        typos). O(versions) manifest-header reads."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"{self.root}: no committed snapshot")
+        eff = None
+        best = None
+        for p in sorted(self.manifest_dir.glob("v*.json")):
+            v = int(p.stem[1:])
+            if v > cur:
+                continue
+            raw_ts = float(self._raw_manifest(v)["ts"])
+            eff = raw_ts if eff is None else max(eff, raw_ts)
+            if best is None and eff >= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"{self.root}: startingTimestamp {ts} is after the "
+                f"latest commit (effective ts {eff}); pick a timestamp "
+                "at or before it, or startingVersion "
+                f"{cur + 1} for future commits only"
+            )
+        return best
+
     def snapshot_at_timestamp(self, ts: float) -> Snapshot:
         """Delta ``TIMESTAMP AS OF``: the newest snapshot committed at or
         before ``ts`` (unix seconds). Raises ``FileNotFoundError`` when
@@ -4038,7 +4075,14 @@ class SnapshotTable:
             spark, checkpoint, handle, self.read_changes_cdf
         )
 
-    def added_files(self, since_version: int, until_version: int) -> list[str]:
+    def added_files(
+        self,
+        since_version: int,
+        until_version: int,
+        ignore_deletes: bool = False,
+        skip_change_commits: bool = False,
+        allow_mapping_ops: bool = False,
+    ) -> list[str]:
         """Relative paths of data files ADDED by append snapshots in
         ``(since_version, until_version]`` — the manifest-diff core of
         the change feed, O(files) metadata. ``compact``/``optimize``
@@ -4049,7 +4093,30 @@ class SnapshotTable:
         (overwrite, restore, a row-removing delete) invalidates
         append-only lineage and raises (the same contract as Delta CDF
         without update/delete vectors — :meth:`read_changes_cdf` is the
-        reader that understands deletes)."""
+        reader that understands deletes).
+
+        Opt-outs (VERDICT r10 task #3 — Delta's stream-source
+        options): ``ignore_deletes`` skips a row-removing DELETE that
+        added NO files (a merge-on-read soft delete, or a COW delete
+        whose every touched file died whole) — exactly Delta's
+        ``ignoreDeletes``, which tolerates remove-only commits
+        (partition-boundary deletes) but still fails when the delete
+        rewrote surviving rows into new files (serving those would
+        duplicate rows; re-process or use ``skip_change_commits``).
+        ``skip_change_commits`` (Delta's ``skipChangeCommits``) skips
+        EVERY row-changing commit — delete, update, merge,
+        replace_where — entirely, serving only appends; downstream
+        consumers accept that deleted/updated rows silently diverge.
+        A RENAME/DROP COLUMN commit in the range raises by default:
+        that is a schema change, not a row change — restart the feed
+        at or after it (Delta's incompatible-schema posture).
+        ``allow_mapping_ops=True`` skips those commits as row-neutral
+        instead — sound ONLY when the caller reads every returned file
+        under the UNTIL-version mapping and its consumer's schema is
+        the until-version logical schema (physical slots are never
+        reused, so the end mapping resolves every file ever written;
+        :meth:`read_changes` and the stream source use exactly that
+        read)."""
         added: list[str] = []
         for v in range(since_version + 1, until_version + 1):
             s = self.snapshot(v)
@@ -4062,6 +4129,17 @@ class SnapshotTable:
                 "unset_property",
             ):
                 continue
+            if s.op in ("rename_column", "drop_column"):
+                if allow_mapping_ops:
+                    continue  # metadata-only: no row, no file changed
+                raise ValueError(
+                    f"{self.root}: change feed crosses a column-mapping "
+                    f"schema change at v{v} (op={s.op!r}); "
+                    "ignoreDeletes/skipChangeCommits do not skip a "
+                    "schema change — restart the feed from version "
+                    f"{v + 1} or later, or read under the current "
+                    "schema (read_changes(allow_schema_change=True))"
+                )
             if s.op in ("delete", "update") and s.parent is not None:
                 p = self.snapshot(s.parent)
                 if set(s.files) == set(p.files) and (s.dv or {}) == (
@@ -4071,6 +4149,24 @@ class SnapshotTable:
                     # vector grew (a merge-on-read delete changes rows
                     # without changing the file set): no row changed
                     continue
+            if skip_change_commits and s.op in (
+                "delete",
+                "update",
+                "merge",
+                "replace",
+            ):
+                continue
+            if (
+                ignore_deletes
+                and s.op == "delete"
+                and s.parent is not None
+                and not (
+                    set(s.files) - set(self.snapshot(s.parent).files)
+                )
+            ):
+                # remove-only delete (MoR soft delete / whole files
+                # dropped): no file added, nothing to duplicate
+                continue
             if s.op == "clone" and s.parent is None:
                 if s.dv:
                     # the carried deletion vectors make 'added rows' a
@@ -4083,9 +4179,17 @@ class SnapshotTable:
                 added.extend(s.files)  # every referenced row is new here
                 continue
             if s.op != "append":
+                hint = (
+                    "; a remove-only delete can be skipped with "
+                    "ignoreDeletes, any row-changing commit with "
+                    "skipChangeCommits (accepting divergence), or read "
+                    "the full snapshot / read_changes_cdf instead"
+                    if s.op in ("delete", "update", "merge", "replace")
+                    else "; read the full snapshot instead"
+                )
                 raise ValueError(
                     f"{self.root}: change feed crosses non-append snapshot "
-                    f"v{v} (op={s.op!r}); read the full snapshot instead"
+                    f"v{v} (op={s.op!r}){hint}"
                 )
             parent_files = (
                 set(self.snapshot(s.parent).files)
@@ -4101,6 +4205,9 @@ class SnapshotTable:
         since_version: int,
         until_version: int | None = None,
         merge_schema: bool = False,
+        ignore_deletes: bool = False,
+        skip_change_commits: bool = False,
+        allow_schema_change: bool = False,
     ) -> DataFrame:
         """Change data feed: rows ADDED after ``since_version`` up to and
         including ``until_version`` (default: current) — the incremental-
@@ -4113,15 +4220,45 @@ class SnapshotTable:
         ``compact``/``optimize`` snapshots rewrite files without changing
         rows and are skipped; an ``overwrite`` in the range invalidates
         append-only lineage and raises (same contract as Delta's CDF
-        without update/delete vectors)."""
+        without update/delete vectors). ``ignore_deletes`` /
+        ``skip_change_commits`` are Delta's stream-source opt-outs —
+        see :meth:`added_files` for their exact semantics.
+
+        On a column-mapped table (RENAME/DROP COLUMN established at or
+        before the range) the added files are read via the recorded
+        logical schema + mapping, so the feed serves LOGICAL column
+        names like every other read path (ADVICE r10: the raw parquet
+        read served physical names). A rename/drop INSIDE the range
+        raises by default (the consumer's column names change across
+        the call); ``allow_schema_change=True`` opts into serving the
+        whole range under the UNTIL-version schema — exact because
+        physical slots are never reused, so the end mapping resolves
+        every file ever written."""
         until = self.current_version() if until_version is None else until_version
         if until is None:
             raise FileNotFoundError(f"{self.root}: no committed snapshot")
-        added = self.added_files(since_version, until)
+        added = self.added_files(
+            since_version,
+            until,
+            ignore_deletes=ignore_deletes,
+            skip_change_commits=skip_change_commits,
+            allow_mapping_ops=allow_schema_change,
+        )
         if not added:
             return self._snapshot_frame_or_empty(
                 spark, until, merge_schema=merge_schema
             ).limit(0)
+        snap = self.snapshot(until)
+        if snap.column_mapping or snap.dropped_physical:
+            # added_files refused any in-range rename/drop, so the
+            # until-version mapping is uniform over every added file
+            # (physical names never change once written)
+            return self._read_files(
+                spark,
+                added,
+                schema=snap.schema,
+                mapping=dict(snap.column_mapping or {}),
+            )
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
@@ -4267,6 +4404,18 @@ class SnapshotTable:
                 "unset_property",
             ):
                 continue
+            if op in ("rename_column", "drop_column"):
+                # row-neutral, but a SCHEMA change: parts before and
+                # after it would carry misaligned column names (ADVICE
+                # r10: an identity-revert rename carries no
+                # column_mapping key, so keying this off the mapping
+                # fields missed it and fell to the generic
+                # not-replayable error)
+                raise ValueError(
+                    f"{self.root}: change feed crosses a column-mapping "
+                    f"schema change at v{v} (op={op!r}); restart the "
+                    f"feed from version {v} or later"
+                )
             ts = float(raw.get("ts", 0.0))
             sch = raw.get("schema")
             mp = raw.get("column_mapping") or {}

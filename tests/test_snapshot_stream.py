@@ -375,8 +375,10 @@ def test_connector_mapped_table_batch_and_stream(spark, tmp_path):
     """The BATCH connector serves column-mapped tables — including a
     user-supplied (logical) reader schema and a pushed filter on the
     renamed column, which must translate to the physical envelope/
-    column instead of silently null-padding. The STREAM readers still
-    refuse (per-version name translation not wired)."""
+    column instead of silently null-padding. The STREAM reader serves
+    them too (VERDICT r10 task #4): a fresh stream over a table with a
+    rename in history drains every file — pre- and post-rename — under
+    the current LOGICAL names via the range-end mapping."""
     table = SnapshotTable(str(tmp_path / "tbl"))
     table.append(_df(spark, 0, 3))
     table.rename_column("v", "amount")
@@ -396,17 +398,68 @@ def test_connector_mapped_table_batch_and_stream(spark, tmp_path):
         (1, 2),
         (2, 4),
     ]
-    with pytest.raises(Exception, match="column-mapped"):
-        (
-            spark.readStream.format("snapshot_table")
-            .schema("id long, amount long")
-            .load(str(table.root))
-            .writeStream.format("noop")
-            .option("checkpointLocation", str(tmp_path / "ck"))
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination(60)
+    # post-rename append lands PHYSICAL 'v', serves logical 'amount'
+    table.append(
+        spark.createDataFrame([(3, 6)], "id long, amount long")
+    )
+    rows = []
+    q = (
+        spark.readStream.format("snapshot_table")
+        .load(str(table.root))
+        .writeStream.foreachBatch(
+            lambda df, _b: rows.extend(
+                (r["id"], r["amount"]) for r in df.collect()
+            )
         )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(rows) == [(0, 0), (1, 2), (2, 4), (3, 6)]
+
+
+def test_stream_refuses_mid_stream_rename(spark, tmp_path):
+    """A rename of a streamed column AFTER the stream's schema was
+    captured makes that schema stale: the next microbatch fails with
+    the restart-here refusal instead of silently serving the renamed
+    column under its old name (Delta's schema-change posture). A
+    restarted stream that re-captures the CURRENT schema drains
+    through the same range — the rename is row-neutral for it."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
+        _SnapshotStreamReader,
+    )
+
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    table.append(_df(spark, 0, 3).coalesce(1))                # v0
+    # schema captured PRE-rename (what a long-running query holds)
+    stale = to_arrow_schema(
+        spark.createDataFrame([], "id long, v long").schema
+    )
+    r = _SnapshotStreamReader(str(table.root), stale)
+    table.rename_column("v", "amount")                        # v1
+    table.append(
+        spark.createDataFrame([(9, 9)], "id long, amount long")
+    )                                                         # v2
+    with pytest.raises(ValueError, match="schema change"):
+        r.partitions({"version": 0}, {"version": 2})
+    # a fresh reader holding the CURRENT logical schema serves the
+    # same range: the rename is row-neutral, files read via the end
+    # mapping
+    fresh = to_arrow_schema(
+        spark.createDataFrame([], "id long, amount long").schema
+    )
+    r2 = _SnapshotStreamReader(str(table.root), fresh)
+    parts = r2.partitions({"version": 0}, {"version": 2})
+    got = [
+        (x["id"].as_py(), x["amount"].as_py())
+        for p in parts
+        for b in r2.read(p)
+        for x in b.to_struct_array()
+    ]
+    assert got == [(9, 9)]
 
 
 def test_stream_starting_version_skips_initial_snapshot(spark, tmp_path):
@@ -507,3 +560,144 @@ def test_stream_starting_version_validated(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert out == []
+
+
+def test_stream_ignore_deletes_drains_across_dv_delete(spark, tmp_path):
+    """VERDICT r10 task #3: with ignoreDeletes, an insert-only stream
+    keeps draining appends across an interleaved merge-on-read (DV)
+    delete instead of permanently wedging; the default still
+    refuses."""
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    table.append(_df(spark, 0, 3).coalesce(1))               # v0
+    spark.dataSource.register(SnapshotDataSource)
+
+    def drain(ck, **opts):
+        rows = []
+        reader = spark.readStream.format("snapshot_table")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load(str(table.root))
+            .writeStream.foreachBatch(
+                lambda df, _b: rows.extend(r["id"] for r in df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(rows)
+
+    assert drain("ck0") == [0, 1, 2]
+    table.delete(spark, "id = 1", mode="merge-on-read")      # v1: DV
+    table.append(_df(spark, 10, 12).coalesce(1))             # v2
+    # default: wedged on the row-removing commit
+    with pytest.raises(Exception, match="non-append|ignoreDeletes"):
+        drain("ck_default")
+    assert drain("ck1", ignoreDeletes=True) == [0, 1, 2, 10, 11]
+    # skipChangeCommits drains across a COW update too
+    table.update(spark, "id = 0", {"v": "v + 1"})            # v3: COW
+    table.append(_df(spark, 20, 21).coalesce(1))             # v4
+    with pytest.raises(Exception, match="non-append|skipChangeCommits"):
+        drain("ck2", ignoreDeletes=True)
+    assert drain("ck3", skipChangeCommits=True) == [
+        0, 1, 2, 10, 11, 20,
+    ]
+    # the CDF stream refuses the flags (it replays changes)
+    with pytest.raises(Exception, match="insert-only"):
+        (
+            spark.readStream.format("snapshot_table")
+            .option("readChangeFeed", "true")
+            .option("ignoreDeletes", "true")
+            .load(str(table.root))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck4"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+
+def test_stream_starting_timestamp_and_bytes_cap(spark, tmp_path):
+    """VERDICT r10 task #5: startingTimestamp resolves through the
+    monotonized TIMESTAMP-AS-OF scan to the earliest version committed
+    at or after it (mutually exclusive with startingVersion; a future
+    timestamp is refused), and maxBytesPerTrigger bounds each
+    admission step by the manifests' recorded __size_bytes__ while
+    always admitting at least one version."""
+    import json
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
+        _SnapshotStreamReader,
+    )
+
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    table.append(_df(spark, 0, 2).coalesce(1))               # v0
+    table.append(_df(spark, 2, 4).coalesce(1))               # v1
+    table.append(_df(spark, 4, 6).coalesce(1))               # v2
+    # deterministic commit timestamps (avoid same-second ties)
+    for v, ts in enumerate([100.0, 200.0, 300.0]):
+        p = table.manifest_dir / f"v{v:08d}.json"
+        raw = json.loads(p.read_text())
+        raw["ts"] = ts
+        p.write_text(json.dumps(raw))
+    assert table.first_version_at_or_after(150.0) == 1
+    assert table.first_version_at_or_after(200.0) == 1
+    assert table.first_version_at_or_after(50.0) == 0
+    with pytest.raises(ValueError, match="after the latest"):
+        table.first_version_at_or_after(1e12)
+    spark.dataSource.register(SnapshotDataSource)
+    rows = []
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("startingTimestamp", "150")
+        .load(str(table.root))
+        .writeStream.foreachBatch(
+            lambda df, _b: rows.extend(r["id"] for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(rows) == [2, 3, 4, 5]
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (
+            spark.readStream.format("snapshot_table")
+            .option("startingTimestamp", "150")
+            .option("startingVersion", 1)
+            .load(str(table.root))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck_x"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+    # bytes cap: each commit's file is a few KB; a 1-byte cap forces
+    # one-version steps after the frontier is taught
+    schema = to_arrow_schema(table.read(spark).schema)
+    r = _SnapshotStreamReader(str(table.root), schema, max_bytes=1)
+    r.partitions({"version": -1}, {"version": 0})  # teach frontier
+    steps = []
+    start = 0
+    for _ in range(10):
+        end = r.latestOffset()["version"]
+        if end == start:
+            break
+        steps.append(end - start)
+        start = end
+    assert steps == [1, 1], "1-byte cap admits exactly one version/step"
+    # a generous cap admits the whole backlog in one step
+    r2 = _SnapshotStreamReader(
+        str(table.root), schema, max_bytes=1 << 30
+    )
+    r2.partitions({"version": -1}, {"version": 0})
+    assert r2.latestOffset()["version"] == 2
+    # manifests actually recorded the sizes (no stat fallback needed)
+    raw = table._raw_manifest(1)
+    assert all(
+        (raw["stats_add"][f] or {}).get("__size_bytes__", 0) > 0
+        for f in raw["add"]
+    )

@@ -3126,14 +3126,22 @@ def test_rename_refuses_cdf_crossing_and_rebase(spark, table):
     table.append(
         spark.createDataFrame([(2, 20)], "k long, amount long")
     )                                                            # v2
-    with pytest.raises(ValueError, match="not replayable"):
+    with pytest.raises(ValueError, match="schema change"):
         table.read_changes_cdf(spark, since_version=-1).collect()
     post = table.read_changes_cdf(spark, since_version=1)
     assert [(r.k, r.amount, r._change_type) for r in post.collect()] == [
         (2, 20, "insert")
     ]
-    with pytest.raises(ValueError, match="non-append|not replayable"):
+    with pytest.raises(ValueError, match="schema change"):
         table.read_changes(spark, since_version=0)
+    # the opt-in serves the WHOLE range under the until-version
+    # logical names — exact because physical slots are never reused
+    allowed = table.read_changes(
+        spark, since_version=0, allow_schema_change=True
+    )
+    assert sorted(
+        (r.k, r.amount) for r in allowed.collect()
+    ) == [(2, 20)]
 
 
 def test_rename_refused_when_constraint_references_column(spark, table):
@@ -3276,3 +3284,64 @@ def test_cow_delete_sharded_sidecar_streams_through_cdf_connector(
     )
     assert dead == list(range(0, 400, 4))
     assert got.filter("_change_type = 'insert'").count() == 400
+
+
+def test_read_changes_mapped_table_serves_logical_names(spark, table):
+    """ADVICE r10: the insert-only feed on a column-mapped table must
+    serve LOGICAL column names (the raw parquet read served physical
+    ones). Mapping established BEFORE the range; no crossing."""
+    table.append(_kv(spark, [(1, 10)]))                          # v0
+    table.rename_column("v", "amount")                           # v1
+    table.append(
+        spark.createDataFrame([(2, 20)], "k long, amount long")
+    )                                                            # v2
+    feed = table.read_changes(spark, since_version=1)
+    assert sorted(feed.columns) == ["amount", "k"]
+    assert [(r.k, r.amount) for r in feed.collect()] == [(2, 20)]
+
+
+def test_read_changes_ignore_deletes_and_skip_change_commits(spark, table):
+    """VERDICT r10 task #3 (Delta's stream-source opt-outs):
+    ignore_deletes skips a remove-only delete (MoR soft delete) so the
+    insert-only feed keeps draining appends; it still refuses a COW
+    delete that rewrote survivors (serving the rewrite would duplicate
+    rows); skip_change_commits skips ANY row-changing commit. The
+    default refusal is unchanged."""
+    table.append(_kv(spark, [(1, 10), (2, 200)]).coalesce(1))    # v0
+    table.append(_kv(spark, [(3, 30)]).coalesce(1))              # v1
+    table.delete(spark, "v >= 100", mode="merge-on-read")        # v2: MoR
+    table.append(_kv(spark, [(4, 40)]).coalesce(1))              # v3
+    # default: refuses the row-removing commit
+    with pytest.raises(ValueError, match="non-append"):
+        table.read_changes(spark, since_version=0)
+    # ignore_deletes: the MoR delete added no file -> skipped
+    got = sorted(
+        (r.k, r.v)
+        for r in table.read_changes(
+            spark, since_version=0, ignore_deletes=True
+        ).collect()
+    )
+    assert got == [(3, 30), (4, 40)]
+    # a COW delete rewrites survivors into NEW files: ignore_deletes
+    # must still refuse (duplicates), skip_change_commits skips it
+    table.delete(spark, "k = 1")                                 # v4: COW
+    table.append(_kv(spark, [(5, 50)]).coalesce(1))              # v5
+    with pytest.raises(ValueError, match="skipChangeCommits"):
+        table.read_changes(spark, since_version=3, ignore_deletes=True)
+    got = sorted(
+        (r.k, r.v)
+        for r in table.read_changes(
+            spark, since_version=0, skip_change_commits=True
+        ).collect()
+    )
+    assert got == [(3, 30), (4, 40), (5, 50)]
+    # an UPDATE is never skippable via ignore_deletes
+    table.update(spark, "k = 5", {"v": "v + 1"})                 # v6
+    with pytest.raises(ValueError, match="non-append"):
+        table.read_changes(spark, since_version=5, ignore_deletes=True)
+    assert (
+        table.read_changes(
+            spark, since_version=5, skip_change_commits=True
+        ).count()
+        == 0
+    )
