@@ -957,15 +957,19 @@ def snapshot_mapped_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     the logical one). A FRESH insert-only stream with
     ``ignoreDeletes=true`` then drains in one ``availableNow`` cycle:
     the rename is row-neutral for a stream whose schema is current,
-    the DV delete added no file and is skipped (insert-only semantics
-    — deletes intentionally do not retract), and every served row
-    carries LOGICAL column names via the range-end mapping. The
-    returned aggregate therefore equals a plain scan of orders — if
-    the stream served physical names the ``price`` column would
+    the DV delete added no file and is skipped as a commit while the
+    served files are masked by the RANGE-END deletion vectors (Delta
+    parity: the initial snapshot is DV-masked; ignoreDeletes only
+    means already-delivered rows are not retracted — a fresh stream
+    must not resurrect retired rows), and every served row carries
+    LOGICAL column names via the range-end mapping. The returned
+    aggregate therefore equals orders MINUS the deleted band slice —
+    if the stream served physical names the ``price`` column would
     null-pad and the sum would diverge; if the delete wedged the
-    stream nothing would return; if rename handling replayed wrongly
-    counts would diverge. At 100 TB the plan is O(files added)
-    manifest metadata + one Arrow read per file — no row diffing."""
+    stream nothing would return; if the dv mask were skipped the
+    deleted rows would resurface and counts would diverge. At 100 TB
+    the plan is O(files added) manifest metadata + one Arrow read per
+    file — no row diffing."""
     from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
         SnapshotDataSource,
     )
@@ -1020,6 +1024,8 @@ SELECT o_orderstatus,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
            AS sum_price
 FROM orders
+WHERE NOT (o_orderkey % 2 = 0
+           AND COALESCE(o_totalprice BETWEEN 100000 AND 200000, FALSE))
 GROUP BY o_orderstatus
 """
 

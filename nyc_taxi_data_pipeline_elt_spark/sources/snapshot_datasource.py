@@ -57,6 +57,11 @@ _PUSHABLE = {
     In: "in",
 }
 
+#: Delta's readChangeFeed metadata columns — ONE definition shared by
+#: schema validation, the staleness check, and the CDF reader (review
+#: r11: the literal had been written three times)
+_CDF_META = ("_change_type", "_commit_version", "_commit_timestamp")
+
 
 def _project_parquet(path: str, arrow_schema, filters=None, phys=None):
     """One parquet file -> an Arrow table in exactly ``arrow_schema``'s
@@ -286,29 +291,16 @@ class SnapshotDataSource(DataSource):
                 # would otherwise resolve via pmap.get(c, c) straight
                 # to tombstoned physical bytes
                 known = {n for n, _ in (sn.schema or ())}
+                if self._cdf():
+                    known |= set(_CDF_META)
                 bad = sorted(set(schema.fieldNames()) - known)
-                if bad and not self._cdf():
+                if bad:
                     raise ValueError(
                         f"snapshot_table: column(s) {bad} are not in "
                         f"the table's logical schema (columns: "
                         f"{sorted(known)}); dropped or renamed-away "
                         "names cannot be streamed"
                     )
-                if self._cdf():
-                    meta = {
-                        "_change_type",
-                        "_commit_version",
-                        "_commit_timestamp",
-                    }
-                    bad = sorted(
-                        set(schema.fieldNames()) - known - meta
-                    )
-                    if bad:
-                        raise ValueError(
-                            f"snapshot_table: column(s) {bad} are not "
-                            "in the table's logical schema; dropped or "
-                            "renamed-away names cannot be streamed"
-                        )
         sv = self.options.get("startingversion")
         st = self.options.get("startingtimestamp")
         if sv is not None and st is not None:
@@ -449,6 +441,21 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         self.ignore_deletes = ignore_deletes
         self.skip_change_commits = skip_change_commits
         self._last_end: int | None = None
+        # the column mapping AS CAPTURED with this reader's schema: the
+        # mid-stream staleness check compares the RANGE-END mapping
+        # (restricted to declared columns) against this, not just name
+        # sets — a logical-name-preserving mapping permutation (a
+        # 3-rename column swap) changes column MEANINGS without
+        # changing any name (review r11)
+        cm: dict = {}
+        try:
+            t = self._table()
+            cv = t.current_version()
+            if cv is not None:
+                cm = dict(t.snapshot(cv).column_mapping or {})
+        except OSError:
+            pass
+        self._captured_mapping = cm
 
     def _table(self):
         from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
@@ -548,23 +555,32 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         ev = int(end["version"])
         if self._last_end is None or ev > self._last_end:
             self._last_end = ev
-        snap = table.snapshot(ev)
+        # every field this method needs (schema names, mapping, dv
+        # state) RIDES the raw manifest header — resolving the full
+        # snapshot would re-walk the delta chain every microbatch for
+        # nothing (review r11)
+        raw = table._raw_manifest(ev)
+        sch = raw.get("schema")
         # A rename/drop in the range is tolerable exactly when this
-        # stream's declared column set still exists in the range-end
-        # LOGICAL schema (a fresh stream over a table with mapping
-        # history — its schema was captured post-change, so serving
+        # stream's declared columns still MEAN the same thing at the
+        # range end: every declared name exists in the end-version
+        # LOGICAL schema AND resolves to the same physical slot as
+        # when the reader captured its schema (a fresh stream over a
+        # table with mapping history — captured == end, so serving
         # everything under the end mapping is consistent; physical
-        # slots are never reused). A MID-stream rename/drop of a
-        # declared column makes the captured schema stale — there
+        # slots are never reused). A MID-stream rename/drop that moves
+        # a declared column — including a name-preserving 3-rename
+        # column SWAP (review r11) — makes the captured schema stale:
         # added_files raises the restart-here refusal (Delta's
         # schema-change posture).
-        cur_names = (
-            {n for n, _ in snap.schema} if snap.schema is not None else None
-        )
-        safe = cur_names is None or (
-            set(self.arrow_schema.names)
-            - {"_change_type", "_commit_version", "_commit_timestamp"}
-            <= cur_names
+        declared = set(self.arrow_schema.names) - set(_CDF_META)
+        end_mapping = dict(raw.get("column_mapping") or {})
+        safe = sch is None or (
+            declared <= {n for n, _ in sch}
+            and all(
+                end_mapping.get(c, c) == self._captured_mapping.get(c, c)
+                for c in declared
+            )
         )
         added = table.added_files(
             int(start["version"]),
@@ -582,27 +598,61 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # once written); each partition reads physical names, returns
         # logical (VERDICT r10 task #4)
         phys = (
-            dict(snap.column_mapping or {})
-            if snap.column_mapping or snap.dropped_physical
+            end_mapping
+            if end_mapping or raw.get("dropped_physical")
             else None
         )
-        return [
-            InputPartition((str(table.root / f), phys)) for f in added
-        ]
+        # range-end deletion vectors: a file served by this batch masks
+        # the rows dead AS OF the range end, exactly like the batch
+        # reader — without this, a fresh ignoreDeletes stream would
+        # RESURRECT rows a MoR delete retired before the stream began
+        # (review r11; Delta's initial snapshot is DV-masked too)
+        dv = raw.get("dv") or {}
+        root, tail = table.root, type(table)._file_tail
+        out = []
+        for f in added:
+            e = dv.get(f)
+            out.append(
+                InputPartition(
+                    (
+                        str(root / f),
+                        phys,
+                        str(root / e[0]) if e else None,
+                        tail(f) if e else None,
+                    )
+                )
+            )
+        return out
 
     def read(self, partition: InputPartition):
         if partition.value is None:
             return
-        # (path, phys) from partitions(); a bare path means unmapped
+        # (path, phys, dv_path, dv_key) from partitions(); a bare path
+        # (unit tests) means unmapped, no dv
         val = partition.value
-        path, phys = val if isinstance(val, tuple) else (val, None)
+        if isinstance(val, str):
+            path, phys, dv_path, dv_key = val, None, None, None
+        else:
+            path, phys, dv_path, dv_key = val
         # column projection reaches the scan (VERDICT r9 task #4): only
         # the reader schema's columns are read — parquet column chunks
         # for everything else are never fetched; a column this
         # (pre-evolution) file lacks is served as typed nulls
-        yield from _project_parquet(
-            path, self.arrow_schema, phys=phys
-        ).to_batches()
+        table = _project_parquet(path, self.arrow_schema, phys=phys)
+        if dv_path is not None:
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            dead = pq.read_table(
+                dv_path,
+                columns=["pos"],
+                filters=[("file", "=", dv_key)],
+            )["pos"].to_numpy()
+            mask = np.ones(table.num_rows, dtype=bool)
+            mask[dead[dead < table.num_rows]] = False
+            table = table.filter(pa.array(mask))
+        yield from table.to_batches()
 
     def commit(self, end: dict) -> None:
         # progress tracking lives in the streaming checkpoint; manifests
@@ -652,7 +702,7 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
     sidecars) before streaming the feed. Compactions / OPTIMIZE /
     constraint and property commits are row-neutral and skipped."""
 
-    _META = ("_change_type", "_commit_version", "_commit_timestamp")
+    _META = _CDF_META
 
     def _base_schema(self):
         import pyarrow as pa
@@ -713,25 +763,38 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
                 # key entirely (ADVICE r10). Not a missing-artifact
                 # case: enabling change data cannot fix a schema
                 # change, so say what actually helps.
-                end_schema = table.snapshot(ev).schema
-                cur_names = (
-                    {n for n, _ in end_schema}
-                    if end_schema is not None
-                    else None
-                )
+                end_raw = table._raw_manifest(ev)
+                end_schema = end_raw.get("schema")
+                end_mapping = dict(end_raw.get("column_mapping") or {})
                 declared = (
                     set(self.arrow_schema.names) - set(self._META)
                 )
-                if not parts and (
-                    cur_names is None or declared <= cur_names
-                ):
+                # same staleness rule as the insert-only reader: every
+                # declared column must exist at the range end AND
+                # resolve to the SAME physical slot as when this
+                # reader captured its schema (a name-preserving
+                # 3-rename column swap changes meanings without
+                # changing names — review r11)
+                consistent = end_schema is None or (
+                    declared <= {n for n, _ in end_schema}
+                    and all(
+                        end_mapping.get(c, c)
+                        == self._captured_mapping.get(c, c)
+                        for c in declared
+                    )
+                )
+                if not parts and consistent:
                     continue
                 raise ValueError(
                     f"snapshot_table[readChangeFeed]: the streamed "
                     f"range crosses a column-mapping schema change at "
-                    f"version {v} of {self.path} (op={op!r}); restart "
-                    f"the stream with startingVersion {v + 1} or "
-                    "later (new checkpoint)"
+                    f"version {v} of {self.path} (op={op!r}). Change "
+                    f"rows committed BEFORE it in this range were not "
+                    f"delivered: drain them in batch with "
+                    f"SnapshotTable.read_changes_cdf(since_version="
+                    f"{int(start['version'])}, until_version={v - 1}), "
+                    f"then restart the stream with startingVersion "
+                    f"{v + 1} (new checkpoint)"
                 )
             # a mapping ESTABLISHED at or before the range start is
             # uniform across it (no in-range rename/drop survives the

@@ -594,7 +594,10 @@ def test_stream_ignore_deletes_drains_across_dv_delete(spark, tmp_path):
     # default: wedged on the row-removing commit
     with pytest.raises(Exception, match="non-append|ignoreDeletes"):
         drain("ck_default")
-    assert drain("ck1", ignoreDeletes=True) == [0, 1, 2, 10, 11]
+    # a FRESH ignoreDeletes stream must NOT resurrect id=1 — the rows
+    # dead AS OF the range end are dv-masked, like Delta's DV-masked
+    # initial snapshot (review r11: the first cut served the raw file)
+    assert drain("ck1", ignoreDeletes=True) == [0, 2, 10, 11]
     # skipChangeCommits drains across a COW update too
     table.update(spark, "id = 0", {"v": "v + 1"})            # v3: COW
     table.append(_df(spark, 20, 21).coalesce(1))             # v4
@@ -701,3 +704,52 @@ def test_stream_starting_timestamp_and_bytes_cap(spark, tmp_path):
         (raw["stats_add"][f] or {}).get("__size_bytes__", 0) > 0
         for f in raw["add"]
     )
+
+
+def test_stream_staleness_catches_name_preserving_column_swap(
+    spark, tmp_path
+):
+    """Review r11: a 3-rename column SWAP (v->tmp, w->v, tmp->w)
+    preserves the logical NAME SET while flipping column meanings — a
+    name-set-only staleness check would skip it as row-neutral and
+    silently serve swapped columns. The check compares each declared
+    column's PHYSICAL slot against the reader's captured mapping, so
+    the stale reader refuses and a fresh reader (capture == end) serves
+    the swapped meanings correctly."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
+        _SnapshotStreamReader,
+    )
+
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    table.append(
+        spark.range(2).selectExpr(
+            "id", "id * 2 AS v", "id * 3 AS w"
+        ).coalesce(1)
+    )                                                         # v0
+    schema = to_arrow_schema(
+        spark.createDataFrame([], "id long, v long, w long").schema
+    )
+    stale = _SnapshotStreamReader(str(table.root), schema)  # captures {}
+    table.rename_column("v", "tmp")                           # v1
+    table.rename_column("w", "v")                             # v2
+    table.rename_column("tmp", "w")                           # v3
+    table.append(
+        spark.createDataFrame(
+            [(9, 90, 900)], "id long, v long, w long"
+        )
+    )                                                         # v4
+    with pytest.raises(ValueError, match="schema change"):
+        stale.partitions({"version": 0}, {"version": 4})
+    fresh = _SnapshotStreamReader(str(table.root), schema)
+    parts = fresh.partitions({"version": 0}, {"version": 4})
+    got = sorted(
+        (x["id"].as_py(), x["v"].as_py(), x["w"].as_py())
+        for p in parts
+        for b in fresh.read(p)
+        for x in b.to_struct_array()
+    )
+    # post-swap logical v is the OLD w slot: the appended row wrote
+    # logical (v=90, w=900) into physical (w_slot=90, v_slot=900)
+    assert got == [(9, 90, 900)]
