@@ -105,6 +105,32 @@ def _project_parquet(path: str, arrow_schema, filters=None, phys=None):
     return table.select(want).cast(arrow_schema)
 
 
+def _mask_dv(table, dv_sources):
+    """Drop the rows whose file-absolute positions appear in ANY of the
+    ``(sidecar_path, file_key)`` sources — the ONE deletion-vector mask
+    all three Arrow read paths share (review r11: it had been written
+    three times). Sidecar reads prune on the ``file`` column's footer
+    min/max, so non-matching shards of a sharded freeze cost one footer
+    read each."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not dv_sources:
+        return table
+    dead = np.concatenate(
+        [
+            pq.read_table(
+                p, columns=["pos"], filters=[("file", "=", k)]
+            )["pos"].to_numpy()
+            for p, k in dv_sources
+        ]
+    )
+    mask = np.ones(table.num_rows, dtype=bool)
+    mask[dead[dead < table.num_rows].astype(np.int64)] = False
+    return table.filter(pa.array(mask))
+
+
 class SnapshotDataSource(DataSource):
     """``format("snapshot_table")``; options: ``path`` (required),
     ``version`` (optional time travel)."""
@@ -441,21 +467,6 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         self.ignore_deletes = ignore_deletes
         self.skip_change_commits = skip_change_commits
         self._last_end: int | None = None
-        # the column mapping AS CAPTURED with this reader's schema: the
-        # mid-stream staleness check compares the RANGE-END mapping
-        # (restricted to declared columns) against this, not just name
-        # sets — a logical-name-preserving mapping permutation (a
-        # 3-rename column swap) changes column MEANINGS without
-        # changing any name (review r11)
-        cm: dict = {}
-        try:
-            t = self._table()
-            cv = t.current_version()
-            if cv is not None:
-                cm = dict(t.snapshot(cv).column_mapping or {})
-        except OSError:
-            pass
-        self._captured_mapping = cm
 
     def _table(self):
         from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
@@ -559,100 +570,138 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # state) RIDES the raw manifest header — resolving the full
         # snapshot would re-walk the delta chain every microbatch for
         # nothing (review r11)
+        sv0 = int(start["version"])
         raw = table._raw_manifest(ev)
         sch = raw.get("schema")
-        # A rename/drop in the range is tolerable exactly when this
-        # stream's declared columns still MEAN the same thing at the
-        # range end: every declared name exists in the end-version
-        # LOGICAL schema AND resolves to the same physical slot as
-        # when the reader captured its schema (a fresh stream over a
-        # table with mapping history — captured == end, so serving
-        # everything under the end mapping is consistent; physical
-        # slots are never reused). A MID-stream rename/drop that moves
-        # a declared column — including a name-preserving 3-rename
-        # column SWAP (review r11) — makes the captured schema stale:
-        # added_files raises the restart-here refusal (Delta's
-        # schema-change posture).
-        declared = set(self.arrow_schema.names) - set(_CDF_META)
         end_mapping = dict(raw.get("column_mapping") or {})
+        # A rename/drop is tolerable exactly when this batch's declared
+        # columns still MEAN the same thing across the range: every
+        # declared name exists in the range-END logical schema AND
+        # resolves to the same physical slot as at the range START —
+        # the start-version mapping is what every row already delivered
+        # to the sink was served under, so it survives reader restarts
+        # (review r11 pass 2: a construction-time capture re-read the
+        # CURRENT mapping on restart and silently accepted a
+        # name-preserving 3-rename column SWAP that happened while the
+        # query was stopped). A fresh stream (start=-1) compares end
+        # against itself — trivially consistent, so mapping history
+        # before the stream began never blocks it. The check refuses
+        # DIRECTLY (not only via added_files): a replayed pending batch
+        # whose range holds no mapping op can still be stale when the
+        # rename landed after the batch's end (review r11 pass 2).
+        declared = set(self.arrow_schema.names) - set(_CDF_META)
+        if sv0 >= 0:
+            try:
+                start_mapping = dict(
+                    table._raw_manifest(sv0).get("column_mapping") or {}
+                )
+            except (OSError, KeyError):
+                start_mapping = end_mapping
+        else:
+            start_mapping = end_mapping
         safe = sch is None or (
             declared <= {n for n, _ in sch}
             and all(
-                end_mapping.get(c, c) == self._captured_mapping.get(c, c)
+                end_mapping.get(c, c) == start_mapping.get(c, c)
                 for c in declared
             )
         )
+        if not safe:
+            raise ValueError(
+                f"snapshot_table: the stream's declared schema is stale "
+                f"for range ({sv0}, {ev}] of {self.path} — a RENAME/"
+                "DROP COLUMN schema change moved a streamed column; "
+                "restart the query so it re-resolves the current schema "
+                f"(new checkpoint; startingVersion {ev + 1} skips the "
+                "initial replay)"
+            )
         added = table.added_files(
-            int(start["version"]),
+            sv0,
             ev,
             ignore_deletes=self.ignore_deletes,
             skip_change_commits=self.skip_change_commits,
-            allow_mapping_ops=safe,
+            allow_mapping_ops=True,
         )
         # an offset range advanced only by compactions adds no rows;
         # Spark still needs >= 1 partition to plan the (empty) batch
         if not added:
             return [InputPartition(None)]
         # column-mapped table: every served file reads under the
-        # range-end mapping (uniform — physical names never change
-        # once written); each partition reads physical names, returns
-        # logical (VERDICT r10 task #4)
+        # range-end mapping (uniform for declared columns — checked
+        # above; physical names never change once written); each
+        # partition reads physical names, returns logical (VERDICT r10
+        # task #4)
         phys = (
             end_mapping
             if end_mapping or raw.get("dropped_physical")
             else None
         )
-        # range-end deletion vectors: a file served by this batch masks
-        # the rows dead AS OF the range end, exactly like the batch
-        # reader — without this, a fresh ignoreDeletes stream would
-        # RESURRECT rows a MoR delete retired before the stream began
-        # (review r11; Delta's initial snapshot is DV-masked too)
-        dv = raw.get("dv") or {}
+        # Deletion-vector masks: without them a fresh ignoreDeletes
+        # stream RESURRECTS rows a MoR delete retired before the
+        # stream began (Delta's initial snapshot is DV-masked). The
+        # range-end dv map is NOT enough — an in-range rewrite that
+        # retires a served file (compact/optimize, COW update/delete)
+        # drops its entry (review r11 pass 2) — so walk the range's
+        # manifest headers tracking each served file's LAST dv entry,
+        # freezing it when the file leaves the set: a remove-only
+        # delete retirement means every remaining row died (serve
+        # nothing); a COW-delete retirement adds the frozen dv_new
+        # positions (exact survivors); compact/optimize/update
+        # retirements keep the pre-rewrite entry (served rows were
+        # correct when delivered; skipped commits do not retract).
+        from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+            _dv_new_list,
+        )
+
         root, tail = table.root, type(table)._file_tail
-        out = []
-        for f in added:
-            e = dv.get(f)
-            out.append(
-                InputPartition(
-                    (
-                        str(root / f),
-                        phys,
-                        str(root / e[0]) if e else None,
-                        tail(f) if e else None,
-                    )
-                )
-            )
-        return out
+        aset = set(added)
+        masks: dict[str, list] = {}
+        dead_files: set = set()
+        frozen_f: set = set()
+        for v in range(sv0 + 1, ev + 1):
+            rv = raw if v == ev else table._raw_manifest(v)
+            cur_dv = rv.get("dv") or {}
+            for f in (set(cur_dv) & aset) - frozen_f:
+                masks[f] = [(str(root / cur_dv[f][0]), tail(f))]
+            removed = set(rv.get("remove") or ()) & aset
+            for f in removed - frozen_f:
+                frozen_f.add(f)
+                if rv.get("op") == "delete":
+                    if not rv.get("add"):
+                        # remove-only delete: f's remaining rows ALL died
+                        dead_files.add(f)
+                        masks.pop(f, None)
+                    else:
+                        # COW delete: prior dv + the frozen matched
+                        # positions = exact survivors of the original
+                        # (still-immutable) file
+                        for d in _dv_new_list(rv.get("dv_new")):
+                            masks.setdefault(f, []).append(
+                                (str(root / d), tail(f))
+                            )
+        out = [
+            InputPartition((str(root / f), phys, masks.get(f)))
+            for f in added
+            if f not in dead_files
+        ]
+        return out if out else [InputPartition(None)]
 
     def read(self, partition: InputPartition):
         if partition.value is None:
             return
-        # (path, phys, dv_path, dv_key) from partitions(); a bare path
+        # (path, phys, dv_sources) from partitions(); a bare path
         # (unit tests) means unmapped, no dv
         val = partition.value
         if isinstance(val, str):
-            path, phys, dv_path, dv_key = val, None, None, None
+            path, phys, dv_sources = val, None, None
         else:
-            path, phys, dv_path, dv_key = val
+            path, phys, dv_sources = val
         # column projection reaches the scan (VERDICT r9 task #4): only
         # the reader schema's columns are read — parquet column chunks
         # for everything else are never fetched; a column this
         # (pre-evolution) file lacks is served as typed nulls
         table = _project_parquet(path, self.arrow_schema, phys=phys)
-        if dv_path is not None:
-            import numpy as np
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            dead = pq.read_table(
-                dv_path,
-                columns=["pos"],
-                filters=[("file", "=", dv_key)],
-            )["pos"].to_numpy()
-            mask = np.ones(table.num_rows, dtype=bool)
-            mask[dead[dead < table.num_rows]] = False
-            table = table.filter(pa.array(mask))
-        yield from table.to_batches()
+        yield from _mask_dv(table, dv_sources).to_batches()
 
     def commit(self, end: dict) -> None:
         # progress tracking lives in the streaming checkpoint; manifests
@@ -735,8 +784,19 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
                 f"batch"
             )
 
-        for v in range(int(start["version"]) + 1, ev + 1):
-            raw = table._raw_manifest(v)
+        sv0 = int(start["version"])
+        end_raw = table._raw_manifest(ev)
+        end_schema = end_raw.get("schema")
+        end_mapping = dict(end_raw.get("column_mapping") or {})
+        declared = set(self.arrow_schema.names) - set(self._META)
+        # batch-drain resume point for the refusal message: a LEADING
+        # skipped rename advances it, because the advised
+        # read_changes_cdf call refuses any in-range rename too — the
+        # recipe must start after the last skipped one to be runnable
+        # (review r11 pass 2)
+        resume_since = sv0
+        for v in range(sv0 + 1, ev + 1):
+            raw = end_raw if v == ev else table._raw_manifest(v)
             op = raw["op"]
             if op in (
                 "compact",
@@ -752,38 +812,39 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
                 # version under ITS OWN logical names, so change rows
                 # emitted before the rename would misalign with those
                 # after it — refuse as soon as anything precedes it in
-                # the range, and whenever this stream's declared
-                # columns are no longer the end-version logical schema
-                # (mid-stream rename of a declared column = stale
-                # schema). A LEADING rename/drop with a current
-                # declared schema is skipped as row-neutral, so a
-                # fresh stream over a table with mapping history
-                # drains. Keyed off the OP, never the mapping fields:
-                # an identity-revert rename drops the column_mapping
-                # key entirely (ADVICE r10). Not a missing-artifact
-                # case: enabling change data cannot fix a schema
-                # change, so say what actually helps.
-                end_raw = table._raw_manifest(ev)
-                end_schema = end_raw.get("schema")
-                end_mapping = dict(end_raw.get("column_mapping") or {})
-                declared = (
-                    set(self.arrow_schema.names) - set(self._META)
-                )
-                # same staleness rule as the insert-only reader: every
-                # declared column must exist at the range end AND
-                # resolve to the SAME physical slot as when this
-                # reader captured its schema (a name-preserving
-                # 3-rename column swap changes meanings without
-                # changing names — review r11)
+                # the range, and whenever a declared column's physical
+                # slot differs between range start and range end (a
+                # name-preserving 3-rename column SWAP changes meanings
+                # without changing names; comparing against the RANGE
+                # START survives reader restarts — review r11 pass 2).
+                # A LEADING rename/drop that keeps declared slots
+                # stable is skipped as row-neutral, so a fresh stream
+                # over a table with mapping history drains. Keyed off
+                # the OP, never the mapping fields: an identity-revert
+                # rename drops the column_mapping key entirely (ADVICE
+                # r10). Not a missing-artifact case: enabling change
+                # data cannot fix a schema change, so say what helps.
+                if sv0 >= 0:
+                    try:
+                        start_mapping = dict(
+                            table._raw_manifest(sv0).get(
+                                "column_mapping"
+                            )
+                            or {}
+                        )
+                    except (OSError, KeyError):
+                        start_mapping = end_mapping
+                else:
+                    start_mapping = end_mapping
                 consistent = end_schema is None or (
                     declared <= {n for n, _ in end_schema}
                     and all(
-                        end_mapping.get(c, c)
-                        == self._captured_mapping.get(c, c)
+                        end_mapping.get(c, c) == start_mapping.get(c, c)
                         for c in declared
                     )
                 )
                 if not parts and consistent:
+                    resume_since = v
                     continue
                 raise ValueError(
                     f"snapshot_table[readChangeFeed]: the streamed "
@@ -792,9 +853,9 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
                     f"rows committed BEFORE it in this range were not "
                     f"delivered: drain them in batch with "
                     f"SnapshotTable.read_changes_cdf(since_version="
-                    f"{int(start['version'])}, until_version={v - 1}), "
-                    f"then restart the stream with startingVersion "
-                    f"{v + 1} (new checkpoint)"
+                    f"{resume_since}, until_version={v - 1}), then "
+                    f"restart the stream with startingVersion {v + 1} "
+                    f"(new checkpoint)"
                 )
             # a mapping ESTABLISHED at or before the range start is
             # uniform across it (no in-range rename/drop survives the
@@ -923,14 +984,7 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
             # new-dead sidecar consumed by the position take below, and
             # frozen positions were computed over then-live rows only.
             if kind != "mor" and p.get("dv_path"):
-                dead = pq.read_table(
-                    p["dv_path"],
-                    columns=["pos"],
-                    filters=[("file", "=", p["dv_key"])],
-                )["pos"].to_numpy()
-                mask = np.ones(table.num_rows, dtype=bool)
-                mask[dead[dead < table.num_rows]] = False
-                table = table.filter(pa.array(mask))
+                table = _mask_dv(table, [(p["dv_path"], p["dv_key"])])
             if kind == "mor":
                 # the commit's frozen positions: exactly the rows this
                 # version deleted / updated (single-evaluation
@@ -1077,20 +1131,13 @@ class _SnapshotReader(DataSourceReader):
         # FIRST (positions are file-absolute, so the read must be
         # unfiltered), then apply the pushed filters as an Arrow
         # expression — exact either way
-        import numpy as np
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
         dv_path, rel = dv_entry
         table = _project_parquet(
             partition.value, self.arrow_schema, phys=self.phys
         )
-        dead = pq.read_table(
-            dv_path, columns=["pos"], filters=[("file", "=", rel)]
-        )["pos"].to_numpy()
-        mask = np.ones(table.num_rows, dtype=bool)
-        mask[dead[dead < table.num_rows]] = False
-        table = table.filter(pa.array(mask))
+        table = _mask_dv(table, [(dv_path, rel)])
         if filters:
             table = table.filter(pq.filters_to_expression(filters))
         yield from table.to_batches()

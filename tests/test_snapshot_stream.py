@@ -420,12 +420,13 @@ def test_connector_mapped_table_batch_and_stream(spark, tmp_path):
 
 
 def test_stream_refuses_mid_stream_rename(spark, tmp_path):
-    """A rename of a streamed column AFTER the stream's schema was
-    captured makes that schema stale: the next microbatch fails with
-    the restart-here refusal instead of silently serving the renamed
-    column under its old name (Delta's schema-change posture). A
-    restarted stream that re-captures the CURRENT schema drains
-    through the same range — the rename is row-neutral for it."""
+    """A rename of a streamed column lands AFTER a checkpointed offset:
+    any batch whose range starts before the rename refuses — with the
+    stream's ORIGINAL schema (stale names) and even with a
+    re-resolved current schema, because rows already delivered under
+    the old name would misalign with rows served under the new one
+    (Delta's schema-change posture: new checkpoint required). A range
+    that STARTS at or after the rename serves fine."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
     from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
@@ -445,14 +446,16 @@ def test_stream_refuses_mid_stream_rename(spark, tmp_path):
     )                                                         # v2
     with pytest.raises(ValueError, match="schema change"):
         r.partitions({"version": 0}, {"version": 2})
-    # a fresh reader holding the CURRENT logical schema serves the
-    # same range: the rename is row-neutral, files read via the end
-    # mapping
+    # re-resolved schema but the SAME pre-rename offset: still stale —
+    # the sink's existing rows were delivered under the old name
     fresh = to_arrow_schema(
         spark.createDataFrame([], "id long, amount long").schema
     )
     r2 = _SnapshotStreamReader(str(table.root), fresh)
-    parts = r2.partitions({"version": 0}, {"version": 2})
+    with pytest.raises(ValueError, match="schema change"):
+        r2.partitions({"version": 0}, {"version": 2})
+    # a NEW checkpoint starting at/after the rename serves logically
+    parts = r2.partitions({"version": 1}, {"version": 2})
     got = [
         (x["id"].as_py(), x["amount"].as_py())
         for p in parts
@@ -598,13 +601,18 @@ def test_stream_ignore_deletes_drains_across_dv_delete(spark, tmp_path):
     # dead AS OF the range end are dv-masked, like Delta's DV-masked
     # initial snapshot (review r11: the first cut served the raw file)
     assert drain("ck1", ignoreDeletes=True) == [0, 2, 10, 11]
-    # skipChangeCommits drains across a COW update too
+    # skipChangeCommits drains across a COW update too. The update
+    # retires v0's file (rewriting it); the served original keeps its
+    # PRE-retirement dv mask (review r11 pass 2: the range-end dv map
+    # alone would resurrect id=1), so the dv-deleted row stays dead
+    # while the updated row serves its pre-update value (divergence
+    # the option opts into).
     table.update(spark, "id = 0", {"v": "v + 1"})            # v3: COW
     table.append(_df(spark, 20, 21).coalesce(1))             # v4
     with pytest.raises(Exception, match="non-append|skipChangeCommits"):
         drain("ck2", ignoreDeletes=True)
     assert drain("ck3", skipChangeCommits=True) == [
-        0, 1, 2, 10, 11, 20,
+        0, 2, 10, 11, 20,
     ]
     # the CDF stream refuses the flags (it replays changes)
     with pytest.raises(Exception, match="insert-only"):
@@ -742,14 +750,82 @@ def test_stream_staleness_catches_name_preserving_column_swap(
     )                                                         # v4
     with pytest.raises(ValueError, match="schema change"):
         stale.partitions({"version": 0}, {"version": 4})
-    fresh = _SnapshotStreamReader(str(table.root), schema)
-    parts = fresh.partitions({"version": 0}, {"version": 4})
+    # a RESTARTED reader (review r11 pass 2: construction-time capture
+    # re-read the post-swap mapping and accepted it) refuses too: the
+    # staleness check compares the range-START mapping — what the
+    # sink's existing rows were served under — against the range end
+    restarted = _SnapshotStreamReader(str(table.root), schema)
+    with pytest.raises(ValueError, match="schema change"):
+        restarted.partitions({"version": 0}, {"version": 4})
+    # a NEW checkpoint whose range starts after the swap serves the
+    # swapped meanings correctly
+    parts = restarted.partitions({"version": 3}, {"version": 4})
     got = sorted(
         (x["id"].as_py(), x["v"].as_py(), x["w"].as_py())
         for p in parts
-        for b in fresh.read(p)
+        for b in restarted.read(p)
         for x in b.to_struct_array()
     )
     # post-swap logical v is the OLD w slot: the appended row wrote
     # logical (v=90, w=900) into physical (w_slot=90, v_slot=900)
     assert got == [(9, 90, 900)]
+
+
+def test_stream_dv_mask_survives_file_retirement(spark, tmp_path):
+    """Review r11 pass 2: the range-end dv map loses a served file's
+    entry when an in-range rewrite retires it — compact materializes
+    the dv away, a COW delete removes the file. The masks walk keeps
+    the last-live entry (compact), adds the frozen dv_new positions
+    (COW delete: exact survivors), and drops remove-only-deleted files
+    entirely — a fresh ignoreDeletes/skipChangeCommits stream never
+    resurrects rows retired before it began."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
+        _SnapshotStreamReader,
+    )
+
+    def rows_of(reader, parts):
+        return sorted(
+            x["id"].as_py()
+            for p in parts
+            if p.value is not None
+            for b in reader.read(p)
+            for x in b.to_struct_array()
+        )
+
+    schema_of = lambda t: to_arrow_schema(t.read(spark).schema)  # noqa: E731
+
+    # (a) compact retires the dv-carrying file: frozen pre-compact mask
+    t1 = SnapshotTable(str(tmp_path / "t1"))
+    t1.append(_df(spark, 0, 3).coalesce(1))                   # v0
+    t1.delete(spark, "id = 1", mode="merge-on-read")          # v1: DV
+    sch = schema_of(t1)
+    t1.compact(spark, target_files=1)                         # v2
+    t1.append(_df(spark, 10, 11).coalesce(1))                 # v3
+    r = _SnapshotStreamReader(str(t1.root), sch, ignore_deletes=True)
+    assert rows_of(r, r.partitions({"version": -1}, {"version": 3})) == [
+        0, 2, 10,
+    ], "compact must not resurrect the dv-deleted row"
+    # (b) COW delete retires the file: dv_new gives exact survivors
+    t2 = SnapshotTable(str(tmp_path / "t2"))
+    t2.append(_df(spark, 0, 5).coalesce(1))                   # v0
+    sch2 = schema_of(t2)
+    t2.delete(spark, "id < 2")                                # v1: COW
+    t2.append(_df(spark, 10, 11).coalesce(1))                 # v2
+    r2 = _SnapshotStreamReader(
+        str(t2.root), sch2, skip_change_commits=True
+    )
+    assert rows_of(
+        r2, r2.partitions({"version": -1}, {"version": 2})
+    ) == [2, 3, 4, 10], "COW-deleted rows must not resurrect"
+    # (c) remove-only delete kills the whole file: served as nothing
+    t3 = SnapshotTable(str(tmp_path / "t3"))
+    t3.append(_df(spark, 0, 2).coalesce(1))                   # v0
+    sch3 = schema_of(t3)
+    t3.delete(spark, "id >= 0", mode="merge-on-read")         # v1: all dead
+    t3.append(_df(spark, 10, 11).coalesce(1))                 # v2
+    r3 = _SnapshotStreamReader(str(t3.root), sch3, ignore_deletes=True)
+    assert rows_of(
+        r3, r3.partitions({"version": -1}, {"version": 2})
+    ) == [10], "fully-dead file must serve zero rows"
