@@ -475,6 +475,39 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
         return SnapshotTable(self.path)
 
+    def _mapping_consistent(self, table, sv0, end_mapping, end_schema):
+        """True when this batch's declared columns still MEAN the same
+        thing across the range: every declared name exists in the
+        range-END logical schema AND resolves to the same physical
+        slot as at the range START — the start-version mapping is what
+        every row already delivered to the sink was served under, so
+        the check survives reader restarts (review r11 pass 2: a
+        construction-time capture re-read the CURRENT mapping on
+        restart and silently accepted a name-preserving 3-rename
+        column SWAP that happened while the query was stopped). A
+        fresh stream (start=-1) compares end against itself —
+        trivially consistent, so mapping history before the stream
+        began never blocks it. ONE implementation for both readers
+        (review r11 pass 3)."""
+        if end_schema is None:
+            return True
+        declared = set(self.arrow_schema.names) - set(_CDF_META)
+        if not declared <= {n for n, _ in end_schema}:
+            return False
+        if sv0 >= 0:
+            try:
+                start_mapping = dict(
+                    table._raw_manifest(sv0).get("column_mapping") or {}
+                )
+            except (OSError, KeyError):
+                start_mapping = end_mapping
+        else:
+            start_mapping = end_mapping
+        return all(
+            end_mapping.get(c, c) == start_mapping.get(c, c)
+            for c in declared
+        )
+
     def initialOffset(self) -> dict:
         # teach the admission bound its start on a FRESH stream — but
         # never move an already-learned frontier backward (Spark calls
@@ -574,39 +607,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         raw = table._raw_manifest(ev)
         sch = raw.get("schema")
         end_mapping = dict(raw.get("column_mapping") or {})
-        # A rename/drop is tolerable exactly when this batch's declared
-        # columns still MEAN the same thing across the range: every
-        # declared name exists in the range-END logical schema AND
-        # resolves to the same physical slot as at the range START —
-        # the start-version mapping is what every row already delivered
-        # to the sink was served under, so it survives reader restarts
-        # (review r11 pass 2: a construction-time capture re-read the
-        # CURRENT mapping on restart and silently accepted a
-        # name-preserving 3-rename column SWAP that happened while the
-        # query was stopped). A fresh stream (start=-1) compares end
-        # against itself — trivially consistent, so mapping history
-        # before the stream began never blocks it. The check refuses
-        # DIRECTLY (not only via added_files): a replayed pending batch
-        # whose range holds no mapping op can still be stale when the
-        # rename landed after the batch's end (review r11 pass 2).
-        declared = set(self.arrow_schema.names) - set(_CDF_META)
-        if sv0 >= 0:
-            try:
-                start_mapping = dict(
-                    table._raw_manifest(sv0).get("column_mapping") or {}
-                )
-            except (OSError, KeyError):
-                start_mapping = end_mapping
-        else:
-            start_mapping = end_mapping
-        safe = sch is None or (
-            declared <= {n for n, _ in sch}
-            and all(
-                end_mapping.get(c, c) == start_mapping.get(c, c)
-                for c in declared
-            )
-        )
-        if not safe:
+        if not self._mapping_consistent(table, sv0, end_mapping, sch):
             raise ValueError(
                 f"snapshot_table: the stream's declared schema is stale "
                 f"for range ({sv0}, {ev}] of {self.path} — a RENAME/"
@@ -615,6 +616,43 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 f"(new checkpoint; startingVersion {ev + 1} skips the "
                 "initial replay)"
             )
+        # column-mapped table: every served file reads under the
+        # range-end mapping (uniform for declared columns — checked
+        # above; physical names never change once written); each
+        # partition reads physical names, returns logical (VERDICT r10
+        # task #4)
+        phys = (
+            end_mapping
+            if end_mapping or raw.get("dropped_physical")
+            else None
+        )
+        root, tail = table.root, type(table)._file_tail
+        if sv0 < 0 and self.starting_version is None:
+            # Delta's INITIAL SNAPSHOT: the first batch of a FRESH
+            # stream serves the range-end snapshot's live files,
+            # dv-masked — never a replay of history. This is both the
+            # cheaper plan and the only ordering-proof one (review r11
+            # pass 3: a compact BEFORE a delete rekeys the dv onto the
+            # successor file, which no history replay of the original
+            # appends can map back). It also means deletes, updates,
+            # overwrites, or restores in HISTORY never block starting
+            # a new stream — Delta's posture. An explicit
+            # startingVersion opts back into the version replay.
+            snap = table.snapshot(ev)
+            dv = dict(snap.dv or {})
+            out = [
+                InputPartition(
+                    (
+                        str(root / f),
+                        phys,
+                        [(str(root / dv[f][0]), tail(f))]
+                        if dv.get(f)
+                        else None,
+                    )
+                )
+                for f in snap.files
+            ]
+            return out if out else [InputPartition(None)]
         added = table.added_files(
             sv0,
             ev,
@@ -626,59 +664,61 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # Spark still needs >= 1 partition to plan the (empty) batch
         if not added:
             return [InputPartition(None)]
-        # column-mapped table: every served file reads under the
-        # range-end mapping (uniform for declared columns — checked
-        # above; physical names never change once written); each
-        # partition reads physical names, returns logical (VERDICT r10
-        # task #4)
-        phys = (
-            end_mapping
-            if end_mapping or raw.get("dropped_physical")
-            else None
-        )
-        # Deletion-vector masks: without them a fresh ignoreDeletes
-        # stream RESURRECTS rows a MoR delete retired before the
-        # stream began (Delta's initial snapshot is DV-masked). The
-        # range-end dv map is NOT enough — an in-range rewrite that
-        # retires a served file (compact/optimize, COW update/delete)
-        # drops its entry (review r11 pass 2) — so walk the range's
-        # manifest headers tracking each served file's LAST dv entry,
-        # freezing it when the file leaves the set: a remove-only
-        # delete retirement means every remaining row died (serve
-        # nothing); a COW-delete retirement adds the frozen dv_new
-        # positions (exact survivors); compact/optimize/update
-        # retirements keep the pre-rewrite entry (served rows were
-        # correct when delivered; skipped commits do not retract).
-        from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
-            _dv_new_list,
-        )
-
-        root, tail = table.root, type(table)._file_tail
-        aset = set(added)
         masks: dict[str, list] = {}
         dead_files: set = set()
-        frozen_f: set = set()
-        for v in range(sv0 + 1, ev + 1):
-            rv = raw if v == ev else table._raw_manifest(v)
-            cur_dv = rv.get("dv") or {}
-            for f in (set(cur_dv) & aset) - frozen_f:
-                masks[f] = [(str(root / cur_dv[f][0]), tail(f))]
-            removed = set(rv.get("remove") or ()) & aset
-            for f in removed - frozen_f:
-                frozen_f.add(f)
-                if rv.get("op") == "delete":
-                    if not rv.get("add"):
-                        # remove-only delete: f's remaining rows ALL died
-                        dead_files.add(f)
-                        masks.pop(f, None)
-                    else:
-                        # COW delete: prior dv + the frozen matched
-                        # positions = exact survivors of the original
-                        # (still-immutable) file
-                        for d in _dv_new_list(rv.get("dv_new")):
-                            masks.setdefault(f, []).append(
-                                (str(root / d), tail(f))
-                            )
+        if self.ignore_deletes or self.skip_change_commits:
+            # Deletion-vector masks for an INCREMENTAL range that both
+            # adds and (via the tolerance flags) soft-deletes files:
+            # walk the range's manifest headers tracking each served
+            # file's LAST delete-driven dv entry, freezing it when the
+            # file leaves the set — a remove-only delete retirement
+            # means every remaining row died (serve nothing); a
+            # COW-delete retirement adds the frozen dv_new positions
+            # (exact survivors); compact/optimize/update retirements
+            # keep the pre-rewrite entry. Only DELETE commits refresh
+            # a file's mask: a skipped MoR UPDATE's consolidated entry
+            # marks the pre-images of updated rows, and masking those
+            # would VANISH the rows entirely (review r11 pass 3) — the
+            # skip-commit contract serves their pre-update values, the
+            # COW posture. Deletes touching files outside the served
+            # set (delivered by earlier batches, or compacted
+            # successors) are intentionally not retracted — the
+            # divergence these flags opt into. Gated on the flags: a
+            # flagless range can hold no dv-creating data op
+            # (added_files raised first), so the walk would read
+            # O(range) manifest headers to compute nothing.
+            from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+                _dv_new_list,
+            )
+
+            aset = set(added)
+            frozen_f: set = set()
+            for v in range(sv0 + 1, ev + 1):
+                rv = raw if v == ev else table._raw_manifest(v)
+                is_delete = rv.get("op") == "delete"
+                if is_delete:
+                    cur_dv = rv.get("dv") or {}
+                    for f in (set(cur_dv) & aset) - frozen_f:
+                        masks[f] = [
+                            (str(root / cur_dv[f][0]), tail(f))
+                        ]
+                removed = set(rv.get("remove") or ()) & aset
+                for f in removed - frozen_f:
+                    frozen_f.add(f)
+                    if is_delete:
+                        if not rv.get("add"):
+                            # remove-only delete: every remaining row
+                            # of f died
+                            dead_files.add(f)
+                            masks.pop(f, None)
+                        else:
+                            # COW delete: prior dv + the frozen matched
+                            # positions = exact survivors of the
+                            # original (still-immutable) file
+                            for d in _dv_new_list(rv.get("dv_new")):
+                                masks.setdefault(f, []).append(
+                                    (str(root / d), tail(f))
+                                )
         out = [
             InputPartition((str(root / f), phys, masks.get(f)))
             for f in added
@@ -788,7 +828,6 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
         end_raw = table._raw_manifest(ev)
         end_schema = end_raw.get("schema")
         end_mapping = dict(end_raw.get("column_mapping") or {})
-        declared = set(self.arrow_schema.names) - set(self._META)
         # batch-drain resume point for the refusal message: a LEADING
         # skipped rename advances it, because the advised
         # read_changes_cdf call refuses any in-range rename too — the
@@ -824,26 +863,9 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
                 # rename drops the column_mapping key entirely (ADVICE
                 # r10). Not a missing-artifact case: enabling change
                 # data cannot fix a schema change, so say what helps.
-                if sv0 >= 0:
-                    try:
-                        start_mapping = dict(
-                            table._raw_manifest(sv0).get(
-                                "column_mapping"
-                            )
-                            or {}
-                        )
-                    except (OSError, KeyError):
-                        start_mapping = end_mapping
-                else:
-                    start_mapping = end_mapping
-                consistent = end_schema is None or (
-                    declared <= {n for n, _ in end_schema}
-                    and all(
-                        end_mapping.get(c, c) == start_mapping.get(c, c)
-                        for c in declared
-                    )
-                )
-                if not parts and consistent:
+                if not parts and self._mapping_consistent(
+                    table, sv0, end_mapping, end_schema
+                ):
                     resume_since = v
                     continue
                 raise ValueError(

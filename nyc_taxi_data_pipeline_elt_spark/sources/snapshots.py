@@ -4009,6 +4009,8 @@ class SnapshotTable:
         spark: SparkSession,
         checkpoint: str,
         handle,
+        ignore_deletes: bool = False,
+        skip_change_commits: bool = False,
     ) -> int | None:
         """Incremental consumer over this table: feed every not-yet-seen
         version's delta to ``handle(df, until_version)``, then advance an
@@ -4019,10 +4021,22 @@ class SnapshotTable:
         version as a batch id into an idempotent sink — e.g.
         ``downstream.commit_batch(df, batch_id=version)`` — to get
         exactly-once end to end. Returns the newly-recorded version, or
-        None when there was nothing to process."""
-        return self._process_with(
-            spark, checkpoint, handle, self.read_changes
+        None when there was nothing to process.
+
+        ``ignore_deletes`` / ``skip_change_commits`` are the stream
+        source's delete-tolerance opt-outs (see :meth:`added_files`) —
+        without them one row-removing commit permanently wedges the
+        consumer at its checkpoint."""
+        reader = lambda spark, since_version, until_version: (  # noqa: E731
+            self.read_changes(
+                spark,
+                since_version,
+                until_version,
+                ignore_deletes=ignore_deletes,
+                skip_change_commits=skip_change_commits,
+            )
         )
+        return self._process_with(spark, checkpoint, handle, reader)
 
     def _process_with(
         self, spark: SparkSession, checkpoint: str, handle, reader
@@ -4253,16 +4267,28 @@ class SnapshotTable:
             # added_files refused any in-range rename/drop, so the
             # until-version mapping is uniform over every added file
             # (physical names never change once written)
-            return self._read_files(
+            out = self._read_files(
                 spark,
                 added,
                 schema=snap.schema,
                 mapping=dict(snap.column_mapping or {}),
             )
-        reader = spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*[str(self.root / f) for f in added])
+        else:
+            reader = spark.read
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            out = reader.parquet(*[str(self.root / f) for f in added])
+        if ignore_deletes or skip_change_commits:
+            # the tolerance flags let a MoR delete land INSIDE the
+            # range: mask the added files' rows that are dead as of
+            # ``until`` so the consumer never receives retired rows as
+            # live inserts (review r11 pass 3 — the stream source
+            # masks; the batch feed with the same option names must
+            # not resurrect). Rows in files retired by an in-range
+            # rewrite keep their pre-rewrite values — the divergence
+            # these flags opt into.
+            out = self._apply_dv(spark, out, added, dict(snap.dv or {}))
+        return out
 
     def _snapshot_frame_or_empty(
         self,

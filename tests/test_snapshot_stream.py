@@ -594,23 +594,28 @@ def test_stream_ignore_deletes_drains_across_dv_delete(spark, tmp_path):
     assert drain("ck0") == [0, 1, 2]
     table.delete(spark, "id = 1", mode="merge-on-read")      # v1: DV
     table.append(_df(spark, 10, 12).coalesce(1))             # v2
-    # default: wedged on the row-removing commit
+    # a CHECKPOINTED stream whose incremental range crosses the
+    # row-removing commit is wedged by default...
     with pytest.raises(Exception, match="non-append|ignoreDeletes"):
-        drain("ck_default")
-    # a FRESH ignoreDeletes stream must NOT resurrect id=1 — the rows
-    # dead AS OF the range end are dv-masked, like Delta's DV-masked
-    # initial snapshot (review r11: the first cut served the raw file)
-    assert drain("ck1", ignoreDeletes=True) == [0, 2, 10, 11]
-    # skipChangeCommits drains across a COW update too. The update
-    # retires v0's file (rewriting it); the served original keeps its
-    # PRE-retirement dv mask (review r11 pass 2: the range-end dv map
-    # alone would resurrect id=1), so the dv-deleted row stays dead
-    # while the updated row serves its pre-update value (divergence
-    # the option opts into).
+        drain("ck0")
+    # ...while a FRESH stream serves the range-end SNAPSHOT, dv-masked
+    # (Delta's initial-snapshot semantics — r11 pass 3: deletes in
+    # HISTORY never block starting a new stream, and id=1 must not
+    # resurrect)
+    assert drain("ck_default") == [0, 2, 10, 11]
+    # ignoreDeletes unwedges the CHECKPOINTED stream: the delete is
+    # skipped (rows already delivered are not retracted), appends flow
+    assert drain("ck0", ignoreDeletes=True) == [10, 11]
+    # a COW update wedges even ignoreDeletes (rows CHANGED, not just
+    # removed); skipChangeCommits skips it — the updated row keeps its
+    # delivered pre-update value (divergence the option opts into)
     table.update(spark, "id = 0", {"v": "v + 1"})            # v3: COW
     table.append(_df(spark, 20, 21).coalesce(1))             # v4
     with pytest.raises(Exception, match="non-append|skipChangeCommits"):
-        drain("ck2", ignoreDeletes=True)
+        drain("ck0", ignoreDeletes=True)
+    assert drain("ck0", skipChangeCommits=True) == [20]
+    # a fresh skipChangeCommits stream: snapshot path, post-update
+    # state, no resurrection
     assert drain("ck3", skipChangeCommits=True) == [
         0, 2, 10, 11, 20,
     ]
@@ -772,13 +777,15 @@ def test_stream_staleness_catches_name_preserving_column_swap(
 
 
 def test_stream_dv_mask_survives_file_retirement(spark, tmp_path):
-    """Review r11 pass 2: the range-end dv map loses a served file's
-    entry when an in-range rewrite retires it — compact materializes
-    the dv away, a COW delete removes the file. The masks walk keeps
-    the last-live entry (compact), adds the frozen dv_new positions
-    (COW delete: exact survivors), and drops remove-only-deleted files
-    entirely — a fresh ignoreDeletes/skipChangeCommits stream never
-    resurrects rows retired before it began."""
+    """Review r11 passes 2-3: deletion-vector correctness across file
+    retirement, for BOTH batch shapes. A FRESH stream serves the
+    range-end SNAPSHOT (ordering-proof: even a compact-BEFORE-delete,
+    which rekeys the dv onto the successor file, cannot resurrect).
+    An INCREMENTAL range applies the manifest-walk masks: MoR delete
+    masks, COW-delete retirement adds the frozen dv_new positions
+    (exact survivors), a remove-only full death drops the file, and a
+    skipped MoR UPDATE does NOT mask its pre-images (rows keep their
+    delivered pre-update values instead of vanishing)."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
     from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
@@ -796,36 +803,79 @@ def test_stream_dv_mask_survives_file_retirement(spark, tmp_path):
 
     schema_of = lambda t: to_arrow_schema(t.read(spark).schema)  # noqa: E731
 
-    # (a) compact retires the dv-carrying file: frozen pre-compact mask
+    # (a) SNAPSHOT path, compact BEFORE delete (r11 pass 3: the dv is
+    # keyed on the compacted successor — only the snapshot serves this
+    # ordering without resurrection); flagless: history never blocks a
+    # fresh stream
     t1 = SnapshotTable(str(tmp_path / "t1"))
     t1.append(_df(spark, 0, 3).coalesce(1))                   # v0
-    t1.delete(spark, "id = 1", mode="merge-on-read")          # v1: DV
-    sch = schema_of(t1)
-    t1.compact(spark, target_files=1)                         # v2
+    t1.compact(spark, target_files=1)                         # v1
+    t1.delete(spark, "id = 0", mode="merge-on-read")          # v2: DV on g
     t1.append(_df(spark, 10, 11).coalesce(1))                 # v3
-    r = _SnapshotStreamReader(str(t1.root), sch, ignore_deletes=True)
+    r = _SnapshotStreamReader(str(t1.root), schema_of(t1))
     assert rows_of(r, r.partitions({"version": -1}, {"version": 3})) == [
-        0, 2, 10,
-    ], "compact must not resurrect the dv-deleted row"
-    # (b) COW delete retires the file: dv_new gives exact survivors
+        1, 2, 10,
+    ], "compact-then-delete must not resurrect via the snapshot path"
+    # ...and delete BEFORE compact (the pass-2 ordering), also flagless
     t2 = SnapshotTable(str(tmp_path / "t2"))
-    t2.append(_df(spark, 0, 5).coalesce(1))                   # v0
-    sch2 = schema_of(t2)
-    t2.delete(spark, "id < 2")                                # v1: COW
-    t2.append(_df(spark, 10, 11).coalesce(1))                 # v2
-    r2 = _SnapshotStreamReader(
-        str(t2.root), sch2, skip_change_commits=True
-    )
+    t2.append(_df(spark, 0, 3).coalesce(1))                   # v0
+    t2.delete(spark, "id = 1", mode="merge-on-read")          # v1: DV
+    t2.compact(spark, target_files=1)                         # v2
+    t2.append(_df(spark, 10, 11).coalesce(1))                 # v3
+    r2 = _SnapshotStreamReader(str(t2.root), schema_of(t2))
     assert rows_of(
-        r2, r2.partitions({"version": -1}, {"version": 2})
-    ) == [2, 3, 4, 10], "COW-deleted rows must not resurrect"
-    # (c) remove-only delete kills the whole file: served as nothing
+        r2, r2.partitions({"version": -1}, {"version": 3})
+    ) == [0, 2, 10]
+    # (b) INCREMENTAL walk: in-range MoR delete masks an in-range file
     t3 = SnapshotTable(str(tmp_path / "t3"))
-    t3.append(_df(spark, 0, 2).coalesce(1))                   # v0
+    t3.append(_df(spark, 100, 101).coalesce(1))               # v0: delivered
     sch3 = schema_of(t3)
-    t3.delete(spark, "id >= 0", mode="merge-on-read")         # v1: all dead
-    t3.append(_df(spark, 10, 11).coalesce(1))                 # v2
+    t3.append(_df(spark, 0, 3).coalesce(1))                   # v1
+    t3.delete(spark, "id = 1", mode="merge-on-read")          # v2
+    t3.append(_df(spark, 10, 11).coalesce(1))                 # v3
     r3 = _SnapshotStreamReader(str(t3.root), sch3, ignore_deletes=True)
     assert rows_of(
-        r3, r3.partitions({"version": -1}, {"version": 2})
-    ) == [10], "fully-dead file must serve zero rows"
+        r3, r3.partitions({"version": 0}, {"version": 3})
+    ) == [0, 2, 10]
+    # (c) INCREMENTAL walk: COW-delete retirement -> exact survivors
+    t4 = SnapshotTable(str(tmp_path / "t4"))
+    t4.append(_df(spark, 100, 101).coalesce(1))               # v0
+    sch4 = schema_of(t4)
+    t4.append(_df(spark, 0, 5).coalesce(1))                   # v1
+    t4.delete(spark, "id < 2")                                # v2: COW
+    t4.append(_df(spark, 10, 11).coalesce(1))                 # v3
+    r4 = _SnapshotStreamReader(
+        str(t4.root), sch4, skip_change_commits=True
+    )
+    assert rows_of(
+        r4, r4.partitions({"version": 0}, {"version": 3})
+    ) == [2, 3, 4, 10]
+    # (d) INCREMENTAL walk: remove-only full death -> file served empty
+    t5 = SnapshotTable(str(tmp_path / "t5"))
+    t5.append(_df(spark, 100, 101).coalesce(1))               # v0
+    sch5 = schema_of(t5)
+    t5.append(_df(spark, 0, 2).coalesce(1))                   # v1
+    t5.delete(spark, "id >= 0", mode="merge-on-read")         # v2: all dead
+    t5.append(_df(spark, 10, 11).coalesce(1))                 # v3
+    r5 = _SnapshotStreamReader(str(t5.root), sch5, ignore_deletes=True)
+    assert rows_of(
+        r5, r5.partitions({"version": 0}, {"version": 3})
+    ) == [10]
+    # (e) INCREMENTAL walk: a skipped MoR UPDATE must NOT vanish the
+    # updated rows (r11 pass 3: its consolidated dv entry marks the
+    # pre-images; masking them would lose the rows entirely — the
+    # skip-commit contract serves pre-update values, the COW posture)
+    t6 = SnapshotTable(str(tmp_path / "t6"))
+    t6.append(_df(spark, 100, 101).coalesce(1))               # v0
+    sch6 = schema_of(t6)
+    t6.append(_df(spark, 0, 2).coalesce(1))                   # v1
+    t6.update(
+        spark, "id = 0", {"v": "v + 999"}, mode="merge-on-read"
+    )                                                         # v2
+    t6.append(_df(spark, 10, 11).coalesce(1))                 # v3
+    r6 = _SnapshotStreamReader(
+        str(t6.root), sch6, skip_change_commits=True
+    )
+    assert rows_of(
+        r6, r6.partitions({"version": 0}, {"version": 3})
+    ) == [0, 1, 10], "skipped MoR update must serve pre-update rows"

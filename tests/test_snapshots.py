@@ -3345,3 +3345,41 @@ def test_read_changes_ignore_deletes_and_skip_change_commits(spark, table):
         ).count()
         == 0
     )
+    # a MoR delete hitting an IN-RANGE file: the feed must mask the
+    # retired rows instead of serving them as live inserts (review
+    # r11 pass 3 — parity with the stream source's dv-masked serve)
+    table.append(_kv(spark, [(7, 70), (8, 800)]).coalesce(1))    # v7
+    table.delete(spark, "v >= 500", mode="merge-on-read")        # v8
+    table.append(_kv(spark, [(9, 90)]).coalesce(1))              # v9
+    got = sorted(
+        (r.k, r.v)
+        for r in table.read_changes(
+            spark, since_version=6, ignore_deletes=True
+        ).collect()
+    )
+    assert got == [(7, 70), (9, 90)], "in-range-deleted row resurfaced"
+
+
+def test_process_changes_delete_tolerance_flags(spark, table, tmp_path):
+    """The incremental consumer accepts the stream source's
+    delete-tolerance opt-outs: with ignore_deletes a MoR delete in the
+    unseen range is skipped and the checkpoint advances; the default
+    stays wedged (and advances nothing)."""
+    ck = str(tmp_path / "ck")
+    got: list = []
+    handle = lambda df, v: got.extend(  # noqa: E731
+        r.k for r in df.collect()
+    )
+    table.append(_kv(spark, [(1, 10)]).coalesce(1))              # v0
+    assert table.process_changes(spark, ck, handle) == 0
+    table.delete(spark, "v >= 10", mode="merge-on-read")         # v1
+    table.append(_kv(spark, [(2, 20)]).coalesce(1))              # v2
+    with pytest.raises(ValueError, match="non-append"):
+        table.process_changes(spark, ck, handle)
+    # the failed run must not have advanced the checkpoint
+    assert (tmp_path / "ck").read_text().strip() == "0"
+    assert (
+        table.process_changes(spark, ck, handle, ignore_deletes=True)
+        == 2
+    )
+    assert got == [1, 2]
