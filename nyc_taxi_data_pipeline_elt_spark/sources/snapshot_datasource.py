@@ -665,66 +665,35 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         if not added:
             return [InputPartition(None)]
         masks: dict[str, list] = {}
-        dead_files: set = set()
         if self.ignore_deletes or self.skip_change_commits:
             # Deletion-vector masks for an INCREMENTAL range that both
             # adds and (via the tolerance flags) soft-deletes files:
-            # walk the range's manifest headers tracking each served
-            # file's LAST delete-driven dv entry, freezing it when the
-            # file leaves the set — a remove-only delete retirement
-            # means every remaining row died (serve nothing); a
-            # COW-delete retirement adds the frozen dv_new positions
-            # (exact survivors); compact/optimize/update retirements
-            # keep the pre-rewrite entry. Only DELETE commits refresh
-            # a file's mask: a skipped MoR UPDATE's consolidated entry
-            # marks the pre-images of updated rows, and masking those
-            # would VANISH the rows entirely (review r11 pass 3) — the
-            # skip-commit contract serves their pre-update values, the
-            # COW posture. Deletes touching files outside the served
+            # each served file is masked by the frozen ``dv_new``
+            # sidecars of the in-range DELETE commits that touched it
+            # (SnapshotTable._range_delete_masks — shared with the
+            # batch feed). The per-delete sidecars are the exact
+            # death set: the consolidated per-file dv entry also folds
+            # in skipped MoR updates' pre-images (masking those
+            # VANISHES the updated rows — review r11 pass 4, both
+            # orderings) and drops entirely when a rewrite retires the
+            # file. A fully-dead file masks to zero rows with no
+            # special case. Deletes touching files outside the served
             # set (delivered by earlier batches, or compacted
             # successors) are intentionally not retracted — the
             # divergence these flags opt into. Gated on the flags: a
             # flagless range can hold no dv-creating data op
             # (added_files raised first), so the walk would read
             # O(range) manifest headers to compute nothing.
-            from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
-                _dv_new_list,
-            )
-
-            aset = set(added)
-            frozen_f: set = set()
-            for v in range(sv0 + 1, ev + 1):
-                rv = raw if v == ev else table._raw_manifest(v)
-                is_delete = rv.get("op") == "delete"
-                if is_delete:
-                    cur_dv = rv.get("dv") or {}
-                    for f in (set(cur_dv) & aset) - frozen_f:
-                        masks[f] = [
-                            (str(root / cur_dv[f][0]), tail(f))
-                        ]
-                removed = set(rv.get("remove") or ()) & aset
-                for f in removed - frozen_f:
-                    frozen_f.add(f)
-                    if is_delete:
-                        if not rv.get("add"):
-                            # remove-only delete: every remaining row
-                            # of f died
-                            dead_files.add(f)
-                            masks.pop(f, None)
-                        else:
-                            # COW delete: prior dv + the frozen matched
-                            # positions = exact survivors of the
-                            # original (still-immutable) file
-                            for d in _dv_new_list(rv.get("dv_new")):
-                                masks.setdefault(f, []).append(
-                                    (str(root / d), tail(f))
-                                )
-        out = [
+            masks = {
+                f: [(str(root / sc), tail(f)) for sc in sidecars]
+                for f, sidecars in table._range_delete_masks(
+                    sv0, ev, added
+                ).items()
+            }
+        return [
             InputPartition((str(root / f), phys, masks.get(f)))
             for f in added
-            if f not in dead_files
         ]
-        return out if out else [InputPartition(None)]
 
     def read(self, partition: InputPartition):
         if partition.value is None:

@@ -4213,6 +4213,79 @@ class SnapshotTable:
             added.extend(f for f in s.files if f not in parent_files)
         return added
 
+    def _range_delete_masks(
+        self,
+        since_version: int,
+        until_version: int,
+        files,
+    ) -> dict:
+        """For each given rel file, the frozen ``dv_new`` sidecars of
+        every DELETE commit in ``(since, until]`` that touched it —
+        ``{rel_file: [rel_sidecar, ...]}``. This is the delete-ONLY
+        death set the tolerance flags need: the consolidated per-file
+        ``dv`` entry also folds in merge-on-read UPDATE pre-images
+        (review r11 pass 4 — masking those VANISHES updated rows whose
+        post-images ride the skipped commit), and it drops entirely
+        when a rewrite retires the file; the per-commit ``dv_new``
+        positions conflate neither. A file's accumulated sidecars are
+        its complete in-range death set (a file cannot be deleted from
+        before it exists), so a fully-dead file masks to zero rows
+        with no special case. Sidecar-less legacy deletes fall back to
+        the consolidated entry (pre-dv_new manifests predate MoR
+        updates, so it is delete-pure there). O(range) manifest-header
+        reads, no data I/O."""
+        out: dict = {}
+        frozen: set = set()
+        fset = set(files)
+        for v in range(since_version + 1, until_version + 1):
+            raw = self._raw_manifest(v)
+            if raw.get("op") == "delete":
+                touched = set(raw.get("dv_touched") or ()) | set(
+                    raw.get("remove") or ()
+                )
+                dvn = _dv_new_list(raw.get("dv_new"))
+                for f in (touched & fset) - frozen:
+                    if dvn:
+                        out.setdefault(f, []).extend(dvn)
+                    else:
+                        e = (raw.get("dv") or {}).get(f)
+                        if e:
+                            out[f] = [e[0]]
+            # any removal retires the file: later commits key their
+            # artifacts by its successor, which maps to nothing here
+            frozen |= set(raw.get("remove") or ()) & fset
+        return out
+
+    def _apply_frozen_masks(
+        self, spark: SparkSession, df: DataFrame, masks: dict
+    ) -> DataFrame:
+        """Filter out of ``df`` (a read over exactly ``masks``' files)
+        every (file, pos) recorded by the files' frozen sidecars — the
+        Spark twin of the connector's ``_mask_dv``. One read per
+        distinct (sidecar, file-key) pair, anti-joined positionally."""
+        pairs = sorted(
+            {
+                (sc, self._file_tail(f))
+                for f, sidecars in masks.items()
+                for sc in sidecars
+            }
+        )
+        if not pairs:
+            return df
+        dead = None
+        for sc, key in pairs:
+            part = (
+                spark.read.parquet(str(self.root / sc))
+                .filter(F_col("file") == key)
+                .selectExpr("file AS __dv_file__", "pos AS __dv_pos__")
+            )
+            dead = part if dead is None else dead.unionByName(part)
+        return (
+            self._tag_dv_cols(df)
+            .join(dead, ["__dv_file__", "__dv_pos__"], "left_anti")
+            .drop("__dv_file__", "__dv_pos__")
+        )
+
     def read_changes(
         self,
         spark: SparkSession,
@@ -4279,15 +4352,21 @@ class SnapshotTable:
                 reader = reader.option("mergeSchema", "true")
             out = reader.parquet(*[str(self.root / f) for f in added])
         if ignore_deletes or skip_change_commits:
-            # the tolerance flags let a MoR delete land INSIDE the
-            # range: mask the added files' rows that are dead as of
-            # ``until`` so the consumer never receives retired rows as
-            # live inserts (review r11 pass 3 — the stream source
-            # masks; the batch feed with the same option names must
-            # not resurrect). Rows in files retired by an in-range
+            # the tolerance flags let row-removing commits land INSIDE
+            # the range: mask the added files' rows killed by in-range
+            # DELETES so the consumer never receives retired rows as
+            # live inserts (review r11 passes 3-4 — the until-version
+            # dv map both drops entries for retired files, serving
+            # them raw, AND folds in skipped MoR updates' pre-images,
+            # vanishing those rows; the per-delete dv_new walk
+            # conflates neither). Rows in files retired by an in-range
             # rewrite keep their pre-rewrite values — the divergence
             # these flags opt into.
-            out = self._apply_dv(spark, out, added, dict(snap.dv or {}))
+            out = self._apply_frozen_masks(
+                spark,
+                out,
+                self._range_delete_masks(since_version, until, added),
+            )
         return out
 
     def _snapshot_frame_or_empty(

@@ -879,3 +879,54 @@ def test_stream_dv_mask_survives_file_retirement(spark, tmp_path):
     assert rows_of(
         r6, r6.partitions({"version": 0}, {"version": 3})
     ) == [0, 1, 10], "skipped MoR update must serve pre-update rows"
+
+
+def test_stream_walk_delete_after_skipped_update_keeps_preimages(
+    spark, tmp_path
+):
+    """Review r11 pass 4: a DELETE that follows a skipped MoR UPDATE
+    consolidates the update's pre-image positions into the same dv
+    entry — adopting it would vanish the updated rows. The walk masks
+    by the delete commits' frozen dv_new positions only, so the
+    updated row serves its pre-update value and the deleted row dies."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
+        _SnapshotStreamReader,
+    )
+
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    table.append(_df(spark, 100, 101).coalesce(1))            # v0: delivered
+    sch = to_arrow_schema(table.read(spark).schema)
+    table.append(_df(spark, 0, 3).coalesce(1))                # v1
+    table.update(
+        spark, "id = 0", {"v": "v + 999"}, mode="merge-on-read"
+    )                                                         # v2: skipped
+    table.delete(spark, "id = 1", mode="merge-on-read")       # v3
+    table.append(_df(spark, 10, 11).coalesce(1))              # v4
+    r = _SnapshotStreamReader(
+        str(table.root), sch, skip_change_commits=True
+    )
+    got = sorted(
+        (x["id"].as_py(), x["v"].as_py())
+        for p in r.partitions({"version": 0}, {"version": 4})
+        if p.value is not None
+        for b in r.read(p)
+        for x in b.to_struct_array()
+    )
+    # id=0 serves its PRE-update value (0*2=0); id=1 is dead; and the
+    # "fully dead after the stack" shape is covered by a second delete
+    assert got == [(0, 0), (2, 4), (10, 20)]
+    # deleting the remaining original rows must not vanish id=0 either
+    table.delete(spark, "id = 2", mode="merge-on-read")       # v5
+    r2 = _SnapshotStreamReader(
+        str(table.root), sch, skip_change_commits=True
+    )
+    got2 = sorted(
+        x["id"].as_py()
+        for p in r2.partitions({"version": 0}, {"version": 5})
+        if p.value is not None
+        for b in r2.read(p)
+        for x in b.to_struct_array()
+    )
+    assert got2 == [0, 10]

@@ -3383,3 +3383,57 @@ def test_process_changes_delete_tolerance_flags(spark, table, tmp_path):
         == 2
     )
     assert got == [1, 2]
+
+
+def test_read_changes_masks_follow_delete_commits_only(spark, table):
+    """Review r11 pass 4: the batch feed's tolerance masking must use
+    the in-range DELETE commits' frozen dv_new sidecars — the
+    until-version dv map drops entries for retired files (serving
+    dead rows raw) and folds in skipped MoR updates' pre-images
+    (vanishing the updated rows)."""
+    table.append(_kv(spark, [(100, 1)]).coalesce(1))             # v0
+    # (i) delete then compact: entry materialized away at until
+    table.append(_kv(spark, [(1, 10), (2, 20), (3, 30)]).coalesce(1))  # v1
+    table.delete(spark, "k = 2", mode="merge-on-read")           # v2
+    table.compact(spark, target_files=1)                         # v3
+    got = sorted(
+        r.k
+        for r in table.read_changes(
+            spark, since_version=0, ignore_deletes=True
+        ).collect()
+    )
+    assert got == [1, 3], "compact must not resurrect the deleted row"
+    # (ii) COW delete retires the file: dv_new = exact survivors
+    table.append(_kv(spark, [(4, 40), (5, 50)]).coalesce(1))     # v4
+    table.delete(spark, "k = 4")                                 # v5: COW
+    got = sorted(
+        r.k
+        for r in table.read_changes(
+            spark, since_version=3, skip_change_commits=True
+        ).collect()
+    )
+    assert got == [5], "COW-deleted row resurfaced in the batch feed"
+    # (iii) skipped MoR UPDATE: pre-image must NOT vanish
+    table.append(_kv(spark, [(6, 60), (7, 70)]).coalesce(1))     # v6
+    table.update(
+        spark, "k = 6", {"v": "v + 999"}, mode="merge-on-read"
+    )                                                            # v7
+    table.delete(spark, "k = 7", mode="merge-on-read")           # v8
+    got = sorted(
+        (r.k, r.v)
+        for r in table.read_changes(
+            spark, since_version=5, skip_change_commits=True
+        ).collect()
+    )
+    assert got == [(6, 60)], (
+        "skipped-update pre-image vanished or deleted row resurfaced"
+    )
+    # (iv) remove-only full death: file serves zero rows
+    table.append(_kv(spark, [(8, 80)]).coalesce(1))              # v9
+    table.delete(spark, "k = 8", mode="merge-on-read")           # v10
+    assert (
+        table.read_changes(
+            spark, since_version=8, ignore_deletes=True
+        ).count()
+        == 0
+    )
