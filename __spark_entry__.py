@@ -45,81 +45,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records correctness rows for the FIRST 50 entries of
-# ``queries()`` insertion order. Round-11 rotation (VERDICT r10 task #1,
-# executing COVERAGE.md's "r11 rotation pre-computation", re-derived
-# against the actual CORRECTNESS_r10.json: staleness distribution is
-# 50@r10 / 50@r9 / 50@r8 / 45@r7, zero never-green, 195 registered ==
-# 195 ever-green). This window is the 45 queries whose newest green
-# driver row is r7 — the oldest evidence in the ledger (includes the
-# whole simsearch IVF/PQ family, the eight r7-era streaming queries,
-# the graph suite, and the classic agg/pivot/grouping-set block) —
-# plus the alphabetically-first r8 rows starting the r8 cohort
-# refresh. Window invariant: every member's newest prior green row is
-# <= r8; after this round no registered query's evidence predates r8.
-# Everything displaced is r9/r10 driver-hash-verified and remains
+# ``queries()`` insertion order. Round-12 rotation (VERDICT r11 task #1),
+# re-derived against the actual CORRECTNESS_r11.json: staleness
+# distribution is 46@r8 / 50@r9 / 50@r10 / 50@r11, zero never-green,
+# 196 registered == 196 ever-green. This window is the 46 queries whose
+# newest green driver row is r8 — the oldest evidence in the ledger —
+# plus the alphabetically-first r9 rows starting the r9 cohort refresh.
+# Window invariant: every member's newest prior green row is <= r9;
+# after this round no registered query's evidence predates r9.
+# Everything displaced is r10/r11 driver-hash-verified and remains
 # registered, benchmarked, and locally parity-tested;
 # tests/test_window_coverage.py FAILS the suite if any registered query
 # has neither a driver row in any CORRECTNESS_r*.json nor a slot here,
 # and if this list exceeds the 50 slots the driver actually records.
 # NEW queries registered this round take a slot by displacing the
-# alphabetically-last r8 filler (note it in COVERAGE.md) — the r8
+# alphabetically-last r9 filler (note it in COVERAGE.md) — the r8
 # snapshot_time_travel_read pattern.
 _PRIORITY_WINDOW = [
-    # --- stalest: newest green row is r7 (45) ---------------------------
-    "cube_order_stats",
-    "customer_max_order_subquery",
-    "customers_with_big_order",
-    "customers_without_open_orders",
-    "dedup_canonical_docs",
-    "dedup_clusters",
-    "dedup_exact_docs",
-    "dedup_fingerprint_docs",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "distinct_customers_per_priority",
-    "doc_stratified_split",
-    "dsir_importance_select",
-    "events_gap_fill",
-    "events_json_stats",
-    "events_seasonal_decompose",
-    "events_variant_stats",
-    "events_xml_stats",
-    "forecast_revenue",
-    "grouping_sets_sales",
-    "heavy_hitter_tokens",
-    "nation_reach_bfs",
-    "nation_trade_volume",
-    "order_date_features",
-    "order_price_percentiles",
-    "order_rank_positions",
-    "orders_pivot_status",
-    "pagerank_dangling",
-    "pagerank_nation_trade",
-    "simsearch_ivf_kmeans",
-    "simsearch_ivf_multiprobe",
-    "simsearch_ivf_topk",
-    "simsearch_pq_rerank",
-    "simsearch_pq_topk",
-    "snapshot_zorder_pruned_scan",
-    "streaming_click_purchase_join",
-    "streaming_dedup_slots",
-    "streaming_late_data_tumbling",
-    "streaming_segment_counts",
-    "streaming_session_counts",
-    "streaming_sliding_totals",
-    "streaming_snapshot_source_counts",
-    "streaming_stateful_user_counts",
-    "streaming_tumbling_counts",
-    "triangles_neardup",
-    # --- r8 cohort refresh: alphabetically-first r8 rows ----------------
-    "big_spender_loners",
-    "bigrams_udtf",
-    "blocklist_scrub_docs",
-    "cdc_orders_merge",
-    # NEW r11 query (ignoreDeletes + column-mapped streaming drive)
-    # takes slot 50 by displacing the alphabetically-last r8 filler
-    # (chunk_documents — keeps its r8 green row)
-    "snapshot_mapped_stream_read",
+    # --- stalest: newest green row is r8 (46) ---------------------------
+    "chunk_documents",
+    "customer_order_distribution",
+    "customer_status_history",
+    "customer_year_overlap",
+    "decontaminate_train_docs",
+    "dedup_simhash",
+    "disjunctive_part_revenue",
+    "doc_global_index",
+    "doc_token_stats_arrow",
+    "doc_weighted_sample",
+    "dq_filter_orders",
+    "embedding_neardup_blocked",
+    "embedding_quantize",
+    "lone_fault_suppliers",
+    "nation_market_share",
+    "overstocked_suppliers",
+    "price_quantity_stats",
+    "pricing_summary",
+    "priority_by_linestatus",
+    "priority_lines_by_flag",
+    "promo_revenue_share",
+    "q2_hourly_avg_value",
+    "quantity_profile_by_flag",
+    "repeat_high_value_customers",
+    "resample_events_daily",
+    "revenue_by_nation",
+    "rolling_weekly_spend",
+    "rollup_pricing",
+    "running_customer_spend",
+    "salted_orders_per_segment",
+    "scd2_user_event_type",
+    "sessionize_users",
+    "shipping_priority_topk",
+    "small_qty_part_revenue",
+    "snapshot_table_roundtrip",
+    "snapshot_time_travel_read",
+    "source_extremes_arrow",
+    "status_counts_long",
+    "tfidf_top_terms",
+    "token_array_features",
+    "topk_orders",
+    "unigram_lm_scores",
+    "union_fleets_unify",
+    "user_conversion_cogroup",
+    "user_event_type_map",
+    "valuable_parts",
+    # --- r9 cohort refresh: alphabetically-first r9 rows ----------------
+    "ab_test_event_value",
+    "audio_energy_profile",
+    "balanced_shard_packing",
+    "bigram_lm_scores",
 ]
 
 _PLAN_MODULES = (
