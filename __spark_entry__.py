@@ -113,7 +113,11 @@ _PRIORITY_WINDOW = [
     "ab_test_event_value",
     "audio_energy_profile",
     "balanced_shard_packing",
-    "bigram_lm_scores",
+    # NEW r12 query (MERGE clause parity: conditional when_matched +
+    # when_not_matched_by_source full sync) takes slot 50 by displacing
+    # the alphabetically-last r9 filler (bigram_lm_scores — keeps its
+    # r9 green row)
+    "cdc_full_sync_merge",
 ]
 
 _PLAN_MODULES = (

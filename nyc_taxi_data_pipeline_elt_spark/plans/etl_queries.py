@@ -214,6 +214,111 @@ GROUP BY o_orderstatus
 """
 
 
+def cdc_full_sync_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-sync mirror MERGE (VERDICT r11 task #3): apply a complete
+    current-state batch to the orders snapshot table with ALL THREE
+    Delta clause shapes at once —
+
+    - ``when_matched`` CONDITIONAL (``source.o_totalprice >
+      target.o_totalprice``, the CDC update-only-if-newer idiom): the
+      deterministic batch bumps even keys x1.5 (passes) and halves odd
+      keys x0.5 (fails — target row must stay verbatim);
+    - ``when_not_matched='insert'``: shifted keys absent from the
+      target enter;
+    - ``when_not_matched_by_source='delete'``: every target row the
+      batch no longer carries (keys not divisible by 3) is purged —
+      after the merge the table IS the reconciled mirror.
+
+    Price arithmetic runs in DECIMAL on both engines (the
+    cdc_orders_merge lesson): cent-grid values times 1.5/0.5 stay
+    exact, so the matched condition compares identical doubles in
+    Spark and DuckDB. The merge drive IS the query, so the table is
+    rebuilt per call under an ephemeral root.
+    """
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import SnapshotTable
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    table = SnapshotTable(ephemeral_root("fullsync") + "/tbl")
+    table.append(orders)
+
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    mult = (
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(1.5))
+        .otherwise(F.lit(0.5))
+        .cast("decimal(2,1)")
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_orderstatus", F.lit("S"))
+        .withColumn(
+            "o_totalprice", F.round(price_dec * mult, 2).cast("double")
+        )
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100000000))
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    table.merge(
+        spark,
+        updates.unionByName(inserts),
+        ["o_orderkey"],
+        when_matched=("update", "source.o_totalprice > target.o_totalprice"),
+        when_not_matched="insert",
+        when_not_matched_by_source="delete",
+    )
+    return (
+        table.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("key_checksum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+CDC_FULL_SYNC_ORACLE = """
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'S' AS o_orderstatus,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                    * CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1.5 ELSE 0.5 END
+                           AS DECIMAL(2,1)), 2) AS DOUBLE) AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 3 = 0
+), ins AS (
+  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0
+), src AS (
+  SELECT * FROM upd UNION ALL SELECT * FROM ins
+), merged AS (
+  -- matched, condition passes: source version replaces the row
+  SELECT s.* FROM src s JOIN orders t ON s.o_orderkey = t.o_orderkey
+  WHERE s.o_totalprice > t.o_totalprice
+  UNION ALL
+  -- matched, condition fails: target row kept verbatim
+  SELECT t.* FROM orders t JOIN src s ON s.o_orderkey = t.o_orderkey
+  WHERE NOT (s.o_totalprice > t.o_totalprice)
+  UNION ALL
+  -- not matched by target: inserts
+  SELECT s.* FROM src s
+  WHERE NOT EXISTS (SELECT 1 FROM orders t
+                    WHERE t.o_orderkey = s.o_orderkey)
+  -- not matched by source: deleted (absent from the mirror)
+)
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM merged
+GROUP BY o_orderstatus
+"""
+
+
 def snapshot_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end drive of the snapshot table format
     (``sources/snapshots.py``): orders land in two append commits, the
@@ -1033,6 +1138,7 @@ GROUP BY o_orderstatus
 QUERIES = {
     "scd2_user_event_type": scd2_user_event_type,
     "cdc_orders_merge": cdc_orders_merge,
+    "cdc_full_sync_merge": cdc_full_sync_merge,
     "snapshot_table_roundtrip": snapshot_table_roundtrip,
     "snapshot_change_feed": snapshot_change_feed,
     "snapshot_zorder_pruned_scan": snapshot_zorder_pruned_scan,
@@ -1051,6 +1157,7 @@ QUERIES = {
 ORACLE = {
     "scd2_user_event_type": SCD2_ORACLE,
     "cdc_orders_merge": CDC_ORACLE,
+    "cdc_full_sync_merge": CDC_FULL_SYNC_ORACLE,
     "snapshot_table_roundtrip": SNAPSHOT_ROUNDTRIP_ORACLE,
     "snapshot_change_feed": SNAPSHOT_CDF_ORACLE,
     "snapshot_zorder_pruned_scan": SNAPSHOT_ZORDER_ORACLE,

@@ -63,9 +63,11 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import coalesce as F_coalesce
 from pyspark.sql.functions import col as F_col
+from pyspark.sql.functions import expr as F_expr
 from pyspark.sql.functions import lit as F_lit
 from pyspark.sql.functions import max as F_max
 from pyspark.sql.functions import min as F_min
+from pyspark.sql.functions import when as F_when
 
 
 def _file_stats(abspath: str) -> dict:
@@ -227,6 +229,63 @@ def _cdf_enabled(snap: "Snapshot") -> bool:
         str((snap.properties or {}).get("delta.enableChangeDataFeed", ""))
         .lower()
         == "true"
+    )
+
+
+def _merge_clause(
+    spec, name: str, actions: tuple
+) -> tuple[str | None, str | None]:
+    """Normalize a MERGE clause spec — ``None``, a bare action string,
+    or ``(action, condition_sql)`` — to ``(action, condition)``. The
+    legal actions differ per clause (matched: update|delete;
+    not-matched: insert), so callers pass them in."""
+    if spec is None:
+        return None, None
+    cond = None
+    if isinstance(spec, tuple):
+        if len(spec) != 2 or not isinstance(spec[1], str):
+            raise ValueError(
+                f"{name} tuple form is (action, condition_sql), got {spec!r}"
+            )
+        spec, cond = spec
+    if spec not in actions:
+        raise ValueError(
+            f"{name} must be {'|'.join(actions)}|None, got {spec!r}"
+        )
+    return spec, cond
+
+
+def _merge_by_source_clause(
+    spec,
+) -> tuple[str, dict | None, str | None] | None:
+    """Normalize a ``when_not_matched_by_source`` spec to
+    ``(action, set_map, condition)``: ``"delete"`` /
+    ``("delete", cond)`` / ``("update", set_map)`` /
+    ``("update", set_map, cond)``. Set expressions and conditions see
+    only the target row (there is no source row for these), so column
+    references are unqualified."""
+    if spec is None:
+        return None
+    if spec == "delete":
+        return "delete", None, None
+    if isinstance(spec, tuple) and spec:
+        if spec[0] == "delete" and len(spec) == 2 and isinstance(spec[1], str):
+            return "delete", None, spec[1]
+        if (
+            spec[0] == "update"
+            and len(spec) in (2, 3)
+            and isinstance(spec[1], dict)
+            and spec[1]
+            and all(
+                isinstance(k, str) and isinstance(v, str)
+                for k, v in spec[1].items()
+            )
+            and (len(spec) == 2 or isinstance(spec[2], str))
+        ):
+            return "update", spec[1], spec[2] if len(spec) == 3 else None
+    raise ValueError(
+        "when_not_matched_by_source must be 'delete', ('delete', cond), "
+        f"('update', set_map) or ('update', set_map, cond), got {spec!r}"
     )
 
 
@@ -2234,16 +2293,41 @@ class SnapshotTable:
         spark: SparkSession,
         source: DataFrame,
         key_cols: list[str],
-        when_matched: str = "update",
-        when_not_matched: str | None = "insert",
+        when_matched: str | tuple | None = "update",
+        when_not_matched: str | tuple | None = "insert",
+        when_not_matched_by_source: str | tuple | None = None,
         change_data: bool = False,
     ) -> Snapshot:
         """MERGE INTO at the table-format layer: apply ``source`` rows to
         the table by ``key_cols`` as ONE atomic snapshot commit —
         ``when_matched`` = ``update`` (source row replaces the target
-        row) or ``delete``; ``when_not_matched`` = ``insert`` or None
-        (update/delete-only). The Delta MERGE the reference's stack would
-        lean on for CDC application, built on this format's primitives.
+        row), ``delete``, or None (no matched clause); ``when_not_matched``
+        = ``insert`` or None (update/delete-only). The Delta MERGE the
+        reference's stack would lean on for CDC application, built on
+        this format's primitives.
+
+        **Per-clause conditions** (Delta's ``whenMatched(condition)`` —
+        VERDICT r11 task #3): ``when_matched`` / ``when_not_matched``
+        also accept ``(action, condition_sql)``. A matched-clause
+        condition sees BOTH rows via the qualified names ``target.<col>``
+        / ``source.<col>`` (the CDC idiom ``source.ts > target.ts``:
+        apply only newer source rows); matched rows where it is
+        FALSE/NULL are left in place, and — MERGE clause semantics — a
+        key-matched source row whose condition fails never falls through
+        to the not-matched clause. A not-matched-clause condition sees
+        only the source row (unqualified names); unmatched source rows
+        failing it are simply not inserted.
+
+        **``when_not_matched_by_source``** (Delta's
+        ``whenNotMatchedBySource`` — the full-sync mirror shape: target
+        rows ABSENT from the source batch get updated or deleted):
+        ``"delete"`` / ``("delete", condition_sql)`` /
+        ``("update", set_map)`` / ``("update", set_map, condition_sql)``
+        where ``set_map`` is ``{col: sql_expr}``. There is no source row
+        in scope, so conditions and set expressions reference target
+        columns UNQUALIFIED — which is also what lets the manifest-stats
+        prover prune on them (below). Rows failing the condition are
+        kept unchanged.
 
         Copy-on-write driven by manifest stats, like ``replace_where``: a
         file whose recorded [min, max] envelope on ANY key column is
@@ -2256,6 +2340,17 @@ class SnapshotTable:
         only, which is complete because pruned files provably hold no
         matching key. Rows with NULL keys never equal any source key and
         flow through the anti-join untouched (SQL MERGE semantics).
+
+        ``when_not_matched_by_source`` INVERTS what pruning may assume:
+        a file disjoint from the source's key range holds ONLY
+        by-source rows, so it can no longer be carried on key stats
+        alone — it is carried only when the by-source clause has a
+        condition the file's [min, max] envelope PROVES unsatisfiable
+        (:func:`_pred_disjoint_by_stats`); an UNconditional by-source
+        clause touches every file, which is the true cost of a full
+        mirror sync. The concurrent-append rebase guard inverts the
+        same way: a concurrently-added file must be both key-disjoint
+        and by-source-condition-disjoint to survive a rebase.
 
         Like Delta, raises when several source rows share a key (the
         "multiple source rows matched" ambiguity) — one cheap action on
@@ -2274,11 +2369,18 @@ class SnapshotTable:
         in the CDF, as before. Change files follow manifest retention:
         vacuum reclaims them with their manifest.
         """
-        if when_matched not in ("update", "delete"):
-            raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
-        if when_not_matched not in ("insert", None):
+        m_action, m_cond = _merge_clause(
+            when_matched, "when_matched", ("update", "delete")
+        )
+        nm_action, nm_cond = _merge_clause(
+            when_not_matched, "when_not_matched", ("insert",)
+        )
+        bs = _merge_by_source_clause(when_not_matched_by_source)
+        if m_action is None and nm_action is None and bs is None:
             raise ValueError(
-                f"when_not_matched must be insert|None, got {when_not_matched!r}"
+                f"{self.root}: merge needs at least one clause "
+                "(when_matched / when_not_matched / "
+                "when_not_matched_by_source are all None)"
             )
         dup = (
             source.groupBy(*key_cols)
@@ -2294,7 +2396,13 @@ class SnapshotTable:
             )
         cur = self.current_version()
         if cur is None:
-            if when_not_matched == "insert":
+            if nm_action == "insert":
+                # no target exists: every source row is not-matched; a
+                # not-matched condition (source scope) still gates entry
+                if nm_cond is not None:
+                    source = source.filter(
+                        F_coalesce(F_expr(nm_cond), F_lit(False))
+                    )
                 cdc0 = (
                     self._write_change_data(
                         source.withColumn("_change_type", F_lit("insert"))
@@ -2360,11 +2468,25 @@ class SnapshotTable:
                 for c in key_cols
             )
 
+        def _file_carried(fstats: dict) -> bool:
+            """True when the file provably needs no rewrite: key-disjoint
+            (holds no matched row), AND — pruning inversion under a
+            by-source clause, whose scope is exactly the key-disjoint
+            rows — the clause has a condition the file's stats prove
+            unsatisfiable. Shared with the rebase added-file guard."""
+            if not _keys_disjoint(fstats):
+                return False
+            if bs is None:
+                return True
+            return bs[2] is not None and _pred_disjoint_by_stats(
+                bs[2], self._logical_view(fstats, cmap)
+            )
+
         stats = dict(snap.stats or {})
         carried: list[str] = []
         touched: list[str] = []
         for f in snap.files:
-            (carried if _keys_disjoint(stats.get(f, {})) else touched).append(f)
+            (carried if _file_carried(stats.get(f, {})) else touched).append(f)
 
         # ONE read of the touched slice feeds the anti-join, the
         # update-only semi-join, and the CDC block (review r9: a
@@ -2391,40 +2513,142 @@ class SnapshotTable:
                 f"{self.root}: merge source columns {sorted(source.columns)} "
                 f"!= table columns {sorted(target.columns)}"
             )
+        if bs is not None and bs[0] == "update" and target is not None:
+            unknown = sorted(set(bs[1]) - set(target.columns))
+            if unknown:
+                raise ValueError(
+                    f"{self.root}: when_not_matched_by_source set_map "
+                    f"assigns unknown columns {unknown}"
+                )
+        skeys = source.select(*key_cols)
+        pairs = m_ct = None
+        if target is not None and m_cond is not None:
+            # the matched condition's scope is (target row, source row):
+            # evaluate it over the key-joined pairs under Delta's
+            # qualified names. Source keys are unique (checked above),
+            # so each target row joins at most one source row and the
+            # pair set is exactly the matched target slice.
+            pairs = target.alias("target").join(
+                source.alias("source"),
+                [
+                    F_col(f"target.{k}") == F_col(f"source.{k}")
+                    for k in key_cols
+                ],
+                "inner",
+            )
+            m_ct = F_coalesce(F_expr(m_cond), F_lit(False))
+
+        # 1. target rows NOT matched by any source key: kept verbatim
+        #    without a by-source clause, else transformed by it
         out_rows = None
         if target is not None:
-            out_rows = target.join(
-                source.select(*key_cols), key_cols, "left_anti"
-            )
-        if when_matched == "update" or when_not_matched == "insert":
-            if when_not_matched != "insert":
-                # update-only: keep just the source rows that matched
-                incoming = (
-                    source.join(target_keys, key_cols, "left_semi")
-                    if target is not None
-                    else None
-                )
-            elif when_matched == "delete" and target is not None:
-                # delete+insert: a MATCHED source row must NOT re-enter
-                # the table as an insert — its match was just deleted
-                # (review r9: `incoming = source` resurrected it, against
-                # MERGE semantics and the CDF's replay contract)
-                incoming = source.join(target_keys, key_cols, "left_anti")
-            else:
-                incoming = source  # matched updates + unmatched inserts
-            if incoming is not None:
-                cols = out_rows.columns if out_rows is not None else incoming.columns
-                incoming = incoming.select(*cols)
+            tns = target.join(skeys, key_cols, "left_anti")
+            if bs is None:
+                out_rows = tns
+            elif bs[0] == "delete":
                 out_rows = (
-                    incoming
-                    if out_rows is None
-                    else out_rows.unionByName(incoming)
+                    None  # unconditional: every by-source row goes
+                    if bs[2] is None
+                    else tns.filter(
+                        ~F_coalesce(F_expr(bs[2]), F_lit(False))
+                    )
                 )
+            else:  # by-source update: ONE projection, CASE WHEN per col
+                bs_ct = (
+                    F_coalesce(F_expr(bs[2]), F_lit(False))
+                    if bs[2] is not None
+                    else F_lit(True)
+                )
+                out_rows = tns.select(
+                    *[
+                        F_when(bs_ct, F_expr(bs[1][c]))
+                        .otherwise(F_col(c))
+                        .alias(c)
+                        if c in bs[1]
+                        else F_col(c)
+                        for c in tns.columns
+                    ]
+                )
+
+        # 2. matched target rows that STAY: all of them when there is no
+        #    matched clause, the condition-failing ones when the clause
+        #    is conditional (an unconditional action keeps none)
+        if target is not None:
+            kept = None
+            if m_action is None:
+                kept = target.join(skeys, key_cols, "left_semi")
+            elif m_cond is not None:
+                kept = pairs.filter(~m_ct).select("target.*")
+            if kept is not None:
+                out_rows = (
+                    kept if out_rows is None else out_rows.unionByName(kept)
+                )
+
+        # 3. incoming source rows. The condition-free shapes keep their
+        #    original 0/1-join plans; conditional clauses derive the
+        #    qualifying keys from the SAME pair set the keep side used.
+        incoming = None
+        if m_cond is None and nm_cond is None:
+            if m_action == "update" or nm_action == "insert":
+                if nm_action != "insert":
+                    # update-only: keep just the source rows that matched
+                    incoming = (
+                        source.join(target_keys, key_cols, "left_semi")
+                        if target is not None
+                        else None
+                    )
+                elif m_action == "delete" and target is not None:
+                    # delete+insert: a MATCHED source row must NOT re-enter
+                    # the table as an insert — its match was just deleted
+                    # (review r9: `incoming = source` resurrected it, against
+                    # MERGE semantics and the CDF's replay contract)
+                    incoming = source.join(target_keys, key_cols, "left_anti")
+                elif m_action == "update":
+                    incoming = source  # matched updates + unmatched inserts
+                else:
+                    # no matched clause: only the unmatched rows may enter
+                    incoming = (
+                        source.join(target_keys, key_cols, "left_anti")
+                        if target is not None
+                        else source
+                    )
+        else:
+            if m_action == "update" and target is not None:
+                if m_cond is None:
+                    incoming = source.join(target_keys, key_cols, "left_semi")
+                else:
+                    wk = pairs.filter(m_ct).select(
+                        *[F_col(f"source.{k}").alias(k) for k in key_cols]
+                    )
+                    incoming = source.join(wk, key_cols, "left_semi")
+            if nm_action == "insert":
+                new_in = (
+                    source.join(target_keys, key_cols, "left_anti")
+                    if target is not None
+                    else source
+                )
+                if nm_cond is not None:
+                    new_in = new_in.filter(
+                        F_coalesce(F_expr(nm_cond), F_lit(False))
+                    )
+                incoming = (
+                    new_in
+                    if incoming is None
+                    else incoming.unionByName(new_in)
+                )
+        if incoming is not None:
+            cols = out_rows.columns if out_rows is not None else incoming.columns
+            incoming = incoming.select(*cols)
+            out_rows = (
+                incoming
+                if out_rows is None
+                else out_rows.unionByName(incoming)
+            )
         cdc_files: list[str] = []
         if change_data:
             cdc_parts = self._merge_change_rows(
                 source, target, target_keys, key_cols,
-                when_matched, when_not_matched,
+                m_action, m_cond, nm_action, nm_cond, bs, pairs, m_ct,
             )
             if cdc_parts:
                 changes = cdc_parts[0]
@@ -2449,7 +2673,7 @@ class SnapshotTable:
                 new_files=fresh,
                 new_stats=fresh_stats,
                 spark=spark,
-                added_guard=lambda rel, fstats: _keys_disjoint(fstats),
+                added_guard=lambda rel, fstats: _file_carried(fstats),
                 recheck=(fresh, fresh_stats, enforced),
                 extra={"cdc_files": cdc_files} if change_data else None,
                 evolve_with=source,
@@ -2471,8 +2695,13 @@ class SnapshotTable:
         target: DataFrame | None,
         target_keys: DataFrame | None,
         key_cols: list[str],
-        when_matched: str,
-        when_not_matched: str | None,
+        m_action: str | None,
+        m_cond: str | None,
+        nm_action: str | None,
+        nm_cond: str | None,
+        bs: tuple | None,
+        pairs: DataFrame | None,
+        m_ct,
     ) -> list[DataFrame]:
         """The CDF change rows a merge produces, matching THIS engine's
         merge semantics exactly (a consumer replaying them reproduces
@@ -2488,7 +2717,16 @@ class SnapshotTable:
           the batch);
         - ``when_matched='delete'`` preimages are plain ``delete``;
         - unmatched source rows are ``insert`` when
-          ``when_not_matched='insert'``.
+          ``when_not_matched='insert'``;
+        - a CONDITIONAL matched clause scopes all of the above to the
+          condition-passing pairs (``pairs``/``m_ct`` — the same pair
+          set the commit's keep side used, so replay and table agree
+          even for a non-deterministic-looking condition); rows whose
+          condition fails produce no change rows;
+        - ``when_not_matched_by_source``: affected rows (by-source rows
+          passing the clause condition) emit ``delete`` preimages, or
+          ``update_preimage``/``update_postimage`` pairs with the
+          postimage re-deriving the committed set expressions.
 
         The duplicate-arity split derives both key sets from ONE shared
         per-key count aggregate over the MATCHED slice (review r9: a
@@ -2498,46 +2736,89 @@ class SnapshotTable:
         change_data's documented opt-in price."""
         parts: list[DataFrame] = []
         if target is None:
-            if when_not_matched == "insert":
+            if nm_action == "insert":
+                src_in = (
+                    source
+                    if nm_cond is None
+                    else source.filter(
+                        F_coalesce(F_expr(nm_cond), F_lit(False))
+                    )
+                )
                 parts.append(
-                    source.withColumn("_change_type", F_lit("insert"))
+                    src_in.withColumn("_change_type", F_lit("insert"))
                 )
             return parts
         cols = target.columns
         skeys = source.select(*key_cols)
-        matched = target.join(skeys, key_cols, "left_semi")
-        if when_matched == "delete":
-            parts.append(
-                matched.withColumn("_change_type", F_lit("delete"))
+        if m_action is not None:
+            matched = (
+                target.join(skeys, key_cols, "left_semi")
+                if m_cond is None
+                else pairs.filter(m_ct).select("target.*")
             )
-        else:
-            counts = matched.groupBy(*key_cols).count()
-            single_keys = counts.filter(F_col("count") == 1).select(*key_cols)
-            dup_keys = counts.filter(F_col("count") > 1).select(*key_cols)
+            if m_action == "delete":
+                parts.append(
+                    matched.withColumn("_change_type", F_lit("delete"))
+                )
+            else:
+                counts = matched.groupBy(*key_cols).count()
+                single_keys = counts.filter(F_col("count") == 1).select(*key_cols)
+                dup_keys = counts.filter(F_col("count") > 1).select(*key_cols)
+                parts.append(
+                    matched.join(single_keys, key_cols, "left_semi")
+                    .withColumn("_change_type", F_lit("update_preimage"))
+                )
+                parts.append(
+                    matched.join(dup_keys, key_cols, "left_semi")
+                    .withColumn("_change_type", F_lit("delete"))
+                )
+                parts.append(
+                    source.join(single_keys, key_cols, "left_semi")
+                    .select(*cols)
+                    .withColumn("_change_type", F_lit("update_postimage"))
+                )
+                parts.append(
+                    source.join(dup_keys, key_cols, "left_semi")
+                    .select(*cols)
+                    .withColumn("_change_type", F_lit("insert"))
+                )
+        if nm_action == "insert":
+            new_in = source.join(target_keys, key_cols, "left_anti")
+            if nm_cond is not None:
+                new_in = new_in.filter(
+                    F_coalesce(F_expr(nm_cond), F_lit(False))
+                )
             parts.append(
-                matched.join(single_keys, key_cols, "left_semi")
-                .withColumn("_change_type", F_lit("update_preimage"))
-            )
-            parts.append(
-                matched.join(dup_keys, key_cols, "left_semi")
-                .withColumn("_change_type", F_lit("delete"))
-            )
-            parts.append(
-                source.join(single_keys, key_cols, "left_semi")
-                .select(*cols)
-                .withColumn("_change_type", F_lit("update_postimage"))
-            )
-            parts.append(
-                source.join(dup_keys, key_cols, "left_semi")
-                .select(*cols)
+                new_in.select(*cols)
                 .withColumn("_change_type", F_lit("insert"))
             )
-        if when_not_matched == "insert":
-            parts.append(
-                source.join(target_keys, key_cols, "left_anti")
-                .select(*cols)
-                .withColumn("_change_type", F_lit("insert"))
+        if bs is not None:
+            tns = target.join(skeys, key_cols, "left_anti")
+            affected = (
+                tns
+                if bs[2] is None
+                else tns.filter(F_coalesce(F_expr(bs[2]), F_lit(False)))
             )
+            if bs[0] == "delete":
+                parts.append(
+                    affected.withColumn("_change_type", F_lit("delete"))
+                )
+            else:
+                parts.append(
+                    affected.withColumn(
+                        "_change_type", F_lit("update_preimage")
+                    )
+                )
+                parts.append(
+                    affected.select(
+                        *[
+                            F_expr(bs[1][c]).alias(c)
+                            if c in bs[1]
+                            else F_col(c)
+                            for c in cols
+                        ]
+                    ).withColumn("_change_type", F_lit("update_postimage"))
+                )
         return parts
 
     def delete(

@@ -15,11 +15,15 @@ exactly the new files with per-file schema conformance — the same drift
 path as the batch pipeline — and commits both sinks (consumer + DLQ).
 
 Exactly-once: file-source checkpointing guarantees each file is delivered
-to exactly one batch. The per-batch writes are appends; a retried batch
-could double-append, so BOTH sinks (consumer and DLQ) stamp ``_batch_id``
-on every row — duplicates from a retried batch share a batch id and are
-reconcilable by keeping one copy per (_batch_id, key); a real deployment
-would commit via a transactional table format. At scale this pattern is the autoloader shape: discovery is
+to exactly one batch, and when ``consumer_table`` is set the consumer
+sink commits each batch through ``SnapshotTable.commit_batch`` — the
+transactional table format's idempotent batch ledger, so a retried batch
+is a no-op and the end-to-end path is exactly-once, not merely
+reconcilable. The DLQ sink and the path-sink consumer fallback (no
+table) remain plain appends stamping ``_batch_id`` on every row, so a
+retried batch's duplicates there stay reconcilable by keeping one copy
+per (_batch_id, key).
+At scale this pattern is the autoloader shape: discovery is
 O(new files), decode is a normal batch job per trigger.
 """
 

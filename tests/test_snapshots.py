@@ -3437,3 +3437,249 @@ def test_read_changes_masks_follow_delete_commits_only(spark, table):
         ).count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE clause parity (VERDICT r11 task #3): per-clause conditions and
+# when_not_matched_by_source
+# ---------------------------------------------------------------------------
+
+
+def _kvt(spark, rows):
+    return spark.createDataFrame(rows, "k long, v long, ts long")
+
+
+def test_merge_matched_condition_applies_only_newer(spark, table):
+    """The CDC idiom whenMatched(source.ts > target.ts).update(): a
+    matched source row older than the target row is a no-op — the
+    target row stays; newer rows replace; unmatched rows insert."""
+    table.append(_kvt(spark, [(1, 10, 100), (2, 20, 100), (3, 30, 100)]))
+    src = _kvt(spark, [(1, 11, 200), (2, 22, 50), (9, 99, 1)])
+    table.merge(
+        spark, src, ["k"],
+        when_matched=("update", "source.ts > target.ts"),
+    )
+    got = {r.k: (r.v, r.ts) for r in table.read(spark).collect()}
+    assert got == {
+        1: (11, 200),   # newer: updated
+        2: (20, 100),   # older: target kept, NOT updated
+        3: (30, 100),   # untouched
+        9: (99, 1),     # unmatched: inserted
+    }
+
+
+def test_merge_matched_condition_fail_never_falls_through_to_insert(
+    spark, table
+):
+    """MERGE clause semantics: a key-MATCHED source row whose matched
+    condition fails is NOT 'not matched' — it must not insert a
+    duplicate key."""
+    table.append(_kvt(spark, [(1, 10, 100)]))
+    src = _kvt(spark, [(1, 11, 50)])  # matched, but older
+    table.merge(
+        spark, src, ["k"],
+        when_matched=("update", "source.ts > target.ts"),
+    )
+    rows = table.read(spark).collect()
+    assert len(rows) == 1 and rows[0].v == 10
+
+
+def test_merge_matched_conditional_delete(spark, table):
+    """whenMatched(cond).delete(): only condition-passing matches go."""
+    table.append(_kvt(spark, [(1, 10, 100), (2, 20, 100)]))
+    src = _kvt(spark, [(1, 0, 200), (2, 0, 50)])
+    table.merge(
+        spark, src, ["k"],
+        when_matched=("delete", "source.ts > target.ts"),
+        when_not_matched=None,
+    )
+    got = {r.k for r in table.read(spark).collect()}
+    assert got == {2}, "only the condition-passing match is deleted"
+
+
+def test_merge_not_matched_condition_gates_insert(spark, table):
+    """whenNotMatched(cond).insert(): unmatched source rows failing the
+    condition are silently dropped (source-scope, unqualified names)."""
+    table.append(_kvt(spark, [(1, 10, 100)]))
+    src = _kvt(spark, [(8, 80, 1), (9, 9, 1)])
+    table.merge(
+        spark, src, ["k"],
+        when_not_matched=("insert", "v >= 50"),
+    )
+    got = {r.k for r in table.read(spark).collect()}
+    assert got == {1, 8}, "v=9 fails the insert condition"
+
+
+def test_merge_not_matched_condition_on_empty_table(spark, table):
+    """First-commit merge: the insert condition still gates entry."""
+    src = _kvt(spark, [(1, 100, 1), (2, 5, 1)])
+    snap = table.merge(
+        spark, src, ["k"], when_not_matched=("insert", "v >= 50")
+    )
+    assert snap.op == "merge"
+    assert [r.k for r in table.read(spark).collect()] == [1]
+
+
+def test_merge_not_matched_by_source_full_sync(spark, table):
+    """The full-sync mirror shape (whenNotMatchedBySource.delete):
+    after the merge the table IS the source batch."""
+    table.append(_kvt(spark, [(1, 10, 1), (2, 20, 1), (3, 30, 1)]))
+    src = _kvt(spark, [(2, 22, 2), (4, 44, 2)])
+    table.merge(
+        spark, src, ["k"],
+        when_not_matched_by_source="delete",
+    )
+    got = {r.k: r.v for r in table.read(spark).collect()}
+    assert got == {2: 22, 4: 44}
+
+
+def test_merge_not_matched_by_source_conditional_update(spark, table):
+    """whenNotMatchedBySource(cond).update(set): target rows absent
+    from the source and passing the condition get the set expressions;
+    failing rows stay verbatim."""
+    table.append(_kvt(spark, [(1, 10, 100), (2, 20, 100), (3, 30, 100)]))
+    src = _kvt(spark, [(1, 11, 200)])
+    table.merge(
+        spark, src, ["k"],
+        when_not_matched=None,
+        when_not_matched_by_source=("update", {"v": "v + 1000"}, "v >= 25"),
+    )
+    got = {r.k: r.v for r in table.read(spark).collect()}
+    assert got == {1: 11, 2: 20, 3: 1030}
+
+
+def test_merge_by_source_unconditional_delete_no_matched_clause(
+    spark, table
+):
+    """when_matched=None composes: keep matched rows untouched, purge
+    everything the source no longer carries."""
+    table.append(_kvt(spark, [(1, 10, 1), (2, 20, 1)]))
+    src = _kvt(spark, [(1, 999, 9)])
+    table.merge(
+        spark, src, ["k"],
+        when_matched=None,
+        when_not_matched=None,
+        when_not_matched_by_source="delete",
+    )
+    got = {r.k: r.v for r in table.read(spark).collect()}
+    assert got == {1: 10}, "matched row must stay UNtouched (no clause)"
+
+
+def test_merge_by_source_prunes_condition_disjoint_files(spark, table):
+    """Pruning inversion: under a by-source clause a key-disjoint file
+    is carried ONLY when the clause condition is stats-provably
+    unsatisfiable on it; otherwise it must be rewritten."""
+    table.append(
+        spark.range(0, 10)
+        .selectExpr("id AS k", "id AS v", "1L AS ts")
+        .coalesce(1)
+    )
+    table.append(
+        spark.range(100, 110)
+        .selectExpr("id AS k", "id AS v", "1L AS ts")
+        .coalesce(1)
+    )
+    before = table.snapshot()
+    low_file = next(f for f in before.files if before.stats[f]["k"][0] == 0)
+    high_file = next(
+        f for f in before.files if before.stats[f]["k"][0] == 100
+    )
+    src = _kvt(spark, [(500, 1, 1)])  # key-disjoint from BOTH files
+    table.merge(
+        spark, src, ["k"],
+        when_not_matched_by_source=("delete", "k >= 100"),
+    )
+    after = table.snapshot()
+    assert low_file in after.files, (
+        "condition-disjoint file must be carried verbatim"
+    )
+    assert high_file not in after.files, (
+        "file the by-source condition may hit must be rewritten"
+    )
+    got = sorted(r.k for r in table.read(spark).collect())
+    assert got == list(range(10)) + [500]
+
+
+def test_merge_by_source_unconditional_touches_every_file(spark, table):
+    """An UNconditional by-source clause inverts key pruning entirely:
+    even a key-disjoint file holds only by-source rows and must be
+    processed (here: deleted), never carried."""
+    table.append(
+        spark.range(0, 10)
+        .selectExpr("id AS k", "id AS v", "1L AS ts")
+        .coalesce(1)
+    )
+    src = _kvt(spark, [(500, 1, 1)])
+    table.merge(
+        spark, src, ["k"], when_not_matched_by_source="delete"
+    )
+    assert sorted(r.k for r in table.read(spark).collect()) == [500]
+
+
+def test_merge_clause_spec_validation(spark, table):
+    table.append(_kvt(spark, [(1, 10, 1)]))
+    src = _kvt(spark, [(2, 20, 2)])
+    with pytest.raises(ValueError, match="when_matched"):
+        table.merge(spark, src, ["k"], when_matched="upsert")
+    with pytest.raises(ValueError, match="when_not_matched "):
+        table.merge(spark, src, ["k"], when_not_matched="update")
+    with pytest.raises(ValueError, match="when_not_matched_by_source"):
+        table.merge(
+            spark, src, ["k"], when_not_matched_by_source=("update", {})
+        )
+    with pytest.raises(ValueError, match="at least one clause"):
+        table.merge(
+            spark, src, ["k"], when_matched=None, when_not_matched=None
+        )
+    with pytest.raises(ValueError, match="unknown columns"):
+        table.merge(
+            spark, src, ["k"],
+            when_not_matched_by_source=("update", {"nope": "1"}),
+        )
+
+
+def test_merge_conditional_cdf_rows(spark, table):
+    """change_data with a conditional matched clause + by-source delete:
+    the feed carries exactly the rows the commit changed — cond-failing
+    matches are silent, by-source victims replay as deletes."""
+    table.append(_kvt(spark, [(1, 10, 100), (2, 20, 100), (3, 30, 100)]))
+    src = _kvt(spark, [(1, 11, 200), (2, 22, 50), (9, 99, 300)])
+    table.merge(
+        spark, src, ["k"],
+        when_matched=("update", "source.ts > target.ts"),
+        when_not_matched_by_source="delete",
+        change_data=True,
+    )
+    cdf = table.read_changes_cdf(spark, since_version=0)
+    got = sorted(
+        (r.k, r.v, r._change_type)
+        for r in cdf.filter("_commit_version = 1").collect()
+    )
+    assert got == [
+        (1, 10, "update_preimage"),
+        (1, 11, "update_postimage"),
+        (3, 30, "delete"),       # by-source victim
+        (9, 99, "insert"),
+    ], "k=2 (cond-failing match) must produce NO change row"
+
+
+def test_merge_by_source_update_cdf_pre_post_pairs(spark, table):
+    """by-source UPDATE change rows: one pre/post pair per affected row,
+    postimage re-derives the committed set expressions."""
+    table.append(_kvt(spark, [(1, 10, 1), (2, 20, 1)]))
+    src = _kvt(spark, [(1, 10, 1)])
+    table.merge(
+        spark, src, ["k"],
+        when_matched=None,
+        when_not_matched=None,
+        when_not_matched_by_source=("update", {"v": "v * 10"}),
+        change_data=True,
+    )
+    # (since, until] bounds: since=0 serves exactly the v1 merge
+    cdf = table.read_changes_cdf(spark, since_version=0)
+    got = sorted((r.k, r.v, r._change_type) for r in cdf.collect())
+    assert got == [
+        (2, 20, "update_preimage"),
+        (2, 200, "update_postimage"),
+    ]
+    assert {r.k: r.v for r in table.read(spark).collect()} == {1: 10, 2: 200}
