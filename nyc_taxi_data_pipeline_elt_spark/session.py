@@ -59,6 +59,14 @@ RUNTIME_CONFS: dict[str, str] = {
     # no-op at test SFs; at 100 TB it prunes fact-table row groups that
     # cannot match.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Spark still DEFAULTS to the deprecated INT96 parquet timestamp
+    # encoding, which carries no usable column statistics — a
+    # time-keyed table could never stats-prune (merge/delete/scan all
+    # touch every file). TIMESTAMP_MICROS is what Delta writes and what
+    # every modern reader (DuckDB, pyarrow) round-trips; it restores
+    # footer min/max, which the snapshot manifest records as ISO-8601
+    # envelopes (sources/snapshots._file_stats).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

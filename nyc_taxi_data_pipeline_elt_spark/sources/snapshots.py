@@ -70,12 +70,39 @@ from pyspark.sql.functions import min as F_min
 from pyspark.sql.functions import when as F_when
 
 
+def _stat_key(v):
+    """Normalize a live Python value for comparison against a manifest
+    stats envelope: datetimes/dates become the ISO-8601 strings the
+    manifest stores (lexical order == chronological; tz-aware values
+    are UTC-normalized then made naive, matching how parquet stores
+    timestamps UTC-adjusted). Everything else passes through — numeric
+    envelopes compare natively. Callers wrap the comparison in a
+    TypeError guard: a cross-family pair (e.g. a string envelope probed
+    with a number) is INCONCLUSIVE, never a prune."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
 def _file_stats(abspath: str) -> dict:
     """Column min/max from ONE parquet footer (no data pages read).
     Module-level so executors resolve it by import in the distributed
     stats pass — and so a test can prove the driver never loops over
     files (monkeypatching this in the driver process cannot reach the
-    executor workers, which re-import the real module)."""
+    executor workers, which re-import the real module).
+
+    Timestamp/date envelopes are recorded as ISO-8601 strings (JSON-
+    safe, lexically chronological) — without them a time-keyed table
+    (the commonest CDC/merge key shape) could never stats-prune, so
+    every merge touched every file. Consumers compare through
+    :func:`_stat_key`; the numeric-grammar predicate provers simply
+    treat string envelopes as inconclusive (`_env_numeric` gate)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(abspath).metadata
@@ -91,8 +118,8 @@ def _file_stats(abspath: str) -> dict:
             s is not None and s.has_min_max for s in stats
         ):
             continue
-        lo = min(s.min for s in stats)
-        hi = max(s.max for s in stats)
+        lo = _stat_key(min(s.min for s in stats))
+        hi = _stat_key(max(s.max for s in stats))
         if isinstance(lo, (int, float, str, bool)) and isinstance(
             hi, (int, float, str, bool)
         ):
@@ -154,26 +181,40 @@ def _dv_new_list(value) -> list[str]:
     return [value] if isinstance(value, str) else list(value)
 
 
-# CHECK expressions the manifest stats can PROVE file-wide: a single
-# numeric comparison between one column and one literal (either order).
-# Anything else — strings (writers may truncate binary stats), AND/OR,
-# arithmetic — is conservatively inconclusive and falls back to a row
+# Expressions the manifest stats can PROVE file-wide: a single
+# comparison between one column and one literal (either order), or
+# BETWEEN. Literals are numeric, or — r12 — quoted date/time strings
+# (optionally DATE/TIMESTAMP-prefixed), compared against the ISO-8601
+# envelopes _file_stats records: `DELETE WHERE ts < '2023-01-05'`, the
+# classic retention purge, is metadata-prunable. Anything else (AND/OR,
+# arithmetic) is conservatively inconclusive and falls back to a row
 # scan. NULL rows pass CHECK under SQL semantics and parquet min/max
 # ignore nulls, so proving the envelope proves every row.
+_NUMLIT = r"-?\d+(?:\.\d+)?"
+_QLIT = r"(?i:timestamp\s+|date\s+)?'([^']*)'"
+_LIT = rf"({_NUMLIT})|{_QLIT}"
 _CMP_RE = _re.compile(
-    r"^\s*\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|==|=|>|<)\s*"
-    r"(-?\d+(?:\.\d+)?)\s*\)?\s*$"
+    rf"^\s*\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|==|=|>|<)\s*"
+    rf"(?:{_LIT})\s*\)?\s*$"
 )
 _CMP_FLIP_RE = _re.compile(
-    r"^\s*\(?\s*(-?\d+(?:\.\d+)?)\s*(>=|<=|==|=|>|<)\s*"
-    r"([A-Za-z_][A-Za-z0-9_]*)\s*\)?\s*$"
+    rf"^\s*\(?\s*(?:{_LIT})\s*(>=|<=|==|=|>|<)\s*"
+    rf"([A-Za-z_][A-Za-z0-9_]*)\s*\)?\s*$"
 )
 _BETWEEN_RE = _re.compile(
-    r"^\s*\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s+BETWEEN\s+(-?\d+(?:\.\d+)?)"
-    r"\s+AND\s+(-?\d+(?:\.\d+)?)\s*\)?\s*$",
+    rf"^\s*\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s+BETWEEN\s+(?:{_LIT})"
+    rf"\s+AND\s+(?:{_LIT})\s*\)?\s*$",
     _re.IGNORECASE,
 )
 _FLIP = {">=": "<=", "<=": ">=", ">": "<", "<": ">", "=": "=", "==": "=="}
+
+# date / timestamp literal shapes Spark coerces when compared against a
+# date/timestamp column (second fraction up to nanos; space or T sep)
+_ISOISH_RE = _re.compile(
+    r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}(\.\d{1,9})?)?$"
+)
+_ISO_TS_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}T")  # _stat_key datetime form
+_ISO_DATE_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")  # _stat_key date form
 
 
 def _num(text: str):
@@ -185,31 +226,96 @@ def _num(text: str):
     return float(text) if "." in text else int(text)
 
 
+def _lit(num_g: str | None, str_g: str | None):
+    """The literal a grammar match captured: numeric group or quoted
+    string group (exactly one is non-None)."""
+    return _num(num_g) if num_g is not None else str_g
+
+
+def _env_probe(env, lit):
+    """Normalize ``lit`` into ``env``'s comparison domain, or None when
+    the pair is unusable (cross-family, or a comparison whose lexical
+    order would diverge from the engine's evaluation):
+
+    - numeric lit x numeric envelope: as-is (exact int/float compare);
+    - date/time-shaped lit x ISO-datetime envelope: space sep -> 'T',
+      a date-only literal pads to midnight — exactly the timestamp
+      Spark coerces the string to, so lexical == chronological;
+    - date-shaped lit x ISO-date envelope: as-is; a literal WITH a
+      time part against a date column is inconclusive (Spark casts,
+      truncating — lexical order would disagree);
+    - plain-string lit x plain-string envelope: raw lexical. Parquet
+      string bounds may be writer-truncated but remain valid BOUNDS
+      (max rounds up), so range pruning/proving stays sound;
+    - a non-date string against a date/time envelope (Spark would cast,
+      not compare lexically), or any other mix: None.
+    """
+    if not (isinstance(env, (list, tuple)) and len(env) == 2):
+        return None
+    if isinstance(lit, (int, float)) and not isinstance(lit, bool):
+        return lit if _env_numeric(env) else None
+    if not isinstance(lit, str) or not all(isinstance(x, str) for x in env):
+        return None
+    env_ts = all(_ISO_TS_RE.match(x) for x in env)
+    env_date = all(_ISO_DATE_RE.match(x) for x in env)
+    if _ISOISH_RE.match(lit):
+        if env_ts:
+            lit = lit.replace(" ", "T")
+            return lit + "T00:00:00" if len(lit) == 10 else lit
+        if env_date:
+            return lit if len(lit) == 10 else None
+        return lit  # plain string column holding date-ish text
+    return None if env_ts or env_date else lit
+
+
+def _envelope_relation(expr: str, fstats: dict):
+    """Parse ``expr`` under the conservative grammar and normalize its
+    literal(s) against the named column's envelope: returns
+    ``(op, lo, hi, a, b)`` (``b`` only for BETWEEN) or None when out of
+    grammar / no usable envelope — both provers build on this."""
+    m = _BETWEEN_RE.match(expr)
+    if m:
+        col = m.group(1)
+        a = _lit(m.group(2), m.group(3))
+        b = _lit(m.group(4), m.group(5))
+        env = fstats.get(col)
+        if env is None:
+            return None
+        a, b = _env_probe(env, a), _env_probe(env, b)
+        if a is None or b is None:
+            return None
+        return "between", env[0], env[1], a, b
+    m = _CMP_RE.match(expr)
+    if m:
+        col, op = m.group(1), m.group(2)
+        lit = _lit(m.group(3), m.group(4))
+    else:
+        m = _CMP_FLIP_RE.match(expr)
+        if not m:
+            return None
+        op, col = _FLIP[m.group(3)], m.group(4)
+        lit = _lit(m.group(1), m.group(2))
+    env = fstats.get(col)
+    if env is None:
+        return None
+    lit = _env_probe(env, lit)
+    if lit is None:
+        return None
+    return op, env[0], env[1], lit, None
+
+
 def _check_proven_by_stats(expr: str, fstats: dict) -> bool:
     """True only when ``fstats``'s [min, max] envelope PROVES every row
     of the file satisfies the CHECK expression. False means
     inconclusive (NOT disproven) — the caller must row-scan."""
     if fstats.get("__num_rows__") == 0:
         return True  # empty file: nothing can violate
-    m = _BETWEEN_RE.match(expr)
-    if m:
-        col, a, b = m.group(1), _num(m.group(2)), _num(m.group(3))
-        env = fstats.get(col)
-        if not _env_numeric(env):
-            return False
-        return env[0] >= a and env[1] <= b
-    m = _CMP_RE.match(expr)
-    if m:
-        col, op, lit = m.group(1), m.group(2), _num(m.group(3))
-    else:
-        m = _CMP_FLIP_RE.match(expr)
-        if not m:
-            return False
-        lit, op, col = _num(m.group(1)), _FLIP[m.group(2)], m.group(3)
-    env = fstats.get(col)
-    if not _env_numeric(env):
+    rel = _envelope_relation(expr, fstats)
+    if rel is None:
         return False
-    lo, hi = env[0], env[1]
+    op, lo, hi, lit, b = rel
+    if op == "between":
+        return lo >= lit and hi <= b
     if op == ">=":
         return lo >= lit
     if op == ">":
@@ -218,7 +324,13 @@ def _check_proven_by_stats(expr: str, fstats: dict) -> bool:
         return hi <= lit
     if op == "<":
         return hi < lit
-    return lo == lit == hi  # = / ==
+    # = / ==: refuse string equality PROVING — parquet string bounds
+    # may be writer-truncated (max rounds UP), so lo == lit == hi could
+    # hold while true values sit below the literal. Range proofs above
+    # stay sound under truncation because the bounds stay bounds.
+    if isinstance(lit, str):
+        return False
+    return lo == lit == hi
 
 
 def _cdf_enabled(snap: "Snapshot") -> bool:
@@ -315,31 +427,22 @@ def _pred_disjoint_by_stats(expr: str, fstats: dict) -> bool:
     Drives DELETE / rewrite-rebase file pruning: a provably-disjoint
     file is carried verbatim, never read. False means inconclusive (the
     file MAY hold matching rows) — callers must treat it as touched.
-    Grammar is the same conservative subset (one numeric comparison or
-    BETWEEN); NULL predicate values never match (SQL WHERE semantics)
-    and parquet min/max ignore nulls, so envelope disjointness proves
-    row disjointness."""
+    Grammar is the same conservative subset (one comparison or BETWEEN;
+    numeric or quoted date/time/string literal — the retention purge
+    ``ts < '<cutoff>'`` prunes off the manifest's ISO envelopes); NULL
+    predicate values never match (SQL WHERE semantics) and parquet
+    min/max ignore nulls, so envelope disjointness proves row
+    disjointness. String disjointness stays sound under parquet's
+    bound truncation (a rounded-up max only WIDENS the envelope —
+    fewer prunes, never a wrong one)."""
     if fstats.get("__num_rows__") == 0:
         return True  # empty file: nothing can match
-    m = _BETWEEN_RE.match(expr)
-    if m:
-        col, a, b = m.group(1), _num(m.group(2)), _num(m.group(3))
-        env = fstats.get(col)
-        if not _env_numeric(env):
-            return False
-        return env[1] < a or env[0] > b
-    m = _CMP_RE.match(expr)
-    if m:
-        col, op, lit = m.group(1), m.group(2), _num(m.group(3))
-    else:
-        m = _CMP_FLIP_RE.match(expr)
-        if not m:
-            return False
-        lit, op, col = _num(m.group(1)), _FLIP[m.group(2)], m.group(3)
-    env = fstats.get(col)
-    if not _env_numeric(env):
+    rel = _envelope_relation(expr, fstats)
+    if rel is None:
         return False
-    lo, hi = env[0], env[1]
+    op, lo, hi, lit, b = rel
+    if op == "between":
+        return hi < lit or lo > b
     if op == ">=":
         return hi < lit
     if op == ">":
@@ -2200,21 +2303,33 @@ class SnapshotTable:
         snap = self.snapshot(cur) if cur is not None else None
         cmap = dict(snap.column_mapping or {}) if snap else {}
 
+        # timestamp/date partition values compare against the manifest's
+        # ISO-string envelopes — normalize once
+        pred_keys = {
+            c: [_stat_key(v) for v in vals] for c, vals in predicate.items()
+        }
+
         def _pred_excludes(fstats: dict) -> bool:
             """ANY conjunct's envelope excludes every accepted value —
             the file provably holds no matching row. Used both to pick
             carried files and to vet concurrently-appended files on a
             commit rebase (a concurrent append whose rows match the
             predicate must abort the rebase: they would survive a
-            replace that semantically covers them)."""
+            replace that semantically covers them). Cross-family
+            comparisons are inconclusive: the file stays touched."""
             fstats = self._logical_view(fstats, cmap)
             if fstats.get("__num_rows__") == 0:
                 return True
-            return any(
-                fstats.get(c) is not None
-                and not any(fstats[c][0] <= v <= fstats[c][1] for v in vals)
-                for c, vals in predicate.items()
-            )
+            try:
+                return any(
+                    fstats.get(c) is not None
+                    and not any(
+                        fstats[c][0] <= v <= fstats[c][1] for v in vals
+                    )
+                    for c, vals in pred_keys.items()
+                )
+            except TypeError:
+                return False
         keep_files: list[str] = []
         touched: list[str] = []
         stats = dict(snap.stats or {}) if snap else {}
@@ -2449,24 +2564,34 @@ class SnapshotTable:
 
         cmap = dict(snap.column_mapping or {})
 
+        # timestamp/date merge keys: the manifest stores their envelopes
+        # as ISO strings — normalize the probe once, per key column
+        key_lo = {c: _stat_key(key_range[f"lo_{c}"]) for c in key_cols}
+        key_hi = {c: _stat_key(key_range[f"hi_{c}"]) for c in key_cols}
+
         def _keys_disjoint(fstats: dict) -> bool:
             """ANY key column's envelope is disjoint from the source's
             key range — the file provably holds no matching key. Used
             for carried-file pruning and to vet concurrently-appended
             files on a commit rebase (a concurrent append that may hold
-            a source key escaped this merge's anti-join: abort)."""
+            a source key escaped this merge's anti-join: abort). A
+            cross-family comparison (legacy envelope vs evolved key
+            type) is inconclusive — treated as touched, never pruned."""
             fstats = self._logical_view(fstats, cmap)
             if fstats.get("__num_rows__") == 0:
                 return True
-            return any(
-                fstats.get(c) is not None
-                and key_range[f"lo_{c}"] is not None
-                and (
-                    fstats[c][1] < key_range[f"lo_{c}"]
-                    or fstats[c][0] > key_range[f"hi_{c}"]
+            try:
+                return any(
+                    fstats.get(c) is not None
+                    and key_lo[c] is not None
+                    and (
+                        fstats[c][1] < key_lo[c]
+                        or fstats[c][0] > key_hi[c]
+                    )
+                    for c in key_cols
                 )
-                for c in key_cols
-            )
+            except TypeError:
+                return False
 
         def _file_carried(fstats: dict) -> bool:
             """True when the file provably needs no rewrite: key-disjoint

@@ -930,3 +930,175 @@ def test_stream_walk_delete_after_skipped_update_keeps_preimages(
         for x in b.to_struct_array()
     )
     assert got2 == [0, 10]
+
+
+# ---------------------------------------------------------------------------
+# withEventTimeOrder (r12): initial-snapshot event ordering + the structural
+# watermark-exactness guarantee it rides on
+# ---------------------------------------------------------------------------
+
+
+def _ts_df(spark, day_lo, day_hi):
+    return spark.range(day_lo, day_hi).selectExpr(
+        "make_timestamp(2023, 1, CAST(id AS INT), 0, 0, 0) AS ts",
+        "id AS v",
+    )
+
+
+def test_initial_snapshot_watermark_exactness(spark, tmp_path):
+    """The guarantee withEventTimeOrder exists for: a watermarked
+    stateful aggregation over a FRESH stream's initial snapshot is
+    EXACT even when the snapshot's commit order is event-time
+    adversarial (newest events committed first). Structural here: the
+    initial snapshot is one microbatch, processed entirely under the
+    initial watermark floor. The second phase proves the test is not
+    vacuous — after the snapshot batch advances the watermark, a
+    too-old append IS dropped (Delta-parity late-data semantics)."""
+    from pyspark.sql import functions as F
+
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    # event-time adversarial commit order: NEWEST days land in v0
+    table.append(_ts_df(spark, 20, 28).coalesce(1))  # v0: Jan 20-27
+    table.append(_ts_df(spark, 1, 9).coalesce(1))    # v1: Jan 1-8
+    spark.dataSource.register(SnapshotDataSource)
+
+    seen: dict = {}
+
+    def apply(df, _bid):
+        for r in df.collect():
+            seen[r["window"]["start"].day] = r["n"]
+
+    def drain(opts):
+        reader = spark.readStream.format("snapshot_table")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load(str(table.root))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day"))
+            .agg(F.count("*").alias("n"))
+            .writeStream.foreachBatch(apply)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ck{len(seen)}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain({"eventTimeColumn": "ts", "withEventTimeOrder": "true"})
+    assert seen == {d: 1 for d in list(range(20, 28)) + list(range(1, 9))}, (
+        "initial snapshot dropped rows under the watermark"
+    )
+    # later phases (non-vacuous check): the watermark DOES engage after
+    # the snapshot batch. Spark only persists an advanced watermark in
+    # the offsets-log entry of the NEXT committed batch, so drain fresh
+    # data once (delivered, and carries watermark=Jan 26 23:00 into the
+    # checkpoint), then drain a far-older append — dropped.
+    ck = str(tmp_path / "ck0")
+
+    def drain_again(day_lo, day_hi):
+        table.append(_ts_df(spark, day_lo, day_hi).coalesce(1))
+        got: dict = {}
+
+        def apply_n(df, _bid):
+            for r in df.collect():
+                got[r["window"]["start"].day] = r["n"]
+
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("eventTimeColumn", "ts")
+            .option("withEventTimeOrder", "true")
+            .load(str(table.root))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day"))
+            .agg(F.count("*").alias("n"))
+            .writeStream.foreachBatch(apply_n)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    assert drain_again(28, 30) == {28: 1, 29: 1}, (
+        "fresh rows above the watermark must be delivered"
+    )
+    late = drain_again(9, 11)  # Jan 9-10: far behind Jan 26 23:00 now
+    assert late == {}, (
+        f"rows behind the checkpointed watermark must drop, got {late}"
+    )
+
+
+def test_event_time_order_sorts_initial_partitions(spark, tmp_path):
+    """partitions() of the initial-snapshot batch comes back in
+    ascending manifest-min event order (stat-less files first) — the
+    contract an offset-index snapshot split would consume."""
+    import pyarrow as pa
+
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
+        _SnapshotStreamReader,
+    )
+
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    table.append(_ts_df(spark, 20, 28).coalesce(1))  # newest first
+    table.append(_ts_df(spark, 10, 15).coalesce(1))
+    table.append(_ts_df(spark, 1, 9).coalesce(1))
+    cur = table.current_version()
+    schema = pa.schema([("ts", pa.timestamp("us")), ("v", pa.int64())])
+
+    reader = _SnapshotStreamReader(
+        str(table.root), schema, event_order_col="ts"
+    )
+    parts = reader.partitions({"version": -1}, {"version": cur})
+    mins = []
+    for p in parts:
+        path = p.value[0]
+        import pyarrow.parquet as pq
+
+        mins.append(pq.read_table(path, columns=["ts"])["ts"].to_pylist()[0])
+    assert mins == sorted(mins), f"partitions not event-ordered: {mins}"
+
+    # without the option: same file SET, manifest order (whatever the
+    # snapshot records — the option must reorder, not reselect)
+    plain = _SnapshotStreamReader(str(table.root), schema)
+    plain_parts = plain.partitions({"version": -1}, {"version": cur})
+    assert {p.value[0] for p in plain_parts} == {p.value[0] for p in parts}
+
+
+def test_with_event_time_order_option_validation(spark, tmp_path):
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    table.append(_ts_df(spark, 1, 5))
+    spark.dataSource.register(SnapshotDataSource)
+
+    def start(tag, **opts):
+        reader = spark.readStream.format("snapshot_table")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        (
+            reader.load(str(table.root))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / f"ck{tag}"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
+
+    with pytest.raises(Exception, match="eventTimeColumn"):
+        start("a", withEventTimeOrder="true")
+    with pytest.raises(Exception, match="startingVersion|initial snapshot"):
+        start(
+            "b",
+            withEventTimeOrder="true",
+            eventTimeColumn="ts",
+            startingVersion="1",
+        )
+    with pytest.raises(Exception, match="logical schema"):
+        start("c", withEventTimeOrder="true", eventTimeColumn="nope")
+    with pytest.raises(Exception, match="CDF|version order"):
+        start(
+            "d",
+            withEventTimeOrder="true",
+            eventTimeColumn="ts",
+            readChangeFeed="true",
+        )

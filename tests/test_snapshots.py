@@ -703,8 +703,12 @@ def test_stats_prover_unit():
     assert prove("d >= 1.5", st)
     assert prove("v = 5", {"v": [5, 5]})
     assert not prove("v = 5", st)
-    # outside the grammar / non-numeric stats: inconclusive, never proven
-    assert not prove("s >= 'a'", st)
+    # r12: string RANGE proofs are sound (parquet bounds stay bounds
+    # under truncation — see test_prover_grammar_time_literals_unit);
+    # string EQUALITY proving stays refused there
+    assert prove("s >= 'a'", st)
+    assert not prove("s >= 'b'", st)
+    # outside the grammar / bool stats: inconclusive, never proven
     assert not prove("b = true", st)
     assert not prove("v >= 0 AND v <= 9", st)
     assert not prove("abs(v) >= 0", st)
@@ -3683,3 +3687,198 @@ def test_merge_by_source_update_cdf_pre_post_pairs(spark, table):
         (2, 200, "update_postimage"),
     ]
     assert {r.k: r.v for r in table.read(spark).collect()} == {1: 10, 2: 200}
+
+
+# ---------------------------------------------------------------------------
+# Timestamp/date manifest stats (r12): ISO-8601 envelopes make time-keyed
+# tables stats-prunable — the commonest CDC key shape
+# ---------------------------------------------------------------------------
+
+
+def _ts_df(spark, day_lo, day_hi):
+    """One row per day in [day_lo, day_hi): ts = 2023-01-<day>."""
+    return spark.range(day_lo, day_hi).selectExpr(
+        "make_timestamp(2023, 1, CAST(id AS INT), 0, 0, 0) AS ts",
+        "id AS v",
+    )
+
+
+def test_timestamp_stats_recorded_as_iso_strings(spark, table):
+    table.append(_ts_df(spark, 1, 10).coalesce(1))
+    snap = table.snapshot()
+    env = snap.stats[snap.files[0]]["ts"]
+    assert env == ["2023-01-01T00:00:00", "2023-01-09T00:00:00"]
+    # lexical == chronological for the recorded encoding
+    assert env[0] < env[1]
+
+
+def test_merge_prunes_disjoint_files_on_timestamp_key(spark, table):
+    """A CDC batch keyed on a timestamp column carries time-disjoint
+    files verbatim — before r12 a ts key had no envelope at all, so
+    every merge rewrote every file."""
+    table.append(_ts_df(spark, 1, 10).coalesce(1))    # Jan 1-9
+    table.append(_ts_df(spark, 20, 28).coalesce(1))   # Jan 20-27
+    before = table.snapshot()
+    early_file = next(
+        f for f in before.files if before.stats[f]["ts"][0].startswith("2023-01-01")
+    )
+    src = _ts_df(spark, 21, 23).selectExpr("ts", "999L AS v")
+    table.merge(spark, src, ["ts"])
+    after = table.snapshot()
+    assert early_file in after.files, (
+        "time-disjoint file must be carried verbatim on a ts-keyed merge"
+    )
+    got = {r.ts.day: r.v for r in table.read(spark).collect()}
+    assert got[21] == 999 and got[22] == 999 and got[1] == 1
+    assert len(got) == 17
+
+
+def test_replace_where_prunes_on_date_partition_values(spark, table):
+    """replace_where with datetime/date partition values compares
+    against the ISO-string envelopes without touching disjoint files."""
+    import datetime
+
+    df = spark.range(1, 5).selectExpr(
+        "make_date(2023, 1, CAST(id AS INT)) AS d", "id AS v"
+    )
+    table.append(df.filter("v <= 2").coalesce(1))
+    table.append(df.filter("v >= 3").coalesce(1))
+    before = table.snapshot()
+    early = next(
+        f for f in before.files if before.stats[f]["d"][0] == "2023-01-01"
+    )
+    repl = spark.createDataFrame(
+        [(datetime.date(2023, 1, 3), 333)], "d date, v long"
+    )
+    table.replace_where(
+        spark, repl, {"d": [datetime.date(2023, 1, 3), datetime.date(2023, 1, 4)]}
+    )
+    after = table.snapshot()
+    assert early in after.files, "date-disjoint file must be carried"
+    got = {r.d.day: r.v for r in table.read(spark).collect()}
+    assert got == {1: 1, 2: 2, 3: 333}
+
+
+def test_batch_reader_prunes_files_on_timestamp_filter(spark, table):
+    """The Python datasource prunes whole files from ISO-string ts
+    envelopes when Spark pushes a datetime comparison."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    table.append(_ts_df(spark, 1, 10).coalesce(1))
+    table.append(_ts_df(spark, 20, 28).coalesce(1))
+    df = spark.read.format("snapshot_table").load(str(table.root))
+    hit = df.filter("ts >= timestamp'2023-01-20 00:00:00'")
+    assert sorted(r.v for r in hit.collect()) == list(range(20, 28))
+    assert hit.rdd.getNumPartitions() == 1, (
+        "the early file's envelope should prune it at planning time"
+    )
+
+
+def test_stat_key_normalizes_tz_aware_datetimes():
+    import datetime
+
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import _stat_key
+
+    aware = datetime.datetime(
+        2023, 1, 5, 12, 0, 0,
+        tzinfo=datetime.timezone(datetime.timedelta(hours=2)),
+    )
+    assert _stat_key(aware) == "2023-01-05T10:00:00"
+    assert _stat_key(datetime.date(2023, 1, 5)) == "2023-01-05"
+    assert _stat_key(42) == 42 and _stat_key("x") == "x"
+
+
+# ---------------------------------------------------------------------------
+# Quoted-literal prover grammar (r12): time/string predicates prune and
+# prove off the ISO-string envelopes
+# ---------------------------------------------------------------------------
+
+
+def test_prover_grammar_time_literals_unit():
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        _check_proven_by_stats,
+        _pred_disjoint_by_stats,
+    )
+
+    ts_env = {
+        "ts": ["2023-01-05T00:00:00", "2023-01-09T23:59:59"],
+        "__num_rows__": 10,
+    }
+    # disjoint: cutoff below the envelope (space sep normalizes to T)
+    assert _pred_disjoint_by_stats("ts < '2023-01-05 00:00:00'", ts_env)
+    assert _pred_disjoint_by_stats("ts < '2023-01-05'", ts_env)
+    # date-only literal pads to midnight: NOT disjoint from a file whose
+    # min is exactly midnight under >= (boundary row matches)
+    assert not _pred_disjoint_by_stats("ts >= '2023-01-05'", ts_env)
+    assert _pred_disjoint_by_stats("ts > '2023-01-10'", ts_env)
+    assert _pred_disjoint_by_stats(
+        "ts BETWEEN '2023-02-01' AND '2023-03-01'", ts_env
+    )
+    assert not _pred_disjoint_by_stats(
+        "ts BETWEEN '2023-01-09' AND '2023-03-01'", ts_env
+    )
+    # flip form + typed literal keyword
+    assert _pred_disjoint_by_stats("TIMESTAMP '2023-01-04 10:00:00' >= ts", ts_env)
+    # proving: every row in range
+    assert _check_proven_by_stats("ts >= '2023-01-05'", ts_env)
+    assert _check_proven_by_stats("ts < '2023-01-10'", ts_env)
+    assert not _check_proven_by_stats("ts >= '2023-01-06'", ts_env)
+    # string equality proving refused (truncation hazard); disjoint ok
+    s_env = {"s": ["alpha", "alpha"], "__num_rows__": 3}
+    assert not _check_proven_by_stats("s = 'alpha'", s_env)
+    assert _pred_disjoint_by_stats("s = 'zeta'", s_env)
+    assert _check_proven_by_stats("s <= 'beta'", s_env)
+    # date column vs literal with a time part: inconclusive (Spark casts)
+    d_env = {"d": ["2023-01-05", "2023-01-09"], "__num_rows__": 4}
+    assert not _pred_disjoint_by_stats("d < '2023-01-01 10:00:00'", d_env)
+    assert _pred_disjoint_by_stats("d < '2023-01-01'", d_env)
+    # non-date string against a time envelope: Spark would cast — refuse
+    assert not _pred_disjoint_by_stats("ts < 'garbage'", ts_env)
+    # numeric grammar unchanged
+    n_env = {"v": [5, 9], "__num_rows__": 4}
+    assert _pred_disjoint_by_stats("v < 5", n_env)
+    assert _check_proven_by_stats("v BETWEEN 5 AND 9", n_env)
+
+
+def test_retention_delete_prunes_time_disjoint_files(spark, table):
+    """DELETE WHERE ts < cutoff — the daily retention purge — rewrites
+    only the files whose envelope crosses the cutoff; files wholly
+    inside the retained range carry verbatim (metadata-only off the
+    boundary)."""
+    table.append(_ts_df(spark, 1, 10).coalesce(1))    # Jan 1-9
+    table.append(_ts_df(spark, 20, 28).coalesce(1))   # Jan 20-27
+    before = table.snapshot()
+    late_file = next(
+        f for f in before.files
+        if before.stats[f]["ts"][0].startswith("2023-01-20")
+    )
+    table.delete(spark, "ts < '2023-01-15'")
+    after = table.snapshot()
+    assert late_file in after.files, (
+        "retained-range file must carry verbatim on a retention delete"
+    )
+    days = sorted(r.ts.day for r in table.read(spark).collect())
+    assert days == list(range(20, 28))
+
+
+def test_check_constraint_proved_from_time_envelope(spark, table):
+    """A ts-range CHECK constraint verifies new files from their ISO
+    envelopes alone — no row scan (the _constraint_scan seam raises)."""
+    import nyc_taxi_data_pipeline_elt_spark.sources.snapshots as snaps
+
+    table.append(_ts_df(spark, 5, 9).coalesce(1))
+    table.add_check_constraint(spark, "ts_floor", "ts >= '2023-01-01'")
+    orig = snaps._constraint_scan
+
+    def boom(*a, **k):
+        raise AssertionError("stats-provable CHECK still row-scanned")
+
+    snaps._constraint_scan = boom
+    try:
+        table.append(_ts_df(spark, 10, 14).coalesce(1))
+    finally:
+        snaps._constraint_scan = orig
+    assert table.read(spark).count() == 8
