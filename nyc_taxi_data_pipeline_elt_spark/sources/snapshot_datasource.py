@@ -89,8 +89,35 @@ def _project_parquet(path: str, arrow_schema, filters=None, phys=None):
     missing = [c for c in want if pmap.get(c, c) not in file_schema.names]
     if filters and any(c in missing for c, _, _ in filters):
         return None
+
+    def _tz_fit(col: str, v):
+        """Coerce a timestamp filter value to the FILE column's tz-ness
+        — pyarrow refuses naive-vs-aware comparisons (review r12). The
+        pushdown worker serializes BOTH zoned and NTZ literals as
+        tz-aware (an NTZ literal arrives as its wall reading tagged
+        with the session zone — UTC here, session.tune()'s pin), so an
+        aware value against a naive (NTZ) column strips its tag via
+        UTC without shifting the wall reading; a naive value against
+        an aware column is OS-local per the pyspark lit contract."""
+        import datetime as dt
+
+        if isinstance(v, (list, tuple)):
+            return type(v)(_tz_fit(col, x) for x in v)
+        t = file_schema.field(col).type
+        if isinstance(v, dt.datetime) and pa.types.is_timestamp(t):
+            if t.tz is None and v.tzinfo is not None:
+                return v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            if t.tz is not None and v.tzinfo is None:
+                return v.astimezone()
+        return v
+
     read_filters = (
-        [(pmap.get(c, c), o, v) for c, o, v in filters] if filters else None
+        [
+            (pmap.get(c, c), o, _tz_fit(pmap.get(c, c), v))
+            for c, o, v in filters
+        ]
+        if filters
+        else None
     )
     table = pq.read_table(
         path,
@@ -1181,12 +1208,26 @@ class _SnapshotReader(DataSourceReader):
         return out
 
     def _file_may_match(self, path: str) -> bool:
+        import pyarrow as pa
+
         from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
-            _stat_key,
+            _probe_key,
         )
 
         env = self._envelopes(path)
         for col, op, value in self.pushed:
+            # NTZ vs zoned probe semantics come from the reader schema
+            # (the logical name — before physical translation)
+            ftype = (
+                self.arrow_schema.field(col).type
+                if col in self.arrow_schema.names
+                else None
+            )
+            ntz = (
+                ftype is not None
+                and pa.types.is_timestamp(ftype)
+                and ftype.tz is None
+            )
             # stats/footers key the PHYSICAL name (what the file holds);
             # pushed conjuncts speak logical — translate at lookup
             col = self.phys.get(col, col)
@@ -1196,11 +1237,12 @@ class _SnapshotReader(DataSourceReader):
             # manifest envelopes store timestamps/dates as ISO strings;
             # footer envelopes (legacy) yield datetimes — normalize both
             # sides; a cross-family pair is inconclusive (may match)
-            lo, hi = _stat_key(env[col][0]), _stat_key(env[col][1])
+            lo = _probe_key(env[col][0], ntz)
+            hi = _probe_key(env[col][1], ntz)
             value = (
-                [_stat_key(v) for v in value]
+                [_probe_key(v, ntz) for v in value]
                 if op == "in"
-                else _stat_key(value)
+                else _probe_key(value, ntz)
             )
             try:
                 if (

@@ -73,21 +73,51 @@ from pyspark.sql.functions import when as F_when
 def _stat_key(v):
     """Normalize a live Python value for comparison against a manifest
     stats envelope: datetimes/dates become the ISO-8601 strings the
-    manifest stores (lexical order == chronological; tz-aware values
-    are UTC-normalized then made naive, matching how parquet stores
-    timestamps UTC-adjusted). Everything else passes through — numeric
-    envelopes compare natively. Callers wrap the comparison in a
-    TypeError guard: a cross-family pair (e.g. a string envelope probed
-    with a number) is INCONCLUSIVE, never a prune."""
+    manifest stores (lexical order == chronological, UTC-naive).
+    Everything else passes through — numeric envelopes compare
+    natively. Callers wrap the comparison in a TypeError guard: a
+    cross-family pair (e.g. a string envelope probed with a number) is
+    INCONCLUSIVE, never a prune.
+
+    NAIVE datetimes are interpreted as OS-LOCAL wall time — review r12:
+    that is pyspark's own collect/lit contract for TimestampType
+    (``TimestampType.fromInternal`` renders driver-local naive
+    datetimes regardless of ``spark.sql.session.timeZone``, and
+    ``toInternal`` converts local naive back to UTC micros), so the
+    merge key-range probe and user-passed predicate values mean
+    local wall clock. Treating them as UTC silently shifted every
+    envelope comparison by the host offset on non-UTC drivers —
+    wrong-prune, data-loss class. ``datetime.astimezone()`` applies
+    exactly the same local interpretation Python/pyspark use."""
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
-        if v.tzinfo is not None:
-            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        if v.tzinfo is None:
+            v = v.astimezone()  # OS-local: the pyspark collect contract
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat()
     if isinstance(v, _dt.date):
         return v.isoformat()
     return v
+
+
+def _probe_key(v, ntz: bool):
+    """Normalize a live probe value for a column given its timestamp
+    semantics. NTZ columns store WALL-time ISO envelopes: naive probes
+    (pyspark renders TimestampNTZType tz-free) pass through verbatim,
+    and the filter-pushdown worker's wall-tagged-aware values strip
+    their tag without shifting (verified r12: the worker serializes an
+    NTZ literal's wall reading tagged with the session zone). ZONED
+    columns route through :func:`_stat_key` (UTC-instant envelopes,
+    naive probes interpreted OS-local per the pyspark collect/lit
+    contract)."""
+    import datetime as _dt
+
+    if ntz and isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    return _stat_key(v)
 
 
 def _file_stats(abspath: str) -> dict:
@@ -118,8 +148,23 @@ def _file_stats(abspath: str) -> dict:
             s is not None and s.has_min_max for s in stats
         ):
             continue
-        lo = _stat_key(min(s.min for s in stats))
-        hi = _stat_key(max(s.max for s in stats))
+        lo_raw = min(s.min for s in stats)
+        hi_raw = max(s.max for s in stats)
+        import datetime as _dt
+
+        if isinstance(lo_raw, _dt.datetime) and lo_raw.tzinfo is None:
+            # isAdjustedToUTC=false parquet timestamps (TIMESTAMP_NTZ —
+            # e.g. the testdata's o_orderdate) are WALL times with no
+            # zone: record the wall ISO verbatim. Predicate literals
+            # compare as wall times too, and live probes route through
+            # _probe_key(ntz=True) which recovers the wall reading —
+            # _stat_key's OS-local interpretation applies only to
+            # ZONED timestamps (aware stats, the branch below).
+            lo, hi = lo_raw.isoformat(), hi_raw.isoformat()
+            cols[name] = [lo, hi]
+            continue
+        lo = _stat_key(lo_raw)
+        hi = _stat_key(hi_raw)
         if isinstance(lo, (int, float, str, bool)) and isinstance(
             hi, (int, float, str, bool)
         ):
@@ -233,14 +278,22 @@ def _lit(num_g: str | None, str_g: str | None):
 
 
 def _env_probe(env, lit):
-    """Normalize ``lit`` into ``env``'s comparison domain, or None when
+    """Normalize ``lit`` into ``env``'s comparison domain: returns the
+    LIST of candidate probe values a prover must agree on, or None when
     the pair is unusable (cross-family, or a comparison whose lexical
     order would diverge from the engine's evaluation):
 
     - numeric lit x numeric envelope: as-is (exact int/float compare);
-    - date/time-shaped lit x ISO-datetime envelope: space sep -> 'T',
-      a date-only literal pads to midnight — exactly the timestamp
-      Spark coerces the string to, so lexical == chronological;
+    - date/time-shaped lit x ISO-datetime envelope: BOTH the raw
+      literal and its normalized form (space sep -> 'T', date-only
+      padded to midnight). The normalized form is exactly the
+      timestamp Spark coerces the string to on a TIMESTAMP column —
+      but an ISO-datetime-shaped envelope can also belong to a plain
+      STRING column holding ISO text, which Spark compares lexically
+      against the RAW literal (review r12: padding alone wrongly
+      pruned ``s > '2023-01-05'`` against a string value
+      '2023-01-05T00:00:00'). Requiring unanimity across both
+      interpretations is sound for either column type;
     - date-shaped lit x ISO-date envelope: as-is; a literal WITH a
       time part against a date column is inconclusive (Spark casts,
       truncating — lexical order would disagree);
@@ -253,26 +306,30 @@ def _env_probe(env, lit):
     if not (isinstance(env, (list, tuple)) and len(env) == 2):
         return None
     if isinstance(lit, (int, float)) and not isinstance(lit, bool):
-        return lit if _env_numeric(env) else None
+        return [lit] if _env_numeric(env) else None
     if not isinstance(lit, str) or not all(isinstance(x, str) for x in env):
         return None
     env_ts = all(_ISO_TS_RE.match(x) for x in env)
     env_date = all(_ISO_DATE_RE.match(x) for x in env)
     if _ISOISH_RE.match(lit):
         if env_ts:
-            lit = lit.replace(" ", "T")
-            return lit + "T00:00:00" if len(lit) == 10 else lit
+            norm = lit.replace(" ", "T")
+            if len(norm) == 10:
+                norm += "T00:00:00"
+            return [lit] if norm == lit else [lit, norm]
         if env_date:
-            return lit if len(lit) == 10 else None
-        return lit  # plain string column holding date-ish text
-    return None if env_ts or env_date else lit
+            return [lit] if len(lit) == 10 else None
+        return [lit]  # plain string column holding date-ish text
+    return None if env_ts or env_date else [lit]
 
 
 def _envelope_relation(expr: str, fstats: dict):
     """Parse ``expr`` under the conservative grammar and normalize its
     literal(s) against the named column's envelope: returns
-    ``(op, lo, hi, a, b)`` (``b`` only for BETWEEN) or None when out of
-    grammar / no usable envelope — both provers build on this."""
+    ``(op, lo, hi, a_cands, b_cands)`` — the literal CANDIDATE lists a
+    prover must be unanimous over (``b_cands`` only for BETWEEN) — or
+    None when out of grammar / no usable envelope. Both provers build
+    on this."""
     m = _BETWEEN_RE.match(expr)
     if m:
         col = m.group(1)
@@ -298,10 +355,10 @@ def _envelope_relation(expr: str, fstats: dict):
     env = fstats.get(col)
     if env is None:
         return None
-    lit = _env_probe(env, lit)
-    if lit is None:
+    cands = _env_probe(env, lit)
+    if cands is None:
         return None
-    return op, env[0], env[1], lit, None
+    return op, env[0], env[1], cands, None
 
 
 def _check_proven_by_stats(expr: str, fstats: dict) -> bool:
@@ -313,24 +370,34 @@ def _check_proven_by_stats(expr: str, fstats: dict) -> bool:
     rel = _envelope_relation(expr, fstats)
     if rel is None:
         return False
-    op, lo, hi, lit, b = rel
-    if op == "between":
-        return lo >= lit and hi <= b
-    if op == ">=":
-        return lo >= lit
-    if op == ">":
-        return lo > lit
-    if op == "<=":
-        return hi <= lit
-    if op == "<":
-        return hi < lit
-    # = / ==: refuse string equality PROVING — parquet string bounds
-    # may be writer-truncated (max rounds UP), so lo == lit == hi could
-    # hold while true values sit below the literal. Range proofs above
-    # stay sound under truncation because the bounds stay bounds.
-    if isinstance(lit, str):
-        return False
-    return lo == lit == hi
+    op, lo, hi, cands, bs = rel
+
+    def _one(lit, b) -> bool:
+        if op == "between":
+            return lo >= lit and hi <= b
+        if op == ">=":
+            return lo >= lit
+        if op == ">":
+            return lo > lit
+        if op == "<=":
+            return hi <= lit
+        if op == "<":
+            return hi < lit
+        # = / ==: refuse string equality PROVING — parquet string
+        # bounds may be writer-truncated (max rounds UP), so
+        # lo == lit == hi could hold while true values sit below the
+        # literal. Range proofs above stay sound under truncation
+        # because the bounds stay bounds.
+        if isinstance(lit, str):
+            return False
+        return lo == lit == hi
+
+    # unanimity across literal interpretations (timestamp coercion vs
+    # raw string lexical — _env_probe): proven only if EVERY candidate
+    # pairing proves
+    return all(
+        _one(a, b) for a in cands for b in (bs if bs is not None else [None])
+    )
 
 
 def _cdf_enabled(snap: "Snapshot") -> bool:
@@ -440,18 +507,26 @@ def _pred_disjoint_by_stats(expr: str, fstats: dict) -> bool:
     rel = _envelope_relation(expr, fstats)
     if rel is None:
         return False
-    op, lo, hi, lit, b = rel
-    if op == "between":
-        return hi < lit or lo > b
-    if op == ">=":
-        return hi < lit
-    if op == ">":
-        return hi <= lit
-    if op == "<=":
-        return lo > lit
-    if op == "<":
-        return lo >= lit
-    return lit < lo or lit > hi  # = / ==
+    op, lo, hi, cands, bs = rel
+
+    def _one(lit, b) -> bool:
+        if op == "between":
+            return hi < lit or lo > b
+        if op == ">=":
+            return hi < lit
+        if op == ">":
+            return hi <= lit
+        if op == "<=":
+            return lo > lit
+        if op == "<":
+            return lo >= lit
+        return lit < lo or lit > hi  # = / ==
+
+    # unanimity across literal interpretations (_env_probe): a file is
+    # carried only if it is disjoint under EVERY candidate pairing
+    return all(
+        _one(a, b) for a in cands for b in (bs if bs is not None else [None])
+    )
 
 
 def _constraint_scan(spark: SparkSession, paths: list[str], predicate: str):
@@ -2304,9 +2379,14 @@ class SnapshotTable:
         cmap = dict(snap.column_mapping or {}) if snap else {}
 
         # timestamp/date partition values compare against the manifest's
-        # ISO-string envelopes — normalize once
+        # ISO-string envelopes — normalize once, honoring NTZ (wall) vs
+        # zoned (instant) column semantics from the recorded schema
+        ntz_pred = {
+            n for n, t in (snap.schema or ()) if t == "timestamp_ntz"
+        } if snap else set()
         pred_keys = {
-            c: [_stat_key(v) for v in vals] for c, vals in predicate.items()
+            c: [_probe_key(v, c in ntz_pred) for v in vals]
+            for c, vals in predicate.items()
         }
 
         def _pred_excludes(fstats: dict) -> bool:
@@ -2497,6 +2577,56 @@ class SnapshotTable:
                 "(when_matched / when_not_matched / "
                 "when_not_matched_by_source are all None)"
             )
+
+        def _require_deterministic(scope: DataFrame, expr: str, what: str):
+            """Delta parity (review r12): MERGE clause conditions must
+            be deterministic — this engine evaluates a matched
+            condition on both the keep side and the incoming-keys side
+            (and the CDF re-derives it), so a non-deterministic
+            condition could commit a table that disagrees with itself
+            and its change feed. Analysis-level check on the JVM plan;
+            a runtime that can't introspect (no _jdf) accepts."""
+            try:
+                det = (
+                    scope.select(F_expr(expr))
+                    ._jdf.queryExecution()
+                    .analyzed()
+                    .deterministic()
+                )
+            except Exception:
+                # analysis errors (unknown column, bad syntax) surface
+                # with full context when the real plan builds, and a
+                # runtime without _jdf introspection can't answer the
+                # determinism question — both: proceed, don't mask
+                return
+            if not det:
+                raise ValueError(
+                    f"{self.root}: merge {what} must be deterministic "
+                    f"(evaluated more than once per commit), got {expr!r}"
+                )
+
+        if m_cond is not None:
+            # analysis-only scope with the clause's qualified names
+            # (source keys stand in for target's — same column set)
+            _require_deterministic(
+                source.alias("target").join(
+                    source.alias("source"),
+                    [
+                        F_col(f"target.{k}") == F_col(f"source.{k}")
+                        for k in key_cols
+                    ],
+                ),
+                m_cond,
+                "when_matched condition",
+            )
+        if nm_cond is not None:
+            _require_deterministic(
+                source, nm_cond, "when_not_matched condition"
+            )
+        if bs is not None and bs[2] is not None:
+            _require_deterministic(
+                source, bs[2], "when_not_matched_by_source condition"
+            )
         dup = (
             source.groupBy(*key_cols)
             .count()
@@ -2553,6 +2683,17 @@ class SnapshotTable:
             # table property (Delta enableChangeDataFeed): change-data
             # files on every merge without the per-call flag
             change_data = _cdf_enabled(snap)
+        if change_data and bs is not None and bs[0] == "update":
+            # the CDF postimage re-derives the set expressions over the
+            # affected rows (review r12): with change data on they too
+            # must be deterministic or feed and table could disagree
+            for c, e in bs[1].items():
+                _require_deterministic(
+                    source,
+                    e,
+                    f"when_not_matched_by_source set expression {c!r} "
+                    "(change data enabled)",
+                )
 
         key_range = source.agg(
             *[
@@ -2565,9 +2706,23 @@ class SnapshotTable:
         cmap = dict(snap.column_mapping or {})
 
         # timestamp/date merge keys: the manifest stores their envelopes
-        # as ISO strings — normalize the probe once, per key column
-        key_lo = {c: _stat_key(key_range[f"lo_{c}"]) for c in key_cols}
-        key_hi = {c: _stat_key(key_range[f"hi_{c}"]) for c in key_cols}
+        # as ISO strings — normalize the probe once, per key column,
+        # honoring NTZ (wall) vs zoned (instant) semantics
+        from pyspark.sql.types import TimestampNTZType
+
+        ntz_cols = {
+            f.name
+            for f in source.schema.fields
+            if isinstance(f.dataType, TimestampNTZType)
+        }
+        key_lo = {
+            c: _probe_key(key_range[f"lo_{c}"], c in ntz_cols)
+            for c in key_cols
+        }
+        key_hi = {
+            c: _probe_key(key_range[f"hi_{c}"], c in ntz_cols)
+            for c in key_cols
+        }
 
         def _keys_disjoint(fstats: dict) -> bool:
             """ANY key column's envelope is disjoint from the source's
@@ -2638,8 +2793,17 @@ class SnapshotTable:
                 f"{self.root}: merge source columns {sorted(source.columns)} "
                 f"!= table columns {sorted(target.columns)}"
             )
-        if bs is not None and bs[0] == "update" and target is not None:
-            unknown = sorted(set(bs[1]) - set(target.columns))
+        if bs is not None and bs[0] == "update":
+            # validate the STATIC spec against the logical schema, not
+            # target.columns — review r12: gating on `target is not
+            # None` made a typo'd column silently no-op whenever the
+            # stats pruner happened to carry every file
+            known = (
+                {n for n, _ in snap.schema}
+                if snap.schema is not None
+                else set(source.columns)
+            )
+            unknown = sorted(set(bs[1]) - known)
             if unknown:
                 raise ValueError(
                     f"{self.root}: when_not_matched_by_source set_map "
@@ -2845,9 +3009,11 @@ class SnapshotTable:
           ``when_not_matched='insert'``;
         - a CONDITIONAL matched clause scopes all of the above to the
           condition-passing pairs (``pairs``/``m_ct`` — the same pair
-          set the commit's keep side used, so replay and table agree
-          even for a non-deterministic-looking condition); rows whose
-          condition fails produce no change rows;
+          DEFINITION the commit's keep side used; merge REFUSES
+          non-deterministic conditions at validation precisely because
+          this re-evaluation could otherwise disagree with the commit —
+          review r12); rows whose condition fails produce no change
+          rows;
         - ``when_not_matched_by_source``: affected rows (by-source rows
           passing the clause condition) emit ``delete`` preimages, or
           ``update_preimage``/``update_postimage`` pairs with the

@@ -63,14 +63,23 @@ def main() -> None:
         orders = load_table(spark, sf_dir, "orders")
         by_key = orders.repartitionByRange(FILES, "o_orderkey")
         by_date = orders.repartitionByRange(FILES, "o_orderdate")
-        kmax = orders.agg(F.max("o_orderkey")).first()[0]
-        # one key band ~ one file's envelope
-        klo, khi = kmax // FILES, kmax // FILES + kmax // (FILES * 4)
+        # one key band ~ one file's envelope, derived from QUANTILES of
+        # the actual key distribution (a kmax/FILES band lands between
+        # replica blocks on the synthesized sf1 decade and selects
+        # nothing — empty source means no pruning signal at all)
+        klo, khi = orders.approxQuantile(
+            "o_orderkey", [0.30, 0.33], 0.001
+        )
         src = (
             orders.filter(F.col("o_orderkey").between(klo, khi))
             .withColumn("o_totalprice", F.col("o_totalprice") * 2)
         )
-        band = "o_totalprice BETWEEN 100000 AND 110000"
+        # by-source condition on the LAYOUT dimension so its stats
+        # disjointness can actually carry files (a price condition on
+        # key-partitioned files prunes nothing — every file's price
+        # envelope spans the domain)
+        k90 = orders.approxQuantile("o_orderkey", [0.90], 0.001)[0]
+        band = f"o_orderkey >= {int(k90)}"
         times: dict = {
             "matched_cond": [],
             "bysrc_cond": [],

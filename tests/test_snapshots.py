@@ -3882,3 +3882,187 @@ def test_check_constraint_proved_from_time_envelope(spark, table):
     finally:
         snaps._constraint_scan = orig
     assert table.read(spark).count() == 8
+
+
+# ---------------------------------------------------------------------------
+# r12 review-pass fixes: TZ-correct probes, string/timestamp literal
+# ambiguity, static validation, deterministic conditions
+# ---------------------------------------------------------------------------
+
+
+def test_stat_key_interprets_naive_as_os_local():
+    """Review r12 pass 1: pyspark collect/lit render TimestampType as
+    OS-LOCAL naive datetimes regardless of the session timeZone; the
+    probe normalizer must apply the same interpretation or every
+    envelope comparison shifts by the host offset on non-UTC drivers."""
+    import datetime
+    import os
+    import time as time_mod
+
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import _stat_key
+
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time_mod.tzset()
+    try:
+        naive = datetime.datetime(2023, 1, 5, 0, 0, 0)  # EST wall time
+        assert _stat_key(naive) == "2023-01-05T05:00:00"  # = UTC
+        aware = datetime.datetime(
+            2023, 1, 5, 0, 0, 0, tzinfo=datetime.timezone.utc
+        )
+        assert _stat_key(aware) == "2023-01-05T00:00:00"
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        time_mod.tzset()
+
+
+def test_merge_ts_key_pruning_correct_on_non_utc_driver(spark, table):
+    """End-to-end twin of the _stat_key fix: a ts-keyed merge on a
+    driver whose OS timezone is not UTC must prune the genuinely
+    disjoint file and still update the matched rows (before the fix
+    the local-naive key range shifted by the host offset and could
+    prune the file that held the matches)."""
+    import os
+    import time as time_mod
+
+    table.append(_ts_df(spark, 1, 10).coalesce(1))    # Jan 1-9 UTC
+    table.append(_ts_df(spark, 20, 28).coalesce(1))   # Jan 20-27 UTC
+    before = table.snapshot()
+    early_file = next(
+        f for f in before.files
+        if before.stats[f]["ts"][0].startswith("2023-01-01")
+    )
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time_mod.tzset()
+    try:
+        src = _ts_df(spark, 21, 23).selectExpr("ts", "999L AS v")
+        table.merge(spark, src, ["ts"])
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        time_mod.tzset()
+    after = table.snapshot()
+    assert early_file in after.files
+    got = {r.ts.day: r.v for r in table.read(spark).collect()}
+    assert got[21] == 999 and got[22] == 999 and got[1] == 1
+    assert len(got) == 17
+
+
+def test_prover_unanimous_over_string_vs_timestamp_interpretation():
+    """Review r12 pass 1: an ISO-datetime-shaped envelope can belong to
+    a STRING column holding ISO text, which Spark compares lexically
+    against the RAW literal — padding a date-only literal to midnight
+    is only right for a true timestamp column. The prover must be
+    unanimous across both interpretations."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        _check_proven_by_stats,
+        _pred_disjoint_by_stats,
+    )
+
+    env = {
+        "s": ["2023-01-04T00:00:00", "2023-01-05T00:00:00"],
+        "__num_rows__": 2,
+    }
+    # string reading: '2023-01-05T00:00:00' > '2023-01-05' lexically —
+    # the row WOULD match, so the file must NOT be pruned
+    assert not _pred_disjoint_by_stats("s > '2023-01-05'", env)
+    # and the CHECK twin must not be proven either
+    assert not _check_proven_by_stats("s <= '2023-01-05'", env)
+    # both interpretations agree here: safe to prune / prove
+    assert _pred_disjoint_by_stats("s > '2023-01-06'", env)
+    assert _check_proven_by_stats("s <= '2023-01-06'", env)
+
+
+def test_merge_by_source_set_map_validated_without_touched_files(
+    spark, table
+):
+    """Review r12 pass 1: the static set_map spec validates against the
+    logical schema even when stats pruning carries every file (the old
+    target.columns gate silently no-opped a typo'd column)."""
+    table.append(_kvt(spark, [(1, 10, 1)]).coalesce(1))
+    src = _kvt(spark, [(500, 1, 1)])  # key-disjoint from the only file
+    with pytest.raises(ValueError, match="unknown columns"):
+        table.merge(
+            spark, src, ["k"],
+            when_not_matched_by_source=(
+                "update", {"nope": "1"}, "k > 100000"
+            ),
+        )
+
+
+def test_merge_refuses_nondeterministic_conditions(spark, table):
+    """Review r12 pass 1 / Delta parity: clause conditions are
+    evaluated more than once per commit (keep side + incoming keys +
+    CDF), so non-deterministic conditions are refused at validation."""
+    table.append(_kvt(spark, [(1, 10, 1), (2, 20, 1)]))
+    src = _kvt(spark, [(1, 11, 2), (9, 99, 2)])
+    with pytest.raises(ValueError, match="deterministic"):
+        table.merge(
+            spark, src, ["k"], when_matched=("update", "rand() < 0.5")
+        )
+    with pytest.raises(ValueError, match="deterministic"):
+        table.merge(
+            spark, src, ["k"], when_not_matched=("insert", "rand() < 0.5")
+        )
+    with pytest.raises(ValueError, match="deterministic"):
+        table.merge(
+            spark, src, ["k"],
+            when_not_matched_by_source=("delete", "rand() < 0.5"),
+        )
+    with pytest.raises(ValueError, match="deterministic"):
+        table.merge(
+            spark, src, ["k"],
+            when_not_matched_by_source=(
+                "update", {"v": "cast(rand()*10 as long)"}
+            ),
+            change_data=True,
+        )
+    # deterministic conditions still work end-to-end
+    table.merge(
+        spark, src, ["k"], when_matched=("update", "source.ts > target.ts")
+    )
+    got = {r.k: r.v for r in table.read(spark).collect()}
+    assert got == {1: 11, 2: 20, 9: 99}
+
+
+def test_ntz_envelopes_prune_and_pushdown_filters_work(spark, table):
+    """Review r12 pass 1 follow-up: TIMESTAMP_NTZ columns (the
+    testdata's o_orderdate shape) record WALL-time ISO envelopes, the
+    retention-delete prover prunes on them, and pushed NTZ filters
+    neither crash pyarrow (naive-vs-aware) nor misread the wall time."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+
+    def ntz_df(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "make_timestamp_ntz(2023, 1, CAST(id AS INT), 0, 0, 0) AS tsn",
+            "id AS v",
+        )
+
+    table.append(ntz_df(1, 10).coalesce(1))    # Jan 1-9 wall
+    table.append(ntz_df(20, 28).coalesce(1))   # Jan 20-27 wall
+    snap = table.snapshot()
+    envs = sorted(s["tsn"] for s in snap.stats.values())
+    assert envs[0] == ["2023-01-01T00:00:00", "2023-01-09T00:00:00"]
+    # retention delete prunes the retained-range file
+    late_file = next(
+        f for f in snap.files
+        if snap.stats[f]["tsn"][0].startswith("2023-01-20")
+    )
+    table.delete(spark, "tsn < '2023-01-15'")
+    assert late_file in table.snapshot().files
+    assert sorted(r.v for r in table.read(spark).collect()) == list(
+        range(20, 28)
+    )
+    # pushed NTZ filter: exact rows, no pyarrow tz crash, file pruned
+    spark.dataSource.register(SnapshotDataSource)
+    df = spark.read.format("snapshot_table").load(str(table.root))
+    hit = df.filter("tsn >= timestamp_ntz'2023-01-25 00:00:00'")
+    assert sorted(r.v for r in hit.collect()) == [25, 26, 27]
