@@ -63,6 +63,33 @@ _PUSHABLE = {
 _CDF_META = ("_change_type", "_commit_version", "_commit_timestamp")
 
 
+def _tz_fit(v, arrow_type):
+    """Coerce a timestamp filter value to a column's tz-ness — pyarrow
+    refuses naive-vs-aware comparisons (review r12). The pushdown
+    worker serializes BOTH zoned and NTZ literals as tz-aware (an NTZ
+    literal arrives as its wall reading tagged with the session zone —
+    UTC, ``session.tune()``'s repo-wide pin; a non-UTC session zone is
+    outside the engine's contract, same as the events-nanos handling),
+    so an aware value against a naive (NTZ) column strips its tag via
+    UTC without shifting the wall reading; a naive value against an
+    aware column is OS-local per the pyspark lit contract. Used by the
+    filtered read (against FILE column types) and by the dv-masked
+    branch (against the projected arrow schema — review r12 pass 2:
+    that branch applied raw values and still crashed)."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    if isinstance(v, (list, tuple)):
+        return type(v)(_tz_fit(x, arrow_type) for x in v)
+    if isinstance(v, dt.datetime) and pa.types.is_timestamp(arrow_type):
+        if arrow_type.tz is None and v.tzinfo is not None:
+            return v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        if arrow_type.tz is not None and v.tzinfo is None:
+            return v.astimezone()
+    return v
+
+
 def _project_parquet(path: str, arrow_schema, filters=None, phys=None):
     """One parquet file -> an Arrow table in exactly ``arrow_schema``'s
     columns, order, and types — the projection/evolution kernel BOTH
@@ -90,30 +117,13 @@ def _project_parquet(path: str, arrow_schema, filters=None, phys=None):
     if filters and any(c in missing for c, _, _ in filters):
         return None
 
-    def _tz_fit(col: str, v):
-        """Coerce a timestamp filter value to the FILE column's tz-ness
-        — pyarrow refuses naive-vs-aware comparisons (review r12). The
-        pushdown worker serializes BOTH zoned and NTZ literals as
-        tz-aware (an NTZ literal arrives as its wall reading tagged
-        with the session zone — UTC here, session.tune()'s pin), so an
-        aware value against a naive (NTZ) column strips its tag via
-        UTC without shifting the wall reading; a naive value against
-        an aware column is OS-local per the pyspark lit contract."""
-        import datetime as dt
-
-        if isinstance(v, (list, tuple)):
-            return type(v)(_tz_fit(col, x) for x in v)
-        t = file_schema.field(col).type
-        if isinstance(v, dt.datetime) and pa.types.is_timestamp(t):
-            if t.tz is None and v.tzinfo is not None:
-                return v.astimezone(dt.timezone.utc).replace(tzinfo=None)
-            if t.tz is not None and v.tzinfo is None:
-                return v.astimezone()
-        return v
-
     read_filters = (
         [
-            (pmap.get(c, c), o, _tz_fit(pmap.get(c, c), v))
+            (
+                pmap.get(c, c),
+                o,
+                _tz_fit(v, file_schema.field(pmap.get(c, c)).type),
+            )
             for c, o, v in filters
         ]
         if filters
@@ -1294,5 +1304,16 @@ class _SnapshotReader(DataSourceReader):
         )
         table = _mask_dv(table, [(dv_path, rel)])
         if filters:
-            table = table.filter(pq.filters_to_expression(filters))
+            # the projected table carries the arrow schema's (logical)
+            # column types — coerce values against THOSE (review r12
+            # pass 2: raw values crashed pyarrow on NTZ columns here,
+            # the same class _tz_fit fixed on the filter-read branch)
+            table = table.filter(
+                pq.filters_to_expression(
+                    [
+                        (c, o, _tz_fit(v, self.arrow_schema.field(c).type))
+                        for c, o, v in filters
+                    ]
+                )
+            )
         yield from table.to_batches()

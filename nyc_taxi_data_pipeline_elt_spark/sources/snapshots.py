@@ -131,8 +131,9 @@ def _file_stats(abspath: str) -> dict:
     safe, lexically chronological) — without them a time-keyed table
     (the commonest CDC/merge key shape) could never stats-prune, so
     every merge touched every file. Consumers compare through
-    :func:`_stat_key`; the numeric-grammar predicate provers simply
-    treat string envelopes as inconclusive (`_env_numeric` gate)."""
+    :func:`_stat_key` / :func:`_probe_key`."""
+    import datetime as _dt
+
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(abspath).metadata
@@ -150,8 +151,6 @@ def _file_stats(abspath: str) -> dict:
             continue
         lo_raw = min(s.min for s in stats)
         hi_raw = max(s.max for s in stats)
-        import datetime as _dt
-
         if isinstance(lo_raw, _dt.datetime) and lo_raw.tzinfo is None:
             # isAdjustedToUTC=false parquet timestamps (TIMESTAMP_NTZ —
             # e.g. the testdata's o_orderdate) are WALL times with no
@@ -316,6 +315,22 @@ def _env_probe(env, lit):
             norm = lit.replace(" ", "T")
             if len(norm) == 10:
                 norm += "T00:00:00"
+            if "." in norm:
+                # canonicalize the fraction to isoformat's rendering
+                # (review r12 pass 2: '...00.5' compared lexically
+                # against the envelope's '...00.500000' and wrongly
+                # pruned boundary-equal rows): pad to 6 digits, drop an
+                # all-zero fraction (isoformat omits it), refuse
+                # beyond-micros precision (Spark's parse rounding vs
+                # lexical order can diverge there)
+                head, frac = norm.split(".")
+                if len(frac) > 6:
+                    return None
+                norm = (
+                    head
+                    if set(frac) == {"0"}
+                    else head + "." + frac.ljust(6, "0")
+                )
             return [lit] if norm == lit else [lit, norm]
         if env_date:
             return [lit] if len(lit) == 10 else None
@@ -2379,13 +2394,19 @@ class SnapshotTable:
         cmap = dict(snap.column_mapping or {}) if snap else {}
 
         # timestamp/date partition values compare against the manifest's
-        # ISO-string envelopes — normalize once, honoring NTZ (wall) vs
-        # zoned (instant) column semantics from the recorded schema
-        ntz_pred = {
-            n for n, t in (snap.schema or ()) if t == "timestamp_ntz"
-        } if snap else set()
+        # ISO-string envelopes. ALWAYS the zoned interpretation
+        # (_stat_key), even for NTZ columns — review r12 pass 2: the
+        # row-level scrub/guard is `F_col(c).isin(vals)`, and Spark
+        # resolves an NTZ-column-vs-datetime-literal comparison by
+        # casting the NTZ side to LTZ in the SESSION zone (UTC,
+        # tune()'s pin) while `lit(naive)` renders OS-local — so the
+        # wall reading Spark actually matches is the value's UTC
+        # instant, exactly what _stat_key computes. Probing NTZ
+        # envelopes with the verbatim wall instead diverged from the
+        # scrub by the host offset on non-UTC drivers (carried files
+        # whose rows the predicate covers — corruption class).
         pred_keys = {
-            c: [_probe_key(v, c in ntz_pred) for v in vals]
+            c: [_stat_key(v) for v in vals]
             for c, vals in predicate.items()
         }
 
@@ -2584,25 +2605,54 @@ class SnapshotTable:
             condition on both the keep side and the incoming-keys side
             (and the CDF re-derives it), so a non-deterministic
             condition could commit a table that disagrees with itself
-            and its change feed. Analysis-level check on the JVM plan;
-            a runtime that can't introspect (no _jdf) accepts."""
+            and its change feed. Checked on the analyzed CONDITION
+            EXPRESSION only — the root Project's expression list, not
+            the whole plan (review r12 pass 2: plan-level
+            ``deterministic`` recurses into the source's children, so
+            a uuid()/rand()-derived SOURCE batch falsely refused a
+            plain deterministic condition). Time-valued functions
+            (current_timestamp & co) are deterministic per query but
+            this engine's sides run as SEPARATE queries at different
+            instants — refused too (pass 2 finding #5; Delta dodges
+            this by evaluating merge as one job). A runtime that can't
+            introspect (no _jdf) accepts."""
             try:
-                det = (
+                plan = (
                     scope.select(F_expr(expr))
                     ._jdf.queryExecution()
                     .analyzed()
-                    .deterministic()
                 )
+                exprs = plan.expressions()
+                bad = None
+                for i in range(exprs.size()):
+                    ex = exprs.apply(i)
+                    if not ex.deterministic():
+                        bad = "non-deterministic"
+                        break
+                    s = ex.toString()
+                    # analyzed function nodes render with parens; a mere
+                    # column named current_timestamp renders as
+                    # `current_timestamp#<exprId>` and does not trip this
+                    if (
+                        "current_timestamp()" in s
+                        or "current_date(" in s
+                        or "now()" in s
+                        or "localtimestamp()" in s
+                        or "current_timezone()" in s
+                    ):
+                        bad = "wall-clock-dependent"
+                        break
             except Exception:
                 # analysis errors (unknown column, bad syntax) surface
                 # with full context when the real plan builds, and a
                 # runtime without _jdf introspection can't answer the
                 # determinism question — both: proceed, don't mask
                 return
-            if not det:
+            if bad is not None:
                 raise ValueError(
                     f"{self.root}: merge {what} must be deterministic "
-                    f"(evaluated more than once per commit), got {expr!r}"
+                    f"across queries (it is evaluated more than once "
+                    f"per commit), got {bad} expression {expr!r}"
                 )
 
         if m_cond is not None:

@@ -4066,3 +4066,126 @@ def test_ntz_envelopes_prune_and_pushdown_filters_work(spark, table):
     df = spark.read.format("snapshot_table").load(str(table.root))
     hit = df.filter("tsn >= timestamp_ntz'2023-01-25 00:00:00'")
     assert sorted(r.v for r in hit.collect()) == [25, 26, 27]
+
+
+def test_replace_where_ntz_probe_matches_spark_scrub_non_utc(spark, table):
+    """Review r12 pass 2 #1: replace_where's envelope probe must match
+    Spark's actual row semantics — isin() coerces an NTZ column to the
+    SESSION zone (UTC) while a naive literal renders OS-local, so the
+    wall Spark matches is the value's UTC instant. Under
+    TZ=America/New_York a naive Jan-5 00:00 value matches the wall
+    05:00 NTZ row; the file holding it must be rewritten, not carried."""
+    import datetime
+    import os
+    import time as time_mod
+
+    def wall(day, hour):
+        return spark.sql(
+            f"SELECT make_timestamp_ntz(2023,1,{day},{hour},0,0) AS tsn,"
+            f" {day}L AS v"
+        )
+
+    table.append(wall(5, 5).coalesce(1))    # wall Jan 5 05:00
+    table.append(wall(20, 5).coalesce(1))   # wall Jan 20 05:00
+    before = table.snapshot()
+    far_file = next(
+        f for f in before.files
+        if before.stats[f]["tsn"][0].startswith("2023-01-20")
+    )
+    repl = spark.sql(
+        "SELECT make_timestamp_ntz(2023,1,5,5,0,0) AS tsn, 555L AS v"
+    )
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time_mod.tzset()
+    try:
+        # naive local Jan-5 00:00 EST == UTC instant Jan-5 05:00 ==
+        # the wall Spark's isin matches on the NTZ column
+        table.replace_where(
+            spark, repl, {"tsn": [datetime.datetime(2023, 1, 5, 0, 0)]}
+        )
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        time_mod.tzset()
+    after = table.snapshot()
+    assert far_file in after.files, "disjoint NTZ file must be carried"
+    got = {r.v for r in table.read(spark).collect()}
+    assert got == {555, 20}, f"scrub/probe disagree: {got}"
+
+
+def test_pushed_ntz_filter_works_on_dv_masked_files(spark, table):
+    """Review r12 pass 2 #2: the deletion-vector read branch applies
+    pushed filters as an Arrow expression — its values need the same
+    tz coercion as the plain branch or NTZ filters crash pyarrow."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+
+    table.append(
+        spark.range(1, 10).selectExpr(
+            "make_timestamp_ntz(2023, 1, CAST(id AS INT), 0, 0, 0) AS tsn",
+            "id AS v",
+        ).coalesce(1)
+    )
+    table.delete(spark, "v = 3", mode="merge-on-read")  # dv on the file
+    spark.dataSource.register(SnapshotDataSource)
+    df = spark.read.format("snapshot_table").load(str(table.root))
+    hit = df.filter("tsn >= timestamp_ntz'2023-01-05 00:00:00'")
+    assert sorted(r.v for r in hit.collect()) == [5, 6, 7, 8, 9]
+
+
+def test_merge_condition_determinism_is_expression_scoped(spark, table):
+    """Review r12 pass 2 #3: a uuid()-derived SOURCE batch (the common
+    CDC batch-id stamp) must not trip the determinism refusal — only
+    the condition expression itself is checked. #5: wall-clock
+    functions (current_timestamp) ARE refused — the engine's sides run
+    as separate queries at different instants."""
+    table.append(_kvt(spark, [(1, 10, 100)]))
+    src = (
+        _kvt(spark, [(1, 11, 200)])
+        .selectExpr("*", "uuid() AS batch_tag")
+        .drop("batch_tag")
+    )
+    # nondeterministic lineage, deterministic condition: accepted
+    table.merge(
+        spark, src, ["k"],
+        when_matched=("update", "source.ts > target.ts"),
+    )
+    assert {r.v for r in table.read(spark).collect()} == {11}
+    with pytest.raises(ValueError, match="deterministic"):
+        table.merge(
+            spark, _kvt(spark, [(1, 12, 300)]), ["k"],
+            when_matched=("update", "target.ts < unix_micros(current_timestamp())"),
+        )
+
+
+def test_prover_fractional_second_literals_canonicalized():
+    """Review r12 pass 2 #4: '...00.5' must compare as isoformat's
+    '...00.500000' — boundary-equal rows were wrongly pruned/proven."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        _check_proven_by_stats,
+        _pred_disjoint_by_stats,
+    )
+
+    env = {
+        "ts": ["2023-01-05T00:00:00.500000", "2023-01-05T00:00:00.500000"],
+        "__num_rows__": 1,
+    }
+    # boundary-equal: the row MATCHES <= — must not be pruned
+    assert not _pred_disjoint_by_stats("ts <= '2023-01-05 00:00:00.5'", env)
+    # and the CHECK twin must not be proven
+    assert not _check_proven_by_stats("ts > '2023-01-05 00:00:00.5'", env)
+    # sound prunes still work with fractions
+    assert _pred_disjoint_by_stats("ts < '2023-01-05 00:00:00.5'", env)
+    assert _check_proven_by_stats("ts >= '2023-01-05 00:00:00.5'", env)
+    # all-zero fraction folds to isoformat's omitted form
+    env0 = {"ts": ["2023-01-05T00:00:00", "2023-01-05T00:00:00"],
+            "__num_rows__": 1}
+    assert _check_proven_by_stats("ts >= '2023-01-05 00:00:00.000'", env0)
+    # beyond-micros precision: inconclusive, never pruned
+    assert not _pred_disjoint_by_stats(
+        "ts < '2023-01-05 00:00:00.4999999'", env
+    )
