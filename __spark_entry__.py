@@ -112,12 +112,13 @@ _PRIORITY_WINDOW = [
     # --- r9 cohort refresh: alphabetically-first r9 rows ----------------
     "ab_test_event_value",
     "audio_energy_profile",
-    "balanced_shard_packing",
-    # NEW r12 query (MERGE clause parity: conditional when_matched +
-    # when_not_matched_by_source full sync) takes slot 50 by displacing
-    # the alphabetically-last r9 filler (bigram_lm_scores — keeps its
-    # r9 green row)
+    # NEW r12 queries take slots 49-50 by displacing the two
+    # alphabetically-last r9 fillers (balanced_shard_packing,
+    # bigram_lm_scores — both keep their r9 green rows):
+    # conditional MERGE clauses + by-source full sync, and the
+    # withEventTimeOrder watermarked stream drive
     "cdc_full_sync_merge",
+    "snapshot_eventorder_stream_agg",
 ]
 
 _PLAN_MODULES = (

@@ -51,6 +51,84 @@ def _snapstream_fixture(spark: SparkSession, sf_dir: str):
     return cached_fixture("snapstream", sf_dir, build)
 
 
+def _snap_eventorder_fixture(spark: SparkSession, sf_dir: str):
+    """Event-time-ADVERSARIAL two-append events snapshot table (the
+    LATE half of the time range committed FIRST) — the
+    withEventTimeOrder stream drive's INPUT, built once per process
+    and bench-prewarmed."""
+    from nyc_taxi_data_pipeline_elt_spark.plans._snapshot_fixtures import (
+        cached_fixture,
+    )
+    from nyc_taxi_data_pipeline_elt_spark.sources.readers import load_table
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    def build(root: str) -> SnapshotTable:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "value"
+        )
+        split = events.agg(
+            F.expr("percentile_approx(ts, 0.5)").alias("m")
+        ).first()["m"]
+        table = SnapshotTable(root + "/events_eo_tbl")
+        table.append(events.filter(F.col("ts") >= split))  # LATE first
+        table.append(events.filter(F.col("ts") < split))
+        return table
+
+    return cached_fixture("snapeventorder", sf_dir, build)
+
+
+def snapshot_eventorder_stream_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """withEventTimeOrder end-to-end (VERDICT r11 task #4): a FRESH
+    stream over an event-time-adversarial snapshot table (its LATE
+    half committed before its EARLY half) feeds a WATERMARKED daily
+    aggregation with ``withEventTimeOrder`` + ``eventTimeColumn`` set.
+    The oracle is the plain batch GROUP BY — equality proves the
+    initial snapshot lost NOTHING under the watermark despite the
+    adversarial commit order (the loss Delta's option exists to
+    prevent; structurally impossible here because the one-batch
+    initial snapshot runs under the initial watermark floor — see
+    _SnapshotStreamReader's docstring) AND that the option's
+    event-ordered partition serving, validation, and manifest-stat
+    ordering all hold on the real fixture."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+
+    table = _snap_eventorder_fixture(spark, sf_dir)
+    spark.dataSource.register(SnapshotDataSource)
+    stream = (
+        spark.readStream.format("snapshot_table")
+        .option("withEventTimeOrder", "true")
+        .option("eventTimeColumn", "ts")
+        .load(str(table.root))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    out = W.run_to_memory(agg, _unique("snapeo"))
+    # day stays TIMESTAMP on both sides (the resample_events_daily
+    # convention — a DATE here hash-mismatches DuckDB's datetime64)
+    return out.select(
+        F.col("window.start").alias("day"), "n_events", "total_value"
+    )
+
+
+SNAPSHOT_EVENTORDER_ORACLE = """
+SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = W.stream_events(spark, sf_dir)
     return W.run_to_memory(W.tumbling_counts(events), _unique("tumbling"))
@@ -430,6 +508,9 @@ from nyc_taxi_data_pipeline_elt_spark.plans._snapshot_fixtures import (  # noqa:
 register_prewarmer(
     "streaming_snapshot_source_counts", _snapstream_fixture
 )
+register_prewarmer(
+    "snapshot_eventorder_stream_agg", _snap_eventorder_fixture
+)
 
 QUERIES = {
     "streaming_stateful_user_counts": streaming_stateful_user_counts,
@@ -445,6 +526,7 @@ QUERIES = {
     "streaming_session_counts": streaming_session_counts,
     "streaming_late_data_tumbling": streaming_late_data_tumbling,
     "streaming_snapshot_source_counts": streaming_snapshot_source_counts,
+    "snapshot_eventorder_stream_agg": snapshot_eventorder_stream_agg,
 }
 
 ORACLE = {
@@ -461,4 +543,5 @@ ORACLE = {
     "streaming_session_counts": SESSION_ORACLE,
     "streaming_late_data_tumbling": LATE_DATA_ORACLE,
     "streaming_snapshot_source_counts": SNAPSHOT_SOURCE_ORACLE,
+    "snapshot_eventorder_stream_agg": SNAPSHOT_EVENTORDER_ORACLE,
 }

@@ -4189,3 +4189,59 @@ def test_prover_fractional_second_literals_canonicalized():
     assert not _pred_disjoint_by_stats(
         "ts < '2023-01-05 00:00:00.4999999'", env
     )
+
+
+def test_replace_where_string_and_date_values_on_timestamp_column(
+    spark, table
+):
+    """Review r12 pass 3 #1: ISO-string and date predicate values on a
+    timestamp column must probe the way Spark's isin-cast matches rows
+    — before the fix the space-separated string never matched the
+    'T'-separated envelope and the covered file was carried."""
+    import datetime
+
+    table.append(_ts_df(spark, 1, 10).coalesce(1))    # Jan 1-9
+    table.append(_ts_df(spark, 20, 28).coalesce(1))   # Jan 20-27
+    before = table.snapshot()
+    late_file = next(
+        f for f in before.files
+        if before.stats[f]["ts"][0].startswith("2023-01-20")
+    )
+    repl = _ts_df(spark, 5, 6).selectExpr("ts", "555L AS v")
+    table.replace_where(spark, repl, {"ts": ["2023-01-05 00:00:00"]})
+    after = table.snapshot()
+    assert late_file in after.files, "disjoint file must still carry"
+    got = {r.ts.day: r.v for r in table.read(spark).collect()}
+    assert got[5] == 555, "string-valued ts predicate missed its file"
+    assert len(got) == 17
+    # date value on the timestamp column: matches the midnight row
+    repl2 = _ts_df(spark, 6, 7).selectExpr("ts", "666L AS v")
+    table.replace_where(spark, repl2, {"ts": [datetime.date(2023, 1, 6)]})
+    got = {r.ts.day: r.v for r in table.read(spark).collect()}
+    assert got[6] == 666, "date-valued ts predicate missed its file"
+
+
+def test_merge_condition_with_wallclock_lookalike_literal_accepted(
+    spark, table
+):
+    """Review r12 pass 3 #2: a STRING LITERAL whose text contains
+    'now()' must not trip the wall-clock refusal (Catalyst renders
+    literals unquoted); real current_timestamp() still refuses."""
+    table.append(
+        spark.createDataFrame([(1, "run", 1)], "k long, op string, ts long")
+    )
+    src = spark.createDataFrame(
+        [(1, "shutdown_now()", 2)], "k long, op string, ts long"
+    )
+    table.merge(
+        spark, src, ["k"],
+        when_matched=("update", "source.op != 'shutdown_now()'"),
+    )
+    assert [r.op for r in table.read(spark).collect()] == ["run"], (
+        "condition comparing EQUAL text should keep the target row"
+    )
+    with pytest.raises(ValueError, match="wall-clock"):
+        table.merge(
+            spark, src, ["k"],
+            when_matched=("update", "target.ts < unix_micros(now())"),
+        )
