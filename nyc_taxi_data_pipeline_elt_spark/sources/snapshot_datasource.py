@@ -1254,6 +1254,24 @@ class _SnapshotReader(DataSourceReader):
                 if op == "in"
                 else _probe_key(value, ntz)
             )
+
+            def _nan(x):
+                return isinstance(x, float) and x != x
+
+            if (
+                _nan(lo)
+                or _nan(hi)
+                or (
+                    any(_nan(v) for v in value)
+                    if op == "in"
+                    else _nan(value)
+                )
+            ):
+                # NaN comparisons are all False — the NEGATED prune
+                # tests below would misread that as "provably outside"
+                # and drop a file whose rows match (review r12 pass 4,
+                # legacy footer envelopes can still carry NaN bounds)
+                continue
             try:
                 if (
                     (op == "=" and not lo <= value <= hi)

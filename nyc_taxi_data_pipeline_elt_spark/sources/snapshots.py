@@ -58,6 +58,7 @@ import shutil
 import time
 import uuid
 from dataclasses import dataclass
+from functools import lru_cache as _lru_cache
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -164,6 +165,11 @@ def _file_stats(abspath: str) -> dict:
             continue
         lo = _stat_key(lo_raw)
         hi = _stat_key(hi_raw)
+        if any(isinstance(x, float) and x != x for x in (lo, hi)):
+            # a NaN bound is not an envelope: every comparison with it
+            # is False, which NEGATED prune tests would misread as
+            # "provably outside" (review r12 pass 4) — record nothing
+            continue
         if isinstance(lo, (int, float, str, bool)) and isinstance(
             hi, (int, float, str, bool)
         ):
@@ -276,23 +282,44 @@ def _lit(num_g: str | None, str_g: str | None):
     return _num(num_g) if num_g is not None else str_g
 
 
-def _env_probe(env, lit):
-    """Normalize ``lit`` into ``env``'s comparison domain: returns the
-    LIST of candidate probe values a prover must agree on, or None when
-    the pair is unusable (cross-family, or a comparison whose lexical
-    order would diverge from the engine's evaluation):
+def _env_family(env) -> str | None:
+    """The comparison family an envelope belongs to — the only
+    env-dependent input to candidate construction (review r12 pass 4:
+    per-(file, value) candidate recomputation was O(files x values)
+    regex work; the family is 2 cheap matches per file and the
+    candidates memoize per (family, literal))."""
+    if not (isinstance(env, (list, tuple)) and len(env) == 2):
+        return None
+    if _env_numeric(env):
+        return "num"
+    if all(isinstance(x, str) for x in env):
+        if all(_ISO_TS_RE.match(x) for x in env):
+            return "ts"
+        if all(_ISO_DATE_RE.match(x) for x in env):
+            return "date"
+        return "str"
+    return None
+
+
+@_lru_cache(maxsize=4096)
+def _env_candidates(fam: str, lit) -> tuple | None:
+    """Candidate probe values for ``lit`` against an envelope of family
+    ``fam`` — a prover must be unanimous over them; None = unusable
+    pair (cross-family, or a comparison whose lexical order would
+    diverge from the engine's evaluation):
 
     - numeric lit x numeric envelope: as-is (exact int/float compare);
     - date/time-shaped lit x ISO-datetime envelope: BOTH the raw
       literal and its normalized form (space sep -> 'T', date-only
-      padded to midnight). The normalized form is exactly the
-      timestamp Spark coerces the string to on a TIMESTAMP column —
-      but an ISO-datetime-shaped envelope can also belong to a plain
-      STRING column holding ISO text, which Spark compares lexically
-      against the RAW literal (review r12: padding alone wrongly
-      pruned ``s > '2023-01-05'`` against a string value
-      '2023-01-05T00:00:00'). Requiring unanimity across both
-      interpretations is sound for either column type;
+      padded to midnight, fraction canonicalized to isoformat's
+      rendering). The normalized form is exactly the timestamp Spark
+      coerces the string to on a TIMESTAMP column — but an
+      ISO-datetime-shaped envelope can also belong to a plain STRING
+      column holding ISO text, which Spark compares lexically against
+      the RAW literal (review r12: padding alone wrongly pruned
+      ``s > '2023-01-05'`` against a string value
+      '2023-01-05T00:00:00'). Unanimity across both interpretations is
+      sound for either column type;
     - date-shaped lit x ISO-date envelope: as-is; a literal WITH a
       time part against a date column is inconclusive (Spark casts,
       truncating — lexical order would disagree);
@@ -302,16 +329,12 @@ def _env_probe(env, lit):
     - a non-date string against a date/time envelope (Spark would cast,
       not compare lexically), or any other mix: None.
     """
-    if not (isinstance(env, (list, tuple)) and len(env) == 2):
-        return None
     if isinstance(lit, (int, float)) and not isinstance(lit, bool):
-        return [lit] if _env_numeric(env) else None
-    if not isinstance(lit, str) or not all(isinstance(x, str) for x in env):
+        return (lit,) if fam == "num" else None
+    if not isinstance(lit, str) or fam == "num":
         return None
-    env_ts = all(_ISO_TS_RE.match(x) for x in env)
-    env_date = all(_ISO_DATE_RE.match(x) for x in env)
     if _ISOISH_RE.match(lit):
-        if env_ts:
+        if fam == "ts":
             norm = lit.replace(" ", "T")
             if len(norm) == 10:
                 norm += "T00:00:00"
@@ -331,11 +354,20 @@ def _env_probe(env, lit):
                     if set(frac) == {"0"}
                     else head + "." + frac.ljust(6, "0")
                 )
-            return [lit] if norm == lit else [lit, norm]
-        if env_date:
-            return [lit] if len(lit) == 10 else None
-        return [lit]  # plain string column holding date-ish text
-    return None if env_ts or env_date else [lit]
+            return (lit,) if norm == lit else (lit, norm)
+        if fam == "date":
+            return (lit,) if len(lit) == 10 else None
+        return (lit,)  # plain string column holding date-ish text
+    return None if fam in ("ts", "date") else (lit,)
+
+
+def _env_probe(env, lit):
+    """Candidate probe values for ``lit`` against ``env`` (see
+    :func:`_env_candidates`), or None when the pair is unusable."""
+    fam = _env_family(env)
+    if fam is None:
+        return None
+    return _env_candidates(fam, lit)
 
 
 def _envelope_relation(expr: str, fstats: dict):
@@ -2405,10 +2437,15 @@ class SnapshotTable:
         # envelopes with the verbatim wall instead diverged from the
         # scrub by the host offset on non-UTC drivers (carried files
         # whose rows the predicate covers — corruption class).
+        import datetime as _pdt
+
         pred_keys = {
-            c: [_stat_key(v) for v in vals]
+            c: [(_stat_key(v), isinstance(v, _pdt.date)) for v in vals]
             for c, vals in predicate.items()
         }
+
+        def _nan(x) -> bool:
+            return isinstance(x, float) and x != x
 
         def _pred_excludes(fstats: dict) -> bool:
             """ANY conjunct's envelope excludes every accepted value —
@@ -2421,14 +2458,26 @@ class SnapshotTable:
             ISO-STRING or date value probed verbatim never matched the
             'T'-separated datetime envelopes Spark's isin-cast
             semantics imply, carrying files the scrub covers —
-            corruption class); a value _env_probe cannot place, or a
-            cross-family comparison, is inconclusive: file touched."""
+            corruption class). Inconclusive (file stays touched):
+            unusable pairs, a TYPED datetime/date value against a
+            plain-string envelope (Spark CASTS the string column for
+            that comparison — space-separated text in the file would
+            match rows the raw-lexical probe calls outside; review r12
+            pass 4), and any NaN on either side (all NaN comparisons
+            are False, which this NEGATED test would otherwise read as
+            'outside' — while Spark's isin treats NaN==NaN as a match;
+            review r12 pass 4, reproduced corruption)."""
             fstats = self._logical_view(fstats, cmap)
             if fstats.get("__num_rows__") == 0:
                 return True
 
-            def _outside(env, v) -> bool:
-                cands = _env_probe(env, v)
+            def _outside(env, v, typed: bool) -> bool:
+                if _nan(env[0]) or _nan(env[1]) or _nan(v):
+                    return False
+                fam = _env_family(env)
+                if typed and fam == "str":
+                    return False  # cast semantics: inconclusive
+                cands = _env_candidates(fam, v) if fam else None
                 if cands is None:
                     return False  # unusable pair: inconclusive
                 return not any(env[0] <= cv <= env[1] for cv in cands)
@@ -2437,7 +2486,9 @@ class SnapshotTable:
                 return any(
                     fstats.get(c) is not None
                     and vals
-                    and all(_outside(fstats[c], v) for v in vals)
+                    and all(
+                        _outside(fstats[c], v, typed) for v, typed in vals
+                    )
                     for c, vals in pred_keys.items()
                 )
             except TypeError:
@@ -2634,6 +2685,7 @@ class SnapshotTable:
                 # 'shutdown_now()' substring-matched "now()")
                 "CurrentTimestamp",
                 "CurrentDate",
+                "CurrentTime",  # review r12 pass 4: 4.1's TIME type
                 "Now",
                 "LocalTimestamp",
                 "CurrentTimeZone",
@@ -2641,12 +2693,18 @@ class SnapshotTable:
             }
 
             def _finds_wallclock(jex) -> bool:
-                if jex.getClass().getSimpleName() in wallclock:
-                    return True
-                ch = jex.children()
-                return any(
-                    _finds_wallclock(ch.apply(i)) for i in range(ch.size())
-                )
+                # iterative: a machine-generated 1000-term condition is
+                # a left-deep tree; Python recursion would raise
+                # RecursionError into the except below and silently
+                # ACCEPT the wall-clock condition (review r12 pass 4)
+                stack = [jex]
+                while stack:
+                    ex = stack.pop()
+                    if ex.getClass().getSimpleName() in wallclock:
+                        return True
+                    ch = ex.children()
+                    stack.extend(ch.apply(i) for i in range(ch.size()))
+                return False
 
             try:
                 plan = (

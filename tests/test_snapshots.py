@@ -4245,3 +4245,77 @@ def test_merge_condition_with_wallclock_lookalike_literal_accepted(
             spark, src, ["k"],
             when_matched=("update", "target.ts < unix_micros(now())"),
         )
+
+
+def test_replace_where_nan_values_and_envelopes_inconclusive(spark, table):
+    """Review r12 pass 4 #1 (reproduced corruption): NaN defeats the
+    negated inside-test — a NaN envelope bound or predicate value must
+    leave the file TOUCHED (Spark's isin treats NaN==NaN as a match)."""
+    import math
+
+    table.append(
+        spark.createDataFrame([(1.0, 1), (math.nan, 2)], "x double, v long")
+        .coalesce(1)
+    )
+    repl = spark.createDataFrame([(1.0, 555)], "x double, v long")
+    table.replace_where(spark, repl, {"x": [1.0]})
+    got = sorted((r.v) for r in table.read(spark).collect())
+    assert got == [2, 555], f"NaN envelope carried the covered file: {got}"
+    # NaN predicate value: isin(NaN) matches the NaN row
+    import math as m
+
+    repl2 = spark.createDataFrame([(m.nan, 777)], "x double, v long")
+    table.replace_where(spark, repl2, {"x": [m.nan]})
+    got = sorted(r.v for r in table.read(spark).collect())
+    assert got == [555, 777], f"NaN value carried the covered file: {got}"
+
+
+def test_replace_where_typed_datetime_vs_string_column_inconclusive(
+    spark, table
+):
+    """Review r12 pass 4 #2 (reproduced corruption): a TYPED datetime
+    value against a plain-string column is matched by Spark via CAST,
+    so space-separated datetime text must not be raw-lexically
+    excluded."""
+    import datetime
+
+    table.append(
+        spark.createDataFrame(
+            [("2023-01-05 12:00:00", 1)], "s string, v long"
+        ).coalesce(1)
+    )
+    repl = spark.createDataFrame(
+        [("2023-01-05 12:00:00", 555)], "s string, v long"
+    )
+    table.replace_where(
+        spark, repl, {"s": [datetime.datetime(2023, 1, 5, 12, 0, 0)]}
+    )
+    got = sorted(r.v for r in table.read(spark).collect())
+    assert got == [555], f"cast-matched row survived the replace: {got}"
+
+
+def test_merge_wallclock_current_time_and_deep_condition_refused(
+    spark, table
+):
+    """Review r12 pass 4 #3/#4: current_time() is wall-clock (4.1's
+    TIME type), and a machine-generated 1000-term condition must not
+    let RecursionError silently accept a now() buried at its end."""
+    table.append(_kvt(spark, [(1, 10, 1)]))
+    src = _kvt(spark, [(1, 11, 2)])
+    with pytest.raises(ValueError, match="wall-clock"):
+        table.merge(
+            spark, src, ["k"],
+            when_matched=("update", "current_time() IS NOT NULL"),
+        )
+    deep = " OR ".join(f"target.v = {i}" for i in range(1000))
+    deep += " OR unix_micros(now()) > target.ts"
+    with pytest.raises(ValueError, match="wall-clock"):
+        table.merge(spark, src, ["k"], when_matched=("update", deep))
+    # the deep shape WITHOUT wall-clock still passes validation
+    table.merge(
+        spark, src, ["k"],
+        when_matched=("update", " OR ".join(
+            f"source.v = {i}" for i in range(1000)
+        ) + " OR source.ts > target.ts"),
+    )
+    assert {r.v for r in table.read(spark).collect()} == {11}
