@@ -45,80 +45,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records correctness rows for the FIRST 50 entries of
-# ``queries()`` insertion order. Round-12 rotation (VERDICT r11 task #1),
-# re-derived against the actual CORRECTNESS_r11.json: staleness
-# distribution is 46@r8 / 50@r9 / 50@r10 / 50@r11, zero never-green,
-# 196 registered == 196 ever-green. This window is the 46 queries whose
-# newest green driver row is r8 — the oldest evidence in the ledger —
-# plus the alphabetically-first r9 rows starting the r9 cohort refresh.
-# Window invariant: every member's newest prior green row is <= r9;
-# after this round no registered query's evidence predates r9.
-# Everything displaced is r10/r11 driver-hash-verified and remains
-# registered, benchmarked, and locally parity-tested;
+# ``queries()`` insertion order. Round-13 rotation (VERDICT r12 task #1),
+# re-derived against the actual CORRECTNESS_r{1..12}.json union:
+# staleness distribution is 48@r9 / 50@r10 / 50@r11 / 50@r12, zero
+# never-green, 198 registered == 198 ever-green. This window is the 48
+# queries whose newest green driver row is r9 — the oldest evidence in
+# the ledger — plus the alphabetically-first r10 rows starting the r10
+# cohort refresh. Window invariant: every member's newest prior green
+# row is <= r10; after this round no registered query's evidence
+# predates r10. Everything displaced is r10/r11/r12 driver-hash-verified
+# and remains registered, benchmarked, and locally parity-tested;
 # tests/test_window_coverage.py FAILS the suite if any registered query
 # has neither a driver row in any CORRECTNESS_r*.json nor a slot here,
 # and if this list exceeds the 50 slots the driver actually records.
 # NEW queries registered this round take a slot by displacing the
-# alphabetically-last r9 filler (note it in COVERAGE.md) — the r8
+# alphabetically-last r10 filler (note it in COVERAGE.md) — the r8
 # snapshot_time_travel_read pattern.
 _PRIORITY_WINDOW = [
-    # --- stalest: newest green row is r8 (46) ---------------------------
-    "chunk_documents",
-    "customer_order_distribution",
-    "customer_status_history",
-    "customer_year_overlap",
-    "decontaminate_train_docs",
-    "dedup_simhash",
-    "disjunctive_part_revenue",
-    "doc_global_index",
-    "doc_token_stats_arrow",
-    "doc_weighted_sample",
-    "dq_filter_orders",
-    "embedding_neardup_blocked",
-    "embedding_quantize",
-    "lone_fault_suppliers",
-    "nation_market_share",
-    "overstocked_suppliers",
-    "price_quantity_stats",
-    "pricing_summary",
-    "priority_by_linestatus",
-    "priority_lines_by_flag",
-    "promo_revenue_share",
-    "q2_hourly_avg_value",
-    "quantity_profile_by_flag",
-    "repeat_high_value_customers",
-    "resample_events_daily",
-    "revenue_by_nation",
-    "rolling_weekly_spend",
-    "rollup_pricing",
-    "running_customer_spend",
-    "salted_orders_per_segment",
-    "scd2_user_event_type",
-    "sessionize_users",
-    "shipping_priority_topk",
-    "small_qty_part_revenue",
-    "snapshot_table_roundtrip",
-    "snapshot_time_travel_read",
-    "source_extremes_arrow",
-    "status_counts_long",
-    "tfidf_top_terms",
-    "token_array_features",
-    "topk_orders",
-    "unigram_lm_scores",
-    "union_fleets_unify",
-    "user_conversion_cogroup",
-    "user_event_type_map",
-    "valuable_parts",
-    # --- r9 cohort refresh: alphabetically-first r9 rows ----------------
-    "ab_test_event_value",
-    "audio_energy_profile",
-    # NEW r12 queries take slots 49-50 by displacing the two
-    # alphabetically-last r9 fillers (balanced_shard_packing,
-    # bigram_lm_scores — both keep their r9 green rows):
-    # conditional MERGE clauses + by-source full sync, and the
-    # withEventTimeOrder watermarked stream drive
-    "cdc_full_sync_merge",
-    "snapshot_eventorder_stream_agg",
+    # --- stalest: newest green row is r9 (48) ---------------------------
+    "balanced_shard_packing",
+    "bigram_lm_scores",
+    "bpe_pair_counts",
+    "classifier_score_docs",
+    "cohort_retention",
+    "corpus_datasheet",
+    "curate_corpus_pipeline",
+    "dedup_containment_pairs",
+    "dedup_incremental_minhash",
+    "dedup_spans_corpus",
+    "doc_bottomk_sample",
+    "doc_group_split",
+    "doc_mixture_sample",
+    "doc_quota_sample",
+    "doc_repetition_stats",
+    "doc_sample_split",
+    "doc_vowel_stats_pandas_udf",
+    "dq_expectations_orders",
+    "embedding_kmeans",
+    "embedding_random_projection",
+    "knn_join_embeddings",
+    "lang_id_docs",
+    "large_volume_orders",
+    "late_shipment_priorities",
+    "lineitem_asof_prior_order",
+    "min_cost_supplier_per_part",
+    "multimodal_meta",
+    "nation_profit_by_year",
+    "nation_wealth_coverage",
+    "pack_training_sequences",
+    "part_supplier_variety",
+    "quality_filter_docs",
+    "returned_item_losses",
+    "semdedup_prune",
+    "shard_assignment",
+    "simsearch_bruteforce_topk",
+    "simsearch_lsh_multiprobe",
+    "simsearch_lsh_topk",
+    "simsearch_recall_eval",
+    "snapshot_cdf_updates",
+    "snapshot_change_feed",
+    "snapshot_delete_rows",
+    "source_quality_udaf",
+    "sql_consumption_report",
+    "text_stats",
+    "top3_lineitems_per_supplier",
+    "top_revenue_suppliers",
+    "winnow_fingerprint_docs",
+    # --- r10 cohort refresh: alphabetically-first r10 rows --------------
+    # (NEW r13 queries displace these fillers, alphabetically-last
+    # first; fillers keep their r10 green rows.)
+    "approx_distinct_stats",
+    "biggest_order_per_customer",
 ]
 
 _PLAN_MODULES = (
