@@ -115,7 +115,9 @@ _PRIORITY_WINDOW = [
     # (NEW r13 queries displace these fillers, alphabetically-last
     # first; fillers keep their r10 green rows.)
     "approx_distinct_stats",
-    "biggest_order_per_customer",
+    # NEW r13: conditional-merge CDF + conjunctive retention delete
+    # (VERDICT r12 tasks #2/#7) — displaces biggest_order_per_customer
+    "cdc_conditional_cdf",
 ]
 
 _PLAN_MODULES = (

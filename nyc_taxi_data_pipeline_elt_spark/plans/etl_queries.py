@@ -319,6 +319,146 @@ GROUP BY o_orderstatus
 """
 
 
+def cdc_conditional_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed of a per-clause-conditional MERGE plus a
+    CONJUNCTIVE retention delete (VERDICT r12 tasks #2/#7): the orders
+    mirror takes one merge with all three clause shapes conditional —
+
+    - ``when_matched=('update', 'source.o_totalprice >
+      target.o_totalprice')``: the batch bumps even keys x1.5 (passes)
+      and halves odd keys x0.5 (fails — no change rows for those);
+    - ``when_not_matched='insert'``: shifted keys enter;
+    - ``when_not_matched_by_source=('delete', "o_orderdate <
+      '1998-01-01' AND o_orderstatus = 'F'")``: a conjunctive
+      by-source condition — old FINISHED rows absent from the batch
+      are purged, everything else absent is KEPT;
+
+    then ``DELETE WHERE o_orderdate >= '1999-06-01' AND o_orderstatus
+    = 'O'`` — the multi-tenant-shaped retention purge the r13
+    conjunctive stats prover grammar exists for (at scale, files
+    disjoint on EITHER conjunct's envelope are carried verbatim;
+    pruning is pinned by tests/test_conjunctive_prover.py and probed
+    in SCALING.md). The result is the full CDF aggregated by (commit
+    version, change type): update_preimage/postimage exactly for
+    condition-PASSING matched pairs, by-source + retention deletes
+    replayed with their original row images — the driver-checked
+    oracle twin the r12 verdict asked for (task #7).
+
+    The mutation sequence is the query, so the table rebuilds per call
+    under an ephemeral root. Price arithmetic in DECIMAL on both
+    engines (the cdc_orders_merge lesson)."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import SnapshotTable
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    table = SnapshotTable(ephemeral_root("cdccond") + "/tbl")
+    table.append(orders)  # v0
+
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    mult = (
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(1.5))
+        .otherwise(F.lit(0.5))
+        .cast("decimal(2,1)")
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_orderstatus", F.lit("S"))
+        .withColumn(
+            "o_totalprice", F.round(price_dec * mult, 2).cast("double")
+        )
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100000000))
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    table.merge(
+        spark,
+        updates.unionByName(inserts),
+        ["o_orderkey"],
+        when_matched=("update", "source.o_totalprice > target.o_totalprice"),
+        when_not_matched="insert",
+        when_not_matched_by_source=(
+            "delete",
+            "o_orderdate < '1998-01-01' AND o_orderstatus = 'F'",
+        ),
+        change_data=True,
+    )  # v1
+    table.delete(
+        spark, "o_orderdate >= '1999-06-01' AND o_orderstatus = 'O'"
+    )  # v2
+    return (
+        table.read_changes_cdf(spark, since_version=0)
+        .groupBy(
+            F.col("_commit_version").cast("long").alias("version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").alias("key_checksum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+CDC_CONDITIONAL_CDF_ORACLE = """
+WITH upd AS (
+  SELECT o_orderkey, o_totalprice AS old_price,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                    * CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1.5 ELSE 0.5 END
+                           AS DECIMAL(2,1)), 2) AS DOUBLE) AS new_price
+  FROM orders WHERE o_orderkey % 3 = 0
+), passing AS (
+  SELECT * FROM upd WHERE new_price > old_price
+), ins AS (
+  SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+), bs_del AS (
+  -- by-source conditional delete: target keys absent from the batch
+  -- (o_orderkey % 3 <> 0; shifted insert keys never collide) that
+  -- pass the conjunctive condition
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey % 3 <> 0
+    AND o_orderdate < TIMESTAMP '1998-01-01' AND o_orderstatus = 'F'
+), v2_del AS (
+  -- retention purge over the POST-merge state: status 'O' rows (never
+  -- touched by the merge: matched-passing rows became 'S', by-source
+  -- deletes required 'F', inserts are 'N') except the
+  -- matched-passing keys (o_orderkey % 6 = 0, replaced by 'S' rows)
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderstatus = 'O' AND o_orderdate >= TIMESTAMP '1999-06-01'
+    AND o_orderkey % 6 <> 0
+)
+SELECT CAST(1 AS BIGINT) AS version, 'update_preimage' AS change_type,
+       count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(sum(CAST(old_price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM passing
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'update_postimage', count(*),
+       CAST(sum(o_orderkey) AS BIGINT),
+       CAST(sum(CAST(new_price AS DECIMAL(18,2))) AS DOUBLE)
+FROM passing
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'insert', count(*),
+       CAST(sum(o_orderkey) AS BIGINT),
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+FROM ins
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'delete', count(*),
+       CAST(sum(o_orderkey) AS BIGINT),
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+FROM bs_del
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'delete', count(*),
+       CAST(sum(o_orderkey) AS BIGINT),
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+FROM v2_del
+"""
+
+
 def snapshot_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end drive of the snapshot table format
     (``sources/snapshots.py``): orders land in two append commits, the
@@ -1139,6 +1279,7 @@ QUERIES = {
     "scd2_user_event_type": scd2_user_event_type,
     "cdc_orders_merge": cdc_orders_merge,
     "cdc_full_sync_merge": cdc_full_sync_merge,
+    "cdc_conditional_cdf": cdc_conditional_cdf,
     "snapshot_table_roundtrip": snapshot_table_roundtrip,
     "snapshot_change_feed": snapshot_change_feed,
     "snapshot_zorder_pruned_scan": snapshot_zorder_pruned_scan,
@@ -1158,6 +1299,7 @@ ORACLE = {
     "scd2_user_event_type": SCD2_ORACLE,
     "cdc_orders_merge": CDC_ORACLE,
     "cdc_full_sync_merge": CDC_FULL_SYNC_ORACLE,
+    "cdc_conditional_cdf": CDC_CONDITIONAL_CDF_ORACLE,
     "snapshot_table_roundtrip": SNAPSHOT_ROUNDTRIP_ORACLE,
     "snapshot_change_feed": SNAPSHOT_CDF_ORACLE,
     "snapshot_zorder_pruned_scan": SNAPSHOT_ZORDER_ORACLE,

@@ -67,12 +67,13 @@ def _tz_fit(v, arrow_type):
     """Coerce a timestamp filter value to a column's tz-ness — pyarrow
     refuses naive-vs-aware comparisons (review r12). The pushdown
     worker serializes BOTH zoned and NTZ literals as tz-aware (an NTZ
-    literal arrives as its wall reading tagged with the session zone —
-    UTC, ``session.tune()``'s repo-wide pin; a non-UTC session zone is
-    outside the engine's contract, same as the events-nanos handling),
-    so an aware value against a naive (NTZ) column strips its tag via
-    UTC without shifting the wall reading; a naive value against an
-    aware column is OS-local per the pyspark lit contract. Used by the
+    literal arrives as its wall reading tagged with the SESSION zone),
+    so an aware value against a naive (NTZ) column DROPS its tag
+    wall-preservingly — ``replace(tzinfo=None)``, which recovers the
+    NTZ wall under any session zone (ADVICE r12: routing through UTC
+    shifted the wall by the session offset whenever the zone was not
+    ``session.tune()``'s UTC pin). A naive value against an aware
+    column is OS-local per the pyspark lit contract. Used by the
     filtered read (against FILE column types) and by the dv-masked
     branch (against the projected arrow schema — review r12 pass 2:
     that branch applied raw values and still crashed)."""
@@ -84,7 +85,7 @@ def _tz_fit(v, arrow_type):
         return type(v)(_tz_fit(x, arrow_type) for x in v)
     if isinstance(v, dt.datetime) and pa.types.is_timestamp(arrow_type):
         if arrow_type.tz is None and v.tzinfo is not None:
-            return v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            return v.replace(tzinfo=None)
         if arrow_type.tz is not None and v.tzinfo is None:
             return v.astimezone()
     return v

@@ -52,6 +52,7 @@ transactions.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re as _re
 import shutil
@@ -69,6 +70,24 @@ from pyspark.sql.functions import lit as F_lit
 from pyspark.sql.functions import max as F_max
 from pyspark.sql.functions import min as F_min
 from pyspark.sql.functions import when as F_when
+
+_log = logging.getLogger(__name__)
+
+
+class _AmbiguousLocalTime(TypeError):
+    """A naive datetime probe falls inside a DST-ambiguous or
+    nonexistent OS-local hour (ADVICE r12): its fold=0 and fold=1 local
+    interpretations map to different instants, and pyspark's own
+    ``TimestampType.toInternal`` (``time.mktime``, ``tm_isdst=-1``) may
+    pick either — so no single envelope key can be trusted to agree
+    with the engine's row-level comparison. Subclasses TypeError on
+    purpose: every prover already treats a TypeError as INCONCLUSIVE
+    (no prune), which is exactly the sound fallback here."""
+
+
+#: sentinel for "no sound envelope key exists for this probe value" —
+#: consumers check it explicitly and treat it as inconclusive
+_AMBIG = object()
 
 
 def _stat_key(v):
@@ -88,13 +107,26 @@ def _stat_key(v):
     merge key-range probe and user-passed predicate values mean
     local wall clock. Treating them as UTC silently shifted every
     envelope comparison by the host offset on non-UTC drivers —
-    wrong-prune, data-loss class. ``datetime.astimezone()`` applies
-    exactly the same local interpretation Python/pyspark use."""
+    wrong-prune, data-loss class. A naive value inside a DST-ambiguous
+    or imaginary local hour has no unanimous instant (its two fold
+    readings disagree, and pyspark's mktime-based conversion may pick
+    either) — :class:`_AmbiguousLocalTime` (a TypeError: existing
+    guards already read it as inconclusive)."""
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
         if v.tzinfo is None:
-            v = v.astimezone()  # OS-local: the pyspark collect contract
+            # OS-local interpretation (the pyspark collect contract),
+            # fold-unanimous: both PEP-495 readings of an ambiguous /
+            # nonexistent local hour must agree on the instant
+            a = v.replace(fold=0).astimezone(_dt.timezone.utc)
+            b = v.replace(fold=1).astimezone(_dt.timezone.utc)
+            if a != b:
+                raise _AmbiguousLocalTime(
+                    f"naive datetime {v.isoformat()} falls in a "
+                    "DST-ambiguous or nonexistent OS-local hour"
+                )
+            v = a
         v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat()
     if isinstance(v, _dt.date):
@@ -104,21 +136,28 @@ def _stat_key(v):
 
 def _probe_key(v, ntz: bool):
     """Normalize a live probe value for a column given its timestamp
-    semantics. NTZ columns store WALL-time ISO envelopes: naive probes
-    (pyspark renders TimestampNTZType tz-free) pass through verbatim,
-    and the filter-pushdown worker's wall-tagged-aware values strip
-    their tag without shifting (verified r12: the worker serializes an
-    NTZ literal's wall reading tagged with the session zone). ZONED
-    columns route through :func:`_stat_key` (UTC-instant envelopes,
-    naive probes interpreted OS-local per the pyspark collect/lit
-    contract)."""
+    semantics, or None when no sound key exists (a naive zoned probe in
+    a DST-ambiguous/nonexistent OS-local hour — ADVICE r12; callers'
+    ``is not None`` / TypeError guards read None as inconclusive). NTZ
+    columns store WALL-time ISO envelopes: naive probes (pyspark
+    renders TimestampNTZType tz-free) pass through verbatim, and the
+    filter-pushdown worker's wall-tagged-aware values DROP their tag
+    wall-preservingly (``replace(tzinfo=None)`` — ADVICE r12: the
+    worker tags an NTZ literal's wall reading with the session zone,
+    whatever it is; shifting through UTC was only correct under the
+    UTC pin). ZONED columns route through :func:`_stat_key`
+    (UTC-instant envelopes, naive probes interpreted OS-local per the
+    pyspark collect/lit contract)."""
     import datetime as _dt
 
     if ntz and isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
-            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            v = v.replace(tzinfo=None)
         return v.isoformat()
-    return _stat_key(v)
+    try:
+        return _stat_key(v)
+    except _AmbiguousLocalTime:
+        return None
 
 
 def _file_stats(abspath: str) -> dict:
@@ -361,22 +400,142 @@ def _env_candidates(fam: str, lit) -> tuple | None:
     return None if fam in ("ts", "date") else (lit,)
 
 
-def _env_probe(env, lit):
+def _env_probe(env, lit, allow_time: bool = True):
     """Candidate probe values for ``lit`` against ``env`` (see
-    :func:`_env_candidates`), or None when the pair is unusable."""
+    :func:`_env_candidates`), or None when the pair is unusable.
+    ``allow_time=False`` (ADVICE r12: the caller's session timezone is
+    not UTC, see :func:`_utc_session`) makes every timestamp/date
+    envelope unusable — Spark's string→timestamp literal coercion is
+    session-zone-dependent, so the ISO-envelope comparison model only
+    holds under the engine's UTC pin; numeric and plain-string
+    comparisons are zone-independent and stay available."""
     fam = _env_family(env)
     if fam is None:
+        return None
+    if not allow_time and fam in ("ts", "date"):
         return None
     return _env_candidates(fam, lit)
 
 
-def _envelope_relation(expr: str, fstats: dict):
+def _utc_session(spark) -> bool:
+    """True when ``spark``'s SQL session timezone is UTC — the zone the
+    time-family stats provers' literal-coercion model assumes (the
+    repo-wide ``session.tune()`` pin). The table-format layer is
+    callable from a vanilla non-UTC session, where a timestamp-literal
+    prune would silently use shifted values (ADVICE r12, data-loss
+    class): callers pass ``allow_time=_utc_session(spark)`` so such
+    sessions fall back to row scans / full touches — correct, just
+    slower. Unknown (conf unreadable) counts as non-UTC."""
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        return False
+    return tz in ("UTC", "Etc/UTC", "Etc/Universal", "GMT", "Z", "+00:00")
+
+
+#: bare words with boolean meaning at the top level of a predicate
+_BOOL_REFUSED = frozenset({"OR", "NOT"})
+
+
+def _strip_parens(expr: str) -> str:
+    """Peel redundant whole-expression parentheses, quote-aware:
+    ``'((a AND b))'`` → ``'a AND b'``; ``'(a) AND (b)'`` is untouched
+    (its first paren closes mid-string)."""
+    s = expr.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth, in_q, wraps = 0, False, True
+        for i, ch in enumerate(s):
+            if in_q:
+                in_q = ch != "'"
+                continue
+            if ch == "'":
+                in_q = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    wraps = False
+                    break
+        if not wraps or depth != 0 or in_q:
+            break
+        s = s[1:-1].strip()
+    return s
+
+
+def _split_conjunction(expr: str) -> list[str] | None:
+    """Split ``expr`` into its top-level AND conjuncts (VERDICT r12
+    task #2), quote- and paren-aware; the AND belonging to a BETWEEN
+    binds to its BETWEEN as in SQL (``x BETWEEN 1 AND 2 AND y = 3``
+    splits after the 2). Returns the conjunct substrings — a 1-element
+    list when ``expr`` is not a conjunction — or None when the
+    top-level boolean structure is out of grammar: a top-level OR/NOT
+    (per-conjunct proving is only sound for conjunctions), unbalanced
+    parens/quotes, a dangling BETWEEN, or an empty conjunct. An OR
+    nested inside parentheses stays inside its conjunct, where the
+    single-relation grammar (or a recursive split) judges it."""
+    s = _strip_parens(expr)
+    if not s:
+        return None
+    splits: list[tuple[int, int]] = []
+    depth, in_q, pending_between = 0, False, 0
+    word_start: int | None = None
+
+    def _flush(end: int) -> bool:
+        """Classify the bare word ending at ``end``; False = refuse."""
+        nonlocal pending_between
+        w = s[word_start:end].upper()
+        if w == "BETWEEN":
+            pending_between += 1
+        elif w == "AND":
+            if pending_between:
+                pending_between -= 1
+            else:
+                splits.append((word_start, end))
+        elif w in _BOOL_REFUSED:
+            return False
+        return True
+
+    for i, ch in enumerate(s):
+        if in_q:
+            in_q = ch != "'"
+            continue
+        if depth == 0 and (ch.isalnum() or ch == "_"):
+            if word_start is None:
+                word_start = i
+            continue
+        if word_start is not None:
+            if not _flush(i):
+                return None
+            word_start = None
+        if ch == "'":
+            in_q = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+    if word_start is not None and not _flush(len(s)):
+        return None
+    if depth != 0 or in_q or pending_between:
+        return None
+    parts, prev = [], 0
+    for a, b in splits:
+        parts.append(s[prev:a].strip())
+        prev = b
+    parts.append(s[prev:].strip())
+    return parts if all(parts) else None
+
+
+def _envelope_relation(expr: str, fstats: dict, allow_time: bool = True):
     """Parse ``expr`` under the conservative grammar and normalize its
     literal(s) against the named column's envelope: returns
     ``(op, lo, hi, a_cands, b_cands)`` — the literal CANDIDATE lists a
     prover must be unanimous over (``b_cands`` only for BETWEEN) — or
     None when out of grammar / no usable envelope. Both provers build
-    on this."""
+    on this. ``allow_time=False`` (non-UTC caller session — see
+    :func:`_utc_session`) disables time-family envelopes."""
     m = _BETWEEN_RE.match(expr)
     if m:
         col = m.group(1)
@@ -385,7 +544,8 @@ def _envelope_relation(expr: str, fstats: dict):
         env = fstats.get(col)
         if env is None:
             return None
-        a, b = _env_probe(env, a), _env_probe(env, b)
+        a = _env_probe(env, a, allow_time)
+        b = _env_probe(env, b, allow_time)
         if a is None or b is None:
             return None
         return "between", env[0], env[1], a, b
@@ -402,19 +562,35 @@ def _envelope_relation(expr: str, fstats: dict):
     env = fstats.get(col)
     if env is None:
         return None
-    cands = _env_probe(env, lit)
+    cands = _env_probe(env, lit, allow_time)
     if cands is None:
         return None
     return op, env[0], env[1], cands, None
 
 
-def _check_proven_by_stats(expr: str, fstats: dict) -> bool:
+def _check_proven_by_stats(
+    expr: str, fstats: dict, allow_time: bool = True
+) -> bool:
     """True only when ``fstats``'s [min, max] envelope PROVES every row
     of the file satisfies the CHECK expression. False means
-    inconclusive (NOT disproven) — the caller must row-scan."""
+    inconclusive (NOT disproven) — the caller must row-scan.
+
+    Conjunctions (VERDICT r12 task #2) prove per conjunct: CHECK passes
+    when the expression is not FALSE for the row, and ``a AND b`` is
+    never FALSE when neither conjunct is — proven iff ALL conjuncts
+    prove. Each conjunct re-enters the full prover, so the unanimity /
+    NaN / NTZ / cast guards apply per conjunct. OR/NOT at the top level
+    are refused by :func:`_split_conjunction` → inconclusive."""
     if fstats.get("__num_rows__") == 0:
         return True  # empty file: nothing can violate
-    rel = _envelope_relation(expr, fstats)
+    parts = _split_conjunction(expr)
+    if parts is None:
+        return False
+    if len(parts) > 1:
+        return all(
+            _check_proven_by_stats(p, fstats, allow_time) for p in parts
+        )
+    rel = _envelope_relation(parts[0], fstats, allow_time)
     if rel is None:
         return False
     op, lo, hi, cands, bs = rel
@@ -534,24 +710,39 @@ def _env_numeric(env) -> bool:
     )
 
 
-def _pred_disjoint_by_stats(expr: str, fstats: dict) -> bool:
+def _pred_disjoint_by_stats(
+    expr: str, fstats: dict, allow_time: bool = True
+) -> bool:
     """True only when ``fstats``'s [min, max] envelope PROVES no row of
     the file can MATCH ``expr`` — the inverse question from
     :func:`_check_proven_by_stats` (which proves every row satisfies).
     Drives DELETE / rewrite-rebase file pruning: a provably-disjoint
     file is carried verbatim, never read. False means inconclusive (the
     file MAY hold matching rows) — callers must treat it as touched.
-    Grammar is the same conservative subset (one comparison or BETWEEN;
-    numeric or quoted date/time/string literal — the retention purge
-    ``ts < '<cutoff>'`` prunes off the manifest's ISO envelopes); NULL
-    predicate values never match (SQL WHERE semantics) and parquet
-    min/max ignore nulls, so envelope disjointness proves row
-    disjointness. String disjointness stays sound under parquet's
-    bound truncation (a rounded-up max only WIDENS the envelope —
-    fewer prunes, never a wrong one)."""
+    Grammar: one comparison or BETWEEN (numeric or quoted
+    date/time/string literal — the retention purge ``ts < '<cutoff>'``
+    prunes off the manifest's ISO envelopes), or — VERDICT r12 task #2
+    — a top-level CONJUNCTION of them: a row matches only when every
+    conjunct is TRUE, so ANY conjunct provably match-free proves the
+    file disjoint (the multi-tenant purge ``ts < cutoff AND tenant =
+    'x'`` prunes on either envelope). Each conjunct re-enters the full
+    prover (per-conjunct unanimity / NaN / NTZ / cast guards); OR/NOT
+    at the top level are refused → inconclusive. NULL predicate values
+    never match (SQL WHERE semantics) and parquet min/max ignore nulls,
+    so envelope disjointness proves row disjointness. String
+    disjointness stays sound under parquet's bound truncation (a
+    rounded-up max only WIDENS the envelope — fewer prunes, never a
+    wrong one)."""
     if fstats.get("__num_rows__") == 0:
         return True  # empty file: nothing can match
-    rel = _envelope_relation(expr, fstats)
+    parts = _split_conjunction(expr)
+    if parts is None:
+        return False
+    if len(parts) > 1:
+        return any(
+            _pred_disjoint_by_stats(p, fstats, allow_time) for p in parts
+        )
+    rel = _envelope_relation(parts[0], fstats, allow_time)
     if rel is None:
         return False
     op, lo, hi, cands, bs = rel
@@ -1761,6 +1952,7 @@ class SnapshotTable:
             if enforced_out is not None:
                 enforced_out.update(cons)
             if cons:
+                tz_ok = _utc_session(df.sparkSession)
                 need_scan = [
                     f
                     for f in written
@@ -1770,6 +1962,7 @@ class SnapshotTable:
                             self._logical_view(
                                 stats.get(f, {}), mapping or {}
                             ),
+                            allow_time=tz_ok,
                         )
                         for expr in cons.values()
                     )
@@ -1970,11 +2163,14 @@ class SnapshotTable:
             if enforced.get(k) != e
         }
         if fresh and files:
+            tz_ok = _utc_session(spark)
             need = [
                 f
                 for f in files
                 if not all(
-                    _check_proven_by_stats(e, stats.get(f, {}))
+                    _check_proven_by_stats(
+                        e, stats.get(f, {}), allow_time=tz_ok
+                    )
                     for e in fresh.values()
                 )
             ]
@@ -2439,8 +2635,17 @@ class SnapshotTable:
         # whose rows the predicate covers — corruption class).
         import datetime as _pdt
 
+        tz_ok = _utc_session(spark)  # ADVICE r12: the isin-cast model
+        # above holds only under the session's UTC pin
+
+        def _pred_key(v):
+            try:
+                return _stat_key(v)
+            except _AmbiguousLocalTime:
+                return _AMBIG  # no unanimous instant: never prunes
+
         pred_keys = {
-            c: [(_stat_key(v), isinstance(v, _pdt.date)) for v in vals]
+            c: [(_pred_key(v), isinstance(v, _pdt.date)) for v in vals]
             for c, vals in predicate.items()
         }
 
@@ -2472,11 +2677,16 @@ class SnapshotTable:
                 return True
 
             def _outside(env, v, typed: bool) -> bool:
-                if _nan(env[0]) or _nan(env[1]) or _nan(v):
+                if v is _AMBIG or _nan(env[0]) or _nan(env[1]) or _nan(v):
                     return False
                 fam = _env_family(env)
                 if typed and fam == "str":
                     return False  # cast semantics: inconclusive
+                if not tz_ok and (typed or fam in ("ts", "date")):
+                    # non-UTC session (ADVICE r12): the NTZ-as-instant /
+                    # lit-rendering reasoning above no longer holds —
+                    # inconclusive, the file stays touched
+                    return False
                 cands = _env_candidates(fam, v) if fam else None
                 if cands is None:
                     return False  # unusable pair: inconclusive
@@ -2706,6 +2916,12 @@ class SnapshotTable:
                     stack.extend(ch.apply(i) for i in range(ch.size()))
                 return False
 
+            from pyspark.errors import AnalysisException
+
+            try:
+                from py4j.protocol import Py4JError
+            except ImportError:  # Spark Connect runtime: no py4j at all
+                Py4JError = ()  # type: ignore[assignment]
             try:
                 plan = (
                     scope.select(F_expr(expr))
@@ -2722,11 +2938,23 @@ class SnapshotTable:
                     if _finds_wallclock(ex):
                         bad = "wall-clock-dependent"
                         break
-            except Exception:
-                # analysis errors (unknown column, bad syntax) surface
-                # with full context when the real plan builds, and a
-                # runtime without _jdf introspection can't answer the
-                # determinism question — both: proceed, don't mask
+            except AnalysisException:
+                # unknown column / bad syntax: surfaces with full
+                # context when the real plan builds — proceed, don't
+                # mask the better error
+                return
+            except (AttributeError, Py4JError) as ex:
+                # a runtime without _jdf introspection (Connect) or a
+                # py4j transport hiccup can't answer the determinism
+                # question — accept, but say the guard was skipped
+                # (ADVICE r12: the bare except silently disabled the
+                # commit/CDF consistency guard on ANY failure)
+                _log.warning(
+                    "%s: merge determinism guard skipped for %s (%s)",
+                    self.root,
+                    what,
+                    type(ex).__name__,
+                )
                 return
             if bad is not None:
                 raise ValueError(
@@ -2825,6 +3053,11 @@ class SnapshotTable:
                     "(change data enabled)",
                 )
 
+        # session-zone guard (ADVICE r12): the by-source condition
+        # prover compares string literals against time envelopes under
+        # the UTC coercion model; key-range probes are zone-independent
+        # (collect renders NTZ walls / zoned locals per driver contract)
+        tz_ok = _utc_session(spark)
         key_range = source.agg(
             *[
                 agg(c).alias(f"{side}_{c}")
@@ -2889,7 +3122,7 @@ class SnapshotTable:
             if bs is None:
                 return True
             return bs[2] is not None and _pred_disjoint_by_stats(
-                bs[2], self._logical_view(fstats, cmap)
+                bs[2], self._logical_view(fstats, cmap), allow_time=tz_ok
             )
 
         stats = dict(snap.stats or {})
@@ -3306,16 +3539,19 @@ class SnapshotTable:
         snap = self.snapshot(cur)
         stats = dict(snap.stats or {})
         cmap = dict(snap.column_mapping or {})
+        tz_ok = _utc_session(spark)  # ADVICE r12: time-family pruning
         touched = [
             f
             for f in snap.files
             if not _pred_disjoint_by_stats(
-                predicate, self._logical_view(stats.get(f, {}), cmap)
+                predicate,
+                self._logical_view(stats.get(f, {}), cmap),
+                allow_time=tz_ok,
             )
         ]
         extra = {"delete_predicate": predicate}
         guard = lambda rel, fstats: _pred_disjoint_by_stats(  # noqa: E731
-            predicate, self._logical_view(fstats, cmap)
+            predicate, self._logical_view(fstats, cmap), allow_time=tz_ok
         )
         if not touched:
             return self._commit_rewrite(
@@ -3548,11 +3784,14 @@ class SnapshotTable:
             change_data = _cdf_enabled(snap)
         stats = dict(snap.stats or {})
         cmap = dict(snap.column_mapping or {})
+        tz_ok = _utc_session(spark)  # ADVICE r12: time-family pruning
         touched = [
             f
             for f in snap.files
             if not _pred_disjoint_by_stats(
-                predicate, self._logical_view(stats.get(f, {}), cmap)
+                predicate,
+                self._logical_view(stats.get(f, {}), cmap),
+                allow_time=tz_ok,
             )
         ]
         extra: dict = {
@@ -3565,7 +3804,7 @@ class SnapshotTable:
             # promised was materialized
             extra["cdc_files"] = []
         guard = lambda rel, fstats: _pred_disjoint_by_stats(  # noqa: E731
-            predicate, self._logical_view(fstats, cmap)
+            predicate, self._logical_view(fstats, cmap), allow_time=tz_ok
         )
         if not touched:
             # validate SET names even when nothing rewrites — a typo'd
@@ -3995,12 +4234,18 @@ class SnapshotTable:
             # ``test_restore_metadata_proven_skips_scan``).
             rstats = snap.stats or {}
             rmap = dict(snap.column_mapping or {})
+            # spark=None has no session zone in play (no scan can run
+            # either way): the manifest's UTC envelope model — the
+            # engine contract — applies
+            tz_ok = spark is None or _utc_session(spark)
             need_scan = [
                 f
                 for f in snap.files
                 if not all(
                     _check_proven_by_stats(
-                        expr, self._logical_view(rstats.get(f, {}), rmap)
+                        expr,
+                        self._logical_view(rstats.get(f, {}), rmap),
+                        allow_time=tz_ok,
                     )
                     for expr in cons.values()
                 )
@@ -4168,11 +4413,14 @@ class SnapshotTable:
             # stats-first, like restore(): validate only the files whose
             # manifest envelope cannot prove the new constraint — adding
             # an in-bounds constraint to a 100 TB table is metadata-only
+            tz_ok = _utc_session(spark)
             need_scan = [
                 f
                 for f in files
                 if not _check_proven_by_stats(
-                    expr, self._logical_view(stats.get(f, {}), cmap)
+                    expr,
+                    self._logical_view(stats.get(f, {}), cmap),
+                    allow_time=tz_ok,
                 )
             ]
             if need_scan:

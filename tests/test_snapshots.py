@@ -708,9 +708,13 @@ def test_stats_prover_unit():
     # string EQUALITY proving stays refused there
     assert prove("s >= 'a'", st)
     assert not prove("s >= 'b'", st)
+    # r13: top-level conjunctions prove per conjunct (ALL must prove);
+    # OR stays refused — see tests/test_conjunctive_prover.py
+    assert prove("v >= 0 AND v <= 9", st)
+    assert not prove("v >= 1 AND v <= 9", st)
+    assert not prove("v >= 0 OR v <= 9", st)
     # outside the grammar / bool stats: inconclusive, never proven
     assert not prove("b = true", st)
-    assert not prove("v >= 0 AND v <= 9", st)
     assert not prove("abs(v) >= 0", st)
     assert not prove("v + 1 >= 1", st)
     assert not prove("missing >= 0", st)
@@ -1352,7 +1356,13 @@ def test_pred_disjoint_prover_unit():
     assert not dis("v > 20", {})
     assert not dis("v > 20", {"v": ["a", "z"], "__num_rows__": 3})
     assert not dis("v > 20", {"v": [True, True], "__num_rows__": 3})
-    assert not dis("v > 20 AND v < 5", st)
+    # r13: conjunctions prune when ANY conjunct is provably disjoint
+    # (v > 20 excludes the whole [10, 20] envelope); OR stays refused —
+    # see tests/test_conjunctive_prover.py
+    assert dis("v > 20 AND v < 5", st)
+    assert dis("v >= 10 AND v < 5", st)  # v < 5 alone is disjoint
+    assert not dis("v >= 10 AND v <= 20", st)
+    assert not dis("v > 20 OR v < 5", st)
     assert not dis("w > 20", st)
 
 
