@@ -111,13 +111,15 @@ _PRIORITY_WINDOW = [
     "top3_lineitems_per_supplier",
     "top_revenue_suppliers",
     "winnow_fingerprint_docs",
-    # --- r10 cohort refresh: alphabetically-first r10 rows --------------
-    # (NEW r13 queries displace these fillers, alphabetically-last
-    # first; fillers keep their r10 green rows.)
-    "approx_distinct_stats",
-    # NEW r13: conditional-merge CDF + conjunctive retention delete
-    # (VERDICT r12 tasks #2/#7) — displaces biggest_order_per_customer
+    # --- NEW r13 queries take the two r10-filler slots ------------------
+    # (displaced: approx_distinct_stats, biggest_order_per_customer —
+    # both keep their r10 green rows)
+    # conditional-merge CDF + conjunctive retention delete (VERDICT r12
+    # tasks #2/#7)
     "cdc_conditional_cdf",
+    # partitioned SnapshotTable + dynamic partition overwrite — the
+    # reference's consumer layout end to end (VERDICT r12 task #3)
+    "snapshot_partitioned_replace",
 ]
 
 _PLAN_MODULES = (

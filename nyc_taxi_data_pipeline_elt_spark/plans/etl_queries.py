@@ -459,6 +459,97 @@ FROM v2_del
 """
 
 
+def snapshot_partitioned_replace(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partitioned snapshot table + DYNAMIC partition overwrite
+    (VERDICT r12 task #3): the reference's consumer layout —
+    ``partitionBy(trip_type, trip_year, trip_month)`` over Delta,
+    ``/root/reference/src/process_data_glue.py:186-190`` — expressed
+    end to end on the snapshot format as ``partition_by=
+    (o_orderstatus, o_year, o_month)``, with the reference's
+    incremental re-run (recompute one type x month slice, overwrite
+    just its partitions) as ONE ``overwrite_partitions`` commit.
+
+    The batch recomputes the ('O', 1998) slice (12 monthly partitions,
+    prices x1.1 in DECIMAL); the commit must replace EXACTLY those
+    partitions' files — two inline gates assert manifest-recorded
+    partition values for every removed file sit in the slice and every
+    other partition's files carry verbatim (zero reads at any scale:
+    membership is the exact ``__partition__`` record, not an envelope
+    proof). The result aggregates the final table by (status, year)
+    against the plain SQL merge oracle — proving the replace was both
+    exact and lossless. The mutation is the query: rebuilt per call
+    under an ephemeral root."""
+    from nyc_taxi_data_pipeline_elt_spark.sources.snapshots import SnapshotTable
+
+    tune(spark)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("o_month", F.month("o_orderdate"))
+    )
+    table = SnapshotTable(
+        ephemeral_root("snappart") + "/tbl",
+        partition_by=["o_orderstatus", "o_year", "o_month"],
+    )
+    table.append(orders)
+    before = table.snapshot()
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    batch = orders.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_year") == 1998)
+    ).withColumn(
+        "o_totalprice",
+        F.round(price_dec * F.lit(1.1).cast("decimal(2,1)"), 2)
+        .cast("double"),
+    )
+    snap = table.overwrite_partitions(spark, batch)
+    kept = set(snap.files)
+    for f in before.files:
+        pv = (before.stats.get(f) or {}).get("__partition__") or {}
+        in_slice = pv.get("o_orderstatus") == "O" and pv.get("o_year") == 1998
+        if in_slice and f in kept:
+            raise AssertionError(f"replaced-slice file survived: {f}")
+        if not in_slice and f not in kept:
+            raise AssertionError(f"untouched partition rewritten: {f}")
+    return (
+        table.read(spark)
+        .groupBy("o_orderstatus", "o_year")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").alias("key_checksum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+SNAPSHOT_PARTITIONED_REPLACE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CAST(year(o_orderdate) AS INT) AS o_year
+  FROM orders
+), repl AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                    * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+           AS o_totalprice,
+         o_year
+  FROM base WHERE o_orderstatus = 'O' AND o_year = 1998
+), merged AS (
+  SELECT * FROM base WHERE NOT (o_orderstatus = 'O' AND o_year = 1998)
+  UNION ALL
+  SELECT * FROM repl
+)
+SELECT o_orderstatus, o_year, count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM merged
+GROUP BY o_orderstatus, o_year
+"""
+
+
 def snapshot_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end drive of the snapshot table format
     (``sources/snapshots.py``): orders land in two append commits, the
@@ -1280,6 +1371,7 @@ QUERIES = {
     "cdc_orders_merge": cdc_orders_merge,
     "cdc_full_sync_merge": cdc_full_sync_merge,
     "cdc_conditional_cdf": cdc_conditional_cdf,
+    "snapshot_partitioned_replace": snapshot_partitioned_replace,
     "snapshot_table_roundtrip": snapshot_table_roundtrip,
     "snapshot_change_feed": snapshot_change_feed,
     "snapshot_zorder_pruned_scan": snapshot_zorder_pruned_scan,
@@ -1300,6 +1392,7 @@ ORACLE = {
     "cdc_orders_merge": CDC_ORACLE,
     "cdc_full_sync_merge": CDC_FULL_SYNC_ORACLE,
     "cdc_conditional_cdf": CDC_CONDITIONAL_CDF_ORACLE,
+    "snapshot_partitioned_replace": SNAPSHOT_PARTITIONED_REPLACE_ORACLE,
     "snapshot_table_roundtrip": SNAPSHOT_ROUNDTRIP_ORACLE,
     "snapshot_change_feed": SNAPSHOT_CDF_ORACLE,
     "snapshot_zorder_pruned_scan": SNAPSHOT_ZORDER_ORACLE,

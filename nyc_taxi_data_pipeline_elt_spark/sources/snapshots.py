@@ -251,11 +251,20 @@ def _vacuum_subdir(root: str, subdir: str, live: frozenset) -> list[str]:
             # idempotent — the twin attempt may have deleted it already
             p.unlink(missing_ok=True)
             removed.append(rel)
-    try:
-        if not any(sub.iterdir()):
-            _os.rmdir(sub)
-    except OSError:
-        pass
+    # drop now-empty directories bottom-up: a partitioned write nests
+    # files under <uuid>/__part__c=v/ dirs, so the uuid dir itself only
+    # empties once its partition subdirs are gone
+    dirs = sorted(
+        (d for d in sub.rglob("*") if d.is_dir()),
+        key=lambda d: len(d.parts),
+        reverse=True,
+    )
+    for d in [*dirs, sub]:
+        try:
+            if not any(d.iterdir()):
+                _os.rmdir(d)
+        except OSError:
+            pass
     return removed
 
 
@@ -817,7 +826,18 @@ SUPPORTED_READER_FEATURES = frozenset(
     {"deletion-vectors", "absolute-paths", "column-mapping"}
 )
 SUPPORTED_WRITER_FEATURES = frozenset(
-    {"check-constraints", "change-data-feed", "column-mapping"}
+    {
+        "check-constraints",
+        "change-data-feed",
+        "column-mapping",
+        # declared partition columns (VERDICT r12 task #3): files stay
+        # self-describing (partition columns are KEPT in the parquet, so
+        # any reader sees correct rows — no reader feature needed), but
+        # a writer ignorant of the declaration would break the
+        # one-partition-tuple-per-file invariant dynamic overwrite and
+        # exact partition pruning rely on — fail closed
+        "partition-columns",
+    }
 )
 
 
@@ -878,6 +898,15 @@ class Snapshot:
     # have no Delta col-ids to disambiguate) — the tombstone list makes
     # that refusal explicit and versioned.
     dropped_physical: tuple = ()
+    # declared partition columns (Delta's partitionColumns — VERDICT
+    # r12 task #3): fixed at table creation, carried on every commit.
+    # Unlike Delta the columns are KEPT in each data file (a constant
+    # column RLE-compresses to bytes), so every reader — including the
+    # Arrow datasource — reads correct rows with no layout knowledge;
+    # the layout (one partition tuple per file, values recorded per
+    # file in stats' ``__partition__``) only powers exact pruning and
+    # dynamic partition overwrite.
+    partition_by: tuple = ()
 
 
 def _make_snapshot(raw: dict, files, stats: dict) -> Snapshot:
@@ -906,16 +935,53 @@ def _make_snapshot(raw: dict, files, stats: dict) -> Snapshot:
         dv=raw.get("dv", {}),
         column_mapping=raw.get("column_mapping", {}),
         dropped_physical=tuple(raw.get("dropped_physical", [])),
+        partition_by=tuple(raw.get("partition_by", [])),
     )
 
 
 class SnapshotTable:
-    """Handle to one snapshot-committed table rooted at ``path``."""
+    """Handle to one snapshot-committed table rooted at ``path``.
 
-    def __init__(self, path: str):
+    ``partition_by`` (VERDICT r12 task #3 — the reference's consumer
+    layout ``partitionBy(trip_type, trip_year, trip_month)``,
+    ``/root/reference/src/process_data_glue.py:186-190``): declared
+    partition columns, fixed at table CREATION (the first commit
+    records them; later handles may re-declare the same list or omit
+    it). Every data write routes each partition tuple to its own
+    file(s), records the tuple per file in the manifest
+    (``__partition__`` stats entry — exact, not envelope-based), and
+    keeps the columns IN the files so every existing read path is
+    unchanged. Powers :meth:`overwrite_partitions` (dynamic partition
+    overwrite) and exact partition pruning in delete/update/merge/
+    replace_where."""
+
+    def __init__(self, path: str, partition_by: list[str] | None = None):
         self.root = Path(path)
         self.manifest_dir = self.root / "_manifests"
         self.data_dir = self.root / "data"
+        self._declared_partition_by = (
+            tuple(partition_by) if partition_by else None
+        )
+
+    def _partition_spec(self) -> tuple[str, ...]:
+        """The table's declared partition columns: the manifest's record
+        once one exists (validated against this handle's declaration —
+        partitioning is immutable), else this handle's declaration
+        (pending its first commit)."""
+        cur = self.current_version()
+        if cur is not None:
+            rec = self.snapshot(cur).partition_by or ()
+            if (
+                self._declared_partition_by is not None
+                and tuple(self._declared_partition_by) != tuple(rec)
+            ):
+                raise ValueError(
+                    f"{self.root}: declared partition_by "
+                    f"{list(self._declared_partition_by)} != committed "
+                    f"{list(rec)}; partitioning is fixed at creation"
+                )
+            return tuple(rec)
+        return tuple(self._declared_partition_by or ())
 
     #: Write a full checkpoint (inline file list + stats) every K delta
     #: commits, so snapshot() resolution walks at most K manifests (the
@@ -1483,6 +1549,7 @@ class SnapshotTable:
         soft_deleted: int | None = None,
         column_mapping: dict | None = None,
         dropped_physical: list | None = None,
+        partition_by: list | None = None,
     ) -> Snapshot:
         """Write manifest ``expected_parent + 1``. ``expected_parent``
         MUST be the version the caller's file list was derived from
@@ -1524,6 +1591,14 @@ class SnapshotTable:
         if dropped_physical is None:
             dropped_physical = (
                 list(psnap.dropped_physical or ()) if psnap else []
+            )
+        if partition_by is None:
+            # immutable declaration: inherit the parent's record; the
+            # creating commit (v0) takes the handle's declaration
+            partition_by = (
+                list(psnap.partition_by or ())
+                if psnap
+                else list(self._declared_partition_by or ())
             )
         # a dv entry must reference a live file — rewrites pass the
         # recomputed map, but a caller slip here would leave phantom
@@ -1589,6 +1664,9 @@ class SnapshotTable:
             wf.append("check-constraints")
         if column_mapping or dropped_physical:
             wf.append("column-mapping")
+        if partition_by:
+            wf.append("partition-columns")
+            payload["partition_by"] = list(partition_by)
         if (
             str(properties.get("delta.enableChangeDataFeed", "")).lower()
             == "true"
@@ -1879,11 +1957,63 @@ class SnapshotTable:
         truth old and new files share), so predicate/constraint provers
         — which speak logical — translate at consultation time. The
         inverse is unambiguous: ``_commit`` refuses a logical column
-        whose physical name another column's data occupies."""
+        whose physical name another column's data occupies. The
+        ``__partition__`` record translates its INNER keys (they name
+        columns too)."""
         if not mapping:
             return fstats
         inv = {p: l for l, p in mapping.items()}
-        return {inv.get(k, k): v for k, v in fstats.items()}
+        out = {inv.get(k, k): v for k, v in fstats.items()}
+        part = out.get("__partition__")
+        if isinstance(part, dict):
+            out["__partition__"] = {
+                inv.get(k, k): v for k, v in part.items()
+            }
+        return out
+
+    def _record_partition_values(
+        self, written: list[str], stats: dict, pcols: list[str]
+    ) -> None:
+        """Record each just-written file's partition tuple in its stats
+        entry (``__partition__``: {physical_col: value}) — EXACT values,
+        the manifest record Delta keeps in AddFile.partitionValues.
+        Values come from the file's own [min, max] envelope (typed;
+        lo == hi by the one-tuple-per-file layout); an all-NULL
+        partition is recognized by its ``__HIVE_DEFAULT_PARTITION__``
+        path segment and recorded as None. A column whose value is
+        unknowable (unusable stats type, e.g. NaN) is omitted, which
+        makes the whole record absent — dynamic overwrite then refuses
+        rather than guesses."""
+        for f in written:
+            fst = stats.get(f)
+            if fst is None:
+                continue
+            pv = {}
+            for c in pcols:
+                env = fst.get(c)
+                if (
+                    isinstance(env, (list, tuple))
+                    and len(env) == 2
+                    and env[0] == env[1]
+                    and not (
+                        isinstance(env[0], float) and env[0] != env[0]
+                    )
+                ):
+                    pv[c] = env[0]
+                else:
+                    seg = f"__part__{c}="
+                    val = next(
+                        (
+                            s[len(seg):]
+                            for s in Path(f).parts
+                            if s.startswith(seg)
+                        ),
+                        None,
+                    )
+                    if val == "__HIVE_DEFAULT_PARTITION__":
+                        pv[c] = None
+            if len(pv) == len(pcols):
+                fst["__partition__"] = pv
 
     def _write_data(
         self,
@@ -1940,14 +2070,51 @@ class SnapshotTable:
                     for c in logical_cols
                 ]
             )
+        # declared partition columns (VERDICT r12 task #3): route each
+        # partition tuple to its own file(s) via a SHADOW partitionBy —
+        # the shadow duplicates are stripped into directory names by the
+        # writer while the REAL columns stay in the parquet, so every
+        # read path (plain, Arrow datasource, dv, CDF) is untouched and
+        # a constant column costs ~nothing (RLE dictionary). All data
+        # writes funnel here, so one-tuple-per-file is an invariant —
+        # compact/optimize re-split along partition bounds for free.
+        pcols = [
+            (mapping or {}).get(c, c) for c in self._partition_spec()
+        ]
+        if pcols:
+            missing = [c for c in pcols if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"{self.root}: write is missing declared partition "
+                    f"column(s) {missing}"
+                )
+            shadows = [f"__part__{c}" for c in pcols]
+            for c, s in zip(pcols, shadows):
+                df = df.withColumn(s, F_col(f"`{c}`"))
+            # optimized write (Delta's optimizeWrite): REBALANCE by the
+            # partition tuple so each tuple's rows cluster into few
+            # writer tasks instead of task x partition small files —
+            # while AQE's skew handling still SPLITS a huge single
+            # partition across tasks (a plain repartition would funnel
+            # a 100 GB one-partition append through one writer). Falls
+            # back to the plain write on a runtime without the hint.
+            try:
+                df = df.hint("rebalance", *[F_col(s) for s in shadows])
+            except Exception:
+                pass
         sub = self.data_dir / uuid.uuid4().hex
-        df.write.mode("error").parquet(str(sub))
+        if pcols:
+            df.write.mode("error").partitionBy(*shadows).parquet(str(sub))
+        else:
+            df.write.mode("error").parquet(str(sub))
         written = [
             str(p.relative_to(self.root))
             for p in sub.rglob("*.parquet")
             if not p.name.startswith((".", "_"))
         ]
         stats = self._collect_stats(written, df.sparkSession)
+        if pcols:
+            self._record_partition_values(written, stats, pcols)
         if enforce and written:
             if enforced_out is not None:
                 enforced_out.update(cons)
@@ -2563,6 +2730,134 @@ class SnapshotTable:
             # a lost commit race (or any commit failure) must not strand
             # the freshly rewritten dataset until vacuum (review r8 —
             # same contract as replace_where's cleanup)
+            self._drop_uuid_dirs(new)
+            raise
+
+    def overwrite_partitions(
+        self, spark: SparkSession, df: DataFrame
+    ) -> Snapshot:
+        """DYNAMIC partition overwrite (VERDICT r12 task #3 — the
+        reference's Delta consumer write,
+        ``/root/reference/src/process_data_glue.py:186-190`` with
+        ``spark.sql.sources.partitionOverwriteMode=dynamic``): replace
+        exactly the partition tuples PRESENT in ``df``, one atomic
+        snapshot commit; partitions ``df`` does not touch are carried
+        verbatim. The replaced file set comes from the manifest's
+        per-file ``__partition__`` records — EXACT membership, no
+        envelope reasoning, zero reads of carried files: at 100 TB a
+        one-(fleet, month) re-run touches that month's files only, and
+        the partition discovery over the incoming batch is one tiny
+        distinct (O(#replaced partitions) driver rows, the same
+        discovery Spark's dynamic mode performs).
+
+        Every incoming row lands in a file of its own partition tuple
+        by the ``_write_data`` layout, so — unlike ``replace_where`` —
+        no constraint pre-scan is needed: replacement rows cannot
+        escape the replaced scope by construction. A concurrent append
+        into a replaced partition aborts the commit rebase (its rows
+        were semantically replaced); appends into untouched partitions
+        rebase fine. The manifest records the replaced tuple list and
+        the replacement files, so :meth:`read_changes_cdf` replays
+        deletes (the removed files' live rows — whole files, by
+        exactness) and inserts with no extra write."""
+        pcols = list(self._partition_spec())
+        if not pcols:
+            raise ValueError(
+                f"{self.root}: overwrite_partitions needs a table "
+                "created with partition_by"
+            )
+        from pyspark.sql.types import TimestampNTZType
+
+        ntz = {
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, TimestampNTZType)
+        }
+        missing = [c for c in pcols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"{self.root}: batch is missing partition column(s) "
+                f"{missing}"
+            )
+        rows = df.select(*pcols).distinct().collect()
+        tuples = set()
+        for r in rows:
+            key = tuple(_probe_key(r[c], c in ntz) for c in pcols)
+            if any(
+                k is None and r[c] is not None
+                for k, c in zip(key, pcols)
+            ):
+                raise ValueError(
+                    f"{self.root}: partition value {r!r} has no sound "
+                    "manifest key (DST-ambiguous local time?)"
+                )
+            tuples.add(key)
+        cur = self.current_version()
+        new: list[str] = []
+        try:
+            new, new_stats = self._write_data(df)
+            if cur is None:
+                return self._commit(
+                    new,
+                    "overwrite_partitions",
+                    stats=new_stats,
+                    expected_parent=None,
+                    schema=self._df_fields(df),
+                    extra={"replace_added": sorted(new)},
+                )
+            snap = self.snapshot(cur)
+            cmap = dict(snap.column_mapping or {})
+            stats = dict(snap.stats or {})
+
+            def _replaced(fstats: dict) -> bool | None:
+                """True = file's partition tuple is replaced; False =
+                provably kept; None = unknowable (no record)."""
+                view = self._logical_view(fstats, cmap)
+                pv = view.get("__partition__")
+                if not isinstance(pv, dict) or any(
+                    c not in pv for c in pcols
+                ):
+                    return None
+                return tuple(pv[c] for c in pcols) in tuples
+
+            removed: list[str] = []
+            for f in snap.files:
+                r = _replaced(stats.get(f, {}))
+                if r is None:
+                    raise ValueError(
+                        f"{self.root}: file {f} has no recorded "
+                        "partition values; dynamic overwrite needs the "
+                        "exact membership record (was the table written "
+                        "by a pre-partitioning build?)"
+                    )
+                if r:
+                    removed.append(f)
+            try:  # record only if the CDF replay can re-parse it
+                json.dumps(sorted(tuples))
+                extra = {
+                    "replace_partitions": {
+                        "columns": pcols,
+                        "tuples": sorted(tuples),
+                    },
+                    "replace_added": sorted(new),
+                }
+            except TypeError:
+                extra = {"replace_added": sorted(new)}
+            return self._commit_rewrite(
+                "overwrite_partitions",
+                cur,
+                removed=removed,
+                new_files=new,
+                new_stats=new_stats,
+                spark=spark,
+                # concurrent adds are safe only when provably in an
+                # UNtouched partition — unknown records abort (sound)
+                added_guard=lambda rel, fstats: _replaced(fstats) is False,
+                extra=extra,
+                evolve_with=df,
+                read_dv={f: (snap.dv or {}).get(f) for f in removed},
+            )
+        except BaseException:
             self._drop_uuid_dirs(new)
             raise
 
@@ -4378,6 +4673,7 @@ class SnapshotTable:
             },
             column_mapping=dict(snap.column_mapping or {}),
             dropped_physical=list(snap.dropped_physical or ()),
+            partition_by=list(snap.partition_by or ()),
             extra={
                 "clone_source": str(src),
                 "clone_version": snap.version,
@@ -4523,6 +4819,15 @@ class SnapshotTable:
                 f"constraint(s) {sorted(used_by)}; drop or re-create "
                 "them against the new name"
             )
+        if old in (snap.partition_by or ()):
+            # the declaration, per-file __partition__ records, and the
+            # layout's shadow dirs all speak this name — a rename would
+            # orphan them; refused honestly (partitioning is fixed at
+            # creation)
+            raise ValueError(
+                f"{self.root}: {old!r} is a declared partition column; "
+                "partitioning is fixed at table creation"
+            )
         mapping = dict(snap.column_mapping or {})
         phys = mapping.pop(old, old)
         if phys != new:
@@ -4575,6 +4880,12 @@ class SnapshotTable:
             raise ValueError(
                 f"{self.root}: column {name!r} is referenced by CHECK "
                 f"constraint(s) {sorted(used_by)}; drop them first"
+            )
+        if name in (snap.partition_by or ()):
+            raise ValueError(
+                f"{self.root}: {name!r} is a declared partition column; "
+                "partitioning is fixed at table creation (Delta refuses "
+                "dropping partition columns too)"
             )
         mapping = dict(snap.column_mapping or {})
         phys = mapping.pop(name, name)
@@ -4713,7 +5024,7 @@ class SnapshotTable:
                 live.update(raw.get("remove", []))
                 live.update(raw.get("dv_touched", []))
                 live.update(raw.get("update_added", []))
-            elif op == "replace":
+            elif op in ("replace", "overwrite_partitions"):
                 live.update(raw.get("remove", []))
                 live.update(raw.get("replace_added", []))
         subdirs = sorted(
@@ -4901,6 +5212,8 @@ class SnapshotTable:
             # physical} plus retired physical names
             "column_mapping": dict(snap.column_mapping or {}),
             "dropped_physical": list(snap.dropped_physical or ()),
+            # declared partition columns (Delta's partitionColumns)
+            "partition_by": list(snap.partition_by or ()),
             # the last commit's audit counts (Delta operationMetrics)
             "operation_metrics": dict(snap.metrics or {}),
         }
@@ -5118,6 +5431,7 @@ class SnapshotTable:
                 "update",
                 "merge",
                 "replace",
+                "overwrite_partitions",
             ):
                 continue
             if (
@@ -5148,7 +5462,14 @@ class SnapshotTable:
                     "ignoreDeletes, any row-changing commit with "
                     "skipChangeCommits (accepting divergence), or read "
                     "the full snapshot / read_changes_cdf instead"
-                    if s.op in ("delete", "update", "merge", "replace")
+                    if s.op
+                    in (
+                        "delete",
+                        "update",
+                        "merge",
+                        "replace",
+                        "overwrite_partitions",
+                    )
                     else "; read the full snapshot instead"
                 )
                 raise ValueError(
@@ -5487,26 +5808,38 @@ class SnapshotTable:
                         )
                     )
                 continue
-            if op == "replace":
+            if op in ("replace", "overwrite_partitions"):
                 pred = raw.get("replace_predicate")
                 repl = raw.get("replace_added")
-                if pred is None or repl is None:
+                if repl is None or (op == "replace" and pred is None):
                     raise ValueError(
-                        f"{self.root}: replace snapshot v{v} recorded no "
+                        f"{self.root}: {op} snapshot v{v} recorded no "
                         "replayable predicate; read the full snapshot "
                         "instead"
                     )
                 removed = raw.get("remove", [])
                 if removed:
-                    match = None
-                    for c, vals in pred.items():
-                        cond = F_col(c).isin(*vals)
-                        match = cond if match is None else (match & cond)
+                    live_rows = _live(
+                        removed, sch, raw.get("dv_removed"), mp
+                    )
+                    if op == "replace":
+                        match = None
+                        for c, vals in pred.items():
+                            cond = F_col(c).isin(*vals)
+                            match = (
+                                cond if match is None else (match & cond)
+                            )
+                        live_rows = live_rows.filter(
+                            F_coalesce(match, F_lit(False))
+                        )
+                    # overwrite_partitions removes files by EXACT
+                    # partition membership: every live row of a removed
+                    # file was replaced — whole-file deletes, no filter
                     parts.append(
                         _stamp(
-                            _live(removed, sch, raw.get("dv_removed"), mp)
-                            .filter(F_coalesce(match, F_lit(False)))
-                            .withColumn("_change_type", F_lit("delete")),
+                            live_rows.withColumn(
+                                "_change_type", F_lit("delete")
+                            ),
                             v,
                             ts,
                         )
