@@ -89,6 +89,10 @@ class _AmbiguousLocalTime(TypeError):
 #: consumers check it explicitly and treat it as inconclusive
 _AMBIG = object()
 
+#: sentinel for "caller did not pass a resolved snapshot" (None means
+#: "no committed snapshot", so it cannot double as the default)
+_UNSET_SNAP = object()
+
 
 def _stat_key(v):
     """Normalize a live Python value for comparison against a manifest
@@ -281,13 +285,16 @@ def _dv_new_list(value) -> list[str]:
 
 # Expressions the manifest stats can PROVE file-wide: a single
 # comparison between one column and one literal (either order), or
-# BETWEEN. Literals are numeric, or — r12 — quoted date/time strings
-# (optionally DATE/TIMESTAMP-prefixed), compared against the ISO-8601
-# envelopes _file_stats records: `DELETE WHERE ts < '2023-01-05'`, the
-# classic retention purge, is metadata-prunable. Anything else (AND/OR,
-# arithmetic) is conservatively inconclusive and falls back to a row
-# scan. NULL rows pass CHECK under SQL semantics and parquet min/max
-# ignore nulls, so proving the envelope proves every row.
+# BETWEEN — or, r13, a top-level CONJUNCTION of those
+# (:func:`_split_conjunction`): `DELETE WHERE ts < '2023-01-05' AND
+# tenant = 'EU'`, the multi-tenant retention purge, prunes on either
+# conjunct's envelope. Literals are numeric, or — r12 — quoted
+# date/time strings (optionally DATE/TIMESTAMP-prefixed), compared
+# against the ISO-8601 envelopes _file_stats records. Anything else
+# (OR/NOT, arithmetic, function calls) is conservatively inconclusive
+# and falls back to a row scan. NULL rows pass CHECK under SQL
+# semantics and parquet min/max ignore nulls, so proving the envelope
+# proves every row.
 _NUMLIT = r"-?\d+(?:\.\d+)?"
 _QLIT = r"(?i:timestamp\s+|date\s+)?'([^']*)'"
 _LIT = rf"({_NUMLIT})|{_QLIT}"
@@ -963,24 +970,29 @@ class SnapshotTable:
             tuple(partition_by) if partition_by else None
         )
 
-    def _partition_spec(self) -> tuple[str, ...]:
+    def _partition_spec(self, snap=_UNSET_SNAP) -> tuple[str, ...]:
         """The table's declared partition columns: the manifest's record
         once one exists (validated against this handle's declaration —
         partitioning is immutable), else this handle's declaration
-        (pending its first commit)."""
-        cur = self.current_version()
-        if cur is not None:
-            rec = self.snapshot(cur).partition_by or ()
+        (pending its first commit). Callers that already resolved the
+        current snapshot pass it (or None for "no committed snapshot")
+        to skip a second manifest-chain resolution (review r13: the
+        default re-walked the chain on every ``_write_data``)."""
+        if snap is _UNSET_SNAP:
+            cur = self.current_version()
+            snap = self.snapshot(cur) if cur is not None else None
+        if snap is not None:
+            rec = tuple(snap.partition_by or ())
             if (
                 self._declared_partition_by is not None
-                and tuple(self._declared_partition_by) != tuple(rec)
+                and tuple(self._declared_partition_by) != rec
             ):
                 raise ValueError(
                     f"{self.root}: declared partition_by "
                     f"{list(self._declared_partition_by)} != committed "
                     f"{list(rec)}; partitioning is fixed at creation"
                 )
-            return tuple(rec)
+            return rec
         return tuple(self._declared_partition_by or ())
 
     #: Write a full checkpoint (inline file list + stats) every K delta
@@ -2021,6 +2033,8 @@ class SnapshotTable:
         enforce: bool = True,
         enforced_out: dict | None = None,
         mapping: dict | None = None,
+        cluster: bool = True,
+        partition_spec: tuple | None = None,
     ) -> tuple[list[str], dict]:
         """Land ``df`` as immutable parquet under a fresh uuid dir and
         return ``(written_files, their_stats)``, files relative to the
@@ -2062,6 +2076,16 @@ class SnapshotTable:
                 mapping = (
                     dict(snap.column_mapping or {}) if snap else {}
                 )
+            if partition_spec is None:
+                # reuse the snapshot already resolved for constraints
+                # (review r13: a second _partition_spec() here re-walked
+                # the manifest chain on every write)
+                partition_spec = self._partition_spec(snap)
+        if partition_spec is None:
+            # enforce=False callers (compact/optimize/rewrite
+            # remainders) pass their basis snapshot's spec explicitly;
+            # this fallback only pays the resolution for legacy callers
+            partition_spec = self._partition_spec()
         logical_cols = list(df.columns)
         if mapping:
             df = df.select(
@@ -2078,9 +2102,7 @@ class SnapshotTable:
         # a constant column costs ~nothing (RLE dictionary). All data
         # writes funnel here, so one-tuple-per-file is an invariant —
         # compact/optimize re-split along partition bounds for free.
-        pcols = [
-            (mapping or {}).get(c, c) for c in self._partition_spec()
-        ]
+        pcols = [(mapping or {}).get(c, c) for c in partition_spec]
         if pcols:
             missing = [c for c in pcols if c not in df.columns]
             if missing:
@@ -2098,10 +2120,16 @@ class SnapshotTable:
             # partition across tasks (a plain repartition would funnel
             # a 100 GB one-partition append through one writer). Falls
             # back to the plain write on a runtime without the hint.
-            try:
-                df = df.hint("rebalance", *[F_col(s) for s in shadows])
-            except Exception:
-                pass
+            # ``cluster=False`` (optimize) keeps an already
+            # layout-shaped frame's task structure — rebalancing would
+            # widen its zorder envelopes (review r13).
+            if cluster:
+                try:
+                    df = df.hint(
+                        "rebalance", *[F_col(s) for s in shadows]
+                    )
+                except Exception:
+                    pass
         sub = self.data_dir / uuid.uuid4().hex
         if pcols:
             df.write.mode("error").partitionBy(*shadows).parquet(str(sub))
@@ -2745,10 +2773,11 @@ class SnapshotTable:
         verbatim. The replaced file set comes from the manifest's
         per-file ``__partition__`` records — EXACT membership, no
         envelope reasoning, zero reads of carried files: at 100 TB a
-        one-(fleet, month) re-run touches that month's files only, and
-        the partition discovery over the incoming batch is one tiny
-        distinct (O(#replaced partitions) driver rows, the same
-        discovery Spark's dynamic mode performs).
+        one-(fleet, month) re-run touches that month's files only. The
+        replaced-tuple set is read off the WRITTEN files' own partition
+        records (O(#files) driver dict lookups) — the batch's lineage
+        is evaluated exactly once, so a nondeterministic source cannot
+        write tuples the discovery never saw (review r13).
 
         Every incoming row lands in a file of its own partition tuple
         by the ``_write_data`` layout, so — unlike ``replace_where`` —
@@ -2766,36 +2795,37 @@ class SnapshotTable:
                 f"{self.root}: overwrite_partitions needs a table "
                 "created with partition_by"
             )
-        from pyspark.sql.types import TimestampNTZType
-
-        ntz = {
-            f.name
-            for f in df.schema.fields
-            if isinstance(f.dataType, TimestampNTZType)
-        }
         missing = [c for c in pcols if c not in df.columns]
         if missing:
             raise ValueError(
                 f"{self.root}: batch is missing partition column(s) "
                 f"{missing}"
             )
-        rows = df.select(*pcols).distinct().collect()
-        tuples = set()
-        for r in rows:
-            key = tuple(_probe_key(r[c], c in ntz) for c in pcols)
-            if any(
-                k is None and r[c] is not None
-                for k, c in zip(key, pcols)
-            ):
-                raise ValueError(
-                    f"{self.root}: partition value {r!r} has no sound "
-                    "manifest key (DST-ambiguous local time?)"
-                )
-            tuples.add(key)
         cur = self.current_version()
         new: list[str] = []
         try:
-            new, new_stats = self._write_data(df)
+            enforced: dict = {}
+            new, new_stats = self._write_data(df, enforced_out=enforced)
+            # the replaced tuple set comes from the WRITTEN files' own
+            # __partition__ records (review r13: a separate
+            # distinct().collect() evaluated df's lineage a SECOND time
+            # — a nondeterministic batch could write tuples the
+            # discovery never saw, appending alongside the partitions
+            # it should have replaced; the written manifest record is
+            # the single evaluation and is already key-normalized)
+            tuples = set()
+            for f in new:
+                pv = (new_stats.get(f) or {}).get("__partition__")
+                if not isinstance(pv, dict) or any(
+                    c not in pv for c in pcols
+                ):
+                    raise ValueError(
+                        f"{self.root}: written file {f} has no sound "
+                        "partition record (NaN / unusable partition "
+                        "value?); dynamic overwrite needs exact "
+                        "membership"
+                    )
+                tuples.add(tuple(pv[c] for c in pcols))
             if cur is None:
                 return self._commit(
                     new,
@@ -2832,17 +2862,20 @@ class SnapshotTable:
                     )
                 if r:
                     removed.append(f)
-            try:  # record only if the CDF replay can re-parse it
-                json.dumps(sorted(tuples))
-                extra = {
-                    "replace_partitions": {
-                        "columns": pcols,
-                        "tuples": sorted(tuples),
-                    },
-                    "replace_added": sorted(new),
-                }
-            except TypeError:
-                extra = {"replace_added": sorted(new)}
+            # audit record (DESCRIBE HISTORY-style): which tuples this
+            # commit replaced. Informational only — the CDF replay
+            # needs just remove + replace_added (whole-file deletes by
+            # exactness). None-safe sort: None orders before values.
+            extra = {
+                "replace_partitions": {
+                    "columns": pcols,
+                    "tuples": sorted(
+                        (list(t) for t in tuples),
+                        key=lambda t: [(v is not None, str(v)) for v in t],
+                    ),
+                },
+                "replace_added": sorted(new),
+            }
             return self._commit_rewrite(
                 "overwrite_partitions",
                 cur,
@@ -2853,6 +2886,12 @@ class SnapshotTable:
                 # concurrent adds are safe only when provably in an
                 # UNtouched partition — unknown records abort (sound)
                 added_guard=lambda rel, fstats: _replaced(fstats) is False,
+                # a CHECK constraint added between this write and a
+                # re-based commit is re-enforced on the replacement
+                # rows (review r13: every other new-row rewrite passes
+                # this; omitting it here let a racing add_constraint
+                # commit unvalidated rows)
+                recheck=(list(new), new_stats, enforced),
                 extra=extra,
                 evolve_with=df,
                 read_dv={f: (snap.dv or {}).get(f) for f in removed},
@@ -3039,7 +3078,12 @@ class SnapshotTable:
                 # re-verifying would double the rewrite's read I/O for
                 # nothing (same contract as compact/optimize)
                 rem_files, rem_stats = self._write_data(
-                    remainder, enforce=False, mapping=cmap
+                    remainder,
+                    enforce=False,
+                    mapping=cmap,
+                    partition_spec=tuple(snap.partition_by or ())
+                    if snap
+                    else (),
                 )
                 fresh_files += rem_files
                 written_stats.update(rem_stats)
@@ -3913,7 +3957,10 @@ class SnapshotTable:
             # also drop the already-landed frozen sidecar, not strand
             # it until vacuum (the MoR twins' posture)
             new, new_stats = self._write_data(
-                survivors, enforce=False, mapping=cmap
+                survivors,
+                enforce=False,
+                mapping=cmap,
+                partition_spec=tuple(snap.partition_by or ()),
             )
             return self._commit_rewrite(
                 "delete",
@@ -4380,6 +4427,9 @@ class SnapshotTable:
             df,
             enforce=False,
             mapping=dict(basis.column_mapping or {}) if basis else {},
+            partition_spec=tuple(basis.partition_by or ())
+            if basis
+            else (),
         )
         try:
             return self._commit_rewrite(
@@ -4461,6 +4511,16 @@ class SnapshotTable:
             clustered,
             enforce=False,
             mapping=dict(basis.column_mapping or {}) if basis else {},
+            partition_spec=tuple(basis.partition_by or ())
+            if basis
+            else (),
+            # the frame is ALREADY layout-shaped (zkey range + sort):
+            # the partitioned write's rebalance would re-shuffle it and
+            # widen every output file's zorder envelopes back to the
+            # tuple's full range, defeating the pruning this op exists
+            # for (review r13) — partitionBy alone splits each range
+            # task per partition tuple, preserving zkey tightness
+            cluster=False,
         )
         try:
             # rebase-on-append like compact (concurrent adds survive
