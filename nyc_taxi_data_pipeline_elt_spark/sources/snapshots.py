@@ -2359,12 +2359,20 @@ class SnapshotTable:
         }
         if fresh and files:
             tz_ok = _utc_session(spark)
+            # constraint expressions speak LOGICAL names; stats and the
+            # files are physical-keyed on a column-mapped table (review
+            # r13 pass 2: the unmapped prove/scan here mis-proved
+            # nothing — fail-closed — but aborted rebases with an
+            # AnalysisException instead of verifying)
+            cmap = dict(snap.column_mapping or {})
             need = [
                 f
                 for f in files
                 if not all(
                     _check_proven_by_stats(
-                        e, stats.get(f, {}), allow_time=tz_ok
+                        e,
+                        self._logical_view(stats.get(f, {}), cmap),
+                        allow_time=tz_ok,
                     )
                     for e in fresh.values()
                 )
@@ -2377,6 +2385,12 @@ class SnapshotTable:
                     self.root
                     / Path(files[0]).parts[0]
                     / Path(files[0]).parts[1],
+                    mapping=cmap or None,
+                    logical_cols=(
+                        [n for n, _ in snap.schema]
+                        if cmap and snap.schema is not None
+                        else None
+                    ),
                 )
         enforced.update(fresh)
 
@@ -2789,7 +2803,13 @@ class SnapshotTable:
         the replacement files, so :meth:`read_changes_cdf` replays
         deletes (the removed files' live rows — whole files, by
         exactness) and inserts with no extra write."""
-        pcols = list(self._partition_spec())
+        # resolve the basis ONCE (review r13 pass 2: this op paid the
+        # manifest chain up to three times — here, in _write_data, and
+        # again after the write); the declared-vs-committed validation
+        # rides _partition_spec(snap)
+        cur = self.current_version()
+        snap = self.snapshot(cur) if cur is not None else None
+        pcols = list(self._partition_spec(snap))
         if not pcols:
             raise ValueError(
                 f"{self.root}: overwrite_partitions needs a table "
@@ -2801,18 +2821,34 @@ class SnapshotTable:
                 f"{self.root}: batch is missing partition column(s) "
                 f"{missing}"
             )
-        cur = self.current_version()
         new: list[str] = []
         try:
             enforced: dict = {}
-            new, new_stats = self._write_data(df, enforced_out=enforced)
+            new, new_stats = self._write_data(
+                df, enforced_out=enforced, partition_spec=tuple(pcols)
+            )
+            if cur is None:
+                # bootstrap commit: exact membership is never consulted
+                # (nothing to replace), so files whose partition value
+                # has no sound record commit fine — they just cannot be
+                # dynamic-overwritten later (review r13 pass 2)
+                return self._commit(
+                    new,
+                    "overwrite_partitions",
+                    stats=new_stats,
+                    expected_parent=None,
+                    schema=self._df_fields(df),
+                    extra={"replace_added": sorted(new)},
+                )
             # the replaced tuple set comes from the WRITTEN files' own
             # __partition__ records (review r13: a separate
             # distinct().collect() evaluated df's lineage a SECOND time
             # — a nondeterministic batch could write tuples the
             # discovery never saw, appending alongside the partitions
             # it should have replaced; the written manifest record is
-            # the single evaluation and is already key-normalized)
+            # the single evaluation and is already key-normalized).
+            # Partition columns are never renamable, so the logical
+            # ``pcols`` index the physical-keyed record safely.
             tuples = set()
             for f in new:
                 pv = (new_stats.get(f) or {}).get("__partition__")
@@ -2826,16 +2862,6 @@ class SnapshotTable:
                         "membership"
                     )
                 tuples.add(tuple(pv[c] for c in pcols))
-            if cur is None:
-                return self._commit(
-                    new,
-                    "overwrite_partitions",
-                    stats=new_stats,
-                    expected_parent=None,
-                    schema=self._df_fields(df),
-                    extra={"replace_added": sorted(new)},
-                )
-            snap = self.snapshot(cur)
             cmap = dict(snap.column_mapping or {})
             stats = dict(snap.stats or {})
 
@@ -3081,9 +3107,7 @@ class SnapshotTable:
                     remainder,
                     enforce=False,
                     mapping=cmap,
-                    partition_spec=tuple(snap.partition_by or ())
-                    if snap
-                    else (),
+                    partition_spec=self._partition_spec(snap),
                 )
                 fresh_files += rem_files
                 written_stats.update(rem_stats)
@@ -3960,7 +3984,7 @@ class SnapshotTable:
                 survivors,
                 enforce=False,
                 mapping=cmap,
-                partition_spec=tuple(snap.partition_by or ()),
+                partition_spec=self._partition_spec(snap),
             )
             return self._commit_rewrite(
                 "delete",
@@ -4427,9 +4451,7 @@ class SnapshotTable:
             df,
             enforce=False,
             mapping=dict(basis.column_mapping or {}) if basis else {},
-            partition_spec=tuple(basis.partition_by or ())
-            if basis
-            else (),
+            partition_spec=self._partition_spec(basis),
         )
         try:
             return self._commit_rewrite(
@@ -4501,25 +4523,30 @@ class SnapshotTable:
             )
             for i in range(len(zorder_by))
         ]
+        # on a partitioned table the range key LEADS with the partition
+        # tuple (review r13 pass 2: ranging on __zkey alone spread every
+        # tuple across every range task, and the partitioned write then
+        # split each task per tuple — target_files x n_tuples small
+        # files); tuple-first ranging keeps ~target_files total while
+        # each file's zkey envelope stays tight within its tuple
+        pspec = self._partition_spec(basis)
+        range_cols = [*pspec, "__zkey"]
         clustered = (
             df.withColumn("__zkey", zorder_key(zorder_by, bounds))
-            .repartitionByRange(target_files, "__zkey")
-            .sortWithinPartitions("__zkey")
+            .repartitionByRange(target_files, *range_cols)
+            .sortWithinPartitions(*range_cols)
             .drop("__zkey")
         )
         new, new_stats = self._write_data(
             clustered,
             enforce=False,
             mapping=dict(basis.column_mapping or {}) if basis else {},
-            partition_spec=tuple(basis.partition_by or ())
-            if basis
-            else (),
-            # the frame is ALREADY layout-shaped (zkey range + sort):
-            # the partitioned write's rebalance would re-shuffle it and
-            # widen every output file's zorder envelopes back to the
-            # tuple's full range, defeating the pruning this op exists
-            # for (review r13) — partitionBy alone splits each range
-            # task per partition tuple, preserving zkey tightness
+            partition_spec=pspec,
+            # the frame is ALREADY layout-shaped (tuple + zkey range and
+            # sort): the partitioned write's rebalance would re-shuffle
+            # it and widen every output file's zorder envelopes back to
+            # the tuple's full range, defeating the pruning this op
+            # exists for (review r13)
             cluster=False,
         )
         try:
