@@ -1375,7 +1375,10 @@ class SnapshotTable:
         """The column-mapped twin of :func:`_constraint_scan`: read the
         files physically, restore LOGICAL names (via the recorded
         ``schema`` when given, else the written frame's
-        ``logical_cols``), and return at most one violating row — ONE
+        ``logical_cols``, else — review r13 pass 3 — the files' OWN
+        merged columns inverse-mapped, so a rebase recheck over a batch
+        that lacks evolved table columns projects only what the files
+        actually hold), and return at most one violating row — ONE
         implementation shared by :meth:`_verify_constraints` and
         :meth:`_constraint_scan_dv` so scan semantics cannot drift."""
         if schema is not None:
@@ -1383,16 +1386,24 @@ class SnapshotTable:
                 spark, rel_files, schema=schema, mapping=mapping
             )
         else:
-            df = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(*[str(self.root / f) for f in rel_files])
-                .select(
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *[str(self.root / f) for f in rel_files]
+            )
+            if logical_cols is not None:
+                df = df.select(
                     *[
                         F_col(f"`{mapping.get(c, c)}`").alias(c)
                         for c in logical_cols
                     ]
                 )
-            )
+            else:
+                inv = {p: l for l, p in mapping.items()}
+                df = df.select(
+                    *[
+                        F_col(f"`{p}`").alias(inv.get(p, p))
+                        for p in df.columns
+                    ]
+                )
         return df.filter(predicate).limit(1).collect()
 
     def _constraint_scan_dv(
@@ -2148,20 +2159,18 @@ class SnapshotTable:
                 enforced_out.update(cons)
             if cons:
                 tz_ok = _utc_session(df.sparkSession)
-                need_scan = [
-                    f
-                    for f in written
+                need_scan = []
+                for f in written:
+                    view = self._logical_view(
+                        stats.get(f, {}), mapping or {}
+                    )
                     if not all(
                         _check_proven_by_stats(
-                            expr,
-                            self._logical_view(
-                                stats.get(f, {}), mapping or {}
-                            ),
-                            allow_time=tz_ok,
+                            expr, view, allow_time=tz_ok
                         )
                         for expr in cons.values()
-                    )
-                ]
+                    ):
+                        need_scan.append(f)
                 if need_scan:
                     self._verify_constraints(
                         df.sparkSession,
@@ -2241,7 +2250,9 @@ class SnapshotTable:
         predicate = " OR ".join(
             f"(({expr}) IS FALSE)" for expr in constraints.values()
         )
-        if mapping and logical_cols:
+        if mapping:
+            # logical_cols=None lets the scan derive the projection
+            # from the files' own merged columns (review r13 pass 3)
             bad = self._mapped_existence_scan(
                 spark,
                 rel_files,
@@ -2365,19 +2376,20 @@ class SnapshotTable:
             # nothing — fail-closed — but aborted rebases with an
             # AnalysisException instead of verifying)
             cmap = dict(snap.column_mapping or {})
-            need = [
-                f
-                for f in files
+            need = []
+            for f in files:
+                view = self._logical_view(stats.get(f, {}), cmap)
                 if not all(
-                    _check_proven_by_stats(
-                        e,
-                        self._logical_view(stats.get(f, {}), cmap),
-                        allow_time=tz_ok,
-                    )
+                    _check_proven_by_stats(e, view, allow_time=tz_ok)
                     for e in fresh.values()
-                )
-            ]
+                ):
+                    need.append(f)
             if need:
+                # logical_cols stays None: the mapped scan projects the
+                # FILES' own columns inverse-mapped (review r13 pass 3:
+                # projecting the full table schema crashed on a batch
+                # lacking evolved columns, and a None snap.schema left
+                # the unmapped path's AnalysisException in place)
                 self._verify_constraints(
                     spark,
                     need,
@@ -2386,11 +2398,6 @@ class SnapshotTable:
                     / Path(files[0]).parts[0]
                     / Path(files[0]).parts[1],
                     mapping=cmap or None,
-                    logical_cols=(
-                        [n for n, _ in snap.schema]
-                        if cmap and snap.schema is not None
-                        else None
-                    ),
                 )
         enforced.update(fresh)
 
@@ -2803,10 +2810,11 @@ class SnapshotTable:
         the replacement files, so :meth:`read_changes_cdf` replays
         deletes (the removed files' live rows — whole files, by
         exactness) and inserts with no extra write."""
-        # resolve the basis ONCE (review r13 pass 2: this op paid the
-        # manifest chain up to three times — here, in _write_data, and
-        # again after the write); the declared-vs-committed validation
-        # rides _partition_spec(snap)
+        # resolve the basis once up front and reuse it for the spec and
+        # the removed-set scan (review r13 pass 2 cut the op from three
+        # chain resolutions to two — _write_data still resolves its own
+        # snapshot for constraint enforcement); declared-vs-committed
+        # validation rides _partition_spec(snap)
         cur = self.current_version()
         snap = self.snapshot(cur) if cur is not None else None
         pcols = list(self._partition_spec(snap))
@@ -2830,8 +2838,11 @@ class SnapshotTable:
             if cur is None:
                 # bootstrap commit: exact membership is never consulted
                 # (nothing to replace), so files whose partition value
-                # has no sound record commit fine — they just cannot be
-                # dynamic-overwritten later (review r13 pass 2)
+                # has no sound record (NaN, or a pre-TIMESTAMP_MICROS
+                # session's statless timestamps) commit fine — like any
+                # append of such rows, they make LATER dynamic
+                # overwrites refuse until recovered (see the _replaced
+                # error below for the recovery paths)
                 return self._commit(
                     new,
                     "overwrite_partitions",
@@ -2881,10 +2892,14 @@ class SnapshotTable:
                 r = _replaced(stats.get(f, {}))
                 if r is None:
                     raise ValueError(
-                        f"{self.root}: file {f} has no recorded "
-                        "partition values; dynamic overwrite needs the "
-                        "exact membership record (was the table written "
-                        "by a pre-partitioning build?)"
+                        f"{self.root}: live file {f} has no recorded "
+                        "partition values, so dynamic overwrite cannot "
+                        "prove which partitions it holds. Recover with "
+                        "compact()/optimize() (re-records values for "
+                        "recordable types, e.g. timestamps written "
+                        "before the TIMESTAMP_MICROS session pin) or "
+                        "delete() the rows whose partition value is "
+                        "unrecordable (NaN)."
                     )
                 if r:
                     removed.append(f)
