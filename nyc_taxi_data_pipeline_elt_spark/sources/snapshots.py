@@ -1428,9 +1428,15 @@ class SnapshotTable:
         clean = [f for f in rel_files if f not in set(dirty)]
         bad: list = []
         if clean:
-            if mapping:
+            if mapping or schema is not None:
+                # the LOG schema null-pads evolution-added columns the
+                # files lack, so a constraint referencing one evaluates
+                # to NULL (passes) instead of failing analysis — the
+                # same posture for unmapped tables as mapped ones
+                # (review r13 pass 4: add_check_constraint on an
+                # unmapped evolved table crashed here)
                 bad = self._mapped_existence_scan(
-                    spark, clean, predicate, mapping, schema=schema
+                    spark, clean, predicate, mapping or {}, schema=schema
                 )
             else:
                 bad = _constraint_scan(
@@ -1442,7 +1448,7 @@ class SnapshotTable:
                 self._read_files(
                     spark, dirty, schema=schema, mapping=mapping
                 )
-                if mapping
+                if mapping or schema is not None
                 else spark.read.option("mergeSchema", "true").parquet(
                     *[str(self.root / f) for f in dirty]
                 ),
@@ -2238,6 +2244,7 @@ class SnapshotTable:
         cleanup_dir: Path,
         mapping: dict | None = None,
         logical_cols: list | None = None,
+        schema: tuple | None = None,
     ) -> None:
         """One existence-check scan over the just-written files whose
         stats could NOT prove compliance (``_write_data`` pre-prunes the
@@ -2250,14 +2257,19 @@ class SnapshotTable:
         predicate = " OR ".join(
             f"(({expr}) IS FALSE)" for expr in constraints.values()
         )
-        if mapping:
-            # logical_cols=None lets the scan derive the projection
-            # from the files' own merged columns (review r13 pass 3)
+        if mapping or schema is not None:
+            # schema= (the manifest's logical record) null-pads columns
+            # the files lack, so a fresh constraint on an
+            # evolution-added column passes as NULL instead of crashing
+            # (review r13 pass 4); without a record, logical_cols=None
+            # lets the scan derive the projection from the files' own
+            # merged columns inverse-mapped (review r13 pass 3)
             bad = self._mapped_existence_scan(
                 spark,
                 rel_files,
                 predicate,
-                mapping,
+                mapping or {},
+                schema=schema,
                 logical_cols=logical_cols,
             )
         else:
@@ -2385,11 +2397,13 @@ class SnapshotTable:
                 ):
                     need.append(f)
             if need:
-                # logical_cols stays None: the mapped scan projects the
-                # FILES' own columns inverse-mapped (review r13 pass 3:
-                # projecting the full table schema crashed on a batch
-                # lacking evolved columns, and a None snap.schema left
-                # the unmapped path's AnalysisException in place)
+                # schema= null-pads columns the batch lacks, so a fresh
+                # constraint on an evolution-added column verifies
+                # under NULL CHECK semantics (review r13 passes 3-4:
+                # projecting the full table schema from the FILES
+                # crashed on such batches, and omitting absent columns
+                # crashed the predicate instead); a legacy None record
+                # falls back to the files' own inverse-mapped columns
                 self._verify_constraints(
                     spark,
                     need,
@@ -2398,6 +2412,7 @@ class SnapshotTable:
                     / Path(files[0]).parts[0]
                     / Path(files[0]).parts[1],
                     mapping=cmap or None,
+                    schema=snap.schema,
                 )
         enforced.update(fresh)
 
