@@ -285,16 +285,19 @@ def _dv_new_list(value) -> list[str]:
 
 # Expressions the manifest stats can PROVE file-wide: a single
 # comparison between one column and one literal (either order), or
-# BETWEEN — or, r13, a top-level CONJUNCTION of those
-# (:func:`_split_conjunction`): `DELETE WHERE ts < '2023-01-05' AND
-# tenant = 'EU'`, the multi-tenant retention purge, prunes on either
-# conjunct's envelope. Literals are numeric, or — r12 — quoted
-# date/time strings (optionally DATE/TIMESTAMP-prefixed), compared
-# against the ISO-8601 envelopes _file_stats records. Anything else
-# (OR/NOT, arithmetic, function calls) is conservatively inconclusive
-# and falls back to a row scan. NULL rows pass CHECK under SQL
-# semantics and parquet min/max ignore nulls, so proving the envelope
-# proves every row.
+# BETWEEN — or, r13, any AND/OR tree over those
+# (:func:`_split_disjunction` / :func:`_split_conjunction`, SQL
+# precedence: OR loosest, BETWEEN's AND bound to its BETWEEN):
+# `DELETE WHERE ts < '2023-01-05' AND tenant = 'EU'`, the multi-tenant
+# retention purge, prunes on either conjunct's envelope, and the
+# IN-list shape `tenant = 'x' OR tenant = 'y'` prunes when every
+# disjunct does. Literals are numeric, or — r12 — quoted date/time
+# strings (optionally DATE/TIMESTAMP-prefixed), compared against the
+# ISO-8601 envelopes _file_stats records. Anything else (NOT,
+# arithmetic, function calls) is conservatively inconclusive and falls
+# back to a row scan. NULL rows pass CHECK under SQL semantics and
+# parquet min/max ignore nulls, so proving the envelope proves every
+# row.
 _NUMLIT = r"-?\d+(?:\.\d+)?"
 _QLIT = r"(?i:timestamp\s+|date\s+)?'([^']*)'"
 _LIT = rf"({_NUMLIT})|{_QLIT}"
@@ -479,6 +482,63 @@ def _strip_parens(expr: str) -> str:
     return s
 
 
+def _split_disjunction(expr: str) -> list[str] | None:
+    """Split ``expr`` into its top-level OR disjuncts (r13: OR is the
+    LOWEST-precedence SQL operator, so the provers split on it first —
+    ``a AND b OR c`` parses as ``(a AND b) OR c``). Returns the
+    disjunct substrings — a 1-element list when ``expr`` has no
+    top-level OR — or None when malformed (unbalanced parens/quotes)
+    or a top-level NOT appears (out of grammar). AND/BETWEEN stay
+    inside their disjunct, where :func:`_split_conjunction` judges
+    them; a parenthesized OR inside a conjunct recurses back through
+    the provers, so arbitrary AND/OR trees resolve."""
+    s = _strip_parens(expr)
+    if not s:
+        return None
+    splits: list[tuple[int, int]] = []
+    depth, in_q = 0, False
+    word_start: int | None = None
+
+    def _flush(end: int) -> bool:
+        w = s[word_start:end].upper()
+        if w == "OR":
+            splits.append((word_start, end))
+        elif w == "NOT":
+            return False
+        return True
+
+    for i, ch in enumerate(s):
+        if in_q:
+            in_q = ch != "'"
+            continue
+        if depth == 0 and (ch.isalnum() or ch == "_"):
+            if word_start is None:
+                word_start = i
+            continue
+        if word_start is not None:
+            if not _flush(i):
+                return None
+            word_start = None
+        if ch == "'":
+            in_q = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+    if word_start is not None and not _flush(len(s)):
+        return None
+    if depth != 0 or in_q:
+        return None
+    parts, prev = [], 0
+    for a, b in splits:
+        parts.append(s[prev:a].strip())
+        prev = b
+    parts.append(s[prev:].strip())
+    return parts if all(parts) else None
+
+
 def _split_conjunction(expr: str) -> list[str] | None:
     """Split ``expr`` into its top-level AND conjuncts (VERDICT r12
     task #2), quote- and paren-aware; the AND belonging to a BETWEEN
@@ -594,12 +654,22 @@ def _check_proven_by_stats(
     Conjunctions (VERDICT r12 task #2) prove per conjunct: CHECK passes
     when the expression is not FALSE for the row, and ``a AND b`` is
     never FALSE when neither conjunct is — proven iff ALL conjuncts
-    prove. Each conjunct re-enters the full prover, so the unanimity /
-    NaN / NTZ / cast guards apply per conjunct. OR/NOT at the top level
-    are refused by :func:`_split_conjunction` → inconclusive."""
+    prove. Disjunctions (r13): ``a OR b`` is FALSE only when EVERY
+    disjunct is FALSE — proven iff ANY disjunct proves never-FALSE
+    (``NULL OR FALSE`` is NULL, which passes CHECK). OR binds loosest,
+    so the OR split runs first; each branch re-enters the full prover,
+    so the unanimity / NaN / NTZ / cast guards apply per leaf and
+    arbitrary AND/OR trees resolve. NOT is refused → inconclusive."""
     if fstats.get("__num_rows__") == 0:
         return True  # empty file: nothing can violate
-    parts = _split_conjunction(expr)
+    ors = _split_disjunction(expr)
+    if ors is None:
+        return False
+    if len(ors) > 1:
+        return any(
+            _check_proven_by_stats(o, fstats, allow_time) for o in ors
+        )
+    parts = _split_conjunction(ors[0])
     if parts is None:
         return False
     if len(parts) > 1:
@@ -741,17 +811,29 @@ def _pred_disjoint_by_stats(
     — a top-level CONJUNCTION of them: a row matches only when every
     conjunct is TRUE, so ANY conjunct provably match-free proves the
     file disjoint (the multi-tenant purge ``ts < cutoff AND tenant =
-    'x'`` prunes on either envelope). Each conjunct re-enters the full
-    prover (per-conjunct unanimity / NaN / NTZ / cast guards); OR/NOT
-    at the top level are refused → inconclusive. NULL predicate values
-    never match (SQL WHERE semantics) and parquet min/max ignore nulls,
-    so envelope disjointness proves row disjointness. String
-    disjointness stays sound under parquet's bound truncation (a
-    rounded-up max only WIDENS the envelope — fewer prunes, never a
-    wrong one)."""
+    'x'`` prunes on either envelope). DISJUNCTIONS (r13): a row
+    matches ``a OR b`` when ANY disjunct is TRUE, so the file is
+    match-free only when EVERY disjunct is provably match-free — the
+    IN-list shape ``tenant = 'x' OR tenant = 'y'`` prunes when both
+    values sit outside the envelope. OR binds loosest (``a AND b OR
+    c`` = ``(a AND b) OR c``), so the OR split runs first; each branch
+    re-enters the full prover (per-leaf unanimity / NaN / NTZ / cast
+    guards), so arbitrary AND/OR trees resolve. NOT is refused →
+    inconclusive. NULL predicate values never match (SQL WHERE
+    semantics) and parquet min/max ignore nulls, so envelope
+    disjointness proves row disjointness. String disjointness stays
+    sound under parquet's bound truncation (a rounded-up max only
+    WIDENS the envelope — fewer prunes, never a wrong one)."""
     if fstats.get("__num_rows__") == 0:
         return True  # empty file: nothing can match
-    parts = _split_conjunction(expr)
+    ors = _split_disjunction(expr)
+    if ors is None:
+        return False
+    if len(ors) > 1:
+        return all(
+            _pred_disjoint_by_stats(o, fstats, allow_time) for o in ors
+        )
+    parts = _split_conjunction(ors[0])
     if parts is None:
         return False
     if len(parts) > 1:

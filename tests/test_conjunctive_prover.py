@@ -110,12 +110,50 @@ def test_disjoint_any_conjunct_suffices():
     )
 
 
-def test_disjoint_sound_with_unprovable_conjunct():
-    # the OR conjunct is inconclusive on its own; the other conjunct
-    # still proves the conjunction match-free
+def test_disjoint_sound_with_nested_or_conjunct():
+    # the parenthesized OR conjunct recurses through the disjunction
+    # prover (r13): v < 0 and v > 100 are BOTH outside [5, 10], so the
+    # OR conjunct alone proves the file match-free
     assert _pred_disjoint_by_stats("(v < 0 OR v > 100) AND tenant = 'US'", _FS)
-    assert not _pred_disjoint_by_stats(
+    assert _pred_disjoint_by_stats(
         "(v < 0 OR v > 100) AND tenant = 'EU'", _FS
+    )
+    # one OR branch may match -> that conjunct is inconclusive; the
+    # conjunction still prunes only via the sound tenant conjunct
+    assert not _pred_disjoint_by_stats(
+        "(v < 0 OR v >= 7) AND tenant = 'EU'", _FS
+    )
+    assert _pred_disjoint_by_stats(
+        "(v < 0 OR v >= 7) AND tenant = 'US'", _FS
+    )
+
+
+def test_disjunction_semantics():
+    """r13 OR grammar: disjoint iff EVERY branch is provably
+    match-free; CHECK-proven iff ANY branch is provably never-FALSE;
+    SQL precedence (a AND b OR c) = ((a AND b) OR c); NOT refused."""
+    assert _pred_disjoint_by_stats("tenant = 'US' OR tenant = 'XX'", _FS)
+    assert not _pred_disjoint_by_stats("tenant = 'US' OR tenant = 'EU'", _FS)
+    # precedence: the AND binds before OR — v>100 AND tenant='EU' is
+    # disjoint (v), tenant='US' is disjoint (value) -> whole disjoint
+    assert _pred_disjoint_by_stats(
+        "v > 100 AND tenant = 'EU' OR tenant = 'US'", _FS
+    )
+    assert not _pred_disjoint_by_stats(
+        "v > 100 AND tenant = 'EU' OR tenant = 'EU'", _FS
+    )
+    # CHECK: any never-FALSE branch proves
+    assert _check_proven_by_stats("v >= 5 OR tenant = 'ZZ'", _FS)
+    assert not _check_proven_by_stats("v >= 6 OR v <= 3", _FS)
+    # NOT stays refused -> inconclusive both ways
+    assert not _pred_disjoint_by_stats("NOT v >= 0", _FS)
+    assert not _check_proven_by_stats("NOT v < 0", _FS)
+    # BETWEEN composes with OR
+    assert _pred_disjoint_by_stats(
+        "v BETWEEN 100 AND 200 OR tenant = 'US'", _FS
+    )
+    assert _check_proven_by_stats(
+        "v BETWEEN 5 AND 10 OR tenant = 'ZZ'", _FS
     )
 
 

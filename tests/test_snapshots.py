@@ -708,11 +708,13 @@ def test_stats_prover_unit():
     # string EQUALITY proving stays refused there
     assert prove("s >= 'a'", st)
     assert not prove("s >= 'b'", st)
-    # r13: top-level conjunctions prove per conjunct (ALL must prove);
-    # OR stays refused — see tests/test_conjunctive_prover.py
+    # r13: conjunctions prove per conjunct (ALL must prove);
+    # disjunctions prove when ANY branch is never-FALSE — see
+    # tests/test_conjunctive_prover.py
     assert prove("v >= 0 AND v <= 9", st)
     assert not prove("v >= 1 AND v <= 9", st)
-    assert not prove("v >= 0 OR v <= 9", st)
+    assert prove("v >= 0 OR v <= 9", st)
+    assert not prove("v >= 1 OR v >= 5", st)
     # outside the grammar / bool stats: inconclusive, never proven
     assert not prove("b = true", st)
     assert not prove("abs(v) >= 0", st)
@@ -1357,12 +1359,13 @@ def test_pred_disjoint_prover_unit():
     assert not dis("v > 20", {"v": ["a", "z"], "__num_rows__": 3})
     assert not dis("v > 20", {"v": [True, True], "__num_rows__": 3})
     # r13: conjunctions prune when ANY conjunct is provably disjoint
-    # (v > 20 excludes the whole [10, 20] envelope); OR stays refused —
-    # see tests/test_conjunctive_prover.py
+    # (v > 20 excludes the whole [10, 20] envelope); disjunctions when
+    # ALL branches are — see tests/test_conjunctive_prover.py
     assert dis("v > 20 AND v < 5", st)
     assert dis("v >= 10 AND v < 5", st)  # v < 5 alone is disjoint
     assert not dis("v >= 10 AND v <= 20", st)
-    assert not dis("v > 20 OR v < 5", st)
+    assert dis("v > 20 OR v < 5", st)  # both branches disjoint
+    assert not dis("v > 20 OR v >= 15", st)  # second branch may match
     assert not dis("w > 20", st)
 
 
