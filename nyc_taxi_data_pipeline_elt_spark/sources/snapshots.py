@@ -452,8 +452,11 @@ def _utc_session(spark) -> bool:
     return tz in ("UTC", "Etc/UTC", "Etc/Universal", "GMT", "Z", "+00:00")
 
 
-#: bare words with boolean meaning at the top level of a predicate
-_BOOL_REFUSED = frozenset({"OR", "NOT"})
+#: boolean-tree recursion bound for the provers: past this nesting
+#: depth an expression is treated as inconclusive instead of risking a
+#: RecursionError escaping into DELETE/restore planning (review r13
+#: pass 5) — no human-written predicate nests 32 paren levels deep
+_BOOL_DEPTH_MAX = 32
 
 
 def _strip_parens(expr: str) -> str:
@@ -482,74 +485,40 @@ def _strip_parens(expr: str) -> str:
     return s
 
 
-def _split_disjunction(expr: str) -> list[str] | None:
-    """Split ``expr`` into its top-level OR disjuncts (r13: OR is the
-    LOWEST-precedence SQL operator, so the provers split on it first —
-    ``a AND b OR c`` parses as ``(a AND b) OR c``). Returns the
-    disjunct substrings — a 1-element list when ``expr`` has no
-    top-level OR — or None when malformed (unbalanced parens/quotes)
-    or a top-level NOT appears (out of grammar). AND/BETWEEN stay
-    inside their disjunct, where :func:`_split_conjunction` judges
-    them; a parenthesized OR inside a conjunct recurses back through
-    the provers, so arbitrary AND/OR trees resolve."""
-    s = _strip_parens(expr)
-    if not s:
+#: lexer constructs Spark's SQL parser understands but the naive
+#: word-splitter below does NOT model: backslash escape sequences
+#: inside string literals, double-quoted string literals, backticked
+#: identifiers, and line/block comments. Splitting across any of them
+#: can diverge from Spark's parse — e.g. an OR living INSIDE a
+#: backslash-escaped string literal would be split into a fake live
+#: branch and prove/prune unsoundly (review r13 pass 5, reproduced
+#: corruption class) — so their PRESENCE refuses the whole expression:
+#: inconclusive, row scan.
+_LEXER_REFUSED = ("\\", '"', "`", "--", "/*", "*/")
+
+
+def _split_bool(expr: str, keyword: str) -> list[str] | None:
+    """The ONE quote/paren-aware top-level splitter behind
+    :func:`_split_conjunction` (``keyword='AND'``) and
+    :func:`_split_disjunction` (``keyword='OR'``) — review r13 pass 5:
+    two hand-copied scanners had already diverged once; every lexer
+    rule must live exactly once. Semantics:
+
+    - ``'AND'`` mode: split at top-level ANDs; the AND belonging to a
+      BETWEEN binds to its BETWEEN (``x BETWEEN 1 AND 2 AND y = 3``
+      splits after the 2); a top-level OR is refused (the caller's
+      per-conjunct logic is only sound for conjunctions — the
+      disjunction pass has already run);
+    - ``'OR'`` mode: split at top-level ORs (OR is the loosest SQL
+      operator, so this pass runs FIRST: ``a AND b OR c`` =
+      ``(a AND b) OR c``); ANDs stay inside their disjunct.
+
+    None = out of grammar → the provers treat the expression as
+    inconclusive: a top-level NOT, unbalanced parens/quotes, a
+    dangling BETWEEN, an empty operand, or any :data:`_LEXER_REFUSED`
+    construct (modelled nowhere, so never split across)."""
+    if any(t in expr for t in _LEXER_REFUSED):
         return None
-    splits: list[tuple[int, int]] = []
-    depth, in_q = 0, False
-    word_start: int | None = None
-
-    def _flush(end: int) -> bool:
-        w = s[word_start:end].upper()
-        if w == "OR":
-            splits.append((word_start, end))
-        elif w == "NOT":
-            return False
-        return True
-
-    for i, ch in enumerate(s):
-        if in_q:
-            in_q = ch != "'"
-            continue
-        if depth == 0 and (ch.isalnum() or ch == "_"):
-            if word_start is None:
-                word_start = i
-            continue
-        if word_start is not None:
-            if not _flush(i):
-                return None
-            word_start = None
-        if ch == "'":
-            in_q = True
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-            if depth < 0:
-                return None
-    if word_start is not None and not _flush(len(s)):
-        return None
-    if depth != 0 or in_q:
-        return None
-    parts, prev = [], 0
-    for a, b in splits:
-        parts.append(s[prev:a].strip())
-        prev = b
-    parts.append(s[prev:].strip())
-    return parts if all(parts) else None
-
-
-def _split_conjunction(expr: str) -> list[str] | None:
-    """Split ``expr`` into its top-level AND conjuncts (VERDICT r12
-    task #2), quote- and paren-aware; the AND belonging to a BETWEEN
-    binds to its BETWEEN as in SQL (``x BETWEEN 1 AND 2 AND y = 3``
-    splits after the 2). Returns the conjunct substrings — a 1-element
-    list when ``expr`` is not a conjunction — or None when the
-    top-level boolean structure is out of grammar: a top-level OR/NOT
-    (per-conjunct proving is only sound for conjunctions), unbalanced
-    parens/quotes, a dangling BETWEEN, or an empty conjunct. An OR
-    nested inside parentheses stays inside its conjunct, where the
-    single-relation grammar (or a recursive split) judges it."""
     s = _strip_parens(expr)
     if not s:
         return None
@@ -566,9 +535,13 @@ def _split_conjunction(expr: str) -> list[str] | None:
         elif w == "AND":
             if pending_between:
                 pending_between -= 1
-            else:
+            elif keyword == "AND":
                 splits.append((word_start, end))
-        elif w in _BOOL_REFUSED:
+        elif w == "OR":
+            if keyword != "OR":
+                return False
+            splits.append((word_start, end))
+        elif w == "NOT":
             return False
         return True
 
@@ -602,6 +575,17 @@ def _split_conjunction(expr: str) -> list[str] | None:
         prev = b
     parts.append(s[prev:].strip())
     return parts if all(parts) else None
+
+
+def _split_disjunction(expr: str) -> list[str] | None:
+    """Top-level OR disjuncts of ``expr`` (see :func:`_split_bool`)."""
+    return _split_bool(expr, "OR")
+
+
+def _split_conjunction(expr: str) -> list[str] | None:
+    """Top-level AND conjuncts of ``expr`` (VERDICT r12 task #2; see
+    :func:`_split_bool`)."""
+    return _split_bool(expr, "AND")
 
 
 def _envelope_relation(expr: str, fstats: dict, allow_time: bool = True):
@@ -645,7 +629,7 @@ def _envelope_relation(expr: str, fstats: dict, allow_time: bool = True):
 
 
 def _check_proven_by_stats(
-    expr: str, fstats: dict, allow_time: bool = True
+    expr: str, fstats: dict, allow_time: bool = True, _depth: int = 0
 ) -> bool:
     """True only when ``fstats``'s [min, max] envelope PROVES every row
     of the file satisfies the CHECK expression. False means
@@ -662,19 +646,23 @@ def _check_proven_by_stats(
     arbitrary AND/OR trees resolve. NOT is refused → inconclusive."""
     if fstats.get("__num_rows__") == 0:
         return True  # empty file: nothing can violate
+    if _depth > _BOOL_DEPTH_MAX:
+        return False  # pathological nesting: inconclusive, row-scan
     ors = _split_disjunction(expr)
     if ors is None:
         return False
     if len(ors) > 1:
         return any(
-            _check_proven_by_stats(o, fstats, allow_time) for o in ors
+            _check_proven_by_stats(o, fstats, allow_time, _depth + 1)
+            for o in ors
         )
     parts = _split_conjunction(ors[0])
     if parts is None:
         return False
     if len(parts) > 1:
         return all(
-            _check_proven_by_stats(p, fstats, allow_time) for p in parts
+            _check_proven_by_stats(p, fstats, allow_time, _depth + 1)
+            for p in parts
         )
     rel = _envelope_relation(parts[0], fstats, allow_time)
     if rel is None:
@@ -797,7 +785,7 @@ def _env_numeric(env) -> bool:
 
 
 def _pred_disjoint_by_stats(
-    expr: str, fstats: dict, allow_time: bool = True
+    expr: str, fstats: dict, allow_time: bool = True, _depth: int = 0
 ) -> bool:
     """True only when ``fstats``'s [min, max] envelope PROVES no row of
     the file can MATCH ``expr`` — the inverse question from
@@ -826,19 +814,23 @@ def _pred_disjoint_by_stats(
     WIDENS the envelope — fewer prunes, never a wrong one)."""
     if fstats.get("__num_rows__") == 0:
         return True  # empty file: nothing can match
+    if _depth > _BOOL_DEPTH_MAX:
+        return False  # pathological nesting: inconclusive, touched
     ors = _split_disjunction(expr)
     if ors is None:
         return False
     if len(ors) > 1:
         return all(
-            _pred_disjoint_by_stats(o, fstats, allow_time) for o in ors
+            _pred_disjoint_by_stats(o, fstats, allow_time, _depth + 1)
+            for o in ors
         )
     parts = _split_conjunction(ors[0])
     if parts is None:
         return False
     if len(parts) > 1:
         return any(
-            _pred_disjoint_by_stats(p, fstats, allow_time) for p in parts
+            _pred_disjoint_by_stats(p, fstats, allow_time, _depth + 1)
+            for p in parts
         )
     rel = _envelope_relation(parts[0], fstats, allow_time)
     if rel is None:

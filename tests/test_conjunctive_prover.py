@@ -81,6 +81,51 @@ def test_quoted_and_is_not_a_split_point():
     ]
 
 
+def test_unmodelled_lexemes_refuse_whole_expression():
+    """Review r13 pass 5 (reproduced corruption class): constructs
+    Spark's SQL lexer understands but the word-splitter does not —
+    backslash escapes, double-quoted literals, backticked identifiers,
+    comments — must refuse the WHOLE expression (inconclusive), never
+    split across them into fake live branches."""
+    # backslash-escaped quote: Spark sees ONE string literal
+    assert _split_conjunction("c = 'x\\' AND v = 7 AND d = \\'y'") is None
+    assert _split_conjunction("c = 'x\\' OR v >= 5 OR d = \\'y'") is None
+    # comments: Spark drops them, the splitter must not treat their
+    # interior as live operators
+    assert _split_conjunction("v = 99 -- OR v >= 5") is None
+    assert _split_conjunction("v = 7 -- AND tenant = 'EU'") is None
+    assert _split_conjunction("v = 7 /* AND x */ AND w = 1") is None
+    # double-quoted literal / backticked identifier
+    assert _split_conjunction('c = "a OR v >= 5 OR b"') is None
+    assert _split_conjunction("`a OR v >= 5 OR b` = 5") is None
+    # and the provers stay inconclusive on all of them
+    assert not _check_proven_by_stats("v = 99 -- OR v >= 5", _FS)
+    assert not _pred_disjoint_by_stats(
+        "v = 7 -- AND tenant = 'US'", _FS
+    )
+    assert not _check_proven_by_stats('c = "a OR v >= 5 OR b"', _FS)
+    assert not _pred_disjoint_by_stats(
+        "c = 'x\\' AND v = 7 AND d = \\'y'",
+        {"v": [10, 20], "__num_rows__": 3},
+    )
+
+
+def test_pathological_nesting_is_inconclusive_not_crash():
+    """~1500 nesting levels previously blew the Python stack out of
+    DELETE planning; past _BOOL_DEPTH_MAX the provers now answer
+    inconclusive (False) instead."""
+    deep = "v = 2"
+    for _ in range(1500):
+        deep = f"(v = 2 OR ({deep}))"
+    assert _pred_disjoint_by_stats(deep, _FS) is False
+    assert _check_proven_by_stats(deep, _FS) is False
+    # sane nesting still resolves
+    shallow = "v = 999"
+    for _ in range(5):
+        shallow = f"(v = 999 OR ({shallow}))"
+    assert _pred_disjoint_by_stats(shallow, _FS) is True
+
+
 def test_malformed_inputs_refused():
     assert _split_conjunction("a > 1 AND") is None
     assert _split_conjunction("AND a > 1") is None
