@@ -452,10 +452,12 @@ def _utc_session(spark) -> bool:
     return tz in ("UTC", "Etc/UTC", "Etc/Universal", "GMT", "Z", "+00:00")
 
 
-#: boolean-tree recursion bound for the provers: past this nesting
-#: depth an expression is treated as inconclusive instead of risking a
+#: bound on the provers' SPLIT-recursion depth (one tick per AND/OR
+#: alternation, so ~16 syntactic AND/OR nesting levels; redundant paren
+#: wrapping is peeled iteratively and costs no depth): past it an
+#: expression is treated as inconclusive instead of risking a
 #: RecursionError escaping into DELETE/restore planning (review r13
-#: pass 5) — no human-written predicate nests 32 paren levels deep
+#: pass 5) — far beyond any human-written predicate
 _BOOL_DEPTH_MAX = 32
 
 
@@ -485,18 +487,6 @@ def _strip_parens(expr: str) -> str:
     return s
 
 
-#: lexer constructs Spark's SQL parser understands but the naive
-#: word-splitter below does NOT model: backslash escape sequences
-#: inside string literals, double-quoted string literals, backticked
-#: identifiers, and line/block comments. Splitting across any of them
-#: can diverge from Spark's parse — e.g. an OR living INSIDE a
-#: backslash-escaped string literal would be split into a fake live
-#: branch and prove/prune unsoundly (review r13 pass 5, reproduced
-#: corruption class) — so their PRESENCE refuses the whole expression:
-#: inconclusive, row scan.
-_LEXER_REFUSED = ("\\", '"', "`", "--", "/*", "*/")
-
-
 def _split_bool(expr: str, keyword: str) -> list[str] | None:
     """The ONE quote/paren-aware top-level splitter behind
     :func:`_split_conjunction` (``keyword='AND'``) and
@@ -515,10 +505,18 @@ def _split_bool(expr: str, keyword: str) -> list[str] | None:
 
     None = out of grammar → the provers treat the expression as
     inconclusive: a top-level NOT, unbalanced parens/quotes, a
-    dangling BETWEEN, an empty operand, or any :data:`_LEXER_REFUSED`
-    construct (modelled nowhere, so never split across)."""
-    if any(t in expr for t in _LEXER_REFUSED):
-        return None
+    dangling BETWEEN, an empty operand, or — review r13 pass 5,
+    reproduced corruption class — a lexer construct Spark's SQL parser
+    understands but this scanner does not model: backslash escape
+    sequences (refused anywhere — inside a literal they shift where
+    the literal ENDS, which is exactly what the quote toggle must not
+    mis-track), and double-quoted literals / backticked identifiers /
+    ``--`` and ``/* */`` comments OUTSIDE single-quoted spans (inside
+    a quoted literal they are plain text and stay splittable — pass 6:
+    a blanket substring refusal cost ``note = 'n/a -- none' AND ts <
+    cutoff`` its sound time-conjunct prune). Splitting across any of
+    them could fabricate live branches out of literal interiors and
+    prove/prune unsoundly."""
     s = _strip_parens(expr)
     if not s:
         return None
@@ -546,9 +544,17 @@ def _split_bool(expr: str, keyword: str) -> list[str] | None:
         return True
 
     for i, ch in enumerate(s):
+        if ch == "\\":
+            return None  # escape sequences: unmodelled anywhere
         if in_q:
             in_q = ch != "'"
             continue
+        if ch in ('"', "`"):
+            return None  # double-quoted literal / backticked identifier
+        if (ch == "-" and s.startswith("--", i)) or (
+            ch in "/*" and s[i : i + 2] in ("/*", "*/")
+        ):
+            return None  # comments: Spark drops them, we must not split
         if depth == 0 and (ch.isalnum() or ch == "_"):
             if word_start is None:
                 word_start = i

@@ -98,6 +98,20 @@ def test_unmodelled_lexemes_refuse_whole_expression():
     # double-quoted literal / backticked identifier
     assert _split_conjunction('c = "a OR v >= 5 OR b"') is None
     assert _split_conjunction("`a OR v >= 5 OR b` = 5") is None
+    # ...but the same tokens INSIDE a single-quoted literal are plain
+    # text (review pass 6): the expression still splits and the sound
+    # conjunct still prunes
+    assert _split_conjunction("c = 'n/a -- none' AND v = 7") == [
+        "c = 'n/a -- none'",
+        "v = 7",
+    ]
+    assert _split_conjunction("c = 'a \"q\" /* x */ b' AND v = 7") == [
+        "c = 'a \"q\" /* x */ b'",
+        "v = 7",
+    ]
+    assert _pred_disjoint_by_stats(
+        "c = 'n/a -- none' AND v > 100", _FS
+    )
     # and the provers stay inconclusive on all of them
     assert not _check_proven_by_stats("v = 99 -- OR v >= 5", _FS)
     assert not _pred_disjoint_by_stats(
