@@ -592,6 +592,27 @@ def _sign_buckets_arrow(
     )
 
 
+def _sign_bucket_driver(q: list[float], planes: list[list[float]]) -> int:
+    """The query row's sign-LSH bucket, computed driver-side with the
+    IDENTICAL float64 accumulation order as ``_sign_buckets_arrow``
+    (dimension-by-dimension numpy adds over the same plane matrix), so
+    serving never needs a full corpus pass just to learn the query's
+    bucket — the r13 optimization round removed the second Arrow pass
+    ``lsh_topk``/``lsh_topk_multiprobe`` paid for their ``first()``
+    (guide §1.2: don't compute things you throw away). One vector is
+    one numpy lane of the exact slab the distributed kernel runs, so
+    the sign bits agree bit-for-bit by construction."""
+    import numpy as np
+
+    P = np.asarray(planes, dtype=np.float64)
+    weights = 1 << np.arange(len(planes), dtype=np.int64)
+    v = np.asarray(q, dtype=np.float64)
+    d = v[0] * P[:, 0]
+    for i in range(1, v.shape[0]):
+        d = d + v[i] * P[:, i]
+    return int(((d >= 0) * weights).sum())
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,
@@ -627,14 +648,19 @@ def lsh_topk(
         id_col,
         id_field,
     )
+    # query row via a pushed-down id filter on the RAW scan (one O(1)
+    # lookup, no Python stage), bucket derived driver-side — before r13
+    # this was a ``first()`` on the bucketed frame, i.e. a second full
+    # Arrow pass over the corpus per query
     qrow = (
-        e.filter(F.col(id_col) == query_vec_id)
-        .select("v", "bucket")
+        embeddings.filter(F.col(id_col) == query_vec_id)
+        .select(as_double(vec_col).alias("v"))
         .first()
     )
-    qvec = F.array(*[F.lit(float(x)) for x in qrow["v"]])
+    q = [float(x) for x in qrow["v"]]
+    qvec = F.array(*[F.lit(x) for x in q])
     return (
-        e.filter(F.col("bucket") == int(qrow["bucket"]))
+        e.filter(F.col("bucket") == _sign_bucket_driver(q, planes))
         .filter(F.col(id_col) != query_vec_id)
         .select(
             F.col(id_col),
@@ -669,14 +695,17 @@ def lsh_topk_multiprobe(
         id_col,
         id_field,
     )
+    # same single-pass serving shape as lsh_topk: pushed-down query-row
+    # fetch + driver-side bucket (was a full-corpus Arrow first())
     qrow = (
-        e.filter(F.col(id_col) == query_vec_id)
-        .select("v", "bucket")
+        embeddings.filter(F.col(id_col) == query_vec_id)
+        .select(as_double(vec_col).alias("v"))
         .first()
     )
-    qb = int(qrow["bucket"])
+    q = [float(x) for x in qrow["v"]]
+    qb = _sign_bucket_driver(q, planes)
     probes = [qb] + [qb ^ (1 << i) for i in range(n_planes)]
-    qvec = F.array(*[F.lit(float(x)) for x in qrow["v"]])
+    qvec = F.array(*[F.lit(x) for x in q])
     return (
         e.filter(F.col("bucket").isin(probes))
         .filter(F.col(id_col) != query_vec_id)

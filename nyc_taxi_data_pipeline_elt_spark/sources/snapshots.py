@@ -3458,14 +3458,27 @@ class SnapshotTable:
             _require_deterministic(
                 source, bs[2], "when_not_matched_by_source condition"
             )
-        dup = (
+        # ONE probe job over the grouped batch serves both the ambiguity
+        # check (max group size > 1 — identical semantics to the former
+        # count-filter-limit job, NULL-keyed groups included) and the
+        # per-key min/max range the stats pruner needs: min/max over the
+        # distinct keys equal min/max over the batch, so fusing them
+        # halves the driver round-trips per merge (r13 optimization —
+        # guide §1.2: remove unnecessary passes)
+        probe = (
             source.groupBy(*key_cols)
             .count()
-            .filter(F_col("count") > 1)
-            .limit(1)
-            .count()
+            .agg(
+                F_max("count").alias("__dup__"),
+                *[
+                    agg(c).alias(f"{side}_{c}")
+                    for c in key_cols
+                    for side, agg in (("lo", F_min), ("hi", F_max))
+                ],
+            )
+            .first()
         )
-        if dup:
+        if (probe["__dup__"] or 0) > 1:
             raise ValueError(
                 f"{self.root}: merge source has multiple rows for the same "
                 f"{key_cols} key — deduplicate the batch first"
@@ -3531,13 +3544,9 @@ class SnapshotTable:
         # the UTC coercion model; key-range probes are zone-independent
         # (collect renders NTZ walls / zoned locals per driver contract)
         tz_ok = _utc_session(spark)
-        key_range = source.agg(
-            *[
-                agg(c).alias(f"{side}_{c}")
-                for c in key_cols
-                for side, agg in (("lo", F_min), ("hi", F_max))
-            ]
-        ).first()
+        # key ranges come from the fused probe job above (one batch scan
+        # for ambiguity + range instead of two)
+        key_range = probe
 
         cmap = dict(snap.column_mapping or {})
 
@@ -3604,215 +3613,242 @@ class SnapshotTable:
         for f in snap.files:
             (carried if _file_carried(stats.get(f, {})) else touched).append(f)
 
-        # ONE read of the touched slice feeds the anti-join, the
-        # update-only semi-join, and the CDC block (review r9: a
-        # duplicate read here re-opened footers and invited plan drift);
-        # soft-deleted rows are filtered first — a merge must neither
-        # match nor carry them
-        target = (
-            self._apply_dv(
-                spark,
-                self._read_files(
-                    spark, touched, schema=snap.schema, mapping=cmap
+        # r13 optimization (guide §2.3/§2.4): the source batch, the
+        # dv-applied touched slice, and the matched pair set each feed
+        # SEVERAL output branches (keep/anti, conditional-kept, incoming
+        # semi-joins, and the four CDC blocks) — left as lineage they are
+        # re-scanned and re-joined once per branch (measured on the
+        # cdc_conditional_cdf shape: 35 parquet scans / 23 exchanges in
+        # the change-data write alone). Persisting them for the duration
+        # of this one commit computes each relation once; at scale this
+        # trades N-1 re-reads of the touched slice for one spill-capable
+        # materialization (Delta's merge materializes the same relations
+        # for its single-pass join). Unpersisted in the finally — never
+        # outlives the commit, so it is not cross-run caching.
+        _cached: list[DataFrame] = []
+        try:
+            source = source.persist()
+            _cached.append(source)
+
+            # ONE read of the touched slice feeds the anti-join, the
+            # update-only semi-join, and the CDC block (review r9: a
+            # duplicate read here re-opened footers and invited plan drift);
+            # soft-deleted rows are filtered first — a merge must neither
+            # match nor carry them
+            target = (
+                self._apply_dv(
+                    spark,
+                    self._read_files(
+                        spark, touched, schema=snap.schema, mapping=cmap
+                    )
+                    if cmap
+                    else self._read_files(spark, touched),
+                    touched,
+                    snap.dv,
                 )
-                if cmap
-                else self._read_files(spark, touched),
-                touched,
-                snap.dv,
+                if touched
+                else None
             )
-            if touched
-            else None
-        )
-        target_keys = target.select(*key_cols) if target is not None else None
-        if target is not None and set(source.columns) != set(target.columns):
-            raise ValueError(
-                f"{self.root}: merge source columns {sorted(source.columns)} "
-                f"!= table columns {sorted(target.columns)}"
-            )
-        if bs is not None and bs[0] == "update":
-            # validate the STATIC spec against the logical schema, not
-            # target.columns — review r12: gating on `target is not
-            # None` made a typo'd column silently no-op whenever the
-            # stats pruner happened to carry every file
-            known = (
-                {n for n, _ in snap.schema}
-                if snap.schema is not None
-                else set(source.columns)
-            )
-            unknown = sorted(set(bs[1]) - known)
-            if unknown:
+            if target is not None:
+                target = target.persist()
+                _cached.append(target)
+            target_keys = target.select(*key_cols) if target is not None else None
+            if target is not None and set(source.columns) != set(target.columns):
                 raise ValueError(
-                    f"{self.root}: when_not_matched_by_source set_map "
-                    f"assigns unknown columns {unknown}"
+                    f"{self.root}: merge source columns {sorted(source.columns)} "
+                    f"!= table columns {sorted(target.columns)}"
                 )
-        skeys = source.select(*key_cols)
-        pairs = m_ct = None
-        if target is not None and m_cond is not None:
-            # the matched condition's scope is (target row, source row):
-            # evaluate it over the key-joined pairs under Delta's
-            # qualified names. Source keys are unique (checked above),
-            # so each target row joins at most one source row and the
-            # pair set is exactly the matched target slice.
-            pairs = target.alias("target").join(
-                source.alias("source"),
-                [
-                    F_col(f"target.{k}") == F_col(f"source.{k}")
-                    for k in key_cols
-                ],
-                "inner",
-            )
-            m_ct = F_coalesce(F_expr(m_cond), F_lit(False))
-
-        # 1. target rows NOT matched by any source key: kept verbatim
-        #    without a by-source clause, else transformed by it
-        out_rows = None
-        if target is not None:
-            tns = target.join(skeys, key_cols, "left_anti")
-            if bs is None:
-                out_rows = tns
-            elif bs[0] == "delete":
-                out_rows = (
-                    None  # unconditional: every by-source row goes
-                    if bs[2] is None
-                    else tns.filter(
-                        ~F_coalesce(F_expr(bs[2]), F_lit(False))
+            if bs is not None and bs[0] == "update":
+                # validate the STATIC spec against the logical schema, not
+                # target.columns — review r12: gating on `target is not
+                # None` made a typo'd column silently no-op whenever the
+                # stats pruner happened to carry every file
+                known = (
+                    {n for n, _ in snap.schema}
+                    if snap.schema is not None
+                    else set(source.columns)
+                )
+                unknown = sorted(set(bs[1]) - known)
+                if unknown:
+                    raise ValueError(
+                        f"{self.root}: when_not_matched_by_source set_map "
+                        f"assigns unknown columns {unknown}"
                     )
-                )
-            else:  # by-source update: ONE projection, CASE WHEN per col
-                bs_ct = (
-                    F_coalesce(F_expr(bs[2]), F_lit(False))
-                    if bs[2] is not None
-                    else F_lit(True)
-                )
-                out_rows = tns.select(
-                    *[
-                        F_when(bs_ct, F_expr(bs[1][c]))
-                        .otherwise(F_col(c))
-                        .alias(c)
-                        if c in bs[1]
-                        else F_col(c)
-                        for c in tns.columns
-                    ]
-                )
+            skeys = source.select(*key_cols)
+            pairs = m_ct = None
+            if target is not None and m_cond is not None:
+                # the matched condition's scope is (target row, source row):
+                # evaluate it over the key-joined pairs under Delta's
+                # qualified names. Source keys are unique (checked above),
+                # so each target row joins at most one source row and the
+                # pair set is exactly the matched target slice.
+                pairs = target.alias("target").join(
+                    source.alias("source"),
+                    [
+                        F_col(f"target.{k}") == F_col(f"source.{k}")
+                        for k in key_cols
+                    ],
+                    "inner",
+                ).persist()
+                _cached.append(pairs)
+                m_ct = F_coalesce(F_expr(m_cond), F_lit(False))
 
-        # 2. matched target rows that STAY: all of them when there is no
-        #    matched clause, the condition-failing ones when the clause
-        #    is conditional (an unconditional action keeps none)
-        if target is not None:
-            kept = None
-            if m_action is None:
-                kept = target.join(skeys, key_cols, "left_semi")
-            elif m_cond is not None:
-                kept = pairs.filter(~m_ct).select("target.*")
-            if kept is not None:
-                out_rows = (
-                    kept if out_rows is None else out_rows.unionByName(kept)
-                )
-
-        # 3. incoming source rows. The condition-free shapes keep their
-        #    original 0/1-join plans; conditional clauses derive the
-        #    qualifying keys from the SAME pair set the keep side used.
-        incoming = None
-        if m_cond is None and nm_cond is None:
-            if m_action == "update" or nm_action == "insert":
-                if nm_action != "insert":
-                    # update-only: keep just the source rows that matched
-                    incoming = (
-                        source.join(target_keys, key_cols, "left_semi")
-                        if target is not None
-                        else None
+            # 1. target rows NOT matched by any source key: kept verbatim
+            #    without a by-source clause, else transformed by it
+            out_rows = None
+            if target is not None:
+                tns = target.join(skeys, key_cols, "left_anti")
+                if bs is None:
+                    out_rows = tns
+                elif bs[0] == "delete":
+                    out_rows = (
+                        None  # unconditional: every by-source row goes
+                        if bs[2] is None
+                        else tns.filter(
+                            ~F_coalesce(F_expr(bs[2]), F_lit(False))
+                        )
                     )
-                elif m_action == "delete" and target is not None:
-                    # delete+insert: a MATCHED source row must NOT re-enter
-                    # the table as an insert — its match was just deleted
-                    # (review r9: `incoming = source` resurrected it, against
-                    # MERGE semantics and the CDF's replay contract)
-                    incoming = source.join(target_keys, key_cols, "left_anti")
-                elif m_action == "update":
-                    incoming = source  # matched updates + unmatched inserts
-                else:
-                    # no matched clause: only the unmatched rows may enter
-                    incoming = (
+                else:  # by-source update: ONE projection, CASE WHEN per col
+                    bs_ct = (
+                        F_coalesce(F_expr(bs[2]), F_lit(False))
+                        if bs[2] is not None
+                        else F_lit(True)
+                    )
+                    out_rows = tns.select(
+                        *[
+                            F_when(bs_ct, F_expr(bs[1][c]))
+                            .otherwise(F_col(c))
+                            .alias(c)
+                            if c in bs[1]
+                            else F_col(c)
+                            for c in tns.columns
+                        ]
+                    )
+
+            # 2. matched target rows that STAY: all of them when there is no
+            #    matched clause, the condition-failing ones when the clause
+            #    is conditional (an unconditional action keeps none)
+            if target is not None:
+                kept = None
+                if m_action is None:
+                    kept = target.join(skeys, key_cols, "left_semi")
+                elif m_cond is not None:
+                    kept = pairs.filter(~m_ct).select("target.*")
+                if kept is not None:
+                    out_rows = (
+                        kept if out_rows is None else out_rows.unionByName(kept)
+                    )
+
+            # 3. incoming source rows. The condition-free shapes keep their
+            #    original 0/1-join plans; conditional clauses derive the
+            #    qualifying keys from the SAME pair set the keep side used.
+            incoming = None
+            if m_cond is None and nm_cond is None:
+                if m_action == "update" or nm_action == "insert":
+                    if nm_action != "insert":
+                        # update-only: keep just the source rows that matched
+                        incoming = (
+                            source.join(target_keys, key_cols, "left_semi")
+                            if target is not None
+                            else None
+                        )
+                    elif m_action == "delete" and target is not None:
+                        # delete+insert: a MATCHED source row must NOT re-enter
+                        # the table as an insert — its match was just deleted
+                        # (review r9: `incoming = source` resurrected it, against
+                        # MERGE semantics and the CDF's replay contract)
+                        incoming = source.join(target_keys, key_cols, "left_anti")
+                    elif m_action == "update":
+                        incoming = source  # matched updates + unmatched inserts
+                    else:
+                        # no matched clause: only the unmatched rows may enter
+                        incoming = (
+                            source.join(target_keys, key_cols, "left_anti")
+                            if target is not None
+                            else source
+                        )
+            else:
+                if m_action == "update" and target is not None:
+                    if m_cond is None:
+                        incoming = source.join(target_keys, key_cols, "left_semi")
+                    else:
+                        wk = pairs.filter(m_ct).select(
+                            *[F_col(f"source.{k}").alias(k) for k in key_cols]
+                        )
+                        incoming = source.join(wk, key_cols, "left_semi")
+                if nm_action == "insert":
+                    new_in = (
                         source.join(target_keys, key_cols, "left_anti")
                         if target is not None
                         else source
                     )
-        else:
-            if m_action == "update" and target is not None:
-                if m_cond is None:
-                    incoming = source.join(target_keys, key_cols, "left_semi")
-                else:
-                    wk = pairs.filter(m_ct).select(
-                        *[F_col(f"source.{k}").alias(k) for k in key_cols]
+                    if nm_cond is not None:
+                        new_in = new_in.filter(
+                            F_coalesce(F_expr(nm_cond), F_lit(False))
+                        )
+                    incoming = (
+                        new_in
+                        if incoming is None
+                        else incoming.unionByName(new_in)
                     )
-                    incoming = source.join(wk, key_cols, "left_semi")
-            if nm_action == "insert":
-                new_in = (
-                    source.join(target_keys, key_cols, "left_anti")
-                    if target is not None
-                    else source
+            if incoming is not None:
+                cols = out_rows.columns if out_rows is not None else incoming.columns
+                incoming = incoming.select(*cols)
+                out_rows = (
+                    incoming
+                    if out_rows is None
+                    else out_rows.unionByName(incoming)
                 )
-                if nm_cond is not None:
-                    new_in = new_in.filter(
-                        F_coalesce(F_expr(nm_cond), F_lit(False))
+            cdc_files: list[str] = []
+            if change_data:
+                cdc_parts = self._merge_change_rows(
+                    source, target, target_keys, key_cols,
+                    m_action, m_cond, nm_action, nm_cond, bs, pairs, m_ct,
+                )
+                if cdc_parts:
+                    changes = cdc_parts[0]
+                    for p in cdc_parts[1:]:
+                        changes = changes.unionByName(p)
+                    cdc_files = self._write_change_data(changes)
+            fresh: list[str] = []
+            fresh_stats: dict = {}
+            enforced: dict = {}
+            try:
+                if out_rows is not None:
+                    # inside the cleanup scope: a write failure here (e.g.
+                    # ConstraintViolation) must also drop the already-landed
+                    # change-data dir, not strand it until vacuum (review r9)
+                    fresh, fresh_stats = self._write_data(
+                        out_rows, enforced_out=enforced
                     )
-                incoming = (
-                    new_in
-                    if incoming is None
-                    else incoming.unionByName(new_in)
+                return self._commit_rewrite(
+                    "merge",
+                    cur,
+                    removed=touched,
+                    new_files=fresh,
+                    new_stats=fresh_stats,
+                    spark=spark,
+                    added_guard=lambda rel, fstats: _file_carried(fstats),
+                    recheck=(fresh, fresh_stats, enforced),
+                    extra={"cdc_files": cdc_files} if change_data else None,
+                    evolve_with=source,
+                    # a merge PLANNED without change-data must not rebase
+                    # onto a concurrent enableChangeDataFeed=true commit —
+                    # it would commit a hole in the feed that property now
+                    # promises (review r9; Delta raises MetadataChanged)
+                    metadata_guard=lambda ns: change_data or not _cdf_enabled(ns),
+                    read_dv={f: (snap.dv or {}).get(f) for f in touched},
                 )
-        if incoming is not None:
-            cols = out_rows.columns if out_rows is not None else incoming.columns
-            incoming = incoming.select(*cols)
-            out_rows = (
-                incoming
-                if out_rows is None
-                else out_rows.unionByName(incoming)
-            )
-        cdc_files: list[str] = []
-        if change_data:
-            cdc_parts = self._merge_change_rows(
-                source, target, target_keys, key_cols,
-                m_action, m_cond, nm_action, nm_cond, bs, pairs, m_ct,
-            )
-            if cdc_parts:
-                changes = cdc_parts[0]
-                for p in cdc_parts[1:]:
-                    changes = changes.unionByName(p)
-                cdc_files = self._write_change_data(changes)
-        fresh: list[str] = []
-        fresh_stats: dict = {}
-        enforced: dict = {}
-        try:
-            if out_rows is not None:
-                # inside the cleanup scope: a write failure here (e.g.
-                # ConstraintViolation) must also drop the already-landed
-                # change-data dir, not strand it until vacuum (review r9)
-                fresh, fresh_stats = self._write_data(
-                    out_rows, enforced_out=enforced
-                )
-            return self._commit_rewrite(
-                "merge",
-                cur,
-                removed=touched,
-                new_files=fresh,
-                new_stats=fresh_stats,
-                spark=spark,
-                added_guard=lambda rel, fstats: _file_carried(fstats),
-                recheck=(fresh, fresh_stats, enforced),
-                extra={"cdc_files": cdc_files} if change_data else None,
-                evolve_with=source,
-                # a merge PLANNED without change-data must not rebase
-                # onto a concurrent enableChangeDataFeed=true commit —
-                # it would commit a hole in the feed that property now
-                # promises (review r9; Delta raises MetadataChanged)
-                metadata_guard=lambda ns: change_data or not _cdf_enabled(ns),
-                read_dv={f: (snap.dv or {}).get(f) for f in touched},
-            )
-        except BaseException:
-            # carried files stay (committed); fresh data + change files go
-            self._drop_uuid_dirs(fresh + cdc_files)
-            raise
+            except BaseException:
+                # carried files stay (committed); fresh data + change files go
+                self._drop_uuid_dirs(fresh + cdc_files)
+                raise
+        finally:
+            for _df in _cached:
+                try:
+                    _df.unpersist(False)
+                except Exception:
+                    pass
 
     def _merge_change_rows(
         self,
