@@ -57,6 +57,7 @@ from nyc_taxi_data_pipeline_elt_spark.operators.similarity import (
     EMBED_DIM,
     as_double,
     dot,
+    dot_lit_sql,
 )
 
 Centroid = tuple[int, list[float]]
@@ -320,14 +321,17 @@ def ivf_kmeans_topk(
     probes = [cid for cid, _ in sorted(scored, key=lambda t: (-t[1], t[0]))][
         :nprobe
     ]
-    qvec = F.array(*[F.lit(float(x)) for x in qv])
+    # folded form of dot(v, <literal qvec>): element_at on the literal
+    # array is pre-folded to scalar literals — one SQL parse instead of
+    # ~130 py4j round-trips (plan byte-identical, see similarity.py)
+    qdot = F.expr(dot_lit_sql("v", [float(x) for x in qv]))
     return (
         assigned.filter(F.col("cluster").isin(probes))
         .filter(F.col(id_col) != query_vec_id)
         .select(
             F.col(id_col),
             F.round(
-                dot(F.col("v"), qvec, dim) / (F.col("vnorm") * F.lit(qnorm)),
+                qdot / (F.col("vnorm") * F.lit(qnorm)),
                 6,
             ).alias("cos_sim"),
         )

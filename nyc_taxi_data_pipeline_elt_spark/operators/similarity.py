@@ -56,6 +56,70 @@ def cosine(a: Column, b: Column, dim: int = EMBED_DIM) -> Column:
     return dot(a, b, dim) / F.sqrt(dot(a, a, dim) * dot(b, b, dim))
 
 
+def _lit_d(x: float) -> str:
+    """Render a double as a SQL literal that round-trips exactly:
+    ``repr`` emits the shortest digit string that re-reads to the same
+    bits, and the ``D`` suffix pins DoubleType (no decimal inference)."""
+    return f"{x!r}D"
+
+
+def _self_dot(vals: list[float]) -> float:
+    """Left-to-right self-dot — the association the unrolled expression
+    (and Catalyst's constant folder, which evaluates the literal tree
+    node by node) produces, so the folded scalar is bit-identical."""
+    s = vals[0] * vals[0]
+    for v in vals[1:]:
+        s = s + v * v
+    return s
+
+
+def dot_lit_sql(col_sql: str, vals: list[float], lit_first: bool = False) -> str:
+    """SQL text of :func:`dot` between column ``col_sql`` and a literal
+    vector, emitted pre-folded: the ``element_at(array(<lits>), i)``
+    lookups Catalyst would constant-fold anyway appear as scalar
+    literals directly. Building the equivalent Column expression costs
+    ~130 py4j round-trips per dot (~0.45 s of driver wall; ~1.3 s per
+    cosine — measured, guide §1.2/§4: driver-side latency is part of
+    the query), while this string parses in ~2 ms. ``lit_first``
+    mirrors the operand order of the Column form it replaces so the
+    optimized plan stays byte-identical."""
+    if lit_first:
+        return " + ".join(
+            f"({_lit_d(float(v))} * element_at({col_sql}, {i + 1}))"
+            for i, v in enumerate(vals)
+        )
+    return " + ".join(
+        f"(element_at({col_sql}, {i + 1}) * {_lit_d(float(v))})"
+        for i, v in enumerate(vals)
+    )
+
+
+def dot_sql(a_sql: str, b_sql: str, dim: int = EMBED_DIM) -> str:
+    """SQL text of the unrolled column-column :func:`dot` (same terms,
+    same left-to-right association; one parse instead of py4j calls)."""
+    return " + ".join(
+        f"(element_at({a_sql}, {i + 1}) * element_at({b_sql}, {i + 1}))"
+        for i in range(dim)
+    )
+
+
+def cosine_lit(col_sql: str, vals) -> Column:
+    """:func:`cosine` of column ``col_sql`` against a LITERAL query
+    vector, built directly in the constant-folded form the optimizer
+    produces from ``cosine(col, F.array(*lits))``: the numerator dots
+    the column against scalar literals, and the query's self-dot is the
+    folded scalar (left-to-right in Python, the same IEEE sequence).
+    The optimized plan is byte-identical to the Column form (pinned in
+    tests/test_similarity_fold.py) — this is purely a driver-side
+    build-cost optimization (~1.3 s -> ~2 ms per cosine)."""
+    vals = [float(v) for v in vals]
+    return F.expr(
+        f"({dot_lit_sql(col_sql, vals)})"
+        f" / SQRT(({dot_sql(col_sql, col_sql, len(vals))})"
+        f" * {_lit_d(_self_dot(vals))})"
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,
@@ -658,13 +722,12 @@ def lsh_topk(
         .first()
     )
     q = [float(x) for x in qrow["v"]]
-    qvec = F.array(*[F.lit(x) for x in q])
     return (
         e.filter(F.col("bucket") == _sign_bucket_driver(q, planes))
         .filter(F.col(id_col) != query_vec_id)
         .select(
             F.col(id_col),
-            F.round(cosine(F.col("v"), qvec), 6).alias("cos_sim"),
+            F.round(cosine_lit("v", q), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -705,13 +768,12 @@ def lsh_topk_multiprobe(
     q = [float(x) for x in qrow["v"]]
     qb = _sign_bucket_driver(q, planes)
     probes = [qb] + [qb ^ (1 << i) for i in range(n_planes)]
-    qvec = F.array(*[F.lit(x) for x in q])
     return (
         e.filter(F.col("bucket").isin(probes))
         .filter(F.col(id_col) != query_vec_id)
         .select(
             F.col(id_col),
-            F.round(cosine(F.col("v"), qvec), 6).alias("cos_sim"),
+            F.round(cosine_lit("v", q), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -799,7 +861,6 @@ def ivf_topk(
         .first()
     )
     q = [float(x) for x in qrow["v"]]
-    qvec = F.array(*[F.lit(x) for x in q])
     # build centroids: mean per (bucket, position), reassembled in order.
     # The distributed part is the aggregation; the result — n_buckets x dim
     # doubles — IS the IVF index metadata, which serving keeps in driver /
@@ -844,7 +905,7 @@ def ivf_topk(
         .filter(F.col(id_col) != query_vec_id)
         .select(
             F.col(id_col),
-            F.round(cosine(F.col("v"), qvec), 6).alias("cos_sim"),
+            F.round(cosine_lit("v", q), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -1268,16 +1329,19 @@ def pq_rerank_topk(
         dim=dim,
         query_vec=q,  # no second full-scan first() job
     ).select(id_col)
-    qvec = F.array(*[F.lit(x) for x in q])
+    # folded form of dot(qvec, v) / (sqrt(dot(qvec, qvec)) * sqrt(dot(v, v)))
+    # with qvec literal: the query self-dot and its sqrt are the scalars
+    # Catalyst would fold to (math.sqrt is the same correctly-rounded
+    # IEEE op as the JVM's) — optimized plan byte-identical, build ~2 ms
+    qn = _lit_d(math.sqrt(_self_dot([float(x) for x in q])))
     return (
         e.join(F.broadcast(cand), id_col)
         .select(
             id_col,
             F.round(
-                dot(qvec, F.col("v"), dim)
-                / (
-                    F.sqrt(dot(qvec, qvec, dim))
-                    * F.sqrt(dot(F.col("v"), F.col("v"), dim))
+                F.expr(
+                    f"({dot_lit_sql('v', q, lit_first=True)})"
+                    f" / ({qn} * SQRT(({dot_sql('v', 'v', dim)})))"
                 ),
                 6,
             ).alias("cos_sim"),

@@ -1793,7 +1793,10 @@ def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     qrow = e.filter(F.col("vec_id") == 0).select("v", "bucket").first()
     qb = int(qrow["bucket"])
-    qvec = F.array(*[F.lit(float(x)) for x in qrow["v"]])
+    # one folded-form cosine built once and shared by both probes and
+    # the exact ranking (the Column-expression form cost ~1.3 s of
+    # driver py4j time PER build, ~4 s here — see similarity.cosine_lit)
+    cos_q = S.cosine_lit("v", [float(x) for x in qrow["v"]])
 
     def probe(buckets: list[int]) -> DataFrame:
         return (
@@ -1801,7 +1804,7 @@ def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("vec_id") != 0)
             .select(
                 "vec_id",
-                F.round(S.cosine(F.col("v"), qvec), 6).alias("cos_sim"),
+                F.round(cos_q, 6).alias("cos_sim"),
             )
             .orderBy(F.col("cos_sim").desc(), "vec_id")
             .limit(k)
@@ -1816,7 +1819,7 @@ def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") != 0)
         .select(
             "vec_id",
-            F.round(S.cosine(F.col("v"), qvec), 6).alias("cos_sim"),
+            F.round(cos_q, 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(k)
