@@ -103,6 +103,15 @@ def get_spark(app_name: str = "nyc-taxi-elt-spark", cpus: int | None = None) -> 
         # keep saveAsTable output (bucketed tables) out of the repo tree
         .config("spark.sql.warehouse.dir", "/tmp/ntx_warehouse")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Python-worker connect-back accept timeout (default 15s): in a
+        # long-lived JVM running hundreds of queries, a worker spawned
+        # under momentary host load can miss the 15s window and kill the
+        # whole (streaming) query with "Python worker failed to connect
+        # back" — observed once at test ~147/187 of a 26-minute
+        # single-JVM pytest module run. Waiting longer is strictly safer
+        # than failing: the worker either connects or the spawn error
+        # surfaces on its own.
+        .config("spark.python.authenticate.socketTimeout", "120s")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
