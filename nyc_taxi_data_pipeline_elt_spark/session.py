@@ -70,18 +70,54 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+# Memoization stamp for tune(): every query entry point calls tune(), so
+# an already-tuned session was paying ~len(RUNTIME_CONFS) py4j conf.set
+# round-trips per query (~16 driver calls x 200 queries x every bench
+# pass — pure dispatch overhead, the same class as the SET-walk the r13
+# loop_session fix removed). The stamp is an md5 of the conf CONTENTS:
+# editing RUNTIME_CONFS invalidates every prior stamp by construction,
+# and the sentinel is an ordinary session conf, so clones inherit it
+# exactly as they inherit the tuned values themselves.
+_TUNE_SENTINEL = "spark.ntx.tuned"
+
+
+def _tune_stamp() -> str:
+    import hashlib
+
+    return hashlib.md5(
+        repr(sorted(RUNTIME_CONFS.items())).encode()
+    ).hexdigest()
+
+
+_TUNE_STAMP = _tune_stamp()
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (idempotent).
 
     Every public query entry point calls this so behavior is identical
     whether the session came from :func:`get_spark` or from the harness.
+    A session that already carries the current stamp is skipped after
+    ONE conf.get — code outside this module never mutates these confs
+    (pinned by ``test_no_conf_set_outside_tune_and_confscope``; tests
+    that scope a conf restore it in ``finally``), so the stamp staying
+    put means the values are still in force.
     """
+    try:
+        if spark.conf.get(_TUNE_SENTINEL, None) == _TUNE_STAMP:
+            return spark
+    except Exception:
+        pass
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             # Non-settable in this build → keep going; defaults are sane.
             pass
+    try:
+        spark.conf.set(_TUNE_SENTINEL, _TUNE_STAMP)
+    except Exception:
+        pass
     return spark
 
 
@@ -115,6 +151,9 @@ def get_spark(app_name: str = "nyc-taxi-elt-spark", cpus: int | None = None) -> 
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    # stamp at build: a get_spark session is tuned by construction, so
+    # the tune() below (and every per-query tune) is one conf.get
+    builder = builder.config(_TUNE_SENTINEL, _TUNE_STAMP)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return tune(spark)

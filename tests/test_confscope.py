@@ -142,3 +142,39 @@ def test_loop_session_does_not_copy_redacted_conf_values(spark):
             assert ls.conf.get(key) == "hunter2"
     finally:
         spark.conf.unset(key)
+
+
+def test_tune_memoizes_on_session_stamp(spark):
+    """tune() on an already-stamped session is one conf.get, not a
+    conf.set walk (r13 optimization): the stamp conf survives -> no
+    re-pin; clearing the stamp -> the full walk runs and re-stamps.
+    The stamp derives from RUNTIME_CONFS' contents, so editing the
+    dict invalidates every prior stamp by construction."""
+    from nyc_taxi_data_pipeline_elt_spark import session as S
+
+    # the get_spark fixture session is stamped at build
+    assert spark.conf.get(S._TUNE_SENTINEL, None) == S._TUNE_STAMP
+    probe = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        spark.conf.set(probe, "static")
+        S.tune(spark)  # memoized: must not touch any conf
+        assert spark.conf.get(probe) == "static"
+        spark.conf.unset(S._TUNE_SENTINEL)
+        S.tune(spark)  # stamp gone: full re-pin + re-stamp
+        assert spark.conf.get(probe) == S.RUNTIME_CONFS[probe]
+        assert spark.conf.get(S._TUNE_SENTINEL) == S._TUNE_STAMP
+    finally:
+        spark.conf.set(probe, S.RUNTIME_CONFS[probe])
+        spark.conf.set(S._TUNE_SENTINEL, S._TUNE_STAMP)
+
+
+def test_tune_stamp_tracks_runtime_confs_contents():
+    from nyc_taxi_data_pipeline_elt_spark import session as S
+
+    before = S._tune_stamp()
+    S.RUNTIME_CONFS["spark.ntx.test.extra"] = "1"
+    try:
+        assert S._tune_stamp() != before
+    finally:
+        del S.RUNTIME_CONFS["spark.ntx.test.extra"]
+    assert S._tune_stamp() == before
