@@ -2548,9 +2548,25 @@ def customer_entity_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = levenshtein_join_auto(
         blocked, key_col="c_custkey", name_col="c_name", block_col="blk", tau=1
     ).select(F.col("key_a").alias("k_a"), F.col("key_b").alias("k_b"))
+    # symmetrize by EXPLODING each pair into its two directions instead
+    # of a self-union: the union consumed the pair pipeline twice, so
+    # the whole dispatch-stats + PassJoin + salted-quadratic lineage
+    # appeared TWICE in the plan (74 parquet scans / 72 exchanges
+    # measured; AQE exchange reuse collapses identical subtrees at
+    # runtime but the optimizer still plans both copies). One
+    # consumption halves the plan (guide §2.4 — share, don't recompute).
     sym = pairs.select(
-        F.col("k_a").alias("k"), F.col("k_b").alias("other")
-    ).union(pairs.select(F.col("k_b").alias("k"), F.col("k_a").alias("other")))
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("k_a").alias("k"), F.col("k_b").alias("other")
+                ),
+                F.struct(
+                    F.col("k_b").alias("k"), F.col("k_a").alias("other")
+                ),
+            )
+        ).alias("e")
+    ).select("e.k", "e.other")
     nbr_min = sym.groupBy("k").agg(F.min("other").alias("min_nbr"))
     return (
         cust.join(nbr_min, cust.c_custkey == nbr_min.k, "left")

@@ -381,9 +381,14 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
 # layout), and every state-store instance pays a fixed commit cost per
 # micro-batch — so it must be sized to STATE VOLUME, not to batch-CPU
 # count: 32 stores over ~100k rows of state is pure overhead (measured
-# 2x end-to-end). Deploys with large keyspaces raise this; it is a
-# per-stream knob, deliberately not the global batch shuffle setting.
-STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+# 2x end-to-end). 8 -> 4 re-measured r13 (interleaved A/B at sf0.1):
+# the stream-stream joins — which run FOUR store instances per
+# partition (left/right x keyToNumValues/keyWithIndex) — drop ~0.9 s
+# per query at 4, everything else within noise; 4 keeps per-store
+# state at ~4k keys on the fixture. Deploys with large keyspaces raise
+# this via the env knob; it is a per-stream setting, deliberately not
+# the global batch shuffle width.
+STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
 
 
 def run_to_memory(
