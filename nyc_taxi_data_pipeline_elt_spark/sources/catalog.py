@@ -39,10 +39,24 @@ def register_parquet_table(
 
 
 def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register the driver fixture tables as temp views for spark.sql."""
+    """Register the driver fixture tables as temp views for spark.sql.
+
+    Skipped when THIS function already registered the same ``sf_dir`` on
+    this session (r13, guide §1.2): the views it would create are
+    byte-identical plans, and re-creating all ten cost ~1 s of driver
+    dispatch per calling query. Nothing else in the package registers
+    views under these names with different content (the few same-name
+    registrations in plans/ bind the same ``load_table`` of the same
+    ``sf_dir``); a different ``sf_dir`` re-registers and re-stamps."""
     tune(spark)
+    if getattr(spark, "_ntx_views_sf", None) == sf_dir:
+        return
     for name in TESTDATA_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    try:
+        spark._ntx_views_sf = sf_dir
+    except Exception:
+        pass
 
 
 def sql(spark: SparkSession, query: str) -> DataFrame:

@@ -28,6 +28,35 @@ TESTDATA_TABLES = (
 )
 
 
+def _fixture_schema(spark: SparkSession, path: str):
+    """Inferred schema of one fixture parquet, memoized per SESSION.
+
+    ``spark.read.parquet`` runs full driver-side analysis (datasource
+    resolution + footer schema inference) on every call — measured
+    ~85 ms warm vs ~15 ms for an explicit-schema read (r13, guide §1.2:
+    driver dispatch). With ~240 ``load_table`` call sites across the
+    query registry that is ~17 s of pure per-pass dispatch. The memo
+    holds METADATA only (a StructType, the same thing the JVM's own
+    FileIndex/footer caches hold per session) — never rows, never a
+    DataFrame: every call still builds a FRESH relation with fresh
+    expression ids, so self-joins of two ``load_table`` results keep
+    working, and every action still scans the parquet inputs. Keyed on
+    the resolved path, attached to the session object (dies with it;
+    clones start empty and re-infer once)."""
+    memo = getattr(spark, "_ntx_schema_memo", None)
+    if memo is None:
+        memo = {}
+        try:
+            spark._ntx_schema_memo = memo
+        except Exception:  # exotic session wrapper: fall back, stay lazy
+            return spark.read.parquet(path).schema
+    sch = memo.get(path)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        memo[path] = sch
+    return sch
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver-generated synthetic table (TESTDATA.md).
 
@@ -40,7 +69,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     every downstream query sees one stable type (NTZ notably refuses
     numeric casts like ``ts.cast("long")``).
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.schema(_fixture_schema(spark, path)).parquet(path)
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, LongType):
             # integer DIV, not /: epoch-nanos (~1.7e18) exceeds double's
