@@ -139,6 +139,54 @@ def run_one_pass(sf_dir: str) -> dict[str, float]:
             spark.read.format("snapshot_table").load(str(_wt.root)).filter(
                 "id >= 32"
             ).write.format("noop").mode("overwrite").save()
+            # merge/update/delete/CDF + one streaming cycle (r13): the
+            # warm block above left these machinery paths cold, so the
+            # alphabetically-FIRST query of each family was charged the
+            # per-JVM one-time cost (codegen of the merge anti/semi
+            # joins, the CDF replay readers, the Python Data Source
+            # STREAM handshake) — measured ~2 s each on
+            # cdc_conditional_cdf and snapshot_cdf_stream_mirror at
+            # sf0.1 (interleaved A/B, cleanest rep). Same 64-row scale
+            # and same untimed placement as the rest of the warmup;
+            # per-query numbers keep comparing plans, not suite order.
+            _wt2 = SnapshotTable(_wroot + "/warm2")
+            _wt2.append(
+                spark.range(64)
+                .selectExpr("id", "id*2 AS v", "id%3 AS s")
+                .repartition(2)
+            )
+            _wt2.set_property("delta.enableChangeDataFeed", "true")
+            _wt2.merge(
+                spark,
+                spark.range(32, 96).selectExpr(
+                    "id", "id*3 AS v", "id%3 AS s"
+                ),
+                ["id"],
+                when_matched=("update", "source.v > target.v"),
+                when_not_matched="insert",
+                when_not_matched_by_source=("delete", "v < 10 AND s = 0"),
+                change_data=True,
+            )
+            _wt2.delete(spark, "id >= 90 AND s = 1")
+            _wt2.delete(spark, "id BETWEEN 6 AND 8", mode="merge-on-read")
+            _wt2.update(spark, "id < 5", {"v": "v + 1"})
+            _wt2.read_changes_cdf(spark, since_version=0).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            _q = (
+                spark.readStream.format("snapshot_table")
+                .option("readChangeFeed", "true")
+                .load(str(_wt2.root))
+                .writeStream.foreachBatch(
+                    lambda df, _b: df.write.mode("append").parquet(
+                        _wroot + "/stage"
+                    )
+                )
+                .option("checkpointLocation", _wroot + "/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _q.awaitTermination(300)
         finally:
             _sh.rmtree(_wroot, ignore_errors=True)
     except Exception:
