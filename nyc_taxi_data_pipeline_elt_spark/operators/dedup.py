@@ -48,20 +48,27 @@ def shingle_rows(
     posexplode + window lead: every operator is whole-stage-codegen'd and
     the only shuffle is the window's hash partition on ``id_col``. Docs
     with fewer than ``n`` tokens produce no rows.
+
+    Emitted as pre-built SQL (r13, guide §1.2 — same rationale as the
+    similarity literal fold): the Column form cost ~76 ms of py4j
+    dispatch per call across 8 call sites; the ANALYZED plan is pinned
+    byte-identical to the Column form by
+    ``tests/test_dedup_fold.py``, so the executed computation is
+    unchanged.
     """
-    tok = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("pos", "tk"),
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tk", j).over(w) for j in range(1, n)]
+    win = f"OVER (PARTITION BY `{id_col}` ORDER BY pos)"
+    leads = ", ".join(f"lead(tk, {j}) {win}" for j in range(1, n))
     return (
-        tok.select(
-            F.col(id_col),
-            F.concat_ws(" ", F.col("tk"), *leads).alias("s"),
-            leads[-1].alias("_guard"),
+        docs.selectExpr(
+            f"`{id_col}`",
+            f"posexplode(split(trim(`{text_col}`), '\\\\s+')) AS (pos, tk)",
         )
-        .filter(F.col("_guard").isNotNull())
+        .selectExpr(
+            f"`{id_col}`",
+            f"concat_ws(' ', tk, {leads}) AS s",
+            f"lead(tk, {n - 1}) {win} AS _guard",
+        )
+        .filter("_guard IS NOT NULL")
         .select(id_col, "s")
     )
 
@@ -183,24 +190,33 @@ def minhash_band_rows(
     direct ``posexplode``-of-key-array alternative at sf0.1 (isolated,
     median of 3 interleaved passes): 3.04 s vs 3.14 s through the full
     ``minhash_lsh_pairs`` plan — equivalent within noise, so the shared
-    index-builder shape stays."""
+    index-builder shape stays.
+
+    Signature aggregate and band explode emitted as pre-built SQL (r13,
+    guide §1.2): the Column form cost ~130 ms of py4j dispatch per call
+    on top of ``shingle_rows``; the ANALYZED plan is pinned
+    byte-identical to the Column form (including ``lsh_band_keys``) by
+    ``tests/test_dedup_fold.py`` — same hashes, same band keys, same
+    executed computation."""
     sh = shingle_rows(docs, n=3, id_col=id_col, text_col=text_col)
     sig = sh.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("s")))).alias(f"mh{seed}")
+            F.expr(f"min(md5(concat('{seed}|', s))) AS mh{seed}")
             for seed in range(MINHASH_K)
         ]
     )
-    return sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), key.alias("band_key"))
-                    for b, key in enumerate(lsh_band_keys())
-                ]
-            )
-        ).alias("band"),
+    bands = ", ".join(
+        "struct({b} AS band_idx, "
+        "md5(concat_ws('', {cols})) AS band_key)".format(
+            b=b,
+            cols=", ".join(
+                f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return sig.selectExpr(
+        f"`{id_col}`", f"explode(array({bands})) AS band"
     ).select(id_col, "band.band_idx", "band.band_key")
 
 
