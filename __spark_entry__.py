@@ -45,81 +45,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records correctness rows for the FIRST 50 entries of
-# ``queries()`` insertion order. Round-13 rotation (VERDICT r12 task #1),
-# re-derived against the actual CORRECTNESS_r{1..12}.json union:
-# staleness distribution is 48@r9 / 50@r10 / 50@r11 / 50@r12, zero
-# never-green, 198 registered == 198 ever-green. This window is the 48
-# queries whose newest green driver row is r9 — the oldest evidence in
-# the ledger — plus the alphabetically-first r10 rows starting the r10
-# cohort refresh. Window invariant: every member's newest prior green
-# row is <= r10; after this round no registered query's evidence
-# predates r10. Everything displaced is r10/r11/r12 driver-hash-verified
-# and remains registered, benchmarked, and locally parity-tested;
-# tests/test_window_coverage.py FAILS the suite if any registered query
-# has neither a driver row in any CORRECTNESS_r*.json nor a slot here,
-# and if this list exceeds the 50 slots the driver actually records.
-# NEW queries registered this round take a slot by displacing the
-# alphabetically-last r10 filler (note it in COVERAGE.md) — the r8
-# snapshot_time_travel_read pattern.
+# ``queries()`` insertion order. Round-14 rotation (VERDICT r13 task #8:
+# "rotation first commit, next window per the ledger"), re-derived
+# against the actual CORRECTNESS_r{1..13}.json union: staleness
+# distribution is exactly 50@r10 / 50@r11 / 50@r12 / 50@r13, zero
+# never-green, 200 registered == 200 ever-green. This window is the 50
+# queries whose newest green driver row is r10 — the oldest evidence in
+# the ledger. Window invariant: after this round no registered query's
+# evidence predates r11. Everything displaced is r11/r12/r13
+# driver-hash-verified and remains registered, benchmarked, and locally
+# parity-tested; tests/test_window_coverage.py FAILS the suite if any
+# registered query has neither a driver row in any CORRECTNESS_r*.json
+# nor a slot here, and if this list exceeds the 50 slots the driver
+# actually records. NEW queries registered in a round take a slot by
+# displacing the alphabetically-last filler (note it in COVERAGE.md) —
+# the r8 snapshot_time_travel_read pattern. (r14 is an optimization
+# round: no new queries.)
 _PRIORITY_WINDOW = [
-    # --- stalest: newest green row is r9 (48) ---------------------------
-    "balanced_shard_packing",
-    "bigram_lm_scores",
-    "bpe_pair_counts",
-    "classifier_score_docs",
-    "cohort_retention",
-    "corpus_datasheet",
-    "curate_corpus_pipeline",
-    "dedup_containment_pairs",
-    "dedup_incremental_minhash",
-    "dedup_spans_corpus",
-    "doc_bottomk_sample",
-    "doc_group_split",
-    "doc_mixture_sample",
-    "doc_quota_sample",
-    "doc_repetition_stats",
-    "doc_sample_split",
-    "doc_vowel_stats_pandas_udf",
-    "dq_expectations_orders",
-    "embedding_kmeans",
-    "embedding_random_projection",
-    "knn_join_embeddings",
-    "lang_id_docs",
-    "large_volume_orders",
-    "late_shipment_priorities",
-    "lineitem_asof_prior_order",
-    "min_cost_supplier_per_part",
-    "multimodal_meta",
-    "nation_profit_by_year",
-    "nation_wealth_coverage",
-    "pack_training_sequences",
-    "part_supplier_variety",
-    "quality_filter_docs",
-    "returned_item_losses",
-    "semdedup_prune",
-    "shard_assignment",
-    "simsearch_bruteforce_topk",
-    "simsearch_lsh_multiprobe",
-    "simsearch_lsh_topk",
-    "simsearch_recall_eval",
-    "snapshot_cdf_updates",
-    "snapshot_change_feed",
-    "snapshot_delete_rows",
-    "source_quality_udaf",
-    "sql_consumption_report",
-    "text_stats",
-    "top3_lineitems_per_supplier",
-    "top_revenue_suppliers",
-    "winnow_fingerprint_docs",
-    # --- NEW r13 queries take the two r10-filler slots ------------------
-    # (displaced: approx_distinct_stats, biggest_order_per_customer —
-    # both keep their r10 green rows)
-    # conditional-merge CDF + conjunctive retention delete (VERDICT r12
-    # tasks #2/#7)
-    "cdc_conditional_cdf",
-    # partitioned SnapshotTable + dynamic partition overwrite — the
-    # reference's consumer layout end to end (VERDICT r12 task #3)
-    "snapshot_partitioned_replace",
+    # --- stalest: newest green row is r10 (50) --------------------------
+    "approx_distinct_stats",
+    "biggest_order_per_customer",
+    "boilerplate_prefix_report",
+    "click_attribution",
+    "copurchase_part_pairs",
+    "curriculum_budget_selection",
+    "customer_entity_leaders",
+    "dedup_lsh_band_plan",
+    "dedup_lsh_recall_eval",
+    "dedup_minhash_lsh_capped",
+    "dedup_threshold_sweep",
+    "doc_char_entropy",
+    "embedding_neardup_pairs",
+    "embedding_norm_profile",
+    "embedding_standardize_profile",
+    "events_anomaly_screen",
+    "funnel_conversion",
+    "image_luma_profile",
+    "join_cardinality_estimate",
+    "kmv_distinct_tokens",
+    "mixture_temperature_weights",
+    "nation_cheapest_route",
+    "order_price_deciles",
+    "order_price_histogram",
+    "orders_grouping_sets",
+    "percentile_sketch_eval",
+    "pii_redact_docs",
+    "props_extract_udtf",
+    "q1_monthly_revenue",
+    "quality_drift_psi",
+    "quality_quantile_normalize",
+    "semantic_decontaminate",
+    "similar_part_names",
+    "skew_diagnosis_orders",
+    "snapshot_cdf_stream_mirror",
+    "snapshot_clone_divergence",
+    "snapshot_dv_delete_rows",
+    "snapshot_optimize_cdf_neutral",
+    "snapshot_rename_column",
+    "snapshot_update_rows",
+    "source_novelty_curve",
+    "source_overlap_matrix",
+    "sql_scripting_threshold_scan",
+    "streaming_click_purchase_left_join",
+    "streaming_dedup_within_watermark",
+    "streaming_funnel_stages",
+    "streaming_user_totals_tws",
+    "video_motion_profile",
+    "vocab_coverage",
+    "winsorized_order_stats",
 ]
 
 _PLAN_MODULES = (
