@@ -27,6 +27,22 @@ def _unique(name: str) -> str:
     return f"{name}_{next(_COUNTER)}"
 
 
+
+def _replay(spark, sf_dir, df, name, mode="complete"):
+    """One replay entry for every registered streaming query: threads
+    the source-volume-derived state-store partition count (VERDICT r13
+    #7 — streaming/windows.suggested_state_partitions) into
+    run_to_memory so no production stream inherits a fixture-sized
+    state layout. At the test SFs this resolves to the same 4
+    partitions the r13 A/B measured."""
+    return W.run_to_memory(
+        df,
+        name,
+        mode=mode,
+        state_partitions=W.suggested_state_partitions(spark, sf_dir),
+    )
+
+
 def _snapstream_fixture(spark: SparkSession, sf_dir: str):
     """Two-append events snapshot table — the stream-replay query's
     INPUT, built once per process and bench-prewarmed (see
@@ -112,7 +128,7 @@ def snapshot_eventorder_stream_agg(
         .agg(F.count("*").alias("n_events"),
              F.round(F.sum("value"), 2).alias("total_value"))
     )
-    out = W.run_to_memory(agg, _unique("snapeo"))
+    out = _replay(spark, sf_dir, agg, _unique("snapeo"))
     # day stays TIMESTAMP on both sides (the resample_events_daily
     # convention — a DATE here hash-mismatches DuckDB's datetime64)
     return out.select(
@@ -131,7 +147,7 @@ GROUP BY 1
 
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = W.stream_events(spark, sf_dir)
-    return W.run_to_memory(W.tumbling_counts(events), _unique("tumbling"))
+    return _replay(spark, sf_dir, W.tumbling_counts(events), _unique("tumbling"))
 
 
 TUMBLING_ORACLE = """
@@ -146,7 +162,7 @@ GROUP BY 1, 2
 
 def streaming_sliding_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = W.stream_events(spark, sf_dir)
-    return W.run_to_memory(W.sliding_totals(events), _unique("sliding"))
+    return _replay(spark, sf_dir, W.sliding_totals(events), _unique("sliding"))
 
 
 # each event belongs to 2 overlapping 10-min windows (5-min slide):
@@ -168,7 +184,7 @@ GROUP BY 1, 2
 
 def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = W.stream_events(spark, sf_dir)
-    return W.run_to_memory(W.session_counts(events), _unique("sessions"))
+    return _replay(spark, sf_dir, W.session_counts(events), _unique("sessions"))
 
 
 SESSION_ORACLE = """
@@ -203,7 +219,9 @@ def streaming_late_data_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final-watermark cut IS batch-expressible, so this gets a real
     # oracle (below) instead of the rows-only check it had through r3.
     events = W.stream_events(spark, sf_dir)
-    return W.run_to_memory(
+    return _replay(
+        spark,
+        sf_dir,
         W.late_data_tumbling(events), _unique("late"), mode="append"
     )
 
@@ -232,7 +250,9 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
     # the emitted running count equals the batch per-user total — so the
     # custom stateful operator oracle-checks against a plain GROUP BY
     events = W.stream_events(spark, sf_dir)
-    out = W.run_to_memory(
+    out = _replay(
+        spark,
+        sf_dir,
         W.stateful_user_counts(events), _unique("stateful"), mode="append"
     )
     return out.select("user_id", "n_events")
@@ -262,7 +282,7 @@ def streaming_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         op, sink_mode = W.stateful_user_totals_tws, "update"
     else:
         op, sink_mode = W.stateful_user_totals, "append"
-    out = W.run_to_memory(op(events), _unique("tws"), mode=sink_mode)
+    out = _replay(spark, sf_dir, op(events), _unique("tws"), mode=sink_mode)
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.round(F.max("total_value"), 2).alias("total_value"),
@@ -278,7 +298,9 @@ GROUP BY user_id
 
 def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = W.stream_events(spark, sf_dir)
-    return W.run_to_memory(
+    return _replay(
+        spark,
+        sf_dir,
         W.click_purchase_join(events), _unique("ss_join"), mode="append"
     )
 
@@ -299,7 +321,9 @@ FROM ev c JOIN ev p
 
 def streaming_dedup_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = W.stream_events(spark, sf_dir)
-    return W.run_to_memory(
+    return _replay(
+        spark,
+        sf_dir,
         W.dedup_user_slots(events), _unique("dedup_slots"), mode="append"
     )
 
@@ -322,7 +346,9 @@ def streaming_dedup_within_watermark(
     doubled = W.stream_events(spark, sf_dir).unionByName(
         W.stream_events(spark, sf_dir)
     )
-    return W.run_to_memory(
+    return _replay(
+        spark,
+        sf_dir,
         W.dedup_within_watermark(doubled), _unique("dedup_wm"), mode="append"
     )
 
@@ -337,7 +363,9 @@ def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = W.stream_events(spark, sf_dir)
     customer = load_table(spark, sf_dir, "customer")
-    return W.run_to_memory(
+    return _replay(
+        spark,
+        sf_dir,
         W.enriched_segment_counts(events, customer),
         _unique("enrich"),
         mode="complete",
@@ -383,7 +411,7 @@ def streaming_snapshot_source_counts(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    return W.run_to_memory(agg, _unique("snapsource"))
+    return _replay(spark, sf_dir, agg, _unique("snapsource"))
 
 
 SNAPSHOT_SOURCE_ORACLE = """
@@ -400,7 +428,9 @@ def streaming_click_purchase_left_join(
     oracle reproduces both the matches (batch time-range join) and the
     NULL set (anti-join cut at final-watermark - window)."""
     events = W.stream_events(spark, sf_dir)
-    return W.run_to_memory(
+    return _replay(
+        spark,
+        sf_dir,
         W.click_purchase_left_join(events), _unique("ss_ljoin"), mode="append"
     )
 
@@ -451,7 +481,9 @@ def streaming_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = W.stream_events(spark, sf_dir).filter(
         F.col("ts") < F.lit("2024-01-04").cast("timestamp")
     )
-    out = W.run_to_memory(
+    out = _replay(
+        spark,
+        sf_dir,
         W.stateful_funnel(events), _unique("funnel"), mode="append"
     )
     # append mode emits one row per user per micro-batch; if the
