@@ -1096,12 +1096,30 @@ def snapshot_optimize_cdf_neutral(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("o_orderkey").alias("key_checksum"),
         )
     )
-    before = {
-        tuple(r) for r in agg(
-            table.read_changes_cdf(spark, since_version=-1)
-        ).collect()
-    }
+    # r14 (guide §2.6 + VERDICT r13 #4): the pre-optimize feed collect
+    # and the optimize rewrite are independent jobs — the feed plan pins
+    # its version range HERE (read_changes_cdf resolves the manifest
+    # chain at construction, before optimize commits v3; manifests and
+    # data files are immutable), so the collect runs on a side thread
+    # while optimize rewrites. Same sets compared, same assertion.
+    import threading
+
+    before_df = agg(table.read_changes_cdf(spark, since_version=-1))
+    box: dict = {}
+
+    def _collect_before() -> None:
+        try:
+            box["rows"] = before_df.collect()
+        except BaseException as exc:  # re-raised on the main thread
+            box["err"] = exc
+
+    collector = threading.Thread(target=_collect_before, daemon=True)
+    collector.start()
     table.optimize(spark, zorder_by=["o_totalprice"], target_files=4)  # v3
+    collector.join()
+    if "err" in box:
+        raise box["err"]
+    before = {tuple(r) for r in box["rows"]}
     feed = agg(table.read_changes_cdf(spark, since_version=-1))
     after = {tuple(r) for r in feed.collect()}
     if before != after:
@@ -1168,23 +1186,48 @@ def snapshot_cdf_stream_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"o_totalprice": "o_totalprice + 10000.0"},
     )
     stage = root + "/stage"
+    # r14 (guide §2.6 + VERDICT r13 #1): the batch-CDF gate count is
+    # independent of the stream cycle — its version range pins at
+    # construction time (read_changes_cdf resolves the manifest chain
+    # here, before any further commit could exist), so the count job
+    # overlaps the availableNow cycle on a side thread instead of
+    # running serially after it. Same gate, same compared invariant.
+    import threading
+
+    batch_feed = table.read_changes_cdf(spark, since_version=-1)
+    gate: dict = {}
+
+    def _count_batch_feed() -> None:
+        try:
+            gate["n"] = batch_feed.count()
+        except BaseException as exc:  # re-raised on the main thread
+            gate["err"] = exc
+
+    counter = threading.Thread(target=_count_batch_feed, daemon=True)
+    counter.start()
+    # r14 (guide §4 + VERDICT r13 #1): stage through the JVM parquet
+    # FILE SINK, not foreachBatch — the staged rows are identical
+    # (append per microbatch either way) but the per-batch Python
+    # callback round-trip is gone and the sink commits natively.
     q = (
         spark.readStream.format("snapshot_table")
         .option("readChangeFeed", "true")
         .load(str(table.root))
-        .writeStream.foreachBatch(
-            lambda df, _bid: df.write.mode("append").parquet(stage)
-        )
+        .writeStream.format("parquet")
+        .option("path", stage)
         .option("checkpointLocation", root + "/ck")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
+    counter.join()
+    if "err" in gate:
+        raise gate["err"]
     from pyspark.sql.window import Window
 
     staged = spark.read.parquet(stage)
     n_feed = staged.count()
-    n_batch = table.read_changes_cdf(spark, since_version=-1).count()
+    n_batch = gate["n"]
     if n_feed != n_batch:
         raise AssertionError(
             f"stream delivered {n_feed} change rows, batch feed has {n_batch}"
@@ -1330,13 +1373,14 @@ def snapshot_mapped_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     stage = root + "/stage"
+    # r14: JVM parquet file sink instead of foreachBatch — identical
+    # staged rows, no per-batch Python callback (see the mirror query)
     q = (
         spark.readStream.format("snapshot_table")
         .option("ignoreDeletes", "true")
         .load(str(table.root))
-        .writeStream.foreachBatch(
-            lambda df, _bid: df.write.mode("append").parquet(stage)
-        )
+        .writeStream.format("parquet")
+        .option("path", stage)
         .option("checkpointLocation", root + "/ck")
         .trigger(availableNow=True)
         .start()
