@@ -56,6 +56,7 @@ import logging
 import os
 import re as _re
 import shutil
+import threading
 import time
 import uuid
 from dataclasses import dataclass
@@ -3800,27 +3801,67 @@ class SnapshotTable:
                     else out_rows.unionByName(incoming)
                 )
             cdc_files: list[str] = []
-            if change_data:
-                cdc_parts = self._merge_change_rows(
-                    source, target, target_keys, key_cols,
-                    m_action, m_cond, nm_action, nm_cond, bs, pairs, m_ct,
-                )
-                if cdc_parts:
-                    changes = cdc_parts[0]
-                    for p in cdc_parts[1:]:
-                        changes = changes.unionByName(p)
-                    cdc_files = self._write_change_data(changes)
             fresh: list[str] = []
             fresh_stats: dict = {}
             enforced: dict = {}
+            cdc_thread: threading.Thread | None = None
+            cdc_box: dict = {}
             try:
-                if out_rows is not None:
-                    # inside the cleanup scope: a write failure here (e.g.
-                    # ConstraintViolation) must also drop the already-landed
-                    # change-data dir, not strand it until vacuum (review r9)
-                    fresh, fresh_stats = self._write_data(
-                        out_rows, enforced_out=enforced
+                if change_data:
+                    cdc_parts = self._merge_change_rows(
+                        source, target, target_keys, key_cols,
+                        m_action, m_cond, nm_action, nm_cond, bs, pairs, m_ct,
                     )
+                    if cdc_parts:
+                        changes = cdc_parts[0]
+                        for p in cdc_parts[1:]:
+                            changes = changes.unionByName(p)
+                        # r14 (guide §2.6 + VERDICT r13 #4): the cdc
+                        # write and the data write below are independent
+                        # writer jobs over the SAME persisted relations
+                        # — materialize those caches FIRST (one pairs
+                        # scan covers source and target too; without
+                        # pairs, force each directly), then overlap the
+                        # two writes. r13's parallel-CDC revert traced
+                        # the loss to the two jobs racing
+                        # first-evaluation of these caches (cache-lock
+                        # serialization), which pre-materialization
+                        # removes.
+                        if pairs is not None:
+                            pairs.count()
+                        else:
+                            for _df in _cached:
+                                _df.count()
+
+                        def _cdc_write() -> None:
+                            try:
+                                cdc_box["files"] = self._write_change_data(
+                                    changes
+                                )
+                            except BaseException as exc:
+                                cdc_box["err"] = exc
+
+                        cdc_thread = threading.Thread(
+                            target=_cdc_write, daemon=True
+                        )
+                        cdc_thread.start()
+                try:
+                    if out_rows is not None:
+                        # inside the cleanup scope: a write failure here
+                        # (e.g. ConstraintViolation) must also drop the
+                        # already-landed change-data dir, not strand it
+                        # until vacuum (review r9)
+                        fresh, fresh_stats = self._write_data(
+                            out_rows, enforced_out=enforced
+                        )
+                finally:
+                    # the landed cdc dir must be cleanup-visible even
+                    # when the data write raised first
+                    if cdc_thread is not None:
+                        cdc_thread.join()
+                        cdc_files = cdc_box.get("files", [])
+                if "err" in cdc_box:
+                    raise cdc_box["err"]
                 return self._commit_rewrite(
                     "merge",
                     cur,
@@ -4396,31 +4437,67 @@ class SnapshotTable:
 
         rewritten = target.select(*_post_cols(target, guarded=True))
         cdc_files: list[str] = []
-        if change_data:
-            # one scan of the touched files feeds BOTH cdc branches:
-            # without the cache the unionByName's pre and post sides
-            # each re-read the touched parquet (review r10). The cached
-            # slice is only the matched rows (band-sized, spills to
-            # disk if not), released before the rewrite job runs.
-            matched = target.filter(match).persist()
-            try:
-                changes = matched.withColumn(
-                    "_change_type", F_lit("update_preimage")
-                ).unionByName(
-                    matched.select(*_post_cols(target, guarded=False))
-                    .withColumn("_change_type", F_lit("update_postimage"))
-                )
-                cdc_files = self._write_change_data(changes)
-            finally:
-                matched.unpersist()
-            extra["cdc_files"] = cdc_files
         fresh: list[str] = []
         fresh_stats: dict = {}
         enforced: dict = {}
         try:
-            fresh, fresh_stats = self._write_data(
-                rewritten, enforced_out=enforced
-            )
+            if change_data:
+                # one scan of the touched files feeds BOTH cdc branches:
+                # without the cache the unionByName's pre and post sides
+                # each re-read the touched parquet (review r10). The
+                # cached slice is only the matched rows (band-sized,
+                # spills to disk if not), released once both writer jobs
+                # are done.
+                matched = target.filter(match).persist()
+                try:
+                    # r14 (guide §2.6 + VERDICT r13 #4): the cdc write
+                    # (reads the cached matched slice) and the rewrite
+                    # (re-scans the touched files) are independent
+                    # writer jobs — run them CONCURRENTLY. The count()
+                    # materializes the cache first: r13's parallel-CDC
+                    # revert traced its loss to the two jobs racing
+                    # first-evaluation of the shared persisted relation
+                    # (cache-lock serialization), which a materialized
+                    # cache cannot exhibit.
+                    matched.count()
+                    changes = matched.withColumn(
+                        "_change_type", F_lit("update_preimage")
+                    ).unionByName(
+                        matched.select(*_post_cols(target, guarded=False))
+                        .withColumn("_change_type", F_lit("update_postimage"))
+                    )
+                    cdc_box: dict = {}
+
+                    def _cdc_write() -> None:
+                        try:
+                            cdc_box["files"] = self._write_change_data(
+                                changes
+                            )
+                        except BaseException as exc:
+                            cdc_box["err"] = exc
+
+                    cdc_thread = threading.Thread(
+                        target=_cdc_write, daemon=True
+                    )
+                    cdc_thread.start()
+                    try:
+                        fresh, fresh_stats = self._write_data(
+                            rewritten, enforced_out=enforced
+                        )
+                    finally:
+                        # the landed cdc dir must be cleanup-visible even
+                        # when the data write raised first
+                        cdc_thread.join()
+                        cdc_files = cdc_box.get("files", [])
+                    if "err" in cdc_box:
+                        raise cdc_box["err"]
+                finally:
+                    matched.unpersist()
+                extra["cdc_files"] = cdc_files
+            else:
+                fresh, fresh_stats = self._write_data(
+                    rewritten, enforced_out=enforced
+                )
             return self._commit_rewrite(
                 "update",
                 cur,
