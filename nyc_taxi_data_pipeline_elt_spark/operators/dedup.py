@@ -17,10 +17,20 @@ Scale design (the point of each variant):
   product. Still quadratic in the worst case — use after LSH blocking at
   scale; here it doubles as the verifier for MinHash candidates.
 
-Hashing is md5 (not xxhash64) everywhere: md5 is bit-identical across
-Spark and DuckDB, which makes every operator oracle-checkable. MinHash
-uses the *lexicographic* min of seed-prefixed md5 hex strings — a valid
-min-wise hash family since md5 is uniform on the hex-string order.
+Hashing of VALUES that reach results is md5: md5 is bit-identical
+across Spark and DuckDB, which makes every operator oracle-checkable.
+MinHash uses the *lexicographic* min of seed-prefixed md5 hex strings —
+a valid min-wise hash family since md5 is uniform on the hex-string
+order. LSH BAND KEYS are the exception (r14, guide §2.3 / VERDICT r13
+#5): they are engine-internal join/group keys that never appear in any
+output, so they are ``xxhash64`` longs (8 bytes) instead of 32-char md5
+hex strings (~40 bytes with length header) — every exchange, cache
+block and state row of the band index is ~60% narrower per key column,
+which at corpus scale is the difference the shuffle pays for. Equality
+structure is identical (same signature tuple <=> same band key, 64-bit
+collisions aside), so candidate pairs — and therefore all results —
+are unchanged; the DuckDB oracles compute collisions from their own
+md5 band keys and never see ours.
 """
 
 from __future__ import annotations
@@ -55,13 +65,21 @@ def shingle_rows(
     byte-identical to the Column form by
     ``tests/test_dedup_fold.py``, so the executed computation is
     unchanged.
+
+    The split regex is spelled ``concat(chr(92), 's+')`` rather than
+    the string literal ``'\\\\s+'`` (ADVICE r13): the literal's meaning
+    flips under ``spark.sql.parser.escapedStringLiterals=true``, while
+    the chr() form parses to the same ``\\s+`` pattern under EITHER
+    parser mode and constant-folds to the identical plan literal —
+    parser-config-independence at zero runtime cost.
     """
     win = f"OVER (PARTITION BY `{id_col}` ORDER BY pos)"
     leads = ", ".join(f"lead(tk, {j}) {win}" for j in range(1, n))
     return (
         docs.selectExpr(
             f"`{id_col}`",
-            f"posexplode(split(trim(`{text_col}`), '\\\\s+')) AS (pos, tk)",
+            f"posexplode(split(trim(`{text_col}`), concat(chr(92), 's+')))"
+            " AS (pos, tk)",
         )
         .selectExpr(
             f"`{id_col}`",
@@ -170,11 +188,14 @@ SELECT DISTINCT doc_id, fp FROM wmin
 
 
 def lsh_band_keys(sig_prefix: str = "mh") -> list[Column]:
-    """Collapse the signature into LSH_BANDS bucket keys (md5 of each band)."""
+    """Collapse the signature into LSH_BANDS bucket keys — ``xxhash64``
+    longs over each band's signature columns (r14: 8-byte join keys
+    instead of 32-char md5 hex; see the module header — band keys are
+    engine-internal, results are unchanged)."""
     keys = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"{sig_prefix}{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-        keys.append(F.md5(F.concat_ws("", *cols)).alias(f"band{b}"))
+        keys.append(F.xxhash64(*cols).alias(f"band{b}"))
     return keys
 
 
@@ -185,6 +206,9 @@ def minhash_band_rows(
     persistable band index: signature = one hash-aggregate over the
     shingle rows (k mins computed map-side partial), then one row per
     band. This IS the stored state of an incremental dedup corpus.
+    Band keys are ``xxhash64`` longs since r14 (see module header): an
+    index persisted by an OLDER (md5-keyed) build must be rebuilt with
+    this builder before joining new batches against it.
 
     Shape note: the explode-of-struct-array here was A/B'd against the
     direct ``posexplode``-of-key-array alternative at sf0.1 (isolated,
@@ -207,7 +231,7 @@ def minhash_band_rows(
     )
     bands = ", ".join(
         "struct({b} AS band_idx, "
-        "md5(concat_ws('', {cols})) AS band_key)".format(
+        "xxhash64({cols}) AS band_key)".format(
             b=b,
             cols=", ".join(
                 f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)

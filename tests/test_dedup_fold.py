@@ -110,6 +110,23 @@ def test_minhash_band_rows_plan_matches_column_form(spark):
     assert _optimized(minhash_band_rows(docs)) == _optimized(col_form)
 
 
+def test_shingle_rows_parser_mode_independent(spark):
+    """ADVICE r13: the folded SQL's split regex must mean the same thing
+    under spark.sql.parser.escapedStringLiterals=true (the chr(92) form;
+    a '\\\\s+' string literal would silently flip to a different
+    pattern). Pin row equality under both parser modes."""
+    docs = _docs(spark)
+    want = sorted(map(tuple, shingle_rows(docs, n=3).collect()))
+    key = "spark.sql.parser.escapedStringLiterals"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "true")
+        got = sorted(map(tuple, shingle_rows(docs, n=3).collect()))
+    finally:
+        spark.conf.set(key, prev)
+    assert got == want and len(want) > 0
+
+
 def test_minhash_band_rows_values_roundtrip(spark):
     # belt and braces on top of plan identity: actual rows equal
     docs = _docs(spark)
@@ -118,5 +135,8 @@ def test_minhash_band_rows_values_roundtrip(spark):
         for r in minhash_band_rows(docs).collect()
     )
     assert len(got) == 2 * LSH_BANDS  # docs 1 and 2 have >= 3 tokens
-    assert all(len(k) == 32 for _, _, k in got)  # md5 hex band keys
+    # band keys are xxhash64 LONGS (r14, guide §2.3: 8-byte exchange
+    # keys; results depend only on key equality, pinned by the oracle
+    # parity suite)
+    assert all(isinstance(k, int) for _, _, k in got)
     assert LSH_BANDS * LSH_ROWS == MINHASH_K
