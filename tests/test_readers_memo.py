@@ -70,11 +70,38 @@ def test_memo_attached_to_session_and_keyed_by_path(spark):
     load_table(spark, SF_DIR, "region")
     memo = getattr(spark, "_ntx_schema_memo", None)
     assert memo is not None
-    assert f"{SF_DIR}/region.parquet" in memo
+    # keyed on (path, mtime_ns, size) — ADVICE r13: a regenerated
+    # fixture at the same path re-infers instead of serving stale shape
+    import os
+
+    path = f"{SF_DIR}/region.parquet"
+    st = os.stat(path)
+    assert (path, st.st_mtime_ns, st.st_size) in memo
     # metadata only: StructType values, nothing row-like or DataFrame
     from pyspark.sql.types import StructType
 
     assert all(isinstance(v, StructType) for v in memo.values())
+
+
+def test_memo_invalidates_on_fixture_rewrite(spark, tmp_path):
+    """ADVICE r13 scenario: a parquet REGENERATED at the same path with
+    a different schema must be re-inferred, not silently null-padded
+    through the stale memoized schema."""
+    import shutil
+    import time
+
+    d = tmp_path / "sfX"
+    d.mkdir()
+    shutil.copyfile(f"{SF_DIR}/region.parquet", d / "region.parquet")
+    first = load_table(spark, str(d), "region")
+    assert set(first.columns) == {"r_regionkey", "r_name"}
+    # regenerate with a different shape at the SAME path
+    time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse clocks
+    spark.read.parquet(f"{SF_DIR}/region.parquet").select(
+        "r_regionkey"
+    ).write.mode("overwrite").parquet(str(d / "region.parquet"))
+    again = load_table(spark, str(d), "region")
+    assert set(again.columns) == {"r_regionkey"}
 
 
 def test_register_views_skip_and_sf_switch(spark):
